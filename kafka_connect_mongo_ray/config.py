@@ -1,0 +1,41 @@
+"""Engine configuration.
+
+Analog of the reference's config surface (9 source keys at
+``MongoSourceConfig.kt:13-81``, 3 sink keys at
+``MongoSinkConfig.kt:13-41``) re-expressed for a Parquet-lake engine:
+Mongo URI → input path, ``databases`` → logical tables,
+``batch.size`` → Arrow batch size, Kafka offset topic → checkpoint
+directory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """All knobs for one replay / backfill job.
+
+    Attributes mirror reference config keys where one exists:
+
+    - ``batch_size``       ← ``batch.size`` (``AbstractMongoSourceTask.kt:33``)
+    - ``num_buckets``      ← unit of apply parallelism; the reference's
+      unit is one thread per namespace (``MongoSourceConnector.kt:65-85``),
+      ours is a hash bucket of the ``(repo, path)`` key space so a hot
+      namespace no longer saturates one thread (SURVEY.md §4).
+    - ``checkpoint_dir``   ← Kafka Connect offset topic (``MongoSourceOffset.kt``)
+    - ``analyze_schema``   ← ``analyze.schema`` (``MongoSourceConfig.kt:62-67``)
+    """
+
+    snapshot_dir: str = "/tmp/kcm_ray/snapshot"
+    checkpoint_dir: str = "/tmp/kcm_ray/checkpoints"
+    num_buckets: int = 64
+    batch_size: int = 65536
+    # Actor-pool size for the merge-apply stage; None → one task per bucket
+    # scheduled by the streaming executor.
+    apply_concurrency: int | None = None
+    analyze_schema: bool = False
+    # Max rows per written snapshot file (resumable, many-file layout).
+    snapshot_rows_per_file: int = 1_000_000
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,189 @@
+"""End-to-end CDC replay pipeline (SURVEY.md §3.4 lifecycle).
+
+``events Dataset → map_batches(normalize + partial LWW, zero-copy
+Arrow) → groupby(bucket) shuffle → actor-pool FinalMergeApplier
+(read prev COW bucket, final LWW merge, write staging Parquet) →
+atomic commit (manifest + per-partition resume tokens + per-bucket
+lineage/metrics)``.
+
+Exactly one all-to-all exchange (the bucket groupby); its volume is
+bounded by distinct-keys-per-batch thanks to the partial pre-reduce,
+not by raw event count — the scale answer to the reference's
+one-thread-per-namespace ceiling (``MongoSourceConnector.kt:65-85``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from kafka_connect_mongo_ray.config import EngineConfig
+from kafka_connect_mongo_ray.stages.apply import (
+    live_rows,
+    merge_with_snapshot,
+    partial_lww,
+    split_tokens,
+)
+from kafka_connect_mongo_ray.stages.normalize import normalize_batch
+from kafka_connect_mongo_ray.state.checkpoint import merge_tokens, mirror_checkpoints
+from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+METRICS_SCHEMA = pa.schema(
+    [
+        pa.field("bucket", pa.int32()),
+        pa.field("events_in", pa.int64()),
+        pa.field("state_rows", pa.int64()),
+        pa.field("live_rows", pa.int64()),
+        pa.field("tombstones", pa.int64()),
+        pa.field("carried_forward", pa.bool_()),
+        pa.field("tokens_json", pa.string()),
+        pa.field("file", pa.string()),
+    ]
+)
+
+
+def normalize_prereduce(batch: pa.Table, *, num_buckets: int, tokens=None) -> pa.Table:
+    """Stateless fused stage: normalize (T1–T4 + checkpoint filter) then
+    per-batch partial LWW. Plain function → elastic Ray tasks; there is
+    genuinely no per-worker state to amortize here."""
+    return partial_lww(normalize_batch(batch, num_buckets=num_buckets, tokens=tokens))
+
+
+class FinalMergeApplier:
+    """Stateful merge-applier: one call per bucket group.
+
+    The actor analog of the reference sink task (open client / cached
+    collection handles, ``MongoSinkTask.kt:97-117`` / ST2-ST3): the
+    store handle is built once per actor in ``__init__``; each
+    ``__call__`` merges one bucket's pre-reduced events with the
+    previous snapshot bucket (LWW, tombstone-aware) and writes the new
+    copy-on-write bucket file to staging. Returns one metrics/lineage
+    row per bucket — applied counts plus the per-partition max
+    ``(ts, inc)`` seen, from which the driver derives resume tokens.
+    """
+
+    def __init__(self, snapshot_root: str, prev_version: int, new_version: int):
+        self.store = SnapshotStore(snapshot_root)
+        self.prev_version = prev_version
+        self.new_version = new_version
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        bucket = group["bucket"][0].as_py()
+        events, token_rows = split_tokens(group)
+        tokens = {}
+        for i in range(token_rows.num_rows):
+            p = token_rows["path"][i].as_py()
+            v = (token_rows["ts"][i].as_py(), token_rows["inc"][i].as_py())
+            if p not in tokens or v > tokens[p]:
+                tokens[p] = v
+
+        prev = self.store.read_bucket(self.prev_version, bucket) if self.prev_version else None
+        carried = False
+        if events.num_rows == 0 and prev is not None:
+            state = prev  # COW carry-forward: manifest keeps pointing at the old file
+            carried = True
+            path = ""
+        else:
+            state = merge_with_snapshot(events, prev)
+            path = self.store.write_bucket_staging(self.new_version, bucket, state)
+        live = live_rows(state)
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "events_in": pa.array([events.num_rows], pa.int64()),
+                "state_rows": pa.array([state.num_rows], pa.int64()),
+                "live_rows": pa.array([live.num_rows], pa.int64()),
+                "tombstones": pa.array([state.num_rows - live.num_rows], pa.int64()),
+                "carried_forward": pa.array([carried], pa.bool_()),
+                "tokens_json": pa.array(
+                    [json.dumps({p: list(v) for p, v in sorted(tokens.items())})], pa.string()
+                ),
+                "file": pa.array([path], pa.string()),
+            },
+            schema=METRICS_SCHEMA,
+        )
+
+
+def run_replay(events_ds, cfg: EngineConfig) -> dict:
+    """One committed replay job; resumable — events at or below the
+    previous commit's per-partition resume tokens are filtered at the
+    source (§1.6 two-phase semantics)."""
+    store = SnapshotStore(cfg.snapshot_dir)
+    prev = store.current_version()
+    new = prev + 1
+    old_tokens = store.tokens(prev)
+
+    ds = events_ds.map_batches(
+        normalize_prereduce,
+        fn_kwargs={"num_buckets": cfg.num_buckets, "tokens": old_tokens or None},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.batch_size,
+    )
+    merged = ds.groupby("bucket").map_groups(
+        FinalMergeApplier,
+        fn_constructor_args=(cfg.snapshot_dir, prev, new),
+        batch_format="pyarrow",
+        # autoscaling pool: never demand more actors than the cluster can
+        # grant (a fixed pool larger than available CPUs stalls forever)
+        concurrency=cfg.apply_concurrency or (1, min(cfg.num_buckets, 16)),
+        num_cpus=1,
+    )
+    metrics = merged.take_all()  # one small row per bucket
+
+    new_tokens: dict[int, tuple[int, int]] = {}
+    for row in metrics:
+        for p, v in json.loads(row["tokens_json"]).items():
+            p = int(p)
+            v = (int(v[0]), int(v[1]))
+            if p not in new_tokens or v > new_tokens[p]:
+                new_tokens[p] = v
+    all_tokens = merge_tokens(old_tokens, new_tokens)
+
+    clean_metrics = [
+        {k: v for k, v in row.items() if k != "tokens_json"} for row in metrics
+    ]
+    store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev)
+    mirror_checkpoints(cfg.checkpoint_dir, all_tokens, version=new)
+    return {
+        "version": new,
+        "buckets": len(metrics),
+        "events_in": sum(r["events_in"] for r in metrics),
+        "state_rows": sum(r["state_rows"] for r in metrics),
+        "live_rows": sum(r["live_rows"] for r in metrics),
+        "tombstones": sum(r["tombstones"] for r in metrics),
+        "tokens": {p: list(v) for p, v in sorted(all_tokens.items())},
+    }
+
+
+def final_state_dataset(cfg: EngineConfig, version: int | None = None):
+    """Committed snapshot as a streaming Dataset (tombstones dropped)."""
+    import ray.data as rd
+
+    store = SnapshotStore(cfg.snapshot_dir)
+    v = version or store.current_version()
+    files = store.bucket_files(v)
+    if not files:
+        from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
+
+        return rd.from_arrow(SNAPSHOT_SCHEMA.empty_table())
+    return rd.read_parquet(files).map_batches(live_rows, batch_format="pyarrow")
+
+
+def _collect_merge(group: pa.Table) -> pa.Table:
+    events, _tokens = split_tokens(group)
+    return live_rows(merge_with_snapshot(events, None))
+
+
+def replay_collect(events_ds, num_buckets: int = 64, batch_size: int = 65536):
+    """Ephemeral replay (no persistence): Dataset of the final live
+    state. Used by tests and the driver-facing ``queries()`` entries."""
+    ds = events_ds.map_batches(
+        normalize_prereduce,
+        fn_kwargs={"num_buckets": num_buckets, "tokens": None},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    return ds.groupby("bucket").map_groups(_collect_merge, batch_format="pyarrow")

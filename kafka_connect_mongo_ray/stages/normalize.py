@@ -1,0 +1,175 @@
+"""Normalize stage (SURVEY.md §2.2 T1–T4) — stateless, vectorized Arrow.
+
+Mirrors the reference's record formatting path
+(``AbstractMongoSourceTask.getBasicStruct``,
+``AbstractMongoSourceTask.kt:162-180``) plus the oplog predicate
+(``op ∈ {i,u,d}``, ``OplogReader.kt:137-141``) and the offset encoding
+(``MongoSourceOffset.toOffsetString``, ``MongoSourceOffset.kt:23-26``):
+
+1. drop rows whose op is not i/u/d;
+2. drop rows at or below the per-partition resume token (checkpoint
+   filter — the ``ts' > ts`` resume predicate of ``OplogReader.kt:136``);
+3. enforce the tombstone invariant (``op='d' ⇔ content null``);
+4. attach ``op_rank`` (i<u<d LWW tie rank) and ``bucket``
+   (deterministic hash of ``(repo, path)``);
+5. emit one in-band token row per (batch, partition) carrying the max
+   applied ``(ts, inc)`` so the commit layer learns new resume tokens
+   without a second pass over the stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kafka_connect_mongo_ray.schema import OPS
+from kafka_connect_mongo_ray.stages.apply import TOKEN_OP_RANK, partial_lww
+from kafka_connect_mongo_ray.utils import compact_array, hash_buckets
+
+_SHUFFLE_COLS = ["bucket", "repo", "path", "commit", "lang", "content", "ts", "inc", "op_rank"]
+
+
+def encode_resume_token(ts: int, inc: int, key: str, finished_backfill: bool) -> str:
+    """``"{ts},{inc},{key},{1|-1}"`` — format of ``MongoSourceOffset.kt:23-26``."""
+    return f"{ts},{inc},{key},{1 if finished_backfill else -1}"
+
+
+def decode_resume_token(token: str) -> tuple[int, int, str, bool]:
+    ts, inc, rest = token.split(",", 2)
+    key, fin = rest.rsplit(",", 1)
+    return int(ts), int(inc), key, fin == "1"
+
+
+def normalize_batch(
+    batch: pa.Table,
+    *,
+    num_buckets: int,
+    tokens: dict[int, tuple[int, int]] | None = None,
+) -> pa.Table:
+    """Pure function — see module docstring. Returns shuffle-ready rows."""
+    if batch.num_rows == 0:
+        return _empty_out()
+
+    # 1. op predicate (OplogReader.kt:137-141)
+    valid = pc.is_in(batch["op"], value_set=pa.array(OPS))
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)
+    if batch.num_rows == 0:
+        return _empty_out()
+
+    # 2. checkpoint filter: (ts, inc) > token[partition_id]
+    if tokens:
+        pid = np.asarray(batch["partition_id"])
+        tok_ts = np.full(len(pid), np.iinfo(np.int64).min, dtype=np.int64)
+        tok_inc = np.full(len(pid), np.iinfo(np.int32).min, dtype=np.int64)
+        for p, (t_ts, t_inc) in tokens.items():
+            m = pid == p
+            tok_ts[m] = t_ts
+            tok_inc[m] = t_inc
+        ts = np.asarray(batch["ts"])
+        inc = np.asarray(batch["inc"])
+        fresh = (ts > tok_ts) | ((ts == tok_ts) & (inc > tok_inc))
+        if not fresh.all():
+            batch = batch.filter(pa.array(fresh))
+    if batch.num_rows == 0:
+        return _empty_out()
+
+    # 3. tombstone invariant: delete ⇒ content null (getBasicStruct's
+    #    `object=null`, AbstractMongoSourceTask.kt:174-175).
+    # compact_array: pyarrow 16.1 `if_else` corrupts offsets when fed a
+    # sliced large_string chunk (as Ray's block slicing produces).
+    is_del = pc.equal(batch["op"], "d")
+    content = pc.if_else(
+        compact_array(pc.cast(is_del, pa.bool_())),
+        pa.scalar(None, pa.large_string()),
+        compact_array(pc.cast(batch["content"], pa.large_string())),
+    )
+
+    # 4. op_rank + bucket
+    op_rank = pc.cast(
+        pc.index_in(batch["op"], value_set=pa.array(OPS)), pa.int8()
+    )
+    bucket = pa.array(hash_buckets(batch, ["repo", "path"], num_buckets), pa.int32())
+
+    out = pa.table(
+        {
+            "bucket": bucket,
+            "repo": pc.cast(batch["repo"], pa.string()),
+            "path": pc.cast(batch["path"], pa.string()),
+            "commit": pc.cast(batch["commit"], pa.string()),
+            "lang": pc.cast(batch["lang"], pa.string()),
+            "content": content,
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "inc": pc.cast(batch["inc"], pa.int32()),
+            "op_rank": op_rank,
+        }
+    )
+
+    # 5. in-band per-partition token rows (routed to bucket pid % B)
+    pid = np.asarray(batch["partition_id"])
+    ts = np.asarray(batch["ts"])
+    inc = np.asarray(batch["inc"])
+    parts, idx = np.unique(pid, return_index=False), None
+    tok_rows = []
+    for p in parts.tolist():
+        m = pid == p
+        mts = ts[m]
+        top = np.flatnonzero(mts == mts.max())
+        j = top[np.argmax(inc[m][top])]
+        sel = np.flatnonzero(m)[j]
+        tok_rows.append((int(p), int(ts[sel]), int(inc[sel])))
+    token_tbl = pa.table(
+        {
+            "bucket": pa.array([p % num_buckets for p, _, _ in tok_rows], pa.int32()),
+            "repo": pa.array([""] * len(tok_rows), pa.string()),
+            "path": pa.array([str(p) for p, _, _ in tok_rows], pa.string()),
+            "commit": pa.array([""] * len(tok_rows), pa.string()),
+            "lang": pa.array([""] * len(tok_rows), pa.string()),
+            "content": pa.array([None] * len(tok_rows), pa.large_string()),
+            "ts": pa.array([t for _, t, _ in tok_rows], pa.int64()),
+            "inc": pa.array([i for _, _, i in tok_rows], pa.int32()),
+            "op_rank": pa.array([TOKEN_OP_RANK] * len(tok_rows), pa.int8()),
+        }
+    )
+    return pa.concat_tables([out, token_tbl])
+
+
+def _empty_out() -> pa.Table:
+    return pa.table(
+        {
+            "bucket": pa.array([], pa.int32()),
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.large_string()),
+            "ts": pa.array([], pa.int64()),
+            "inc": pa.array([], pa.int32()),
+            "op_rank": pa.array([], pa.int8()),
+        }
+    )
+
+
+class NormalizePreReduce:
+    """Fused normalize + partial-LWW stage for ``map_batches``.
+
+    One fused pass instead of two keeps the event stream zero-copy
+    Arrow end to end and halves task overhead; the resume tokens are
+    fetched once per actor from the broadcast ref (``ray.put`` on the
+    driver), never re-shipped per batch.
+    """
+
+    def __init__(self, num_buckets: int, tokens_ref=None):
+        self.num_buckets = num_buckets
+        if tokens_ref is not None:
+            import ray
+
+            self.tokens = ray.get(tokens_ref)
+        else:
+            self.tokens = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return partial_lww(
+            normalize_batch(batch, num_buckets=self.num_buckets, tokens=self.tokens)
+        )

@@ -1,0 +1,131 @@
+"""Copy-on-write Parquet snapshot store with atomic manifest commit.
+
+The reference sink writes straight into MongoDB collections and relies
+on upsert idempotence alone — a failed bulk write is logged and its
+offsets still advance (``sink/MongoSinkTask.kt:85-88``, the "@todo
+Retry" at-most-once hole SURVEY.md §3.3 tells us NOT to copy). This
+store replaces that with an exactly-once-on-final-state protocol:
+
+- state lives in per-bucket Parquet files,
+  ``root/v{N:06d}/bucket={b}.parquet``;
+- a version's **manifest** maps every bucket to the FILE that holds
+  its current state — buckets untouched by a job point at an older
+  version's file (true copy-on-write: commit cost is O(changed
+  buckets), not O(key space));
+- appliers write into a staging dir; ``commit()`` renames it into
+  place, writes the manifest (with per-bucket lineage/metrics and
+  per-partition resume tokens), then atomically flips ``CURRENT`` —
+  the single visibility event. A crash anywhere before the flip
+  leaves the previous version live; replaying the job is idempotent
+  (LWW), so the crash window is safe.
+
+Layout is resumable and shardable: one file per bucket, never one
+giant file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
+from kafka_connect_mongo_ray.utils import atomic_write_json, read_json
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- versions ----------------------------------------------------------
+    def current_version(self) -> int:
+        cur = read_json(os.path.join(self.root, "CURRENT"))
+        return cur["version"] if cur else 0
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:06d}")
+
+    def manifest(self, version: int) -> dict | None:
+        if version <= 0:
+            return None
+        return read_json(os.path.join(self._vdir(version), "manifest.json"))
+
+    # -- read --------------------------------------------------------------
+    def read_bucket(self, version: int, bucket: int) -> pa.Table | None:
+        m = self.manifest(version)
+        if not m:
+            return None
+        rel = m["buckets"].get(str(bucket))
+        if rel is None:
+            return None
+        return pq.read_table(os.path.join(self.root, rel))
+
+    def bucket_files(self, version: int) -> list[str]:
+        m = self.manifest(version)
+        if not m:
+            return []
+        return [os.path.join(self.root, rel) for rel in m["buckets"].values()]
+
+    def tokens(self, version: int) -> dict[int, tuple[int, int]]:
+        """Per-partition resume tokens recorded at the given commit."""
+        m = self.manifest(version)
+        if not m:
+            return {}
+        return {int(p): (t[0], t[1]) for p, t in m.get("tokens", {}).items()}
+
+    # -- write path --------------------------------------------------------
+    def staging_dir(self, new_version: int) -> str:
+        d = os.path.join(self.root, f".staging-v{new_version:06d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_bucket_staging(self, new_version: int, bucket: int, state: pa.Table) -> str:
+        """Called by applier actors; rows must already be in canonical
+        (repo, path) order for byte-stable output (SURVEY.md §7.4)."""
+        d = self.staging_dir(new_version)
+        fname = f"bucket={bucket}.parquet"
+        tmp = os.path.join(d, fname + ".tmp")
+        pq.write_table(state.cast(SNAPSHOT_SCHEMA), tmp, compression="zstd")
+        final = os.path.join(d, fname)
+        os.replace(tmp, final)
+        return final
+
+    def commit(
+        self,
+        new_version: int,
+        *,
+        tokens: dict[int, tuple[int, int]],
+        metrics: list[dict] | None = None,
+        prev_version: int | None = None,
+    ) -> dict:
+        """Atomic publish: staging → v{N}, manifest, CURRENT flip."""
+        prev = self.current_version() if prev_version is None else prev_version
+        staging = self.staging_dir(new_version)
+        vdir = self._vdir(new_version)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.replace(staging, vdir)
+
+        buckets: dict[str, str] = {}
+        prev_manifest = self.manifest(prev)
+        if prev_manifest:
+            buckets.update(prev_manifest["buckets"])  # COW carry-forward
+        vname = os.path.basename(vdir)
+        for f in sorted(os.listdir(vdir)):
+            if f.startswith("bucket=") and f.endswith(".parquet"):
+                b = f[len("bucket="):-len(".parquet")]
+                buckets[b] = os.path.join(vname, f)
+
+        manifest = {
+            "version": new_version,
+            "parent": prev,
+            "buckets": buckets,
+            "tokens": {str(p): [t[0], t[1]] for p, t in sorted(tokens.items())},
+            "metrics": metrics or [],
+        }
+        atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
+        atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": new_version})
+        return manifest

@@ -1,0 +1,78 @@
+"""Shared helpers: deterministic vectorized key hashing, atomic writes.
+
+The bucket hash must be deterministic across processes and Python
+versions (no builtin ``hash``: PYTHONHASHSEED). We use pandas'
+vectorized 64-bit string hasher (``pd.util.hash_array``) with its
+fixed default hash key, applied to the NUL-joined key columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KEY_SEP = "\x00"
+
+
+def key_strings(table: pa.Table, key_cols: list[str]) -> pa.Array:
+    """NUL-joined composite key column, vectorized in Arrow."""
+    cols = [table[c] for c in key_cols]
+    if len(cols) == 1:
+        arr = cols[0]
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    joined = pc.binary_join_element_wise(*[pc.cast(c, pa.string()) for c in cols], KEY_SEP)
+    return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+
+
+def hash_buckets(table: pa.Table, key_cols: list[str], num_buckets: int) -> np.ndarray:
+    """Deterministic int32 bucket id per row: hash64(key) % num_buckets."""
+    keys = key_strings(table, key_cols)
+    h = pd.util.hash_array(np.asarray(keys), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def compact_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Single zero-offset Array, copying only when needed.
+
+    Ray Data's block slicing can deliver chunks with a nonzero slice
+    offset; pyarrow 16.1's ``if_else`` kernel mishandles such
+    (large_)string inputs and emits arrays with out-of-bounds offsets.
+    ``take`` forces a compacted copy for exactly the offending chunks.
+    """
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    if len(chunks) == 1 and chunks[0].offset == 0:
+        return chunks[0]
+    fixed = [
+        c if c.offset == 0 else c.take(np.arange(len(c), dtype=np.int64))
+        for c in chunks
+    ]
+    return fixed[0] if len(fixed) == 1 else pa.concat_arrays(fixed)
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Write-temp-then-rename: the commit protocol primitive (SURVEY.md §7.4)."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_json(path: str, default=None):
+    if not os.path.exists(path):
+        return default
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,128 @@
+"""End-to-end replay through Ray Data vs the pure-Python oracle.
+
+Covers FIXTURES.md F3 (subtle), F4 (randomized bulk + dups), F6 (hot
+key skew) and F7 (checkpoint resume + re-run of a committed stream).
+Parity currency: per-key content sha256 on sorted (repo, path)."""
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_mongo_ray.config import EngineConfig
+from kafka_connect_mongo_ray.oracle import content_sha256_map, final_table, replay
+from kafka_connect_mongo_ray.pipelines.cdc import (
+    final_state_dataset,
+    replay_collect,
+    run_replay,
+)
+from kafka_connect_mongo_ray.sources.gen import (
+    GenSpec,
+    change_event_dataset,
+    gen_all_events,
+    synth_repo_files,
+)
+from tests.test_oracle_and_gen import subtle_events
+
+
+def ds_from_table(tbl, blocks=4):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def engine_sha_map(ds):
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
+    ) if ds.count() else final_table({})
+    return content_sha256_map(tbl)
+
+
+def assert_parity(events_tbl, num_buckets=8):
+    oracle_map = content_sha256_map(final_table(replay(events_tbl)))
+    out = replay_collect(ds_from_table(events_tbl), num_buckets=num_buckets, batch_size=257)
+    got = engine_sha_map(out)
+    assert got == oracle_map
+
+
+def test_subtle_e2e():
+    assert_parity(subtle_events())
+
+
+def test_bulk_random_with_dups_e2e():
+    base = synth_repo_files(10, 20, seed=13)
+    spec = GenSpec(num_partitions=4, events_per_partition=500, seed=13, dup_frac=0.2)
+    assert_parity(gen_all_events(spec, base))
+
+
+def test_hot_key_skew_e2e():
+    # zipf-ish: skew=6 concentrates ~half the events on few keys (F6)
+    base = synth_repo_files(5, 10, seed=17)
+    spec = GenSpec(num_partitions=4, events_per_partition=800, seed=17, skew=6.0)
+    ev = gen_all_events(spec, base)
+    assert_parity(ev, num_buckets=4)
+    # salted path: different bucket counts must give identical state
+    a = engine_sha_map(replay_collect(ds_from_table(ev), num_buckets=2))
+    b = engine_sha_map(replay_collect(ds_from_table(ev), num_buckets=16))
+    assert a == b
+
+
+def test_generator_dataset_matches_local():
+    base = synth_repo_files(4, 5, seed=19)
+    spec = GenSpec(num_partitions=3, events_per_partition=100, seed=19)
+    local = gen_all_events(spec, base)
+    ds = change_event_dataset(spec, base)
+    remote = pa.concat_tables(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("partition_id", "ascending"), ("ts", "ascending")])
+    assert remote.sort_by([("partition_id", "ascending"), ("ts", "ascending")]).equals(
+        local.sort_by([("partition_id", "ascending"), ("ts", "ascending")])
+    )
+
+
+@pytest.fixture()
+def bulk_fixture():
+    base = synth_repo_files(6, 10, seed=23)
+    spec = GenSpec(num_partitions=4, events_per_partition=400, seed=23, dup_frac=0.1)
+    return gen_all_events(spec, base)
+
+
+def test_persistent_replay_and_commit(tmp_engine_dirs, bulk_fixture):
+    cfg = tmp_engine_dirs
+    summary = run_replay(ds_from_table(bulk_fixture), cfg)
+    assert summary["version"] == 1
+    oracle_map = content_sha256_map(final_table(replay(bulk_fixture)))
+    got = engine_sha_map(final_state_dataset(cfg))
+    assert got == oracle_map
+    assert summary["live_rows"] == len(oracle_map)
+
+
+def test_checkpoint_resume_prefix_suffix(tmp_engine_dirs, bulk_fixture):
+    """F7: run on a prefix, commit, then feed the FULL stream — the
+    checkpoint filter must apply only the suffix; final state equals
+    the single-shot replay."""
+    cfg = tmp_engine_dirs
+    ev = bulk_fixture
+    # prefix = events with ts below the median
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cut = int(np.median(np.asarray(ev["ts"])))
+    prefix = ev.filter(pc.less_equal(ev["ts"], cut))
+    s1 = run_replay(ds_from_table(prefix), cfg)
+    assert s1["version"] == 1
+    s2 = run_replay(ds_from_table(ev), cfg)  # full stream, token-filtered
+    assert s2["version"] == 2
+    # suffix-only application: fewer events in than the full stream
+    assert s2["events_in"] < ev.num_rows
+    oracle_map = content_sha256_map(final_table(replay(ev)))
+    assert engine_sha_map(final_state_dataset(cfg)) == oracle_map
+
+
+def test_rerun_committed_stream_is_noop(tmp_engine_dirs, bulk_fixture):
+    """F7 variant: at-least-once re-run of an already-committed stream
+    leaves the state unchanged (idempotence)."""
+    cfg = tmp_engine_dirs
+    run_replay(ds_from_table(bulk_fixture), cfg)
+    before = engine_sha_map(final_state_dataset(cfg))
+    s2 = run_replay(ds_from_table(bulk_fixture), cfg)
+    assert s2["events_in"] == 0
+    assert engine_sha_map(final_state_dataset(cfg)) == before
