@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+All expressed Ray-Data-first:
+
+- **exact**: md5 fingerprint in ``map_batches`` → hash-partitioned
+  ``groupby(fingerprint)`` → first (min id) per group. One shuffle,
+  volume = one row per doc (only the hash + id need to move if the
+  caller projects first).
+- **MinHash + LSH**: shingle → minhash signature (numpy) → explode to
+  (band_id, band_hash, doc_id) rows → ``groupby(band)`` → candidate
+  pairs within buckets → verify true Jaccard. Shuffle volume = bands ×
+  docs small fixed-width rows; no all-pairs anywhere.
+- **SimHash**: 64-bit signature per doc; near-dups = equal signature
+  bands (hamming≤k via band collision), verified by hamming distance.
+- **n-gram Jaccard**: the verifier, also usable brute-force on small
+  candidate sets.
+- **embedding cosine**: near-dup pairs above a cosine threshold,
+  blocked by LSH hyperplane buckets at scale (here: per-batch matmul
+  against the broadcast matrix for exactness at test scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_connect_mongo_ray.functions.text import md5_fingerprint_batch
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id document per identical text. Returns a Dataset of
+    survivors (id + fingerprint)."""
+    with_fp = ds.map_batches(
+        md5_fingerprint_batch, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    ).select_columns([id_col, "fingerprint"])
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col)
+
+    return with_fp.groupby("fingerprint").map_groups(first_per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-char shingle hashes (uint64), vectorized rolling view."""
+    b = np.frombuffer(text.encode()[: 1 << 16], dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    pw = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
+    return np.unique((win * pw).sum(axis=1))
+
+
+class MinHasher:
+    """Per-actor state: the random hash-function parameters (seeded)."""
+
+    def __init__(self, num_hashes: int = 64, k: int = 5, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text or "", self.k)
+        # (H, S) universal hashing, min over shingles per hash fn
+        vals = (np.outer(self.a, sh) + self.b[:, None])
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sigs = np.stack([self.signature(t) for t in batch[self.text_col].to_pylist()])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), sigs.shape[1])),
+            }
+        )
+
+
+class BandExploder:
+    """signature → (band_id, band_hash, doc_id) rows for the LSH groupby."""
+
+    def __init__(self, num_bands: int = 16, id_col: str = "doc_id"):
+        self.num_bands = num_bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col])
+        sigs = np.stack([np.asarray(x) for x in batch["minhash"].to_pylist()])
+        n, h = sigs.shape
+        rows_per_band = h // self.num_bands
+        band_ids = []
+        band_hashes = []
+        out_ids = []
+        for b in range(self.num_bands):
+            chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            hashes = [hashlib.blake2b(c.tobytes(), digest_size=8).hexdigest() for c in chunk]
+            band_ids.extend([b] * n)
+            band_hashes.extend(hashes)
+            out_ids.extend(ids.tolist())
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                self.id_col: pa.array(out_ids),
+            }
+        )
+
+
+def _pairs_in_bucket(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    ids = np.sort(g[id_col].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+
+def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                           num_hashes: int = 64, num_bands: int = 16, seed: int = 42):
+    """Candidate near-dup pairs via MinHash-LSH; distinct (id_a, id_b)."""
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "seed": seed,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    bands = sigs.map_batches(
+        BandExploder,
+        fn_constructor_kwargs={"num_bands": num_bands, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _pairs_in_bucket(g, id_col), batch_format="pandas"
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """True k-shingle Jaccard — the LSH verifier."""
+    sa, sb = _shingle_hashes(text_a or "", k), _shingle_hashes(text_b or "", k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True)
+    return len(inter) / (len(sa) + len(sb) - len(inter))
+
+
+class JaccardVerifier:
+    """Verify candidate pairs against a broadcast id→text lookup."""
+
+    def __init__(self, texts_ref, k: int = 5, threshold: float = 0.6):
+        import ray
+
+        self.texts = ray.get(texts_ref)
+        self.k = k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        sims = [ngram_jaccard(self.texts.get(x, ""), self.texts.get(y, ""), self.k)
+                for x, y in zip(a, b)]
+        t = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["jaccard"], self.threshold))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens; deterministic (blake2b)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split():
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        hs = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({self.id_col: pa.array(ids), "simhash": pa.array(hs, pa.uint64())})
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+class EmbeddingNearDup:
+    """Cosine-similarity near-dup pairs against a broadcast matrix.
+
+    Exact at test scale (per-batch float64 matmul vs the full
+    broadcast matrix); the scale path buckets by LSH hyperplane signs
+    first (see similarity.lsh_bucket_batch) so each batch only matmuls
+    its own bucket.
+    """
+
+    def __init__(self, matrix_ref, ids_ref, threshold: float = 0.95,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        m = np.asarray(ray.get(matrix_ref), dtype=np.float64)
+        self.matrix = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        self.ids = np.asarray(ray.get(ids_ref))
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col])
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()])
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ self.matrix.T
+        rows_a, rows_b, out_sims = [], [], []
+        for i in range(len(ids)):
+            hit = np.flatnonzero(sims[i] >= self.threshold)
+            for j in hit:
+                if self.ids[j] > ids[i]:  # canonical id_a < id_b, no self-pairs
+                    rows_a.append(int(ids[i]))
+                    rows_b.append(int(self.ids[j]))
+                    out_sims.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "id_a": pa.array(rows_a, pa.int64()),
+                "id_b": pa.array(rows_b, pa.int64()),
+                "cosine": pa.array(out_sims, pa.float64()),
+            }
+        )

@@ -1,0 +1,128 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` bodies; the stateful ones
+(compiled regexes, stopword tables) are callable classes so the setup
+runs once per actor (``__init__``), not once per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kafka_connect_mongo_ray.utils import compact_array
+
+# Tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic. Deliberately small: the point is the Ray-side plumbing and
+# determinism, not linguistic accuracy.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"},
+    "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"},
+}
+
+
+def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Whitespace token count, pure Arrow kernels (zero Python loop)."""
+    toks = pc.ascii_split_whitespace(compact_array(batch[text_col]))
+    n = pc.list_value_length(toks)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Quality heuristics: char count, token count, mean token length,
+    alpha ratio. Arrow-vectorized; mirrors the usual doc-quality
+    filters of web-scale corpus pipelines."""
+    text = compact_array(batch[text_col])
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    toks = pc.ascii_split_whitespace(text)
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.float64())
+    n_spaces = pc.subtract(n_chars, pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.float64()))
+    alpha_chars = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(text, r"[^A-Za-z]", "")), pa.float64())
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    mean_tok_len = pc.divide(pc.subtract(n_chars, n_spaces), safe_tokens)
+    alpha_ratio = pc.divide(alpha_chars, pc.max_element_wise(n_chars, pa.scalar(1.0)))
+    out = batch.append_column("q_n_chars", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("q_n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("q_mean_tok_len", mean_tok_len)
+    out = out.append_column("q_alpha_ratio", alpha_ratio)
+    return out
+
+
+class TokenizerStage:
+    """BPE-ish regex token counting — compiled once per actor."""
+
+    PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.rx = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        counts = np.fromiter(
+            (len(self.rx.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return batch.append_column("n_bpe_tokens", pa.array(counts))
+
+
+class LanguageId:
+    """Stopword-profile language heuristic; profiles built per actor."""
+
+    def __init__(self, text_col: str = "text", default: str = "unknown"):
+        self.text_col = text_col
+        self.default = default
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.word_rx = re.compile(r"[a-záéíóúüñàèìòùäöß]+")
+
+    def classify(self, text: str) -> str:
+        words = self.word_rx.findall((text or "").lower())
+        if not words:
+            return self.default
+        # CJK heuristic: any han codepoint dominates
+        if any("一" <= ch <= "鿿" for ch in text[:200]):
+            return "zh"
+        scores = {
+            lang: sum(w in prof for w in words) for lang, prof in self.profiles.items()
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else self.default
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.classify(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def md5_fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                          out_col: str = "fingerprint") -> pa.Table:
+    """Exact-dup document fingerprint: md5 of the raw text (matches
+    DuckDB ``md5(text)`` for oracle parity)."""
+    fps = [hashlib.md5((t or "").encode()).hexdigest()
+           for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(fps, pa.string()))
+
+
+def rolling_fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                              window: int = 16) -> pa.Table:
+    """Rolling-hash (Rabin-Karp style) document fingerprint: min of the
+    window hashes — robust to small edits, numpy-vectorized per doc."""
+    out = []
+    base = np.uint64(1099511628211)
+    for t in batch[text_col].to_pylist():
+        b = np.frombuffer((t or "").encode()[: 1 << 16], dtype=np.uint8).astype(np.uint64)
+        if len(b) < window:
+            out.append(int(b.sum()))
+            continue
+        # cumulative polynomial hash over sliding windows
+        pw = np.power(base, np.arange(window, dtype=np.uint64))
+        strided = np.lib.stride_tricks.sliding_window_view(b, window)
+        h = (strided * pw).sum(axis=1)
+        out.append(int(h.min()))
+    return batch.append_column("rolling_fp", pa.array(out, pa.uint64()))

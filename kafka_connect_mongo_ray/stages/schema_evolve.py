@@ -1,0 +1,211 @@
+"""Dynamic schema analysis + evolution (T5–T10, ST1).
+
+Re-expresses the reference's ``analyze.schema=true`` mode
+(``source/SchemaMapper.kt``) over Arrow:
+
+- **Type lattice** (``SchemaMapper.kt:171-176``): Number → float64,
+  Boolean → bool, everything else → string (dates become ISO-8601
+  strings, nested docs/arrays become JSON text,
+  ``SchemaMapper.kt:137-157``).
+- **Field-name normalization** (``SchemaMapper.kt:41-49``): keys
+  lower-cased; dropped unless they match ``^[a-z_][a-z0-9_]*$``
+  (case-insensitive).
+- **Evolution** (``SchemaMapper.kt:199-235``): new field → nullable
+  add; type conflict → OLD TYPE WINS, unconvertible value nulled
+  (``SchemaMapperTest.kt:139-159``); numeric values always widen to
+  float64 (``SchemaMapper.kt:173``).
+- **Meta columns** (``SchemaMapper.kt:54-91``): ``__op``, ``__pkey``,
+  ``__sql`` (always null), ``__ts`` ISO-8601 string.
+- **Canonical order** (``SchemaMapper.kt:240-250``): fields sorted by
+  name.
+
+The running schema is the per-actor analog of the process-global
+``CachedSchema`` map (``source/CachedSchema.kt:9-26``). Because the
+reference is single-threaded per topic while our stage is a parallel
+actor pool, per-actor schemas can disagree on first-seen types; the
+deterministic commit-time rule is ``unify_analyzed_schemas``:
+conflicting lattice types resolve to ``string`` (the lattice top —
+every value has a string rendering), independent of arrival order.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+import pyarrow as pa
+
+from kafka_connect_mongo_ray.functions.dates import iso_from_epoch_s
+
+_NAME_RE = re.compile(r"^[a-z_][a-z0-9_]*$", re.IGNORECASE)
+
+FLOAT64, BOOL, STRING = "float64", "bool", "string"
+_ARROW = {FLOAT64: pa.float64(), BOOL: pa.bool_(), STRING: pa.string()}
+# Parallel sqlType annotation (SchemaMapper.kt:186-192)
+SQL_TYPE = {FLOAT64: "DOUBLE", BOOL: "BOOLEAN", STRING: "VARCHAR"}
+META_COLS = ("__op", "__pkey", "__sql", "__ts")
+
+
+def normalize_key(key: str) -> str | None:
+    """Lowercase; None if invalid (dropped) — ``SchemaMapper.kt:41-49``."""
+    if not _NAME_RE.match(key):
+        return None
+    return key.lower()
+
+
+def infer_lattice_type(value) -> str | None:
+    """Lattice type of a JSON value; None → field skipped (null/undefined)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return BOOL
+    if isinstance(value, (int, float)):
+        return FLOAT64
+    return STRING
+
+
+def coerce(value, lattice_type: str):
+    """Cast a value to a lattice type; None on conflict (old type wins,
+    ``SchemaMapper.kt:137-162``)."""
+    if value is None:
+        return None
+    if lattice_type == FLOAT64:
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        f = float(value)
+        return None if math.isnan(f) else f
+    if lattice_type == BOOL:
+        return value if isinstance(value, bool) else None
+    # STRING: nested containers → JSON text (SchemaMapper.kt:151-152);
+    # booleans render lowercase (JSON), numbers via repr, rest via str.
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, sort_keys=True, separators=(",", ":"))
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def evolve(schema: dict[str, str], doc: dict) -> dict[str, str]:
+    """Add-only merge of one document into the running schema
+    (``SchemaMapper.kt:216-235``): new valid fields appended with their
+    inferred type; existing fields keep their type."""
+    for raw_key, value in doc.items():
+        key = normalize_key(raw_key)
+        if key is None or key in schema:
+            continue
+        t = infer_lattice_type(value)
+        if t is not None:
+            schema[key] = t
+    return schema
+
+
+def unify_analyzed_schemas(schemas: list[dict[str, str]]) -> dict[str, str]:
+    """Deterministic commit-time union of per-actor running schemas:
+    nullable-add for new fields; type conflict → string (lattice top)."""
+    out: dict[str, str] = {}
+    for s in schemas:
+        for k, t in s.items():
+            if k in out and out[k] != t:
+                out[k] = STRING
+            else:
+                out.setdefault(k, t)
+    return out
+
+
+def arrow_schema(schema: dict[str, str], *, with_meta: bool = True) -> pa.Schema:
+    """Sorted canonical Arrow schema + meta columns (all nullable)."""
+    fields = [
+        pa.field(name, _ARROW[t], metadata={"sqlType": SQL_TYPE[t]})
+        for name, t in sorted(schema.items())
+    ]
+    if with_meta:
+        fields += [
+            pa.field("__op", pa.string()),
+            pa.field("__pkey", pa.string()),
+            pa.field("__sql", pa.string()),  # always null (SchemaMapper.kt:67)
+            pa.field("__ts", pa.string()),
+        ]
+    return pa.schema(fields)
+
+
+class SchemaAnalyzer:
+    """Actor-pool stage: JSON documents → analyzed flat Arrow rows.
+
+    ``map_batches(SchemaAnalyzer, fn_constructor_kwargs=..., concurrency=N)``
+    over a table carrying a JSON-text column (the reference's ``o``
+    document / our ``props``-style payload), plus op / pkey / ts
+    columns for the meta fields. The running schema lives in the actor
+    (ST1 analog) and only grows; emitted batches always carry every
+    field seen so far by this actor, so downstream unification is a
+    nullable-add.
+
+    Malformed JSON ⇒ row skipped and counted (the reference logs and
+    skips at ``MongoSinkTask.kt:62-70`` / T11).
+    """
+
+    def __init__(
+        self,
+        json_col: str = "object",
+        op_col: str | None = "op",
+        pkey_cols: tuple[str, ...] | None = ("repo", "path"),
+        ts_col: str | None = "ts",
+        initial_schema: dict[str, str] | None = None,
+    ):
+        self.json_col = json_col
+        self.op_col = op_col
+        self.pkey_cols = tuple(pkey_cols) if pkey_cols else None
+        self.ts_col = ts_col
+        self.schema: dict[str, str] = dict(initial_schema or {})
+        self.malformed = 0
+
+    def analyze_docs(self, docs, ops=None, pkeys=None, tss=None) -> pa.Table:
+        parsed = []
+        meta = []
+        for i, text in enumerate(docs):
+            if isinstance(text, dict):
+                doc = text
+            else:
+                try:
+                    doc = json.loads(text) if text is not None else {}
+                    if not isinstance(doc, dict):
+                        raise ValueError("not an object")
+                except (ValueError, TypeError):
+                    self.malformed += 1
+                    continue
+            self.schema = evolve(self.schema, doc)
+            parsed.append(doc)
+            meta.append(
+                (
+                    ops[i] if ops is not None else None,
+                    pkeys[i] if pkeys is not None else None,
+                    iso_from_epoch_s(tss[i]) if tss is not None and tss[i] is not None else None,
+                )
+            )
+        names = sorted(self.schema)
+        cols: dict[str, list] = {n: [] for n in names}
+        for doc in parsed:
+            lowered = {}
+            for rk, v in doc.items():
+                k = normalize_key(rk)
+                if k is not None and k not in lowered:
+                    lowered[k] = v
+            for n in names:
+                cols[n].append(coerce(lowered.get(n), self.schema[n]))
+        out = {n: pa.array(cols[n], _ARROW[self.schema[n]]) for n in names}
+        out["__op"] = pa.array([m[0] for m in meta], pa.string())
+        out["__pkey"] = pa.array([m[1] for m in meta], pa.string())
+        out["__sql"] = pa.array([None] * len(meta), pa.string())
+        out["__ts"] = pa.array([m[2] for m in meta], pa.string())
+        return pa.table(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch[self.json_col].to_pylist()
+        ops = batch[self.op_col].to_pylist() if self.op_col and self.op_col in batch.column_names else None
+        if self.pkey_cols and all(c in batch.column_names for c in self.pkey_cols):
+            parts = [batch[c].to_pylist() for c in self.pkey_cols]
+            pkeys = ["/".join(str(x) for x in tup) for tup in zip(*parts)]
+        else:
+            pkeys = None
+        tss = batch[self.ts_col].to_pylist() if self.ts_col and self.ts_col in batch.column_names else None
+        return self.analyze_docs(docs, ops, pkeys, tss)

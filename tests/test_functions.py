@@ -1,0 +1,213 @@
+"""Training-data operators over the sf0.001 testdata tables."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def docs_ds(tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(4)
+
+
+def test_token_and_quality(docs_tbl):
+    from kafka_connect_mongo_ray.functions.text import quality_score_batch, token_count_batch
+
+    out = token_count_batch(docs_tbl)
+    # documents text is single-space separated words
+    expect = [len(t.split()) for t in docs_tbl["text"].to_pylist()[:50]]
+    assert out["n_tokens"].to_pylist()[:50] == expect
+    q = quality_score_batch(docs_tbl)
+    assert q["q_n_chars"].to_pylist() == docs_tbl["n_chars"].to_pylist()
+    assert all(0 <= r <= 1 for r in q["q_alpha_ratio"].to_pylist())
+
+
+def test_tokenizer_and_langid(docs_tbl):
+    from kafka_connect_mongo_ray.functions.text import LanguageId, TokenizerStage
+
+    tok = TokenizerStage()
+    out = tok(docs_tbl.slice(0, 20))
+    assert all(n > 0 for n in out["n_bpe_tokens"].to_pylist())
+    lid = LanguageId()
+    out2 = lid(docs_tbl.slice(0, 50))
+    assert set(out2["lang_pred"].to_pylist()) <= {"en", "es", "de", "fr", "zh", "unknown"}
+
+
+def test_fingerprints_deterministic(docs_tbl):
+    from kafka_connect_mongo_ray.functions.text import (
+        md5_fingerprint_batch,
+        rolling_fingerprint_batch,
+    )
+    import hashlib
+
+    out = md5_fingerprint_batch(docs_tbl.slice(0, 10))
+    assert out["fingerprint"][0].as_py() == hashlib.md5(
+        docs_tbl["text"][0].as_py().encode()
+    ).hexdigest()
+    r1 = rolling_fingerprint_batch(docs_tbl.slice(0, 10))
+    r2 = rolling_fingerprint_batch(docs_tbl.slice(0, 10))
+    assert r1["rolling_fp"].to_pylist() == r2["rolling_fp"].to_pylist()
+
+
+def test_exact_dedup(docs_tbl):
+    from kafka_connect_mongo_ray.functions.dedup import exact_dedup
+
+    # inject exact duplicates with higher ids
+    dup = docs_tbl.slice(0, 5).set_column(
+        docs_tbl.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([10_000 + i for i in range(5)], pa.int64()),
+    )
+    both = pa.concat_tables([docs_tbl, dup])
+    out = exact_dedup(docs_ds(both)).to_pandas()
+    assert len(out) == docs_tbl.num_rows  # dups collapsed
+    assert not (out["doc_id"] >= 10_000).any()  # min id survives
+
+
+def test_minhash_lsh_finds_near_dups(docs_tbl):
+    import ray
+
+    from kafka_connect_mongo_ray.functions.dedup import (
+        JaccardVerifier,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    # append a lightly-edited copy of doc 0 with id 9999
+    text0 = docs_tbl["text"][0].as_py()
+    edited = text0 + " tail"
+    near = pa.table(
+        {
+            "doc_id": pa.array([9999], pa.int64()),
+            "text": pa.array([edited], pa.string()),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["srcX"]),
+            "n_chars": pa.array([len(edited)], pa.int64()),
+        }
+    )
+    both = pa.concat_tables([docs_tbl.select(near.column_names), near])
+    cands = minhash_lsh_candidates(docs_ds(both), seed=7)
+    texts = {i: t for i, t in zip(both["doc_id"].to_pylist(), both["text"].to_pylist())}
+    tref = ray.put(texts)
+    verified = cands.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs={"texts_ref": tref, "threshold": 0.6},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    pairs = set(zip(verified["id_a"], verified["id_b"]))
+    assert (0, 9999) in pairs
+    assert ngram_jaccard(text0, edited) > 0.8
+
+
+def test_simhash_near_dup(docs_tbl):
+    from kafka_connect_mongo_ray.functions.dedup import SimHasher, hamming64
+
+    t0 = docs_tbl["text"][0].as_py()
+    h0 = SimHasher.simhash64(t0)
+    h_near = SimHasher.simhash64(t0 + " tail")
+    h_far = SimHasher.simhash64(docs_tbl["text"][7].as_py())
+    assert hamming64(h0, h_near) < hamming64(h0, h_far)
+
+
+def test_brute_force_topk_matches_numpy(emb_tbl):
+    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
+
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in emb_tbl["embedding"].to_pylist()])
+    ids = np.asarray(emb_tbl["vec_id"])
+    q = vecs[:3]
+    out = brute_force_topk(docs_ds(emb_tbl), q, ids[:3], k=5)
+    # numpy reference
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    nq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = nq @ nv.T
+    for qi in range(3):
+        expect = set(ids[np.argsort(-sims[qi])[:5]].tolist())
+        got = set(out[out["query_id"] == ids[qi]]["neighbor_id"].tolist())
+        assert got == expect
+    # each query's top hit is itself
+    top1 = out[out["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["neighbor_id"].to_numpy()).all()
+
+
+def test_embedding_near_dup_pairs(emb_tbl):
+    import ray
+
+    from kafka_connect_mongo_ray.functions.dedup import EmbeddingNearDup
+
+    # guarantee at least one near-dup: clone vec 0 under id 9001
+    clone = pa.table(
+        {
+            "vec_id": pa.array([9001], pa.int64()),
+            "embedding": emb_tbl["embedding"].slice(0, 1).combine_chunks(),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    emb_tbl = pa.concat_tables([emb_tbl.select(clone.column_names), clone])
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in emb_tbl["embedding"].to_pylist()])
+    ids = np.asarray(emb_tbl["vec_id"])
+    mref, iref = ray.put(vecs), ray.put(ids)
+    out = docs_ds(emb_tbl).map_batches(
+        EmbeddingNearDup,
+        fn_constructor_kwargs={"matrix_ref": mref, "ids_ref": iref, "threshold": 0.99},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    # exact reference
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    expect = {(int(ids[i]), int(ids[j]))
+              for i in range(len(ids)) for j in range(len(ids))
+              if ids[j] > ids[i] and sims[i, j] >= 0.99}
+    assert set(zip(out["id_a"], out["id_b"])) == expect
+
+
+def test_lsh_bucketer_deterministic(emb_tbl):
+    from kafka_connect_mongo_ray.functions.similarity import LshBucketer
+
+    b = LshBucketer(dim=64, seed=3)
+    o1 = b(emb_tbl.slice(0, 100))["lsh_bucket"].to_pylist()
+    o2 = LshBucketer(dim=64, seed=3)(emb_tbl.slice(0, 100))["lsh_bucket"].to_pylist()
+    assert o1 == o2
+
+
+def test_multimodal_stub_pipeline(docs_tbl):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.multimodal import DecodeStub, FrameSampleStub
+
+    media = pa.table(
+        {
+            "media_id": docs_tbl["doc_id"][:50],
+            "mime": pa.array(["image/fake"] * 50),
+            "payload": pa.array([t.encode() for t in docs_tbl["text"][:50].to_pylist()], pa.binary()),
+            "meta_json": pa.array(['{"w":1,"h":1}'] * 50),
+        }
+    )
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        DecodeStub, fn_constructor_kwargs={"feature_dim": 8},
+        batch_format="pyarrow", batch_size=16, concurrency=1,
+    ).take_all()
+    assert len(feats) == 50 and len(feats[0]["features"]) == 8
+    frames = ds.map_batches(
+        FrameSampleStub, fn_constructor_kwargs={"frames_per_clip": 3},
+        batch_format="pyarrow", batch_size=16, concurrency=1,
+    ).count()
+    assert frames == 150
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake=False)(media.slice(0, 1))
