@@ -176,9 +176,16 @@ def _collect_merge(group: pa.Table) -> pa.Table:
     return live_rows(merge_with_snapshot(events, None))
 
 
-def replay_collect(events_ds, num_buckets: int = 64, batch_size: int = 65536):
-    """Ephemeral replay (no persistence): Dataset of the final live
-    state. Used by tests and the driver-facing ``queries()`` entries."""
+def _collect_merge_all(group: pa.Table) -> pa.Table:
+    events, _tokens = split_tokens(group)
+    return merge_with_snapshot(events, None)
+
+
+def replay_collect(events_ds, num_buckets: int = 64, batch_size: int = 65536,
+                   live_only: bool = True):
+    """Ephemeral replay (no persistence): Dataset of the final state
+    (``live_only=False`` keeps tombstone rows). Used by tests and the
+    driver-facing ``queries()`` entries."""
     ds = events_ds.map_batches(
         normalize_prereduce,
         fn_kwargs={"num_buckets": num_buckets, "tokens": None},
@@ -186,4 +193,5 @@ def replay_collect(events_ds, num_buckets: int = 64, batch_size: int = 65536):
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    return ds.groupby("bucket").map_groups(_collect_merge, batch_format="pyarrow")
+    fn = _collect_merge if live_only else _collect_merge_all
+    return ds.groupby("bucket").map_groups(fn, batch_format="pyarrow")

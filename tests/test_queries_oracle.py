@@ -1,0 +1,95 @@
+"""Mirror of the driver correctness gate: run every queries() entry at
+sf0.001 and compare against its oracle_sql() via DuckDB — row count,
+column names, and values (order-insensitive)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def registries():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries(), mod.oracle_sql()
+
+
+ORACLE_CHECKED = [
+    "cdc_final_state", "cdc_event_counts", "cdc_tombstone_keys",
+    "cdc_lww_user_state", "cdc_resume_tokens", "cdc_backfill_union_tail",
+    "analyze_props", "text_stats", "text_fingerprint", "dedup_exact",
+    "dedup_group_sizes", "ann_topk", "dedup_embedding_cosine",
+    "events_per_type", "events_tumbling_window",
+]
+ROWS_ONLY = ["docs_langid", "dedup_minhash_lsh", "dedup_simhash", "multimodal_decode"]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(name, con, registries):
+    queries, oracles = registries
+    assert name in queries and name in oracles
+    got = canon(to_pandas(queries[name](SF)))
+    want = canon(con.sql(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, registries):
+    queries, oracles = registries
+    assert name in queries and name not in oracles
+    got = to_pandas(queries[name](SF))
+    assert got is not None and len(got) >= 0
+
+
+def test_entry_smoke():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__ray_entry__2", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = to_pandas(mod.entry())
+    assert len(out) > 0
+    assert set(out.columns) == {"repo", "path", "lang", "content"}
