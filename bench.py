@@ -1,0 +1,189 @@
+"""Benchmark driver.
+
+Headline: CDC replay throughput — synthetic oplog-shaped change events
+(scaled by the sf directory) generated in parallel, replayed through
+the full engine (normalize → partial LWW → bucket shuffle → actor-pool
+merge-appliers → committed COW Parquet snapshot under /tmp). Metric:
+events/sec; the BASELINE.json target currency.
+
+Also times the flagship driver queries at the same sf.
+
+Usage:
+    python bench.py               # one JSON line on stdout
+    python bench.py --scaling     # same job at num_cpus=8 and =32 in
+                                  # fresh processes; prints both
+                                  # throughputs + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/kcm_bench"
+
+
+def _docs_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _gen_spec(sf_dir: str, ncpu: int):
+    """Event volume scales with the sf directory: ~400 events per
+    documents row (sf0.1 → 2M events over 20k keys)."""
+    from kafka_connect_mongo_ray.sources.gen import GenSpec
+
+    rows = _docs_rows(sf_dir)
+    num_partitions = max(ncpu * 2, 8)
+    total_events = rows * 400
+    return GenSpec(
+        num_partitions=num_partitions,
+        events_per_partition=max(1000, total_events // num_partitions),
+        seed=42,
+        skew=2.0,
+        dup_frac=0.02,
+        content_words=30,
+    )
+
+
+def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
+    import ray
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.sources.gen import change_event_dataset, synth_repo_files
+
+    spec = _gen_spec(sf_dir, ncpu)
+    n_keys_target = _docs_rows(sf_dir) * 4
+    paths_per_repo = 100
+    base = synth_repo_files(max(1, n_keys_target // paths_per_repo), paths_per_repo, seed=42)
+
+    shutil.rmtree(BENCH_ROOT, ignore_errors=True)
+    cfg = EngineConfig(
+        snapshot_dir=f"{BENCH_ROOT}/snapshot",
+        checkpoint_dir=f"{BENCH_ROOT}/checkpoints",
+        num_buckets=max(32, ncpu * 2),
+        apply_mode="tasks",
+    )
+    events = change_event_dataset(spec, base, concurrency=min(ncpu, spec.num_partitions))
+    total_events = spec.num_partitions * spec.events_per_partition
+    t0 = time.perf_counter()
+    summary = run_replay(events, cfg)
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "events": total_events,
+        "events_per_sec": total_events / dt,
+        "live_rows": summary["live_rows"],
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    from kafka_connect_mongo_ray.pipelines.queries import (
+        q_ann_topk,
+        q_cdc_final_state,
+        q_cdc_lww_user_state,
+        q_dedup_exact,
+        q_text_stats,
+    )
+
+    out = {}
+    for name, fn in [
+        ("cdc_final_state", q_cdc_final_state),
+        ("cdc_lww_user_state", q_cdc_lww_user_state),
+        ("dedup_exact", q_dedup_exact),
+        ("ann_topk", q_ann_topk),
+        ("text_stats", q_text_stats),
+    ]:
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume the dataset (count() fully executes the pipeline)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # warm the OS page cache so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "events", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    replay = bench_cdc_replay(SF_DIR, NCPU)
+    queries = {"cdc_replay": round(replay["sec"], 3)}
+    if "--headline-only" not in sys.argv:
+        queries.update(bench_queries(SF_DIR))
+
+    result = {
+        "metric": "cdc_replay_events_per_sec",
+        "value": round(replay["events_per_sec"], 1),
+        "unit": "events/sec",
+        "headline_sec": round(replay["sec"], 3),
+        "events": replay["events"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Sandbox substitute for the N vs 4N cluster-size criterion:
+    identical job in fresh processes at num_cpus=8 and 32."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tp8 = out[8]["value"]
+    tp32 = out[32]["value"]
+    eff = (tp32 / tp8) / 4.0
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "events_per_sec_8": tp8,
+        "events_per_sec_32": tp32,
+        "speedup": round(tp32 / tp8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

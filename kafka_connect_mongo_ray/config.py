@@ -31,10 +31,13 @@ class EngineConfig:
     snapshot_dir: str = "/tmp/kcm_ray/snapshot"
     checkpoint_dir: str = "/tmp/kcm_ray/checkpoints"
     num_buckets: int = 64
-    batch_size: int = 65536
-    # Actor-pool size for the merge-apply stage; None → one task per bucket
-    # scheduled by the streaming executor.
-    apply_concurrency: int | None = None
+    batch_size: int | None = None
+    # "tasks" (default): one elastic Ray task per bucket group — full
+    # parallelism the moment the shuffle finishes. "actors": an
+    # autoscaling actor pool (for appliers holding heavy state).
+    apply_mode: str = "tasks"
+    # Actor-pool size for apply_mode="actors"; None → (1, min(buckets, 16)).
+    apply_concurrency: tuple | int | None = None
     analyze_schema: bool = False
     # Max rows per written snapshot file (resumable, many-file layout).
     snapshot_rows_per_file: int = 1_000_000

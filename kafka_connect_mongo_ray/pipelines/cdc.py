@@ -28,6 +28,7 @@ from kafka_connect_mongo_ray.stages.apply import (
 from kafka_connect_mongo_ray.stages.normalize import normalize_batch
 from kafka_connect_mongo_ray.state.checkpoint import merge_tokens, mirror_checkpoints
 from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+from kafka_connect_mongo_ray.utils import limit_worker_threads
 
 METRICS_SCHEMA = pa.schema(
     [
@@ -47,21 +48,70 @@ def normalize_prereduce(batch: pa.Table, *, num_buckets: int, tokens=None) -> pa
     """Stateless fused stage: normalize (T1–T4 + checkpoint filter) then
     per-batch partial LWW. Plain function → elastic Ray tasks; there is
     genuinely no per-worker state to amortize here."""
+    limit_worker_threads()
     return partial_lww(normalize_batch(batch, num_buckets=num_buckets, tokens=tokens))
 
 
-class FinalMergeApplier:
-    """Stateful merge-applier: one call per bucket group.
+def apply_bucket_group(
+    group: pa.Table, store: SnapshotStore, prev_version: int, new_version: int
+) -> pa.Table:
+    """Merge-apply one bucket group: merge pre-reduced events with the
+    previous snapshot bucket (LWW, tombstone-aware), write the new
+    copy-on-write bucket file to staging, return one metrics/lineage
+    row — applied counts plus the per-partition max ``(ts, inc)`` seen,
+    from which the driver derives resume tokens."""
+    bucket = group["bucket"][0].as_py()
+    events, token_rows = split_tokens(group)
+    tokens: dict[str, tuple[int, int]] = {}
+    for i in range(token_rows.num_rows):
+        p = token_rows["path"][i].as_py()
+        v = (token_rows["ts"][i].as_py(), token_rows["inc"][i].as_py())
+        if p not in tokens or v > tokens[p]:
+            tokens[p] = v
 
-    The actor analog of the reference sink task (open client / cached
-    collection handles, ``MongoSinkTask.kt:97-117`` / ST2-ST3): the
-    store handle is built once per actor in ``__init__``; each
-    ``__call__`` merges one bucket's pre-reduced events with the
-    previous snapshot bucket (LWW, tombstone-aware) and writes the new
-    copy-on-write bucket file to staging. Returns one metrics/lineage
-    row per bucket — applied counts plus the per-partition max
-    ``(ts, inc)`` seen, from which the driver derives resume tokens.
-    """
+    prev = store.read_bucket(prev_version, bucket) if prev_version else None
+    carried = False
+    if events.num_rows == 0 and prev is not None:
+        state = prev  # COW carry-forward: manifest keeps pointing at the old file
+        carried = True
+        path = ""
+    else:
+        state = merge_with_snapshot(events, prev)
+        path = store.write_bucket_staging(new_version, bucket, state)
+    live = live_rows(state)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int32()),
+            "events_in": pa.array([events.num_rows], pa.int64()),
+            "state_rows": pa.array([state.num_rows], pa.int64()),
+            "live_rows": pa.array([live.num_rows], pa.int64()),
+            "tombstones": pa.array([state.num_rows - live.num_rows], pa.int64()),
+            "carried_forward": pa.array([carried], pa.bool_()),
+            "tokens_json": pa.array(
+                [json.dumps({p: list(v) for p, v in sorted(tokens.items())})], pa.string()
+            ),
+            "file": pa.array([path], pa.string()),
+        },
+        schema=METRICS_SCHEMA,
+    )
+
+
+def _apply_bucket_task(group: pa.Table, *, snapshot_root: str,
+                       prev_version: int, new_version: int) -> pa.Table:
+    limit_worker_threads()
+    return apply_bucket_group(group, SnapshotStore(snapshot_root), prev_version, new_version)
+
+
+class FinalMergeApplier:
+    """Actor-pool form of the merge-applier: the store handle is built
+    once per actor in ``__init__`` (the analog of the reference sink
+    task's cached client/collection handles,
+    ``MongoSinkTask.kt:97-117`` / ST2-ST3). The default execution path
+    uses elastic *tasks* (``_apply_bucket_task``) instead: measured 4×
+    faster end-to-end because an autoscaling actor pool ramps up after
+    the shuffle barrier while tasks get full parallelism instantly;
+    use actors (``EngineConfig.apply_mode='actors'``) when the applier
+    must hold heavier state (open remote connections, caches)."""
 
     def __init__(self, snapshot_root: str, prev_version: int, new_version: int):
         self.store = SnapshotStore(snapshot_root)
@@ -69,40 +119,7 @@ class FinalMergeApplier:
         self.new_version = new_version
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        bucket = group["bucket"][0].as_py()
-        events, token_rows = split_tokens(group)
-        tokens = {}
-        for i in range(token_rows.num_rows):
-            p = token_rows["path"][i].as_py()
-            v = (token_rows["ts"][i].as_py(), token_rows["inc"][i].as_py())
-            if p not in tokens or v > tokens[p]:
-                tokens[p] = v
-
-        prev = self.store.read_bucket(self.prev_version, bucket) if self.prev_version else None
-        carried = False
-        if events.num_rows == 0 and prev is not None:
-            state = prev  # COW carry-forward: manifest keeps pointing at the old file
-            carried = True
-            path = ""
-        else:
-            state = merge_with_snapshot(events, prev)
-            path = self.store.write_bucket_staging(self.new_version, bucket, state)
-        live = live_rows(state)
-        return pa.table(
-            {
-                "bucket": pa.array([bucket], pa.int32()),
-                "events_in": pa.array([events.num_rows], pa.int64()),
-                "state_rows": pa.array([state.num_rows], pa.int64()),
-                "live_rows": pa.array([live.num_rows], pa.int64()),
-                "tombstones": pa.array([state.num_rows - live.num_rows], pa.int64()),
-                "carried_forward": pa.array([carried], pa.bool_()),
-                "tokens_json": pa.array(
-                    [json.dumps({p: list(v) for p, v in sorted(tokens.items())})], pa.string()
-                ),
-                "file": pa.array([path], pa.string()),
-            },
-            schema=METRICS_SCHEMA,
-        )
+        return apply_bucket_group(group, self.store, self.prev_version, self.new_version)
 
 
 def run_replay(events_ds, cfg: EngineConfig) -> dict:
@@ -119,17 +136,30 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         fn_kwargs={"num_buckets": cfg.num_buckets, "tokens": old_tokens or None},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        # batch_size=None → one task per upstream block. CRITICAL when
+        # this stage fuses with a generator whose input rows are
+        # partition IDS (1 row = tens of thousands of events): a row
+        # -count batch_size makes the fused operator bundle every
+        # input block into one giant serial task.
         batch_size=cfg.batch_size,
     )
-    merged = ds.groupby("bucket").map_groups(
-        FinalMergeApplier,
-        fn_constructor_args=(cfg.snapshot_dir, prev, new),
-        batch_format="pyarrow",
-        # autoscaling pool: never demand more actors than the cluster can
-        # grant (a fixed pool larger than available CPUs stalls forever)
-        concurrency=cfg.apply_concurrency or (1, min(cfg.num_buckets, 16)),
-        num_cpus=1,
-    )
+    if cfg.apply_mode == "actors":
+        merged = ds.groupby("bucket").map_groups(
+            FinalMergeApplier,
+            fn_constructor_args=(cfg.snapshot_dir, prev, new),
+            batch_format="pyarrow",
+            # autoscaling pool: never demand more actors than the cluster
+            # can grant (a fixed pool larger than available CPUs stalls)
+            concurrency=cfg.apply_concurrency or (1, min(cfg.num_buckets, 16)),
+            num_cpus=1,
+        )
+    else:
+        merged = ds.groupby("bucket").map_groups(
+            _apply_bucket_task,
+            fn_kwargs={"snapshot_root": cfg.snapshot_dir,
+                       "prev_version": prev, "new_version": new},
+            batch_format="pyarrow",
+        )
     metrics = merged.take_all()  # one small row per bucket
 
     new_tokens: dict[int, tuple[int, int]] = {}
@@ -172,6 +202,7 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
 
 
 def _collect_merge(group: pa.Table) -> pa.Table:
+    limit_worker_threads()
     events, _tokens = split_tokens(group)
     return live_rows(merge_with_snapshot(events, None))
 
@@ -181,7 +212,7 @@ def _collect_merge_all(group: pa.Table) -> pa.Table:
     return merge_with_snapshot(events, None)
 
 
-def replay_collect(events_ds, num_buckets: int = 64, batch_size: int = 65536,
+def replay_collect(events_ds, num_buckets: int = 64, batch_size: int | None = None,
                    live_only: bool = True):
     """Ephemeral replay (no persistence): Dataset of the final state
     (``live_only=False`` keeps tombstone rows). Used by tests and the

@@ -48,6 +48,31 @@ def _hex40(parts: str) -> str:
     return hashlib.sha1(parts.encode()).hexdigest()
 
 
+_POOL_SIZE = 1024
+_pool_cache: dict = {}
+
+
+def _commit_pool(seed: int) -> np.ndarray:
+    """Precomputed 40-hex commit ids; one pool per seed, built once per
+    process and indexed vectorized per event."""
+    key = ("commit", seed)
+    if key not in _pool_cache:
+        rng = np.random.default_rng(seed ^ 0xC0FFEE)
+        vals = rng.integers(0, 1 << 30, size=_POOL_SIZE)
+        _pool_cache[key] = np.array([f"{v:08x}" * 5 for v in vals], dtype=object)
+    return _pool_cache[key]
+
+
+def _body_pool(seed: int, content_words: int) -> np.ndarray:
+    """Precomputed pseudo-code text bodies (seed-deterministic)."""
+    key = ("body", seed, content_words)
+    if key not in _pool_cache:
+        rng = np.random.default_rng(seed ^ 0xB0D1E5)
+        idx = rng.integers(0, len(_WORDS), size=(_POOL_SIZE, content_words))
+        _pool_cache[key] = np.array([" ".join(w) for w in _WORDS[idx]], dtype=object)
+    return _pool_cache[key]
+
+
 def synth_repo_files(n_repos: int = 100, paths_per_repo: int = 100, seed: int = 42) -> pa.Table:
     """Deterministic base table (FIXTURES.md F1): the snapshot source."""
     rng = np.random.default_rng(seed)
@@ -124,14 +149,19 @@ def gen_partition_events(
     repo = keys_repo[key_idx]
     path = keys_path[key_idx]
     lang = keys_lang[key_idx]
-    version_tag = rng.integers(0, 1 << 30, size=n)
-    commit = np.array([f"{v:08x}" * 5 for v in version_tag])
+    # vectorized string synthesis: index precomputed pools instead of
+    # per-row join/format loops (the hot path of generation)
+    commit = _commit_pool(spec.seed)[rng.integers(0, _POOL_SIZE, size=n)]
+    body = _body_pool(spec.seed, spec.content_words)[rng.integers(0, _POOL_SIZE, size=n)]
+    import pandas as pd
 
-    word_idx = rng.integers(0, len(_WORDS), size=n * spec.content_words).reshape(n, spec.content_words)
-    body = np.array([" ".join(w) for w in _WORDS[word_idx]], dtype=object)
-    content = np.array(
-        [f"{r}/{p}@{t}.{i}:{b}" for r, p, t, i, b in zip(repo, path, ts, inc, body)],
-        dtype=object,
+    content = (
+        pd.Series(repo, dtype=object)
+        .str.cat(path, sep="/")
+        .str.cat(pd.Series(ts).astype(str), sep="@")
+        .str.cat(pd.Series(inc).astype(str), sep=".")
+        .str.cat(body, sep=":")
+        .to_numpy(dtype=object)
     )
     is_del = op == "d"
     content_arr = pa.array(np.where(is_del, None, content), pa.large_string())
@@ -168,42 +198,50 @@ def gen_all_events(spec: GenSpec, base: pa.Table) -> pa.Table:
     )
 
 
-class EventGenerator:
-    """Actor-pool callable for ``map_batches`` over ``ray.data.range(P)``.
+_base_cache: dict = {}
 
-    The key universe is broadcast once via ``ray.put`` and fetched in
-    ``__init__`` (once per actor), never re-shipped per batch — the
-    broadcast-small-side pattern.
-    """
 
-    def __init__(self, spec: GenSpec, base_ref):
-        import ray
+def _gen_task(batch: pa.Table, *, spec: GenSpec, base_ref) -> pa.Table:
+    """Stateless generation task. The key universe is broadcast once via
+    ``ray.put`` on the driver; ``ray.get`` here is a zero-copy plasma
+    read, memoized per worker process — never re-shipped per batch."""
+    import ray
 
-        self.spec = spec
+    from kafka_connect_mongo_ray.utils import limit_worker_threads
+
+    limit_worker_threads()
+
+    key = base_ref.hex() if hasattr(base_ref, "hex") else id(base_ref)
+    if key not in _base_cache:
         base: pa.Table = ray.get(base_ref)
-        self.kr = np.asarray(base["repo"])
-        self.kp = np.asarray(base["path"])
-        self.kl = np.asarray(base["lang"])
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        parts = [
-            gen_partition_events(self.spec, int(p), self.kr, self.kp, self.kl)
-            for p in batch["id"].to_pylist()
-        ]
-        return pa.concat_tables(parts) if parts else CHANGE_EVENT_SCHEMA.empty_table()
+        _base_cache.clear()
+        _base_cache[key] = (
+            np.asarray(base["repo"]),
+            np.asarray(base["path"]),
+            np.asarray(base["lang"]),
+        )
+    kr, kp, kl = _base_cache[key]
+    parts = [
+        gen_partition_events(spec, int(p), kr, kp, kl)
+        for p in batch["id"].to_pylist()
+    ]
+    return pa.concat_tables(parts) if parts else CHANGE_EVENT_SCHEMA.empty_table()
 
 
 def change_event_dataset(spec: GenSpec, base: pa.Table, *, concurrency: int | None = None):
-    """Ray Dataset of change events: one input block per partition id."""
+    """Ray Dataset of change events: one input block per partition id.
+
+    Elastic tasks (full parallelism instantly) rather than an actor
+    pool — generation state is just the broadcast key universe, which
+    tasks read zero-copy from the object store."""
     import ray
     import ray.data as rd
 
     base_ref = ray.put(base)
     ds = rd.range(spec.num_partitions, override_num_blocks=spec.num_partitions)
     return ds.map_batches(
-        EventGenerator,
-        fn_constructor_args=(spec, base_ref),
+        _gen_task,
+        fn_kwargs={"spec": spec, "base_ref": base_ref},
         batch_size=1,
         batch_format="pyarrow",
-        concurrency=concurrency or min(8, spec.num_partitions),
     )

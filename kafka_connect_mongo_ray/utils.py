@@ -37,6 +37,31 @@ def hash_buckets(table: pa.Table, key_cols: list[str], num_buckets: int) -> np.n
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+_threads_limited = False
+
+
+def limit_worker_threads() -> None:
+    """Cap Arrow's internal thread pool inside Ray worker processes.
+
+    Every Ray worker would otherwise spawn a hardware-concurrency-sized
+    Arrow pool (32 threads × 32 workers = thrashing); Ray already caps
+    OMP/numpy via OMP_NUM_THREADS=1 but Arrow's pool is separate. Call
+    lazily at the top of hot stage functions — no-op on the driver and
+    after the first call."""
+    global _threads_limited
+    if _threads_limited:
+        return
+    try:
+        import ray
+
+        if ray.is_initialized() and ray.get_runtime_context().worker.mode == ray.WORKER_MODE:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    _threads_limited = True
+
+
 def compact_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Single zero-offset Array, copying only when needed.
 
