@@ -143,8 +143,9 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         # input block into one giant serial task.
         batch_size=cfg.batch_size,
     )
+    grouped = ds.groupby("bucket", num_partitions=cfg.num_buckets)
     if cfg.apply_mode == "actors":
-        merged = ds.groupby("bucket").map_groups(
+        merged = grouped.map_groups(
             FinalMergeApplier,
             fn_constructor_args=(cfg.snapshot_dir, prev, new),
             batch_format="pyarrow",
@@ -154,7 +155,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
             num_cpus=1,
         )
     else:
-        merged = ds.groupby("bucket").map_groups(
+        merged = grouped.map_groups(
             _apply_bucket_task,
             fn_kwargs={"snapshot_root": cfg.snapshot_dir,
                        "prev_version": prev, "new_version": new},
@@ -225,4 +226,7 @@ def replay_collect(events_ds, num_buckets: int = 64, batch_size: int | None = No
         batch_size=batch_size,
     )
     fn = _collect_merge if live_only else _collect_merge_all
-    return ds.groupby("bucket").map_groups(fn, batch_format="pyarrow")
+    # num_partitions: without it the sort shuffle can emit a handful of
+    # large blocks and the merge stage loses its parallelism
+    return ds.groupby("bucket", num_partitions=num_buckets).map_groups(
+        fn, batch_format="pyarrow")
