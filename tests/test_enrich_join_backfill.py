@@ -1,0 +1,159 @@
+"""Tests: S3 enrichment lookup, bucketed hash join, backfill source,
+micro-batch streaming, CLI healthcheck."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from kafka_connect_mongo_ray.schema import CHANGE_EVENT_SCHEMA
+from tests.test_oracle_and_gen import make_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def ds_of(tbl, blocks=2):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_update_enricher_substitutes_and_drops():
+    from kafka_connect_mongo_ray.stages.enrich import enrich_updates
+
+    base = pa.table(
+        {
+            "repo": ["r"], "path": ["a.py"], "commit": ["c9"],
+            "lang": ["python"],
+            "content": pa.array(["full image"], pa.large_string()),
+        }
+    )
+    events = make_events(
+        [
+            dict(ts=1, inc=0, op="i", repo="r", path="a.py", commit="c1", lang="l",
+                 content="insert image", partition_id=0),
+            # image-less update → enriched from base
+            dict(ts=2, inc=0, op="u", repo="r", path="a.py", commit="", lang="",
+                 content=None, partition_id=0),
+            # update on a key missing from base → dropped (OplogReader.kt:102)
+            dict(ts=3, inc=0, op="u", repo="r", path="gone.py", commit="", lang="",
+                 content=None, partition_id=0),
+            # delete passes through untouched
+            dict(ts=4, inc=0, op="d", repo="r", path="a.py", commit="", lang="",
+                 content=None, partition_id=0),
+        ]
+    )
+    out = pa.concat_tables(
+        enrich_updates(ds_of(events, 1), base, concurrency=1)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("ts", "ascending")])
+    assert out.num_rows == 3
+    assert out["op"].to_pylist() == ["i", "u", "d"]
+    u = out.filter(pc.equal(out["op"], "u"))
+    assert u["content"][0].as_py() == "full image"
+    assert u["commit"][0].as_py() == "c9"
+
+
+def test_hash_join_matches_pandas():
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    o = orders.rename_columns(["o_orderkey", "custkey"])
+    c = cust.rename_columns(["custkey", "c_mktsegment"])
+    got = hash_join(ds_of(o, 3), ds_of(c, 2), on=["custkey"], num_buckets=8).to_pandas()
+    want = o.to_pandas().merge(c.to_pandas(), on="custkey", how="inner")
+    key = ["custkey", "o_orderkey", "c_mktsegment"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+
+
+def test_backfill_dataset_resume(tmp_path):
+    from kafka_connect_mongo_ray.sources.backfill import backfill_dataset
+    from kafka_connect_mongo_ray.sources.gen import synth_repo_files
+    from kafka_connect_mongo_ray.utils import KEY_SEP
+
+    base = synth_repo_files(4, 10, seed=3)
+    p = str(tmp_path / "base.parquet")
+    pq.write_table(base, p)
+    full = pa.concat_tables(
+        backfill_dataset(p, num_partitions=4)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert full.num_rows == base.num_rows
+    assert set(full["op"].to_pylist()) == {"i"}
+    assert full.schema.equals(CHANGE_EVENT_SCHEMA)
+    # resume from the 20th key (sorted): only keys strictly greater survive
+    keys = sorted(f"{r}{KEY_SEP}{pp}" for r, pp in
+                  zip(base["repo"].to_pylist(), base["path"].to_pylist()))
+    resumed = pa.concat_tables(
+        backfill_dataset(p, num_partitions=4, last_key=keys[19])
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert resumed.num_rows == base.num_rows - 20
+    # filter pushdown (S4): additional predicate ANDed in
+    filtered = pa.concat_tables(
+        backfill_dataset(p, num_partitions=4,
+                         parquet_filter=pc.equal(pc.field("lang"), "rust"))
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert filtered.num_rows == base.filter(pc.equal(base["lang"], "rust")).num_rows
+
+
+def test_micro_batch_stream_converges(tmp_engine_dirs):
+    from kafka_connect_mongo_ray.oracle import content_sha256_map, final_table, replay
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset
+    from kafka_connect_mongo_ray.pipelines.stream import backfill_then_tail
+    from kafka_connect_mongo_ray.sources.backfill import snapshot_to_insert_events
+    from kafka_connect_mongo_ray.sources.gen import GenSpec, gen_all_events, synth_repo_files
+    from tests.test_replay_e2e import engine_sha_map
+
+    cfg = tmp_engine_dirs
+    base = synth_repo_files(5, 10, seed=31)
+    spec = GenSpec(num_partitions=4, events_per_partition=300, seed=31, dup_frac=0.1)
+    tail_events = gen_all_events(spec, base)
+    backfill_events = snapshot_to_insert_events(base, backfill_ts=0, num_partitions=4)
+    # three micro-batches: backfill, first half of the tail, full tail
+    # (overlap on purpose: at-least-once)
+    cut = int(np.median(np.asarray(tail_events["ts"])))
+    first = tail_events.filter(pc.less_equal(tail_events["ts"], cut))
+
+    summaries = backfill_then_tail(
+        lambda: ds_of(backfill_events),
+        [lambda: ds_of(first), lambda: ds_of(tail_events)],
+        cfg,
+    )
+    assert [s["version"] for s in summaries] == [1, 2, 3]
+    oracle_map = content_sha256_map(
+        final_table(replay(pa.concat_tables([backfill_events, tail_events])))
+    )
+    assert engine_sha_map(final_state_dataset(cfg)) == oracle_map
+
+
+def test_cli_healthcheck(tmp_path, capsys):
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import main
+
+    rc = main(["healthcheck", "--snapshot", str(tmp_path / "s"),
+               "--checkpoints", str(tmp_path / "c")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ok" and out["current_version"] == 0
+
+
+def test_lsh_topk_runs_and_self_hit():
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.functions.similarity import lsh_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"][:2].to_pylist()])
+    ids = np.asarray(t["vec_id"])[:2]
+    out = lsh_topk(ds_of(t, 2), q, ids, k=3, dim=q.shape[1], num_planes=3, seed=5).to_pandas()
+    # every query's own vector hashes to its own bucket → rank-1 self hit
+    top1 = out[out["rank"] == 1]
+    assert set(top1["query_id"]) == set(ids.tolist())
+    assert (top1["query_id"].to_numpy() == top1["neighbor_id"].to_numpy()).all()

@@ -53,14 +53,14 @@ def registries():
     return mod.queries(), mod.oracle_sql()
 
 
-ORACLE_CHECKED = [
-    "cdc_final_state", "cdc_event_counts", "cdc_tombstone_keys",
-    "cdc_lww_user_state", "cdc_resume_tokens", "cdc_backfill_union_tail",
-    "analyze_props", "text_stats", "text_fingerprint", "dedup_exact",
-    "dedup_group_sizes", "ann_topk", "dedup_embedding_cosine",
-    "events_per_type", "events_tumbling_window",
-]
-ROWS_ONLY = ["docs_langid", "dedup_minhash_lsh", "dedup_simhash", "multimodal_decode"]
+# derive the parametrization from the registries so every new queries()
+# entry is covered automatically
+from kafka_connect_mongo_ray.pipelines.queries import build_oracle_sql, build_queries
+
+_QUERIES = build_queries()
+_ORACLES = build_oracle_sql()
+ORACLE_CHECKED = sorted(_ORACLES)
+ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
