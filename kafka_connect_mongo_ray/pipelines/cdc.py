@@ -202,6 +202,23 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
     return rd.read_parquet(files).map_batches(live_rows, batch_format="pyarrow")
 
 
+def final_state_table(cfg: EngineConfig, version: int | None = None,
+                      live_only: bool = True) -> pa.Table:
+    """Driver-side read of a committed snapshot tolerating evolved
+    (mixed) bucket schemas; rows sorted by (repo, path)."""
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.stages.apply import concat_with_evolution
+
+    store = SnapshotStore(cfg.snapshot_dir)
+    v = version or store.current_version()
+    tables = [pq.read_table(f) for f in store.bucket_files(v)]
+    state = concat_with_evolution(tables)
+    if live_only:
+        state = live_rows(state)
+    return state.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
 def _collect_merge(group: pa.Table) -> pa.Table:
     limit_worker_threads()
     events, _tokens = split_tokens(group)

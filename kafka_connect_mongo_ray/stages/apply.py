@@ -132,6 +132,81 @@ def split_tokens(group: pa.Table) -> tuple[pa.Table, pa.Table]:
     return group.filter(pc.invert(is_token)), group.filter(is_token)
 
 
+_NUMERIC_WIDEN = {
+    pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3,
+    pa.float32(): 4, pa.float64(): 5,
+}
+
+
+def unify_payload_schemas(old: pa.Schema, new: pa.Schema) -> pa.Schema:
+    """Arrow re-expression of the reference's evolution contract
+    (``SchemaMapper.kt:199-235``, SURVEY.md §1.4):
+
+    - new field → nullable add;
+    - numeric vs numeric → widen (int up to int64, any float → float64,
+      mirroring everything-numeric→float64 at ``SchemaMapper.kt:173``);
+    - any other conflict → OLD type wins (values that can't cast are
+      nulled by ``conform_table``);
+    - canonical order: old fields keep their position, added fields
+      appended sorted by name (deterministic output).
+    """
+    fields = {f.name: f.type for f in old}
+    added = []
+    for f in new:
+        if f.name not in fields:
+            added.append(f.name)
+            fields[f.name] = f.type
+            continue
+        cur = fields[f.name]
+        if cur.equals(f.type):
+            continue
+        if cur in _NUMERIC_WIDEN and f.type in _NUMERIC_WIDEN:
+            mx = max(_NUMERIC_WIDEN[cur], _NUMERIC_WIDEN[f.type])
+            # mixed int/float always widens to float64
+            if (cur in _NUMERIC_WIDEN and f.type in _NUMERIC_WIDEN
+                    and ((_NUMERIC_WIDEN[cur] >= 4) != (_NUMERIC_WIDEN[f.type] >= 4))):
+                fields[f.name] = pa.float64()
+            else:
+                fields[f.name] = [t for t, r in _NUMERIC_WIDEN.items() if r == mx][0]
+        # else: old type wins (fields[f.name] already = cur)
+    names = [f.name for f in old] + sorted(added)
+    return pa.schema([pa.field(n, fields[n]) for n in names])
+
+
+def conform_table(table: pa.Table, target: pa.Schema) -> pa.Table:
+    """Cast ``table`` to ``target``: missing columns → nulls (nullable
+    add); castable type changes cast; uncastable conflicts → the whole
+    column nulls for this batch (the reference nulls each unconvertible
+    value, ``SchemaMapper.kt:137-162`` — Arrow columns are homogeneous,
+    so per-batch column nulling is the exact vectorized equivalent)."""
+    cols = []
+    for f in target:
+        if f.name not in table.column_names:
+            cols.append(pa.nulls(table.num_rows, f.type))
+            continue
+        col = table[f.name]
+        if col.type.equals(f.type):
+            cols.append(col)
+            continue
+        try:
+            cols.append(pc.cast(col, f.type))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            cols.append(pa.nulls(table.num_rows, f.type))
+    return pa.table(dict(zip(target.names, cols)), schema=target)
+
+
+def concat_with_evolution(tables: list[pa.Table]) -> pa.Table:
+    """Concat batches whose payload schemas evolved (driver-side helper
+    for reading mixed-schema snapshot buckets)."""
+    tables = [t for t in tables if t is not None]
+    if not tables:
+        return SNAPSHOT_SCHEMA.empty_table()
+    target = tables[0].schema
+    for t in tables[1:]:
+        target = unify_payload_schemas(target, t.schema)
+    return pa.concat_tables([conform_table(t, target) for t in tables])
+
+
 def merge_with_snapshot(events: pa.Table, prev_state: pa.Table | None) -> pa.Table:
     """Final merge for one bucket: previous snapshot rows are replayed
     as events at their stored version — LWW decides, so re-applying an
@@ -143,10 +218,24 @@ def merge_with_snapshot(events: pa.Table, prev_state: pa.Table | None) -> pa.Tab
     Tombstones are KEPT in the snapshot (content null, op_rank 2) so
     that a late event older than the delete cannot resurrect the key;
     they are filtered out only in the exported final-state view.
+
+    Payload schema evolution happens HERE: extra event columns beyond
+    the canonical set become nullable-added snapshot columns; numeric
+    type changes widen; other conflicts keep the stored (old) type and
+    null the unconvertible batch (§1.4 contract).
     """
-    ev = events.select(SNAPSHOT_SCHEMA.names).cast(SNAPSHOT_SCHEMA)
+    base = set(SNAPSHOT_SCHEMA.names)
+    extras = sorted(c for c in events.column_names if c not in base and c != "bucket")
+    ev_schema = pa.schema(
+        list(SNAPSHOT_SCHEMA)
+        + [pa.field(c, events.schema.field(c).type) for c in extras]
+    )
+    ev = conform_table(events, ev_schema)
     if prev_state is not None and prev_state.num_rows:
-        ev = pa.concat_tables([prev_state.select(SNAPSHOT_SCHEMA.names).cast(SNAPSHOT_SCHEMA), ev])
+        target = unify_payload_schemas(prev_state.schema, ev.schema)
+        ev = pa.concat_tables(
+            [conform_table(prev_state, target), conform_table(ev, target)]
+        )
     return lww_reduce(ev)
 
 

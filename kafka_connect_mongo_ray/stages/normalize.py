@@ -92,19 +92,27 @@ def normalize_batch(
     )
     bucket = pa.array(hash_buckets(batch, ["repo", "path"], num_buckets), pa.int32())
 
-    out = pa.table(
-        {
-            "bucket": bucket,
-            "repo": pc.cast(batch["repo"], pa.string()),
-            "path": pc.cast(batch["path"], pa.string()),
-            "commit": pc.cast(batch["commit"], pa.string()),
-            "lang": pc.cast(batch["lang"], pa.string()),
-            "content": content,
-            "ts": pc.cast(batch["ts"], pa.int64()),
-            "inc": pc.cast(batch["inc"], pa.int32()),
-            "op_rank": op_rank,
-        }
-    )
+    cols = {
+        "bucket": bucket,
+        "repo": pc.cast(batch["repo"], pa.string()),
+        "path": pc.cast(batch["path"], pa.string()),
+        "commit": pc.cast(batch["commit"], pa.string()),
+        "lang": pc.cast(batch["lang"], pa.string()),
+        "content": content,
+        "ts": pc.cast(batch["ts"], pa.int64()),
+        "inc": pc.cast(batch["inc"], pa.int32()),
+        "op_rank": op_rank,
+    }
+    # extra payload columns (schema evolution, §1.4) pass through to the
+    # merge stage, which nullable-adds / widens them into the snapshot
+    from kafka_connect_mongo_ray.schema import CHANGE_EVENT_SCHEMA
+
+    extras = sorted(c for c in batch.column_names
+                    if c not in CHANGE_EVENT_SCHEMA.names and c not in cols)
+    for c in extras:
+        cols[c] = compact_array(batch[c].combine_chunks()
+                                if hasattr(batch[c], "combine_chunks") else batch[c])
+    out = pa.table(cols)
 
     # 5. in-band per-partition token rows (routed to bucket pid % B)
     pid = np.asarray(batch["partition_id"])
@@ -119,19 +127,20 @@ def normalize_batch(
         j = top[np.argmax(inc[m][top])]
         sel = np.flatnonzero(m)[j]
         tok_rows.append((int(p), int(ts[sel]), int(inc[sel])))
-    token_tbl = pa.table(
-        {
-            "bucket": pa.array([p % num_buckets for p, _, _ in tok_rows], pa.int32()),
-            "repo": pa.array([""] * len(tok_rows), pa.string()),
-            "path": pa.array([str(p) for p, _, _ in tok_rows], pa.string()),
-            "commit": pa.array([""] * len(tok_rows), pa.string()),
-            "lang": pa.array([""] * len(tok_rows), pa.string()),
-            "content": pa.array([None] * len(tok_rows), pa.large_string()),
-            "ts": pa.array([t for _, t, _ in tok_rows], pa.int64()),
-            "inc": pa.array([i for _, _, i in tok_rows], pa.int32()),
-            "op_rank": pa.array([TOKEN_OP_RANK] * len(tok_rows), pa.int8()),
-        }
-    )
+    tok_cols = {
+        "bucket": pa.array([p % num_buckets for p, _, _ in tok_rows], pa.int32()),
+        "repo": pa.array([""] * len(tok_rows), pa.string()),
+        "path": pa.array([str(p) for p, _, _ in tok_rows], pa.string()),
+        "commit": pa.array([""] * len(tok_rows), pa.string()),
+        "lang": pa.array([""] * len(tok_rows), pa.string()),
+        "content": pa.array([None] * len(tok_rows), pa.large_string()),
+        "ts": pa.array([t for _, t, _ in tok_rows], pa.int64()),
+        "inc": pa.array([i for _, _, i in tok_rows], pa.int32()),
+        "op_rank": pa.array([TOKEN_OP_RANK] * len(tok_rows), pa.int8()),
+    }
+    for c in extras:
+        tok_cols[c] = pa.nulls(len(tok_rows), out.schema.field(c).type)
+    token_tbl = pa.table(tok_cols)
     return pa.concat_tables([out, token_tbl])
 
 

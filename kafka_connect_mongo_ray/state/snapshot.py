@@ -88,7 +88,10 @@ class SnapshotStore:
         d = self.staging_dir(new_version)
         fname = f"bucket={bucket}.parquet"
         tmp = os.path.join(d, fname + ".tmp")
-        pq.write_table(state.cast(SNAPSHOT_SCHEMA), tmp, compression="zstd")
+        # schema may carry evolved payload columns beyond SNAPSHOT_SCHEMA;
+        # the canonical columns must lead and be exactly typed
+        assert state.schema.names[: len(SNAPSHOT_SCHEMA.names)] == SNAPSHOT_SCHEMA.names
+        pq.write_table(state, tmp, compression="zstd")
         final = os.path.join(d, fname)
         os.replace(tmp, final)
         return final
