@@ -129,6 +129,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     store = SnapshotStore(cfg.snapshot_dir)
     prev = store.current_version()
     new = prev + 1
+    store.clean_staging(new)  # crash-window hygiene (see SnapshotStore)
     old_tokens = store.tokens(prev)
 
     ds = events_ds.map_batches(

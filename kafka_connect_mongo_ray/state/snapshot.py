@@ -82,6 +82,15 @@ class SnapshotStore:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def clean_staging(self, new_version: int) -> None:
+        """Called at job start: a crashed prior attempt may have left
+        partial staging files; committing would sweep them into the
+        manifest. The rerun rewrites everything it processes, so a
+        clean slate is always safe (replay is idempotent)."""
+        d = os.path.join(self.root, f".staging-v{new_version:06d}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
     def write_bucket_staging(self, new_version: int, bucket: int, state: pa.Table) -> str:
         """Called by applier actors; rows must already be in canonical
         (repo, path) order for byte-stable output (SURVEY.md §7.4)."""

@@ -1,0 +1,90 @@
+"""Crash-window recovery + actor-pool apply-mode parity."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_connect_mongo_ray.config import EngineConfig
+from kafka_connect_mongo_ray.oracle import content_sha256_map, final_table, replay
+from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset, run_replay
+from kafka_connect_mongo_ray.sources.gen import GenSpec, gen_all_events, synth_repo_files
+from tests.test_replay_e2e import ds_from_table, engine_sha_map
+
+
+def fixture_events(seed=41):
+    base = synth_repo_files(4, 10, seed=seed)
+    spec = GenSpec(num_partitions=4, events_per_partition=200, seed=seed, dup_frac=0.1)
+    return gen_all_events(spec, base)
+
+
+def test_crash_window_stale_staging_recovered(tmp_engine_dirs):
+    """A crashed attempt left garbage in the v1 staging dir; the rerun
+    must not publish it."""
+    cfg = tmp_engine_dirs
+    ev = fixture_events()
+    # simulate the crashed attempt: stale staging with a poisoned bucket
+    staging = os.path.join(cfg.snapshot_dir, ".staging-v000001")
+    os.makedirs(staging, exist_ok=True)
+    poison = pa.table(
+        {
+            "repo": ["POISON"], "path": ["x"], "commit": [""], "lang": [""],
+            "content": pa.array(["stale"], pa.large_string()),
+            "ts": pa.array([0], pa.int64()), "inc": pa.array([0], pa.int32()),
+            "op_rank": pa.array([0], pa.int8()),
+        }
+    )
+    pq.write_table(poison, os.path.join(staging, "bucket=999.parquet"))
+
+    run_replay(ds_from_table(ev), cfg)
+    got = engine_sha_map(final_state_dataset(cfg))
+    want = content_sha256_map(final_table(replay(ev)))
+    assert got == want  # poison bucket gone
+
+
+def test_crash_after_staging_before_commit_rerun(tmp_engine_dirs, monkeypatch):
+    """Crash between staging write and commit: CURRENT still points at
+    v0; rerunning the whole job converges to the correct state."""
+    cfg = tmp_engine_dirs
+    ev = fixture_events()
+
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    real_commit = SnapshotStore.commit
+    calls = {"n": 0}
+
+    def crashing_commit(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before commit")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotStore, "commit", crashing_commit)
+    try:
+        run_replay(ds_from_table(ev), cfg)
+    except RuntimeError:
+        pass
+    store = SnapshotStore(cfg.snapshot_dir)
+    assert store.current_version() == 0  # nothing published
+    run_replay(ds_from_table(ev), cfg)  # full rerun (idempotent)
+    assert store.current_version() == 1
+    got = engine_sha_map(final_state_dataset(cfg))
+    want = content_sha256_map(final_table(replay(ev)))
+    assert got == want
+
+
+def test_actor_mode_apply_parity(tmp_path):
+    """apply_mode='actors' (stateful merge-applier pool) produces the
+    identical committed state as the task mode."""
+    ev = fixture_events()
+    want = content_sha256_map(final_table(replay(ev)))
+    for mode in ("tasks", "actors"):
+        cfg = EngineConfig(
+            snapshot_dir=str(tmp_path / mode / "s"),
+            checkpoint_dir=str(tmp_path / mode / "c"),
+            num_buckets=8,
+            apply_mode=mode,
+            apply_concurrency=(1, 2),
+        )
+        run_replay(ds_from_table(ev), cfg)
+        assert engine_sha_map(final_state_dataset(cfg)) == want, mode
