@@ -53,7 +53,8 @@ def normalize_prereduce(batch: pa.Table, *, num_buckets: int, tokens=None) -> pa
 
 
 def apply_bucket_group(
-    group: pa.Table, store: SnapshotStore, prev_version: int, new_version: int
+    group: pa.Table, store: SnapshotStore, prev_version: int, new_version: int,
+    rows_per_file: int | None = None,
 ) -> pa.Table:
     """Merge-apply one bucket group: merge pre-reduced events with the
     previous snapshot bucket (LWW, tombstone-aware), write the new
@@ -77,7 +78,8 @@ def apply_bucket_group(
         path = ""
     else:
         state = merge_with_snapshot(events, prev)
-        path = store.write_bucket_staging(new_version, bucket, state)
+        path = store.write_bucket_staging(new_version, bucket, state,
+                                          rows_per_file=rows_per_file)
     live = live_rows(state)
     return pa.table(
         {
@@ -97,9 +99,11 @@ def apply_bucket_group(
 
 
 def _apply_bucket_task(group: pa.Table, *, snapshot_root: str,
-                       prev_version: int, new_version: int) -> pa.Table:
+                       prev_version: int, new_version: int,
+                       rows_per_file: int | None = None) -> pa.Table:
     limit_worker_threads()
-    return apply_bucket_group(group, SnapshotStore(snapshot_root), prev_version, new_version)
+    return apply_bucket_group(group, SnapshotStore(snapshot_root), prev_version,
+                              new_version, rows_per_file=rows_per_file)
 
 
 class FinalMergeApplier:
@@ -159,7 +163,8 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         merged = grouped.map_groups(
             _apply_bucket_task,
             fn_kwargs={"snapshot_root": cfg.snapshot_dir,
-                       "prev_version": prev, "new_version": new},
+                       "prev_version": prev, "new_version": new,
+                       "rows_per_file": cfg.snapshot_rows_per_file},
             batch_format="pyarrow",
         )
     metrics = merged.take_all()  # one small row per bucket
@@ -201,6 +206,18 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
 
         return rd.from_arrow(SNAPSHOT_SCHEMA.empty_table())
     return rd.read_parquet(files).map_batches(live_rows, batch_format="pyarrow")
+
+
+def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = None,
+                       min_rows_per_file: int | None = None) -> int:
+    """Materialize the live final state as a directory of Parquet part
+    files (streaming write — never one giant file). Returns row count."""
+    ds = final_state_dataset(cfg, version)
+    kwargs = {"min_rows_per_file": min_rows_per_file} if min_rows_per_file else {}
+    ds.write_parquet(out_dir, **kwargs)
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir).count()
 
 
 def final_state_table(cfg: EngineConfig, version: int | None = None,

@@ -232,6 +232,8 @@ def merge_with_snapshot(events: pa.Table, prev_state: pa.Table | None) -> pa.Tab
     )
     ev = conform_table(events, ev_schema)
     if prev_state is not None and prev_state.num_rows:
+        if "bucket" in prev_state.column_names:
+            prev_state = prev_state.drop_columns(["bucket"])
         target = unify_payload_schemas(prev_state.schema, ev.schema)
         ev = pa.concat_tables(
             [conform_table(prev_state, target), conform_table(ev, target)]

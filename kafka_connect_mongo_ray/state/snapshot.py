@@ -58,16 +58,23 @@ class SnapshotStore:
         m = self.manifest(version)
         if not m:
             return None
-        rel = m["buckets"].get(str(bucket))
-        if rel is None:
+        rels = m["buckets"].get(str(bucket))
+        if rels is None:
             return None
-        return pq.read_table(os.path.join(self.root, rel))
+        if isinstance(rels, str):  # single-file entry
+            rels = [rels]
+        tables = [pq.read_table(os.path.join(self.root, r)) for r in rels]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
     def bucket_files(self, version: int) -> list[str]:
         m = self.manifest(version)
         if not m:
             return []
-        return [os.path.join(self.root, rel) for rel in m["buckets"].values()]
+        out = []
+        for rels in m["buckets"].values():
+            for r in ([rels] if isinstance(rels, str) else rels):
+                out.append(os.path.join(self.root, r))
+        return out
 
     def tokens(self, version: int) -> dict[int, tuple[int, int]]:
         """Per-partition resume tokens recorded at the given commit."""
@@ -91,19 +98,28 @@ class SnapshotStore:
         if os.path.isdir(d):
             shutil.rmtree(d)
 
-    def write_bucket_staging(self, new_version: int, bucket: int, state: pa.Table) -> str:
+    def write_bucket_staging(self, new_version: int, bucket: int, state: pa.Table,
+                             rows_per_file: int | None = None) -> str:
         """Called by applier actors; rows must already be in canonical
-        (repo, path) order for byte-stable output (SURVEY.md §7.4)."""
+        (repo, path) order for byte-stable output (SURVEY.md §7.4).
+        Large buckets split into multiple files of ``rows_per_file``
+        (never one giant file); returns the paths joined by ','."""
         d = self.staging_dir(new_version)
-        fname = f"bucket={bucket}.parquet"
-        tmp = os.path.join(d, fname + ".tmp")
         # schema may carry evolved payload columns beyond SNAPSHOT_SCHEMA;
         # the canonical columns must lead and be exactly typed
         assert state.schema.names[: len(SNAPSHOT_SCHEMA.names)] == SNAPSHOT_SCHEMA.names
-        pq.write_table(state, tmp, compression="zstd")
-        final = os.path.join(d, fname)
-        os.replace(tmp, final)
-        return final
+        n = state.num_rows
+        step = rows_per_file if rows_per_file and rows_per_file > 0 else max(n, 1)
+        finals = []
+        for i, off in enumerate(range(0, max(n, 1), step)):
+            chunk = state.slice(off, step)
+            fname = f"bucket={bucket}-{i:04d}.parquet"
+            tmp = os.path.join(d, fname + ".tmp")
+            pq.write_table(chunk, tmp, compression="zstd")
+            final = os.path.join(d, fname)
+            os.replace(tmp, final)
+            finals.append(final)
+        return ",".join(finals)
 
     def commit(
         self,
@@ -121,15 +137,17 @@ class SnapshotStore:
             shutil.rmtree(vdir)
         os.replace(staging, vdir)
 
-        buckets: dict[str, str] = {}
+        buckets: dict[str, list] = {}
         prev_manifest = self.manifest(prev)
         if prev_manifest:
             buckets.update(prev_manifest["buckets"])  # COW carry-forward
         vname = os.path.basename(vdir)
+        fresh: dict[str, list] = {}
         for f in sorted(os.listdir(vdir)):
             if f.startswith("bucket=") and f.endswith(".parquet"):
-                b = f[len("bucket="):-len(".parquet")]
-                buckets[b] = os.path.join(vname, f)
+                b = f[len("bucket="):-len(".parquet")].split("-")[0]
+                fresh.setdefault(b, []).append(os.path.join(vname, f))
+        buckets.update(fresh)
 
         manifest = {
             "version": new_version,

@@ -73,6 +73,31 @@ def test_crash_after_staging_before_commit_rerun(tmp_engine_dirs, monkeypatch):
     assert got == want
 
 
+def test_multi_file_buckets_and_export(tmp_path):
+    """snapshot_rows_per_file splits bucket state into many files; the
+    manifest tracks them all and reads/exports stay correct."""
+    ev = fixture_events()
+    cfg = EngineConfig(
+        snapshot_dir=str(tmp_path / "s"),
+        checkpoint_dir=str(tmp_path / "c"),
+        num_buckets=4,
+        snapshot_rows_per_file=3,  # force splitting
+    )
+    run_replay(ds_from_table(ev), cfg)
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    store = SnapshotStore(cfg.snapshot_dir)
+    m = store.manifest(1)
+    assert any(len(files) > 1 for files in m["buckets"].values())
+    want = content_sha256_map(final_table(replay(ev)))
+    assert engine_sha_map(final_state_dataset(cfg)) == want
+    # partitioned export round-trips
+    from kafka_connect_mongo_ray.pipelines.cdc import export_final_state
+
+    n = export_final_state(cfg, str(tmp_path / "export"))
+    assert n == len(want)
+
+
 def test_actor_mode_apply_parity(tmp_path):
     """apply_mode='actors' (stateful merge-applier pool) produces the
     identical committed state as the task mode."""
