@@ -39,6 +39,15 @@ class EngineConfig:
     # Actor-pool size for apply_mode="actors"; None → (1, min(buckets, 16)).
     apply_concurrency: tuple | int | None = None
     analyze_schema: bool = False
+    # Coalesce pre-reduced blocks into this many and run a second
+    # partial-LWW combine before the global shuffle — cuts shuffle
+    # volume ~keys/blocks-fold on high-dup / hot-key streams. None =
+    # single pre-reduce round.
+    prereduce_coalesce: int | None = None
+    # Ray Data shuffle strategy for the bucket exchange; push-based
+    # sort measured ~2x faster than the default pull-based on this
+    # workload. None = leave the session default untouched.
+    shuffle_strategy: str | None = None
     # Max rows per written snapshot file (resumable, many-file layout).
     snapshot_rows_per_file: int = 1_000_000
     extra: dict = field(default_factory=dict)

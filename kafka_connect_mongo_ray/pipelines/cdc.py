@@ -136,6 +136,13 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     store.clean_staging(new)  # crash-window hygiene (see SnapshotStore)
     old_tokens = store.tokens(prev)
 
+    if cfg.shuffle_strategy:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = getattr(
+            ShuffleStrategy, cfg.shuffle_strategy
+        )
+
     ds = events_ds.map_batches(
         normalize_prereduce,
         fn_kwargs={"num_buckets": cfg.num_buckets, "tokens": old_tokens or None},
@@ -148,6 +155,14 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         # input block into one giant serial task.
         batch_size=cfg.batch_size,
     )
+    if cfg.prereduce_coalesce:
+        # second combine round: coalesce pre-reduced blocks and LWW
+        # again — shuffle volume drops ~blocks/coalesce-fold when keys
+        # repeat across blocks (hot keys, replays)
+        ds = ds.repartition(cfg.prereduce_coalesce).map_batches(
+            partial_lww, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        )
     grouped = ds.groupby("bucket", num_partitions=cfg.num_buckets)
     if cfg.apply_mode == "actors":
         merged = grouped.map_groups(
