@@ -85,11 +85,29 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
     t0 = time.perf_counter()
     summary = run_replay(events, cfg)
     dt = time.perf_counter() - t0
+
+    # incremental tail apply: 5% new events (strictly later ts) onto the
+    # committed snapshot — COW carry-forward + checkpoint-token resume
+    import dataclasses
+
+    delta_spec = dataclasses.replace(
+        spec,
+        events_per_partition=max(100, spec.events_per_partition // 20),
+        seed=spec.seed + 1,
+        base_ts=spec.base_ts + spec.events_per_partition * spec.num_partitions * 2,
+    )
+    delta_events = change_event_dataset(delta_spec, base)
+    delta_n = delta_spec.num_partitions * delta_spec.events_per_partition
+    t1 = time.perf_counter()
+    run_replay(delta_events, cfg)
+    dt_inc = time.perf_counter() - t1
     return {
         "sec": dt,
         "events": total_events,
         "events_per_sec": total_events / dt,
         "live_rows": summary["live_rows"],
+        "incremental_sec": dt_inc,
+        "incremental_events": delta_n,
     }
 
 
@@ -162,7 +180,8 @@ def run_once() -> dict:
     )
 
     replay = bench_cdc_replay(SF_DIR, NCPU)
-    queries = {"cdc_replay": round(replay["sec"], 3)}
+    queries = {"cdc_replay": round(replay["sec"], 3),
+               "cdc_incremental": round(replay["incremental_sec"], 3)}
     if "--headline-only" not in sys.argv:
         queries.update(bench_queries(SF_DIR))
 

@@ -517,6 +517,33 @@ def q_events_tumbling_window(sf_dir: str):
     ).aggregate(Sum("n", alias_name="n"))
 
 
+SESSION_GAP_US = 14_400_000_000  # 4 h
+
+
+def q_events_session_windows(sf_dir: str):
+    """Session windows (gap-based), the classic streaming aggregate Ray
+    Data lacks natively: per-user sort within ``map_groups``, gap
+    cumulative-sum sessionization (ray_guide streaming-shaped pattern).
+    Ordering assumption: all of a key's events reach its group; order
+    restored by the in-group sort."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        tsu = pc.cast(pa.Array.from_pandas(g["ts"]), pa.int64()).to_numpy()
+        new_session = np.ones(len(tsu), dtype=np.int64)
+        new_session[1:] = (np.diff(tsu) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(new_session)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "tsu": tsu, "sid": sid})
+        out = df.groupby("sid").agg(
+            user_id=("user_id", "first"), session_start=("tsu", "min"), n=("tsu", "size")
+        ).reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "session_start", "n"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -623,6 +650,7 @@ def build_queries():
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "events_per_type": q_events_per_type,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_session_windows": q_events_session_windows,
         # rows-only (non-SQL-expressible)
         "ann_lsh_topk": q_ann_lsh_topk,
         "docs_langid": q_docs_langid,
@@ -746,5 +774,20 @@ def build_oracle_sql():
                    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "events_session_windows": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+            x AS (SELECT user_id, tsu,
+                         CASE WHEN tsu - LAG(tsu) OVER w > {SESSION_GAP_US}
+                                OR LAG(tsu) OVER w IS NULL
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+            y AS (SELECT user_id, tsu,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x)
+            SELECT user_id, MIN(tsu) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM y GROUP BY user_id, sid
         """,
     }

@@ -113,6 +113,7 @@ class GenSpec:
     p_update: float = 0.45
     p_delete: float = 0.15
     skew: float = 1.0  # 1.0 = uniform keys; >1 concentrates on low key ids
+    base_ts: int = 1_600_000_000  # ts origin; raise for delta/tail streams
     dup_frac: float = 0.0  # fraction of events re-emitted verbatim (at-least-once)
     content_words: int = 40
 
@@ -136,7 +137,7 @@ def gen_partition_events(
     rng = np.random.default_rng(spec.seed * 1_000_003 + part_id)
     n = spec.events_per_partition
     n_keys = len(keys_repo)
-    base_ts = 1_600_000_000
+    base_ts = spec.base_ts
 
     u = rng.random(n)
     key_idx = np.minimum((n_keys * (u ** spec.skew)).astype(np.int64), n_keys - 1)

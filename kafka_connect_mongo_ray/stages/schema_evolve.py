@@ -129,6 +129,40 @@ def arrow_schema(schema: dict[str, str], *, with_meta: bool = True) -> pa.Schema
     return pa.schema(fields)
 
 
+def parse_avro_schema(avro_json: str | dict) -> dict[str, str]:
+    """Schema-registry bootstrap (``source/SchemaParser.kt:12-92``,
+    hook at ``AbstractMongoSourceTask.kt:65-80``): parse an Avro record
+    schema (JSON) into an initial lattice schema for the analyzer.
+
+    Avro type → lattice: int/long/float/double → float64, boolean →
+    bool, everything else → string; union types take the first
+    non-null branch; meta columns (``__*``) are skipped (re-added by
+    the analyzer itself)."""
+    schema = json.loads(avro_json) if isinstance(avro_json, str) else avro_json
+    if schema.get("type") != "record":
+        raise ValueError("expected an Avro record schema")
+    out: dict[str, str] = {}
+    for field in schema.get("fields", []):
+        name = normalize_key(field["name"])
+        if name is None or name.startswith("__"):
+            continue
+        t = field["type"]
+        if isinstance(t, list):  # union — first non-null branch
+            branches = [b for b in t if b != "null"]
+            t = branches[0] if branches else "null"
+        if isinstance(t, dict):  # nested record/array/map → JSON text
+            t = t.get("type", "string")
+        if t in ("int", "long", "float", "double"):
+            out[name] = FLOAT64
+        elif t == "boolean":
+            out[name] = BOOL
+        elif t == "null":
+            continue
+        else:
+            out[name] = STRING
+    return out
+
+
 class SchemaAnalyzer:
     """Actor-pool stage: JSON documents → analyzed flat Arrow rows.
 

@@ -96,6 +96,34 @@ def atomic_write_json(path: str, obj) -> None:
             os.unlink(tmp)
 
 
+def run_try(fn, *, max_consecutive_errors: int = 5, healthy_reset_s: float = 600.0,
+            sleep_s: float = 0.0, clock=None):
+    """Driver-side retry policy — analog of ``utils/TaskUtil.kt:10-34``:
+    tolerate up to N CONSECUTIVE failures; a stretch of
+    ``healthy_reset_s`` since the last failure resets the counter; the
+    (N+1)th consecutive failure re-raises (task death). Within Ray,
+    per-task/actor retries are handled by Ray itself (max_retries);
+    this guards whole-job loops such as micro-batch tailing."""
+    import time as _time
+
+    now = clock or _time.monotonic
+    errors = 0
+    last_error_at = None
+    while True:
+        try:
+            return fn()
+        except Exception:
+            t = now()
+            if last_error_at is not None and t - last_error_at > healthy_reset_s:
+                errors = 0
+            errors += 1
+            last_error_at = t
+            if errors > max_consecutive_errors:
+                raise
+            if sleep_s:
+                _time.sleep(sleep_s)
+
+
 def read_json(path: str, default=None):
     if not os.path.exists(path):
         return default
