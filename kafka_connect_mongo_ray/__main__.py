@@ -22,7 +22,7 @@ def healthcheck(args) -> int:
     from kafka_connect_mongo_ray.state.checkpoint import load_checkpoints
     from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
 
-    store = SnapshotStore(args.snapshot)
+    store = SnapshotStore(args.snapshot, create=False)  # probe, no side effects
     version = store.current_version()
     manifest = store.manifest(version)
     tokens = load_checkpoints(args.checkpoints)

@@ -36,9 +36,10 @@ from kafka_connect_mongo_ray.utils import atomic_write_json, read_json
 
 
 class SnapshotStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, *, create: bool = True):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        if create:
+            os.makedirs(root, exist_ok=True)
 
     # -- versions ----------------------------------------------------------
     def current_version(self) -> int:
@@ -149,12 +150,24 @@ class SnapshotStore:
                 fresh.setdefault(b, []).append(os.path.join(vname, f))
         buckets.update(fresh)
 
+        # lineage metrics: fresh rows for touched buckets; untouched
+        # (carried-forward) buckets keep their previous metrics so
+        # cumulative views (healthcheck live_rows) stay truthful
+        merged_metrics: dict[str, dict] = {}
+        if prev_manifest:
+            for m in prev_manifest.get("metrics", []):
+                merged_metrics[str(m.get("bucket"))] = m
+        for m in metrics or []:
+            mm = dict(m)
+            if mm.get("carried_forward") and str(mm.get("bucket")) in merged_metrics:
+                continue  # keep the previous (informative) row
+            merged_metrics[str(mm.get("bucket"))] = mm
         manifest = {
             "version": new_version,
             "parent": prev,
             "buckets": buckets,
             "tokens": {str(p): [t[0], t[1]] for p, t in sorted(tokens.items())},
-            "metrics": metrics or [],
+            "metrics": sorted(merged_metrics.values(), key=lambda m: m.get("bucket", -1)),
         }
         atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
         atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": new_version})
