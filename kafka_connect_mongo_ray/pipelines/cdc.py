@@ -126,6 +126,59 @@ class FinalMergeApplier:
         return apply_bucket_group(group, self.store, self.prev_version, self.new_version)
 
 
+class AnalyzeObjectStage:
+    """Analyzed-schema source mode (``analyze.schema=true``,
+    ``MongoSourceConfig.kt:62-67``): events arrive with the row image as
+    a JSON text column (the reference's ``object`` field) instead of
+    structured payload columns. This actor-pool stage flattens each
+    JSON document through the SchemaMapper-analog lattice (T5–T11) and
+    emits the canonical event columns plus the analyzed payload columns
+    — which then flow through the engine's schema-evolving merge.
+    Malformed JSON nulls the payload for that row (skip-and-count
+    semantics of ``MongoSinkTask.kt:62-70``)."""
+
+    def __init__(self, json_col: str = "object", initial_schema: dict | None = None):
+        from kafka_connect_mongo_ray.stages.schema_evolve import SchemaAnalyzer
+
+        self.json_col = json_col
+        self.analyzer = SchemaAnalyzer(
+            json_col=json_col, op_col=None, pkey_cols=None, ts_col=None,
+            initial_schema=initial_schema,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        from kafka_connect_mongo_ray.stages.schema_evolve import (
+            _ARROW,
+            coerce,
+            evolve,
+            normalize_key,
+        )
+
+        docs = batch[self.json_col].to_pylist()
+        parsed = []
+        for text in docs:
+            try:
+                d = _json.loads(text) if text is not None else {}
+                parsed.append(d if isinstance(d, dict) else {})
+            except (ValueError, TypeError):
+                self.analyzer.malformed += 1
+                parsed.append({})
+        for d in parsed:
+            self.analyzer.schema = evolve(self.analyzer.schema, d)
+        out = batch.drop_columns([self.json_col])
+        for name in sorted(self.analyzer.schema):
+            t = self.analyzer.schema[name]
+            vals = []
+            for d in parsed:
+                lowered = {normalize_key(k): v for k, v in d.items()
+                           if normalize_key(k) is not None}
+                vals.append(coerce(lowered.get(name), t))
+            out = out.append_column(name, pa.array(vals, _ARROW[t]))
+        return out
+
+
 def run_replay(events_ds, cfg: EngineConfig) -> dict:
     """One committed replay job; resumable — events at or below the
     previous commit's per-partition resume tokens are filtered at the
@@ -141,6 +194,14 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
 
         DataContext.get_current().shuffle_strategy = getattr(
             ShuffleStrategy, cfg.shuffle_strategy
+        )
+
+    if cfg.analyze_schema:
+        events_ds = events_ds.map_batches(
+            AnalyzeObjectStage,
+            fn_constructor_kwargs={"json_col": "object"},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
         )
 
     ds = events_ds.map_batches(

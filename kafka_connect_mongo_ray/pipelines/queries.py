@@ -591,11 +591,8 @@ def q_dedup_simhash(sf_dir: str):
 def q_ann_lsh_topk(sf_dir: str):
     """Scale-path ANN: LSH hyperplane bucketing; each query scans only
     its own bucket (recall < 1 by design — rows-only check)."""
-    import pyarrow.parquet as pq
+    from kafka_connect_mongo_ray.functions.similarity import lsh_topk
 
-    from kafka_connect_mongo_ray.functions.similarity import LshBucketer, lsh_topk
-
-    t = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").schema_arrow
     q, ids = _load_query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_topk(ds, q, ids, k=ANN_K, dim=q.shape[1], num_planes=4, seed=42)

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kafka_connect_mongo_ray.schema import CHANGE_EVENT_SCHEMA
-from kafka_connect_mongo_ray.utils import KEY_SEP, key_strings, limit_worker_threads
+from kafka_connect_mongo_ray.utils import key_strings, limit_worker_threads
 
 
 def snapshot_to_insert_events(

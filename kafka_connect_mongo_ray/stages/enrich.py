@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from kafka_connect_mongo_ray.utils import KEY_SEP, key_strings, limit_worker_threads
+from kafka_connect_mongo_ray.utils import key_strings, limit_worker_threads
 
 
 def build_lookup(table: pa.Table, key_cols: list[str], image_cols: list[str]) -> dict:

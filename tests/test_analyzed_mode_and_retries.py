@@ -1,0 +1,105 @@
+"""Analyzed-schema source mode through the full replay path, and
+transient-task-failure convergence (Ray retries)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from kafka_connect_mongo_ray.pipelines.cdc import final_state_table, run_replay
+
+
+def analyzed_events(rows):
+    cols = {
+        "ts": pa.array([r["ts"] for r in rows], pa.int64()),
+        "inc": pa.array([0] * len(rows), pa.int32()),
+        "op": pa.array([r["op"] for r in rows], pa.string()),
+        "repo": pa.array(["r"] * len(rows), pa.string()),
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "commit": pa.array([""] * len(rows), pa.string()),
+        "lang": pa.array([""] * len(rows), pa.string()),
+        "content": pa.array(
+            [r.get("object") for r in rows], pa.large_string()
+        ),
+        "partition_id": pa.array([0] * len(rows), pa.int32()),
+        "object": pa.array([r.get("object") for r in rows], pa.large_string()),
+    }
+    return pa.table(cols)
+
+
+def ds_of(tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_analyzed_mode_full_replay(tmp_engine_dirs):
+    """JSON object payloads → analyzed flat columns in the committed
+    snapshot, with lattice typing, add-only evolution and LWW."""
+    cfg = tmp_engine_dirs
+    cfg.analyze_schema = True
+    ev = analyzed_events(
+        [
+            dict(ts=1, op="i", path="a", object='{"Name": "x", "num": 3, "flag": true}'),
+            dict(ts=2, op="i", path="b", object='{"name": "y", "num": 4.5}'),
+            # update a with an added field + a type conflict (num as string)
+            dict(ts=3, op="u", path="a",
+                 object='{"name": "x2", "num": "oops", "extra": [1, 2]}'),
+            # malformed JSON → payload nulled, row still applied (LWW on key b)
+            dict(ts=4, op="u", path="b", object="{broken"),
+        ]
+    )
+    run_replay(ds_of(ev), cfg)
+    state = final_state_table(cfg)
+    assert state.num_rows == 2
+    a = state.filter(pa.compute.equal(state["path"], "a"))
+    b = state.filter(pa.compute.equal(state["path"], "b"))
+    assert a["name"][0].as_py() == "x2"
+    assert a["num"][0].as_py() is None        # "oops" under float64 → null
+    assert a["extra"][0].as_py() == "[1,2]"   # nested → JSON text
+    assert b["name"][0].as_py() is None       # malformed update nulled payload
+    assert state.schema.field("num").type == pa.float64()
+    assert state.schema.field("flag").type == pa.bool_()
+
+
+_FLAKY_FLAG = "/tmp/kcm_flaky_test_flag"
+
+
+def test_transient_task_failure_converges(tmp_engine_dirs):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.oracle import content_sha256_map, final_table, replay
+    from kafka_connect_mongo_ray.pipelines.cdc import _collect_merge
+    from kafka_connect_mongo_ray.sources.gen import GenSpec, gen_all_events, synth_repo_files
+    from tests.test_replay_e2e import engine_sha_map
+
+    # defined inside the test: cloudpickle then serializes it by value,
+    # so workers don't need the test module importable
+    def flaky_normalize(batch, *, num_buckets, tokens=None):
+        import os as _os
+
+        from kafka_connect_mongo_ray.pipelines.cdc import normalize_prereduce
+
+        if not _os.path.exists(_FLAKY_FLAG):
+            open(_FLAKY_FLAG, "w").write("tripped")
+            raise RuntimeError("injected transient failure")
+        return normalize_prereduce(batch, num_buckets=num_buckets, tokens=tokens)
+
+    if os.path.exists(_FLAKY_FLAG):
+        os.unlink(_FLAKY_FLAG)
+    base = synth_repo_files(3, 5, seed=51)
+    ev = gen_all_events(GenSpec(num_partitions=2, events_per_partition=100, seed=51), base)
+    # retry_exceptions: Ray retries SYSTEM failures automatically but
+    # user-code exceptions only when opted in — the engine's transient
+    # -error story (network blips inside a stage) uses this knob
+    ds = rd.from_arrow(ev).repartition(4).map_batches(
+        flaky_normalize, fn_kwargs={"num_buckets": 4, "tokens": None},
+        batch_format="pyarrow", retry_exceptions=True,
+    )
+    out = ds.groupby("bucket", num_partitions=4).map_groups(
+        _collect_merge, batch_format="pyarrow")
+    got = engine_sha_map(out)
+    want = content_sha256_map(final_table(replay(ev)))
+    assert got == want
+    assert os.path.exists(_FLAKY_FLAG)  # the failure really fired
+    os.unlink(_FLAKY_FLAG)
