@@ -33,9 +33,11 @@ from kafka_connect_mongo_ray.functions.text import md5_fingerprint_batch
 # exact dedup
 
 
-def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 32):
     """Keep the min-id document per identical text. Returns a Dataset of
-    survivors (id + fingerprint)."""
+    survivors (id + fingerprint). Only (id, hash) rows shuffle — the
+    text never moves."""
     with_fp = ds.map_batches(
         md5_fingerprint_batch, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
     ).select_columns([id_col, "fingerprint"])
@@ -43,7 +45,8 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.nsmallest(1, id_col)
 
-    return with_fp.groupby("fingerprint").map_groups(first_per_group, batch_format="pandas")
+    return with_fp.groupby("fingerprint", num_partitions=num_partitions).map_groups(
+        first_per_group, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -143,14 +146,15 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = bands.groupby(["band_id", "band_hash"], num_partitions=32).map_groups(
         lambda g: _pairs_in_bucket(g, id_col), batch_format="pandas"
     )
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"], num_partitions=16).map_groups(
+        dedup_pairs, batch_format="pandas")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
