@@ -85,3 +85,18 @@ def test_run_try_healthy_reset_and_success():
     # 20 failures but never >5 consecutive within the healthy window
     assert run_try(eventually, max_consecutive_errors=5,
                    healthy_reset_s=600, clock=clock) == "done"
+
+
+def test_naming_rules():
+    from kafka_connect_mongo_ray.functions.naming import (
+        analyzed_table_name,
+        get_topic,
+        namespace_of,
+    )
+
+    # StructUtil.kt:13-16 semantics
+    assert get_topic("mydb.users", "mongo") == "mongo_mydb_users"
+    assert namespace_of("mydb", "users") == "mydb.users"
+    # SchemaMapper.kt:108-114: default-db special case
+    assert analyzed_table_name("teambition", "tasks") == "base_tasks"
+    assert analyzed_table_name("other", "tasks") == "base_other_tasks"
