@@ -122,6 +122,49 @@ class SnapshotStore:
             finals.append(final)
         return ",".join(finals)
 
+    def gc(self, *, keep_last: int = 2) -> dict:
+        """Garbage-collect versions older than the last ``keep_last``.
+
+        COW-aware: a bucket file in an old version dir may still be
+        referenced (carried forward) by a kept manifest — such files
+        survive; everything else in expired version dirs is deleted.
+        CURRENT is never touched, so the operation is safe to run
+        concurrently with readers of kept versions."""
+        current = self.current_version()
+        keep_versions = [v for v in range(max(1, current - keep_last + 1), current + 1)]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            m = self.manifest(v)
+            if m:
+                for rels in m["buckets"].values():
+                    for r in ([rels] if isinstance(rels, str) else rels):
+                        referenced.add(os.path.normpath(r))
+        deleted_files = 0
+        deleted_versions = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v in keep_versions or v > current:
+                continue
+            vdir = os.path.join(self.root, name)
+            survivors = 0
+            for f in sorted(os.listdir(vdir)):
+                rel = os.path.normpath(os.path.join(name, f))
+                if rel in referenced:
+                    survivors += 1
+                    continue
+                os.unlink(os.path.join(vdir, f))
+                deleted_files += 1
+            if survivors == 0:
+                os.rmdir(vdir)
+            deleted_versions.append(v)
+        return {"deleted_versions": deleted_versions, "deleted_files": deleted_files,
+                "kept_versions": keep_versions}
+
     def commit(
         self,
         new_version: int,

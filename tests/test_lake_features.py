@@ -1,0 +1,90 @@
+"""Lake-layer features: time travel, version diff (CDC read side),
+COW-aware garbage collection."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kafka_connect_mongo_ray.pipelines.cdc import final_state_table, run_replay
+from kafka_connect_mongo_ray.state.diff import changes_between, diff_bucket_tables
+from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+from tests.test_oracle_and_gen import make_events
+from tests.test_replay_e2e import ds_from_table
+
+
+def _events(rows):
+    return make_events(rows)
+
+
+BASE = dict(commit="c", lang="l", inc=0, partition_id=0)
+
+
+def three_committed_versions(cfg):
+    run_replay(ds_from_table(_events([
+        dict(ts=1, op="i", repo="r", path="a", content="a1", **BASE),
+        dict(ts=2, op="i", repo="r", path="b", content="b1", **BASE),
+        dict(ts=3, op="i", repo="r", path="c", content="c1", **BASE),
+    ]), 1), cfg)
+    run_replay(ds_from_table(_events([
+        dict(ts=4, op="u", repo="r", path="a", content="a2", **BASE),
+        dict(ts=5, op="d", repo="r", path="b", content=None, **BASE),
+    ]), 1), cfg)
+    run_replay(ds_from_table(_events([
+        dict(ts=6, op="i", repo="r", path="d", content="d1", **BASE),
+    ]), 1), cfg)
+
+
+def test_time_travel_reads(tmp_engine_dirs):
+    cfg = tmp_engine_dirs
+    three_committed_versions(cfg)
+    v1 = final_state_table(cfg, version=1)
+    v2 = final_state_table(cfg, version=2)
+    v3 = final_state_table(cfg, version=3)
+    assert v1["path"].to_pylist() == ["a", "b", "c"]
+    assert v2["path"].to_pylist() == ["a", "c"]
+    assert v2.filter(pc.equal(v2["path"], "a"))["content"][0].as_py() == "a2"
+    assert v3["path"].to_pylist() == ["a", "c", "d"]
+
+
+def test_changes_between_versions(tmp_engine_dirs):
+    cfg = tmp_engine_dirs
+    three_committed_versions(cfg)
+    d12 = changes_between(cfg.snapshot_dir, 1, 2).to_pandas()
+    got = {(r.op, r.path) for r in d12.itertuples()}
+    assert got == {("u", "a"), ("d", "b")}
+    d13 = changes_between(cfg.snapshot_dir, 1, 3).to_pandas()
+    got13 = {(r.op, r.path) for r in d13.itertuples()}
+    assert got13 == {("u", "a"), ("d", "b"), ("i", "d")}
+    # identical versions → empty feed (COW short-circuit, no reads)
+    d33 = changes_between(cfg.snapshot_dir, 3, 3).to_pandas()
+    assert len(d33) == 0
+
+
+def test_diff_bucket_tables_unit():
+    old = pa.table({"repo": ["r"], "path": ["x"], "ts": pa.array([1], pa.int64()),
+                    "inc": pa.array([0], pa.int32()), "op_rank": pa.array([0], pa.int8()),
+                    "content": pa.array(["v1"], pa.large_string())})
+    new = pa.table({"repo": ["r", "r"], "path": ["x", "y"],
+                    "ts": pa.array([5, 6], pa.int64()),
+                    "inc": pa.array([0, 0], pa.int32()),
+                    "op_rank": pa.array([2, 0], pa.int8()),
+                    "content": pa.array([None, "y1"], pa.large_string())})
+    out = diff_bucket_tables(old, new).to_pandas().sort_values("path")
+    assert list(out["op"]) == ["d", "i"]
+
+
+def test_gc_cow_aware(tmp_engine_dirs):
+    cfg = tmp_engine_dirs
+    three_committed_versions(cfg)
+    store = SnapshotStore(cfg.snapshot_dir)
+    before = final_state_table(cfg, version=3)
+    res = store.gc(keep_last=1)
+    assert res["kept_versions"] == [3]
+    assert 1 in res["deleted_versions"] and 2 in res["deleted_versions"]
+    # v3 must still read fully — including buckets carried forward from
+    # v1/v2 files (those files must have survived)
+    after = final_state_table(cfg, version=3)
+    assert after.equals(before)
+    # expired manifests are gone → time travel to v1 now fails cleanly
+    assert store.manifest(1) is None
