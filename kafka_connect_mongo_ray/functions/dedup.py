@@ -222,6 +222,34 @@ def hamming64(a: int, b: int) -> int:
 # embedding cosine near-dup
 
 
+def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Scale path for embedding near-dup: LSH hyperplane bucketing then
+    within-bucket pairwise cosine — per-bucket O((N/2^planes)²) instead
+    of global O(N²), one groupby shuffle, no broadcast matrix. Recall
+    < 1 (similar pairs split by a hyperplane are missed); precision 1.
+    Returns canonical (id_a < id_b) pairs."""
+    from kafka_connect_mongo_ray.functions.similarity import LshBucketer
+
+    dim = len(ds.take(1)[0][vec_col])
+    bucketer = LshBucketer(dim=dim, num_planes=num_planes, seed=seed, vec_col=vec_col)
+    bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ids = g[id_col].to_numpy()
+        sims = vecs @ vecs.T
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        lo = np.minimum(ids[ai], ids[bi])
+        hi = np.maximum(ids[ai], ids[bi])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return bucketed.groupby("lsh_bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+
 class EmbeddingNearDup:
     """Cosine-similarity near-dup pairs against a broadcast matrix.
 

@@ -121,6 +121,98 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
     return bucketed.groupby("lsh_bucket").map_groups(search_bucket, batch_format="pandas")
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, *, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means (k-means++-style init) for IVF coarse
+    quantization. Deterministic; runs on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    centroids = [x[rng.integers(len(x))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([x @ c for c in centroids]), axis=0)
+        d = np.maximum(d, 0)
+        probs = d / max(d.sum(), 1e-12)
+        centroids.append(x[rng.choice(len(x), p=probs)])
+    c = np.stack(centroids)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = _normalize(x[m].mean(axis=0, keepdims=True))[0]
+    return c
+
+
+class IvfAssigner:
+    """Adds ``ivf_cell`` = nearest-centroid id per row; centroids are
+    broadcast once (``ray.put``) and fetched in ``__init__``."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]))
+        cell = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
+             num_cells: int = 16, nprobe: int = 2, sample_size: int = 2000,
+             seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``num_cells`` k-means cells, then each query scans only its
+    ``nprobe`` nearest cells. Recall grows with nprobe; nprobe =
+    num_cells degrades to exact. Returns (query_id, rank, neighbor_id).
+    """
+    import pandas as pd
+    import ray
+
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in ds.limit(sample_size).take_all()])
+    centroids = kmeans_centroids(sample, num_cells, seed=seed)
+    cref = ray.put(centroids)
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+
+    assigned = ds.map_batches(
+        IvfAssigner, fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def search_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["ivf_cell"].iloc[0])
+        qidx = cell_to_queries.get(cell)
+        if not qidx:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        vecs = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        ids = g[id_col].to_numpy()
+        sims = q[qidx] @ vecs.T
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for row_i, qi in enumerate(qidx):
+            for j in top[row_i]:
+                rows.append((int(query_ids[qi]), int(ids[j]), float(sims[row_i, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    cand = assigned.groupby("ivf_cell").map_groups(
+        search_cell, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
 class LshBucketer:
     """Random-hyperplane LSH bucket id per row (seeded, deterministic).
 

@@ -598,6 +598,25 @@ def q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(ds, q, ids, k=ANN_K, dim=q.shape[1], num_planes=4, seed=42)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF scale path: k-means coarse quantization, nprobe cells per
+    query (recall < 1 — rows-only check)."""
+    from kafka_connect_mongo_ray.functions.similarity import ivf_topk
+
+    q, ids = _load_query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, ids, k=ANN_K, num_cells=8, nprobe=2, seed=42)
+
+
+def q_dedup_embedding_lsh(sf_dir: str):
+    """LSH-blocked embedding near-dup (scale path of
+    dedup_embedding_cosine; recall < 1 — rows-only check)."""
+    from kafka_connect_mongo_ray.functions.dedup import embedding_near_dup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_lsh(ds, threshold=NEAR_DUP_COSINE, num_planes=3)
+
+
 def q_multimodal_decode(sf_dir: str):
     from kafka_connect_mongo_ray.functions.multimodal import DecodeStub
 
@@ -650,6 +669,8 @@ def build_queries():
         "events_session_windows": q_events_session_windows,
         # rows-only (non-SQL-expressible)
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "docs_langid": q_docs_langid,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,

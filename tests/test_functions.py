@@ -211,3 +211,47 @@ def test_multimodal_stub_pipeline(docs_tbl):
     assert frames == 150
     with pytest.raises(NotImplementedError):
         DecodeStub(fake=False)(media.slice(0, 1))
+
+
+def test_ivf_topk_self_hit_and_recall(emb_tbl):
+    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in emb_tbl["embedding"].to_pylist()])
+    ids = np.asarray(emb_tbl["vec_id"])
+    q, qids = vecs[:3], ids[:3]
+    approx = ivf_topk(docs_ds(emb_tbl), q, qids, k=5, num_cells=8, nprobe=3, seed=9)
+    # rank-1 self hit for every query (its own cell is always probed)
+    top1 = approx[approx["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["neighbor_id"].to_numpy()).all()
+    # reasonable recall vs exact
+    exact = brute_force_topk(docs_ds(emb_tbl), q, qids, k=5)
+    rec = 0
+    for qid in qids:
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        rec += len(a & e) / len(e)
+    assert rec / len(qids) >= 0.4  # nprobe=3/8 cells: partial recall by design
+
+
+def test_embedding_near_dup_lsh_precision(emb_tbl):
+    from kafka_connect_mongo_ray.functions.dedup import embedding_near_dup_lsh
+
+    # clone vec 0 so at least one true near-dup pair exists in-bucket
+    clone = pa.table(
+        {
+            "vec_id": pa.array([9002], pa.int64()),
+            "embedding": emb_tbl["embedding"].slice(0, 1).combine_chunks(),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    both = pa.concat_tables([emb_tbl.select(clone.column_names), clone])
+    got = embedding_near_dup_lsh(docs_ds(both), threshold=0.99, num_planes=3).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 9002) in pairs  # identical vectors share every hyperplane side
+    # precision: every reported pair is a true >= threshold pair
+    vecs = {i: np.asarray(v, dtype=np.float64)
+            for i, v in zip(both["vec_id"].to_pylist(), both["embedding"].to_pylist())}
+    for a, b in pairs:
+        va, vb = vecs[a], vecs[b]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert cos >= 0.99 - 1e-9
