@@ -113,3 +113,31 @@ def test_actor_mode_apply_parity(tmp_path):
         )
         run_replay(ds_from_table(ev), cfg)
         assert engine_sha_map(final_state_dataset(cfg)) == want, mode
+
+
+def test_byte_stable_snapshots(tmp_path):
+    """Determinism for sha256 parity (SURVEY §7.4): the same event
+    stream replayed into two fresh stores produces byte-identical
+    bucket files (canonical row order, canonical field order, fixed
+    codec)."""
+    import hashlib
+
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    ev = fixture_events()
+
+    def run(name):
+        cfg = EngineConfig(
+            snapshot_dir=str(tmp_path / name / "s"),
+            checkpoint_dir=str(tmp_path / name / "c"),
+            num_buckets=8,
+        )
+        run_replay(ds_from_table(ev), cfg)
+        store = SnapshotStore(cfg.snapshot_dir)
+        return {
+            os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in store.bucket_files(1)
+        }
+
+    a, b = run("a"), run("b")
+    assert a == b and len(a) > 0
