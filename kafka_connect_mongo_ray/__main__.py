@@ -70,6 +70,57 @@ def replay(args) -> int:
     return 0
 
 
+def validate(args) -> int:
+    """Self-test: replay a deterministic synthetic stream through the
+    full engine and compare the final state with the pure-Python oracle
+    (per-key content sha256) — the operational parity check."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.oracle import content_sha256_map, final_table, replay as oracle_replay
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset, run_replay
+    from kafka_connect_mongo_ray.sources.gen import (
+        GenSpec,
+        change_event_dataset,
+        gen_all_events,
+        synth_repo_files,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="kcm_validate_")
+    try:
+        base = synth_repo_files(10, 20, seed=args.seed)
+        spec = GenSpec(num_partitions=args.partitions,
+                       events_per_partition=max(1, args.events // args.partitions),
+                       seed=args.seed, dup_frac=0.1)
+        cfg = EngineConfig(snapshot_dir=f"{tmp}/s", checkpoint_dir=f"{tmp}/c",
+                           num_buckets=16)
+        run_replay(change_event_dataset(spec, base), cfg)
+        got_tbl = pa.concat_tables(
+            final_state_dataset(cfg).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        got = content_sha256_map(got_tbl)
+        want = content_sha256_map(final_table(oracle_replay(gen_all_events(spec, base))))
+        ok = got == want
+        print(json.dumps({"status": "ok" if ok else "PARITY-MISMATCH",
+                          "keys": len(want), "engine_keys": len(got)}))
+        ray.shutdown()
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -83,12 +134,18 @@ def main(argv=None) -> int:
     rp.add_argument("--partitions", type=int, default=8)
     rp.add_argument("--buckets", type=int, default=32)
     rp.add_argument("--seed", type=int, default=42)
+    va = sub.add_parser("validate")
+    va.add_argument("--events", type=int, default=20_000)
+    va.add_argument("--partitions", type=int, default=4)
+    va.add_argument("--seed", type=int, default=42)
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
         return healthcheck(args)
     if args.cmd == "replay":
         return replay(args)
+    if args.cmd == "validate":
+        return validate(args)
     p.print_help()
     return 0
 

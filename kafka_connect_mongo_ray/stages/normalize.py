@@ -51,8 +51,17 @@ def normalize_batch(
     if batch.num_rows == 0:
         return _empty_out()
 
-    # 1. op predicate (OplogReader.kt:137-141)
-    valid = pc.is_in(batch["op"], value_set=pa.array(OPS))
+    # 1. op predicate (OplogReader.kt:137-141) + malformed-record skip:
+    #    a row without key or timestamp cannot be applied — the
+    #    reference logs & skips malformed docs in the poll loop
+    #    (AbstractMongoSourceTask.kt:118-120)
+    valid = pc.and_(
+        pc.is_in(batch["op"], value_set=pa.array(OPS)),
+        pc.and_(
+            pc.and_(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"])),
+            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["partition_id"])),
+        ),
+    )
     if not pc.all(valid).as_py():
         batch = batch.filter(valid)
     if batch.num_rows == 0:

@@ -124,3 +124,23 @@ def test_resume_token_roundtrip():
     tok = encode_resume_token(123, 4, "repo0/src/a.py", True)
     assert tok == "123,4,repo0/src/a.py,1"
     assert decode_resume_token(tok) == (123, 4, "repo0/src/a.py", True)
+
+
+def test_normalize_skips_malformed_rows():
+    """Rows without key/ts are malformed — skipped, not crashed
+    (AbstractMongoSourceTask.kt:118-120 log & skip)."""
+    ev = make_events(
+        [
+            dict(ts=1, inc=0, op="i", repo="r", path="p", commit="c", lang="l",
+                 content="ok", partition_id=0),
+            dict(ts=None, inc=0, op="i", repo="r", path="p2", commit="c", lang="l",
+                 content="no-ts", partition_id=0),
+            dict(ts=3, inc=0, op="i", repo=None, path="p3", commit="c", lang="l",
+                 content="no-repo", partition_id=0),
+            dict(ts=4, inc=0, op="i", repo="r", path=None, commit="c", lang="l",
+                 content="no-path", partition_id=0),
+        ]
+    )
+    events, tokens = split_tokens(norm(ev))
+    assert events.num_rows == 1
+    assert events["content"][0].as_py() == "ok"

@@ -157,3 +157,15 @@ def test_lsh_topk_runs_and_self_hit():
     top1 = out[out["rank"] == 1]
     assert set(top1["query_id"]) == set(ids.tolist())
     assert (top1["query_id"].to_numpy() == top1["neighbor_id"].to_numpy()).all()
+
+
+def test_cli_validate(capsys):
+    """The operational parity self-test command (in-process: the test
+    session already owns the Ray instance)."""
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import main
+
+    rc = main(["validate", "--events", "2000", "--partitions", "2"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["status"] == "ok" and out["keys"] > 0

@@ -255,3 +255,37 @@ def test_embedding_near_dup_lsh_precision(emb_tbl):
         va, vb = vecs[a], vecs[b]
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert cos >= 0.99 - 1e-9
+
+
+def test_text_edge_cases():
+    from kafka_connect_mongo_ray.functions.text import (
+        LanguageId,
+        TokenizerStage,
+        md5_fingerprint_batch,
+        quality_score_batch,
+        token_count_batch,
+    )
+
+    edge = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array(["", None, "   "], pa.string())})
+    t = token_count_batch(edge)
+    # empty string → 1 "token": matches DuckDB array_length(string_split)
+    # for the oracle; corpora with runs of whitespace would diverge (the
+    # testdata has none — verified single-space separated)
+    assert t["n_tokens"].to_pylist()[:1] == [1]
+    q = quality_score_batch(edge)
+    assert q["q_n_chars"][0].as_py() == 0
+    fp = md5_fingerprint_batch(edge)
+    assert len(set(fp["fingerprint"].to_pylist())) >= 1  # None -> md5("")
+    tok = TokenizerStage()(edge)
+    assert tok["n_bpe_tokens"].to_pylist() == [0, 0, 0]
+    lid = LanguageId()(edge)
+    assert lid["lang_pred"].to_pylist() == ["unknown"] * 3
+
+
+def test_dedup_edge_empty_and_short_text():
+    from kafka_connect_mongo_ray.functions.dedup import SimHasher, ngram_jaccard
+
+    assert ngram_jaccard("", "") == 1.0
+    assert 0.0 <= ngram_jaccard("ab", "xy") <= 1.0
+    assert SimHasher.simhash64("") == 0
