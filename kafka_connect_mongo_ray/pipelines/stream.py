@@ -32,6 +32,30 @@ def run_micro_batches(
     return summaries
 
 
+def run_replay_tables(
+    table_events: dict[str, Callable[[], "ray.data.Dataset"]],
+    base_cfg: EngineConfig,
+) -> dict[str, dict]:
+    """Multi-namespace connector analog: the reference runs one reader
+    per database and routes each namespace to its own topic/collection
+    (``MongoSourceConnector.taskConfigs``, ``StructUtil.getTopic``).
+    Here each logical table gets its own snapshot/checkpoint subtree
+    (``{snapshot_dir}/{table}``) and an independent committed replay —
+    tables never share buckets, so a hot table cannot delay another's
+    commit."""
+    import dataclasses
+
+    out = {}
+    for table, factory in table_events.items():
+        cfg = dataclasses.replace(
+            base_cfg,
+            snapshot_dir=f"{base_cfg.snapshot_dir}/{table}",
+            checkpoint_dir=f"{base_cfg.checkpoint_dir}/{table}",
+        )
+        out[table] = run_replay(factory(), cfg)
+    return out
+
+
 def backfill_then_tail(
     backfill_factory: Callable[[], "ray.data.Dataset"],
     tail_factories: Iterable[Callable[[], "ray.data.Dataset"]],

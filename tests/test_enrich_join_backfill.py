@@ -169,3 +169,31 @@ def test_cli_validate(capsys):
     rc = main(["validate", "--events", "2000", "--partitions", "2"])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["status"] == "ok" and out["keys"] > 0
+
+
+def test_multi_table_replay(tmp_engine_dirs):
+    """One namespace per table subtree (the multi-database connector
+    shape); each commits independently with its own tokens."""
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.oracle import content_sha256_map, final_table, replay
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset
+    from kafka_connect_mongo_ray.pipelines.stream import run_replay_tables
+    from kafka_connect_mongo_ray.sources.gen import GenSpec, gen_all_events, synth_repo_files
+    from tests.test_replay_e2e import engine_sha_map
+    import dataclasses
+
+    cfg = tmp_engine_dirs
+    streams = {}
+    for i, table in enumerate(["db1_files", "db2_files"]):
+        base = synth_repo_files(3, 5, seed=80 + i)
+        ev = gen_all_events(GenSpec(num_partitions=2, events_per_partition=150,
+                                    seed=80 + i), base)
+        streams[table] = ev
+    summaries = run_replay_tables(
+        {t: (lambda e=e: ds_of(e)) for t, e in streams.items()}, cfg
+    )
+    assert set(summaries) == {"db1_files", "db2_files"}
+    for table, ev in streams.items():
+        sub = dataclasses.replace(cfg, snapshot_dir=f"{cfg.snapshot_dir}/{table}")
+        want = content_sha256_map(final_table(replay(ev)))
+        assert engine_sha_map(final_state_dataset(sub)) == want

@@ -80,3 +80,80 @@ def test_reduce_idempotent_and_commutative(rows):
     # replay the reduced state as events again (at-least-once) → no change
     snap = once.select(SNAPSHOT_SCHEMA.names).cast(SNAPSHOT_SCHEMA)
     assert merge_with_snapshot(once, snap).equals(snap)
+
+
+# ---------------------------------------------------------------------------
+# payload-evolution properties
+
+_TYPES = [None, "int32", "int64", "float64", "string", "bool"]
+_ARROW_T = {"int32": pa.int32(), "int64": pa.int64(), "float64": pa.float64(),
+            "string": pa.string(), "bool": pa.bool_()}
+
+schema_strategy = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.sampled_from([t for t in _TYPES if t]),
+    max_size=3,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(schema_strategy, min_size=1, max_size=5))
+def test_unify_payload_schemas_properties(schemas):
+    from kafka_connect_mongo_ray.stages.apply import unify_payload_schemas
+
+    pa_schemas = [
+        pa.schema([(k, _ARROW_T[v]) for k, v in s.items()]) for s in schemas
+    ]
+    acc = pa_schemas[0]
+    for s in pa_schemas[1:]:
+        nxt = unify_payload_schemas(acc, s)
+        # add-only: every already-known field survives with a type that
+        # never narrows (same, or widened within numerics)
+        for f in acc:
+            g = nxt.field(f.name)
+            if f.type.equals(g.type):
+                continue
+            assert pa.types.is_floating(g.type) or (
+                pa.types.is_integer(f.type) and pa.types.is_integer(g.type)
+            ), (f.type, g.type)
+        # every new field was added
+        for f in s:
+            assert f.name in nxt.names
+        # idempotent: unifying with itself is a no-op
+        assert unify_payload_schemas(nxt, nxt).equals(nxt)
+        acc = nxt
+
+
+nonempty_schema = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.sampled_from([t for t in _TYPES if t]),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(nonempty_schema, nonempty_schema)
+def test_conform_then_unify_roundtrip(s1, s2):
+    """conform_table output always matches the target schema exactly and
+    never errors, whatever the type conflict. (Non-empty schemas only:
+    a zero-column Arrow table cannot carry a row count — engine tables
+    always include the canonical columns.)"""
+    from kafka_connect_mongo_ray.stages.apply import conform_table, unify_payload_schemas
+
+    def mk(s):
+        cols = {}
+        for k, t in s.items():
+            if t == "string":
+                cols[k] = pa.array(["x", "7"], _ARROW_T[t])
+            elif t == "bool":
+                cols[k] = pa.array([True, False], _ARROW_T[t])
+            else:
+                cols[k] = pa.array([1, 2], _ARROW_T[t])
+        return pa.table(cols)
+
+    t1, t2 = mk(s1), mk(s2)
+    target = unify_payload_schemas(t1.schema, t2.schema)
+    for t in (t1, t2):
+        out = conform_table(t, target)
+        assert out.schema.equals(target)
+        assert out.num_rows == t.num_rows

@@ -126,3 +126,15 @@ def test_rerun_committed_stream_is_noop(tmp_engine_dirs, bulk_fixture):
     s2 = run_replay(ds_from_table(bulk_fixture), cfg)
     assert s2["events_in"] == 0
     assert engine_sha_map(final_state_dataset(cfg)) == before
+
+
+def test_wide_content_records_e2e():
+    """F1 long-tail knob: multi-KB content payloads through the full
+    path (generation -> shuffle -> merge) with parity."""
+    base = synth_repo_files(3, 5, seed=71)
+    spec = GenSpec(num_partitions=2, events_per_partition=150, seed=71,
+                   content_words=800)  # ~4-5 KB per row image
+    ev = gen_all_events(spec, base)
+    lens = [len(c) for c in ev["content"].to_pylist() if c is not None]
+    assert max(lens) > 4000
+    assert_parity(ev, num_buckets=4)
