@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 from kafka_connect_mongo_ray.utils import hash_buckets, limit_worker_threads
 
 _SIDE = "__side"
@@ -83,9 +85,21 @@ def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
         l = g[g[_SIDE] == 0][on + l_payload]
         r = g[g[_SIDE] == 1][on + r_payload]
         out = l.merge(r, on=on, how=how)
-        # the null padding upcasts ints to float64 in pandas; restore
-        # the exact input types (inner join ⇒ no remaining nulls)
-        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        if how == "inner":
+            # the null padding upcasts ints to float64 in pandas; restore
+            # the exact input types (inner join ⇒ no remaining nulls)
+            return t.cast(out_schema)
+        # outer-ish joins carry real nulls: restore types only where the
+        # cast is lossless (float64 with nulls stays float64)
+        cols = []
+        for f in out_schema:
+            col = t[f.name]
+            try:
+                cols.append(pc.cast(col, f.type))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                cols.append(col)
+        return pa.table(dict(zip(out_schema.names, cols)))
 
     return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"

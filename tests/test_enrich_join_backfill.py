@@ -197,3 +197,16 @@ def test_multi_table_replay(tmp_engine_dirs):
         sub = dataclasses.replace(cfg, snapshot_dir=f"{cfg.snapshot_dir}/{table}")
         want = content_sha256_map(final_table(replay(ev)))
         assert engine_sha_map(final_state_dataset(sub)) == want
+
+
+def test_hash_join_left():
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    l = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "lv": pa.array(["a", "b", "c"], pa.string())})
+    r = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                  "rv": pa.array([20, 30, 40], pa.int64())})
+    got = hash_join(ds_of(l, 1), ds_of(r, 1), on=["k"], num_buckets=4,
+                    how="left").to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [1, 2, 3]
+    assert got["rv"].isna().tolist() == [True, False, False]
