@@ -34,6 +34,17 @@ def _tag(side: int, key_cols, num_buckets):
     return fn
 
 
+def native_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
+                how: str = "inner"):
+    """Ray's built-in hash-partitioned ``Dataset.join`` (Ray ≥2.46).
+    Same semantics as :func:`hash_join`; prefer it when the installed
+    Ray exposes it — our explicit bucketed implementation remains the
+    portable fallback and the reference for its shuffle mechanics."""
+    join_type = {"inner": "inner", "left": "left_outer",
+                 "right": "right_outer", "outer": "full_outer"}[how]
+    return left_ds.join(right_ds, join_type, num_buckets, on=tuple(on))
+
+
 def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
               how: str = "inner"):
     """Join two Datasets on equality keys ``on``; column sets must be

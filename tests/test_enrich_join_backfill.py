@@ -210,3 +210,18 @@ def test_hash_join_left():
                     how="left").to_pandas().sort_values("k").reset_index(drop=True)
     assert list(got["k"]) == [1, 2, 3]
     assert got["rv"].isna().tolist() == [True, False, False]
+
+
+def test_native_join_matches_bucketed():
+    from kafka_connect_mongo_ray.stages.join import hash_join, native_join
+
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    o = orders.rename_columns(["o_orderkey", "custkey"])
+    c = cust.rename_columns(["custkey", "c_mktsegment"])
+    ours = hash_join(ds_of(o, 3), ds_of(c, 2), on=["custkey"], num_buckets=8).to_pandas()
+    theirs = native_join(ds_of(o, 3), ds_of(c, 2), on=["custkey"], num_buckets=8).to_pandas()
+    key = ["custkey", "o_orderkey", "c_mktsegment"]
+    a = ours[key].sort_values(key).reset_index(drop=True)
+    b = theirs[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
