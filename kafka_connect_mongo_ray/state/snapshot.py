@@ -35,6 +35,12 @@ from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
 from kafka_connect_mongo_ray.utils import atomic_write_json, read_json
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another job committed since this one planned its version —
+    optimistic concurrency control refused the second commit (replaying
+    the refused job is idempotent, so the caller can simply retry)."""
+
+
 class SnapshotStore:
     def __init__(self, root: str, *, create: bool = True):
         self.root = root
@@ -173,8 +179,18 @@ class SnapshotStore:
         metrics: list[dict] | None = None,
         prev_version: int | None = None,
     ) -> dict:
-        """Atomic publish: staging → v{N}, manifest, CURRENT flip."""
+        """Atomic publish: staging → v{N}, manifest, CURRENT flip.
+
+        Optimistic concurrency: the flip only happens if CURRENT still
+        equals the version this job planned against; a concurrent
+        commit in the meantime raises ``ConcurrentCommitError``."""
         prev = self.current_version() if prev_version is None else prev_version
+        live = self.current_version()
+        if live != prev:
+            raise ConcurrentCommitError(
+                f"planned against v{prev} but CURRENT is v{live}; "
+                "retry the replay (idempotent)"
+            )
         staging = self.staging_dir(new_version)
         vdir = self._vdir(new_version)
         if os.path.exists(vdir):

@@ -141,3 +141,37 @@ def test_byte_stable_snapshots(tmp_path):
 
     a, b = run("a"), run("b")
     assert a == b and len(a) > 0
+
+
+def test_concurrent_commit_refused(tmp_engine_dirs, monkeypatch):
+    """Optimistic concurrency: a replay that planned against v0 must
+    refuse to commit after another job published v1 in the meantime —
+    then succeed on retry (idempotent)."""
+    import pytest
+
+    from kafka_connect_mongo_ray.state.snapshot import ConcurrentCommitError, SnapshotStore
+
+    cfg = tmp_engine_dirs
+    ev = fixture_events()
+    real_commit = SnapshotStore.commit
+    interfered = {"done": False}
+
+    def racing_commit(self, new_version, **kw):
+        if not interfered["done"]:
+            interfered["done"] = True
+            # a competing job commits v1 first, via a separate handle
+            other = SnapshotStore(self.root)
+            import shutil
+
+            shutil.copytree(self.staging_dir(new_version),
+                            other.staging_dir(99), dirs_exist_ok=True)
+            real_commit(other, 1, tokens={}, prev_version=0)
+        return real_commit(self, new_version, **kw)
+
+    monkeypatch.setattr(SnapshotStore, "commit", racing_commit)
+    with pytest.raises(ConcurrentCommitError):
+        run_replay(ds_from_table(ev), cfg)
+    monkeypatch.setattr(SnapshotStore, "commit", real_commit)
+    # retry: plans against the interloper's v1, commits v2 cleanly
+    s = run_replay(ds_from_table(ev), cfg)
+    assert s["version"] == 2
