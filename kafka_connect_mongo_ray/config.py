@@ -39,11 +39,14 @@ class EngineConfig:
     # Actor-pool size for apply_mode="actors"; None → (1, min(buckets, 16)).
     apply_concurrency: tuple | int | None = None
     analyze_schema: bool = False
-    # Coalesce pre-reduced blocks into this many and run a second
-    # partial-LWW combine before the global shuffle — cuts shuffle
-    # volume ~keys/blocks-fold on high-dup / hot-key streams. None =
-    # single pre-reduce round.
-    prereduce_coalesce: int | None = None
+    # Coalesce pre-reduced blocks and run a second partial-LWW combine
+    # before the global shuffle — cuts shuffle volume ~keys/blocks-fold
+    # on high-dup / hot-key streams. int = explicit block count (THE
+    # performance path; size so coalesced blocks land ~150k rows, see
+    # BASELINE.md); "auto" = row-targeted repartition (convenient but
+    # measured far slower at ≥100M events — Ray's row-based
+    # repartition takes a costly path); None = single pre-reduce round.
+    prereduce_coalesce: int | str | None = None
     # Ray Data shuffle strategy for the bucket exchange; push-based
     # sort measured ~2x faster than the default pull-based on this
     # workload. None = leave the session default untouched.

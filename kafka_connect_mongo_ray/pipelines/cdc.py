@@ -219,8 +219,14 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     if cfg.prereduce_coalesce:
         # second combine round: coalesce pre-reduced blocks and LWW
         # again — shuffle volume drops ~blocks/coalesce-fold when keys
-        # repeat across blocks (hot keys, replays)
-        ds = ds.repartition(cfg.prereduce_coalesce).map_batches(
+        # repeat across blocks (hot keys, replays). "auto" sizes the
+        # coalesced blocks directly to the measured sweet spot
+        # (~150k rows/block, BASELINE.md) without knowing counts ahead.
+        if cfg.prereduce_coalesce == "auto":
+            ds = ds.repartition(target_num_rows_per_block=150_000)
+        else:
+            ds = ds.repartition(cfg.prereduce_coalesce)
+        ds = ds.map_batches(
             partial_lww, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.batch_size,
         )
