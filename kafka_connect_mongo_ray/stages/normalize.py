@@ -67,15 +67,21 @@ def normalize_batch(
     if batch.num_rows == 0:
         return _empty_out()
 
-    # 2. checkpoint filter: (ts, inc) > token[partition_id]
+    # 2. checkpoint filter: (ts, inc) > token[partition_id] —
+    #    vectorized via a dense partition-indexed lookup (a per-token
+    #    python loop is O(partitions × rows) and collapses at thousands
+    #    of partitions)
     if tokens:
-        pid = np.asarray(batch["partition_id"])
-        tok_ts = np.full(len(pid), np.iinfo(np.int64).min, dtype=np.int64)
-        tok_inc = np.full(len(pid), np.iinfo(np.int32).min, dtype=np.int64)
+        pid = np.asarray(batch["partition_id"]).astype(np.int64)
+        max_p = max(int(pid.max()), max(tokens))
+        lut_ts = np.full(max_p + 1, np.iinfo(np.int64).min, dtype=np.int64)
+        lut_inc = np.full(max_p + 1, np.iinfo(np.int32).min, dtype=np.int64)
         for p, (t_ts, t_inc) in tokens.items():
-            m = pid == p
-            tok_ts[m] = t_ts
-            tok_inc[m] = t_inc
+            if 0 <= p <= max_p:
+                lut_ts[p] = t_ts
+                lut_inc[p] = t_inc
+        tok_ts = lut_ts[pid]
+        tok_inc = lut_inc[pid]
         ts = np.asarray(batch["ts"])
         inc = np.asarray(batch["inc"])
         fresh = (ts > tok_ts) | ((ts == tok_ts) & (inc > tok_inc))
