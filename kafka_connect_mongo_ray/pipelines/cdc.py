@@ -40,6 +40,7 @@ METRICS_SCHEMA = pa.schema(
         pa.field("carried_forward", pa.bool_()),
         pa.field("tokens_json", pa.string()),
         pa.field("file", pa.string()),
+        pa.field("schema_b64", pa.string()),
     ]
 )
 
@@ -81,6 +82,9 @@ def apply_bucket_group(
         path = store.write_bucket_staging(new_version, bucket, state,
                                           rows_per_file=rows_per_file)
     live = live_rows(state)
+    import base64
+
+    schema_b64 = base64.b64encode(state.schema.serialize().to_pybytes()).decode()
     return pa.table(
         {
             "bucket": pa.array([bucket], pa.int32()),
@@ -93,6 +97,7 @@ def apply_bucket_group(
                 [json.dumps({p: list(v) for p, v in sorted(tokens.items())})], pa.string()
             ),
             "file": pa.array([path], pa.string()),
+            "schema_b64": pa.array([schema_b64], pa.string()),
         },
         schema=METRICS_SCHEMA,
     )
@@ -260,10 +265,33 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
                 new_tokens[p] = v
     all_tokens = merge_tokens(old_tokens, new_tokens)
 
+    # union snapshot schema (canonical + evolved payload columns): the
+    # per-bucket schemas unified with the previous commit's union —
+    # recorded in the manifest so readers can stream mixed buckets
+    import base64
+
+    from kafka_connect_mongo_ray.stages.apply import unify_payload_schemas
+
+    schemas = []
+    prev_union = (store.manifest(prev) or {}).get("union_schema")
+    if prev_union:
+        schemas.append(pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(prev_union))))
+    for row in metrics:
+        schemas.append(pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(row["schema_b64"]))))
+    union = schemas[0] if schemas else None
+    for s in schemas[1:]:
+        union = unify_payload_schemas(union, s)
+    union_b64 = (base64.b64encode(union.serialize().to_pybytes()).decode()
+                 if union is not None else None)
+
     clean_metrics = [
-        {k: v for k, v in row.items() if k != "tokens_json"} for row in metrics
+        {k: v for k, v in row.items() if k not in ("tokens_json", "schema_b64")}
+        for row in metrics
     ]
-    store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev)
+    store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev,
+                 union_schema=union_b64)
     mirror_checkpoints(cfg.checkpoint_dir, all_tokens, version=new)
     return {
         "version": new,
@@ -277,17 +305,42 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
 
 
 def final_state_dataset(cfg: EngineConfig, version: int | None = None):
-    """Committed snapshot as a streaming Dataset (tombstones dropped)."""
+    """Committed snapshot as a streaming Dataset (tombstones dropped).
+
+    Evolved-schema-safe: each read task conforms its bucket file to the
+    manifest-recorded union schema (nullable-add for columns the bucket
+    predates), so mixed-schema snapshots stream without a driver-side
+    materialization."""
+    import base64
+
     import ray.data as rd
+
+    from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
+    from kafka_connect_mongo_ray.stages.apply import conform_table
 
     store = SnapshotStore(cfg.snapshot_dir)
     v = version or store.current_version()
     files = store.bucket_files(v)
     if not files:
-        from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
-
         return rd.from_arrow(SNAPSHOT_SCHEMA.empty_table())
-    return rd.read_parquet(files).map_batches(live_rows, batch_format="pyarrow")
+    union_b64 = (store.manifest(v) or {}).get("union_schema")
+
+    def read_conform(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        union = (pa.ipc.read_schema(pa.BufferReader(base64.b64decode(union_b64)))
+                 if union_b64 else None)
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            if union is not None and not t.schema.equals(union):
+                t = conform_table(t, union)
+            outs.append(live_rows(t))
+        return pa.concat_tables(outs)
+
+    items = [{"path": f} for f in files]
+    return rd.from_items(items).map_batches(read_conform, batch_size=1,
+                                            batch_format="pyarrow")
 
 
 def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = None,

@@ -178,6 +178,7 @@ class SnapshotStore:
         tokens: dict[int, tuple[int, int]],
         metrics: list[dict] | None = None,
         prev_version: int | None = None,
+        union_schema: str | None = None,
     ) -> dict:
         """Atomic publish: staging → v{N}, manifest, CURRENT flip.
 
@@ -221,9 +222,12 @@ class SnapshotStore:
             if mm.get("carried_forward") and str(mm.get("bucket")) in merged_metrics:
                 continue  # keep the previous (informative) row
             merged_metrics[str(mm.get("bucket"))] = mm
+        if union_schema is None and prev_manifest:
+            union_schema = prev_manifest.get("union_schema")
         manifest = {
             "version": new_version,
             "parent": prev,
+            "union_schema": union_schema,
             "buckets": buckets,
             "tokens": {str(p): [t[0], t[1]] for p, t in sorted(tokens.items())},
             "metrics": sorted(merged_metrics.values(), key=lambda m: m.get("bucket", -1)),

@@ -100,3 +100,23 @@ def test_evolution_across_committed_micro_batches(tmp_engine_dirs):
     row0 = s4.filter(pa.compute.equal(s4["path"], "p0"))
     assert row0["content"][0].as_py() == "v@40"
     assert row0["stars"][0].as_py() is None
+
+
+def test_final_state_dataset_streams_mixed_schemas(tmp_engine_dirs):
+    """The streaming reader conforms each bucket to the manifest's
+    union schema — evolved snapshots read without driver-side concat."""
+    import pyarrow.compute as pc
+
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset
+
+    cfg = tmp_engine_dirs
+    run_replay(ds_of(events_with({"stars": pa.array([1, 2, 3], pa.int32())}, ts0=10)), cfg)
+    run_replay(ds_of(events_with(
+        {"stars": pa.array([10, 20, 30], pa.int64()),
+         "meta": pa.array(["a", "b", "c"], pa.string())}, ts0=20)), cfg)
+    ds = final_state_dataset(cfg)
+    tbl = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tbl = tbl.sort_by([("path", "ascending")])
+    assert tbl.schema.field("stars").type == pa.int64()
+    assert tbl["stars"].to_pylist() == [10, 20, 30]
+    assert tbl["meta"].to_pylist() == ["a", "b", "c"]
