@@ -53,4 +53,6 @@ class EngineConfig:
     shuffle_strategy: str | None = None
     # Max rows per written snapshot file (resumable, many-file layout).
     snapshot_rows_per_file: int = 1_000_000
+    # Free-form extension bag for pipeline-specific knobs (the
+    # reference's properties-file passthrough).
     extra: dict = field(default_factory=dict)
