@@ -89,7 +89,11 @@ def _doc_events_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "ts": pa.array(all_ts, pa.int64()),
-            "inc": pa.array(np.zeros(len(all_ids), dtype=np.int32)),
+            # inc = doc_id: (ts, inc) must be a UNIQUE log position per
+            # partition (the BsonTimestamp contract, MongoSourceOffset
+            # .kt:31-33) or checkpoint-token resume filters events that
+            # merely share a timestamp with an applied one
+            "inc": pa.array((all_ids % (1 << 31)).astype(np.int32)),
             "op": pa.array(all_op, pa.string()),
             "repo": pa.array(source[all_row], pa.string()),
             "path": pa.array(all_ids.astype(str), pa.string()),
@@ -284,6 +288,44 @@ def q_cdc_backfill_union_tail(sf_dir: str):
     )
     out = replay_collect(events, num_buckets=16)
     return out.select_columns(["repo", "path", "content"])
+
+
+def q_cdc_wal_tail(sf_dir: str):
+    """The WAL tailer end-to-end: write the documents-derived event
+    stream to an on-disk parquet log (3 monotone segments), drain it
+    with tail_wal (file-offset resume + committed replays), read the
+    final snapshot. Same analytic oracle as cdc_final_state."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset
+    from kafka_connect_mongo_ray.sources.wal import tail_wal
+
+    root = f"/tmp/kcm_walq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    log = f"{root}/wal"
+    import os
+
+    os.makedirs(log, exist_ok=True)
+    # segments must be LOG PREFIXES per partition: sorting by the full
+    # (ts, inc) position before slicing guarantees any prefix is
+    # downward-closed per partition, so resume tokens never skip an
+    # unapplied event (the WAL ordering contract, sources/wal.py)
+    ev = pa.concat_tables(
+        doc_change_events(sf_dir).iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("ts", "ascending"), ("inc", "ascending")])
+    n = ev.num_rows
+    cuts = [0, n // 3, 2 * (n // 3), n]
+    for i in range(3):
+        pq.write_table(ev.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       f"{log}/{i:012d}-seg.parquet")
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    tail_wal(log, cfg, max_files_per_window=2)  # two committed windows
+    return final_state_dataset(cfg).select_columns(["repo", "path", "lang", "content"])
 
 
 def q_cdc_update_enrichment(sf_dir: str):
@@ -655,6 +697,7 @@ def build_queries():
         "cdc_lww_user_state": q_cdc_lww_user_state,
         "cdc_resume_tokens": q_cdc_resume_tokens,
         "cdc_backfill_union_tail": q_cdc_backfill_union_tail,
+        "cdc_wal_tail": q_cdc_wal_tail,
         "cdc_update_enrichment": q_cdc_update_enrichment,
         "join_orders_customer": q_join_orders_customer,
         "analyze_props": q_analyze_props,
@@ -720,6 +763,11 @@ def build_oracle_sql():
         "cdc_backfill_union_tail": """
             SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
                    CASE WHEN doc_id % 3 <> 0 THEN text || ':u' ELSE text END AS content
+            FROM documents WHERE doc_id % 7 <> 0
+        """,
+        "cdc_wal_tail": f"""
+            SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, lang,
+                   text || ':v' || CAST(doc_id % 5 AS VARCHAR) AS content
             FROM documents WHERE doc_id % 7 <> 0
         """,
         "cdc_update_enrichment": """

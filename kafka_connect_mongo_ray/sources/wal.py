@@ -11,6 +11,13 @@ layer, idempotent apply on top).
 
 File order is lexicographic file name — producers must name files
 monotonically (``{seq:012d}-*.parquet``), the standard WAL contract.
+
+Ordering contract (same as the reference's oplog): ``(ts, inc)`` is a
+UNIQUE, MONOTONE log position per partition, and each segment file is
+a log prefix boundary — per partition, every event in segment N
+precedes every event in segment N+1. Violating either lets the
+resume-token filter (``ts' > ts``-style, ``OplogReader.kt:136``) skip
+events that were never applied.
 """
 
 from __future__ import annotations
