@@ -659,6 +659,16 @@ def q_dedup_embedding_lsh(sf_dir: str):
     return embedding_near_dup_lsh(ds, threshold=NEAR_DUP_COSINE, num_planes=3)
 
 
+def q_events_distinct_users_hll(sf_dir: str):
+    """Mergeable-sketch pattern: one HLL per batch, tiny merge —
+    approximate distinct count (rows-only: estimate ≈ exact ±~2%)."""
+    from kafka_connect_mongo_ray.functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
+
+
 def q_multimodal_decode(sf_dir: str):
     from kafka_connect_mongo_ray.functions.multimodal import DecodeStub
 
@@ -714,6 +724,7 @@ def build_queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
         "docs_langid": q_docs_langid,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,

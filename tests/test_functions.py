@@ -289,3 +289,23 @@ def test_dedup_edge_empty_and_short_text():
     assert ngram_jaccard("", "") == 1.0
     assert 0.0 <= ngram_jaccard("ab", "xy") <= 1.0
     assert SimHasher.simhash64("") == 0
+
+
+def test_hll_approx_distinct(docs_tbl):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.sketch import HyperLogLog, approx_distinct
+
+    # mergeability: split adds == single add
+    a, b, c = HyperLogLog(10), HyperLogLog(10), HyperLogLog(10)
+    vals = [f"v{i}" for i in range(5000)]
+    a.add_values(vals)
+    b.add_values(vals[:2500]); c.add_values(vals[2500:])
+    assert b.merge(c).estimate() == a.estimate()
+    # accuracy on the events user_id column vs exact
+    ev = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["user_id"])
+    exact = len(set(ev["user_id"].to_pylist()))
+    est = approx_distinct(rd.from_arrow(ev).repartition(4), "user_id", p=12)
+    assert abs(est - exact) / exact < 0.05
+    # serialization round-trip
+    assert HyperLogLog.deserialize(a.serialize()).estimate() == a.estimate()
