@@ -562,6 +562,19 @@ def q_events_tumbling_window(sf_dir: str):
 SESSION_GAP_US = 14_400_000_000  # 4 h
 
 
+def q_events_top_values(sf_dir: str):
+    """Distributed sort + limit (top-k): the §2.6 ordering family.
+    Deterministic total order via the (value desc, event_id asc)
+    composite key."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    top = ds.sort(key=["value", "event_id"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("value"), "value",
+                               pc.round(t["value"], 3)),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_session_windows(sf_dir: str):
     """Session windows (gap-based), the classic streaming aggregate Ray
     Data lacks natively: per-user sort within ``map_groups``, gap
@@ -720,6 +733,7 @@ def build_queries():
         "events_per_type": q_events_per_type,
         "events_tumbling_window": q_events_tumbling_window,
         "events_session_windows": q_events_session_windows,
+        "events_top_values": q_events_top_values,
         # rows-only (non-SQL-expressible)
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -851,6 +865,10 @@ def build_oracle_sql():
                    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "events_top_values": """
+            SELECT event_id, ROUND(value, 3) AS value
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 10
         """,
         "events_session_windows": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
