@@ -562,6 +562,13 @@ def q_events_tumbling_window(sf_dir: str):
 SESSION_GAP_US = 14_400_000_000  # 4 h
 
 
+def q_events_distinct_types(sf_dir: str):
+    """Distinct values (§2.6 set-ops family): Dataset.unique."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
 def q_events_top_values(sf_dir: str):
     """Distributed sort + limit (top-k): the §2.6 ordering family.
     Deterministic total order via the (value desc, event_id asc)
@@ -734,6 +741,7 @@ def build_queries():
         "events_tumbling_window": q_events_tumbling_window,
         "events_session_windows": q_events_session_windows,
         "events_top_values": q_events_top_values,
+        "events_distinct_types": q_events_distinct_types,
         # rows-only (non-SQL-expressible)
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -865,6 +873,9 @@ def build_oracle_sql():
                    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "events_distinct_types": """
+            SELECT DISTINCT event_type FROM events
         """,
         "events_top_values": """
             SELECT event_id, ROUND(value, 3) AS value
