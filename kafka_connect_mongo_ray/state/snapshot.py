@@ -184,7 +184,12 @@ class SnapshotStore:
 
         Optimistic concurrency: the flip only happens if CURRENT still
         equals the version this job planned against; a concurrent
-        commit in the meantime raises ``ConcurrentCommitError``."""
+        commit in the meantime raises ``ConcurrentCommitError``. This
+        is check-then-act, not a mutex — it catches the realistic
+        failure (two sequential jobs stepping on each other), while
+        truly simultaneous committers need an external lock (one
+        driver per table is the intended deployment, as in the
+        reference's one-connector-per-namespace model)."""
         prev = self.current_version() if prev_version is None else prev_version
         live = self.current_version()
         if live != prev:
