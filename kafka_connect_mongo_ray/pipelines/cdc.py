@@ -55,7 +55,7 @@ def normalize_prereduce(batch: pa.Table, *, num_buckets: int, tokens=None) -> pa
 
 def apply_bucket_group(
     group: pa.Table, store: SnapshotStore, prev_version: int, new_version: int,
-    rows_per_file: int | None = None,
+    rows_per_file: int | None = None, nonce: str | None = None,
 ) -> pa.Table:
     """Merge-apply one bucket group: merge pre-reduced events with the
     previous snapshot bucket (LWW, tombstone-aware), write the new
@@ -80,7 +80,7 @@ def apply_bucket_group(
     else:
         state = merge_with_snapshot(events, prev)
         path = store.write_bucket_staging(new_version, bucket, state,
-                                          rows_per_file=rows_per_file)
+                                          rows_per_file=rows_per_file, nonce=nonce)
     live = live_rows(state)
     import base64
 
@@ -105,10 +105,11 @@ def apply_bucket_group(
 
 def _apply_bucket_task(group: pa.Table, *, snapshot_root: str,
                        prev_version: int, new_version: int,
-                       rows_per_file: int | None = None) -> pa.Table:
+                       rows_per_file: int | None = None,
+                       nonce: str | None = None) -> pa.Table:
     limit_worker_threads()
     return apply_bucket_group(group, SnapshotStore(snapshot_root), prev_version,
-                              new_version, rows_per_file=rows_per_file)
+                              new_version, rows_per_file=rows_per_file, nonce=nonce)
 
 
 class FinalMergeApplier:
@@ -122,13 +123,16 @@ class FinalMergeApplier:
     use actors (``EngineConfig.apply_mode='actors'``) when the applier
     must hold heavier state (open remote connections, caches)."""
 
-    def __init__(self, snapshot_root: str, prev_version: int, new_version: int):
+    def __init__(self, snapshot_root: str, prev_version: int, new_version: int,
+                 nonce: str | None = None):
         self.store = SnapshotStore(snapshot_root)
         self.prev_version = prev_version
         self.new_version = new_version
+        self.nonce = nonce
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        return apply_bucket_group(group, self.store, self.prev_version, self.new_version)
+        return apply_bucket_group(group, self.store, self.prev_version,
+                                  self.new_version, nonce=self.nonce)
 
 
 class AnalyzeObjectStage:
@@ -188,10 +192,18 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     """One committed replay job; resumable — events at or below the
     previous commit's per-partition resume tokens are filtered at the
     source (§1.6 two-phase semantics)."""
+    import uuid
+
     store = SnapshotStore(cfg.snapshot_dir)
     prev = store.current_version()
     new = prev + 1
-    store.clean_staging(new)  # crash-window hygiene (see SnapshotStore)
+    # per-job staging nonce: concurrent drivers racing toward the same
+    # version stage into private dirs (neither can wipe the other's
+    # files); the commit-time OCC check + staged-file audit settle the
+    # race loudly instead of losing events silently
+    nonce = uuid.uuid4().hex[:12]
+    store.clean_staging(new, nonce)  # no-op for a fresh nonce, kept for safety
+    store.clean_stale_staging()  # crash-window hygiene: orphans of committed versions
     old_tokens = store.tokens(prev)
 
     if cfg.shuffle_strategy:
@@ -239,7 +251,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     if cfg.apply_mode == "actors":
         merged = grouped.map_groups(
             FinalMergeApplier,
-            fn_constructor_args=(cfg.snapshot_dir, prev, new),
+            fn_constructor_args=(cfg.snapshot_dir, prev, new, nonce),
             batch_format="pyarrow",
             # autoscaling pool: never demand more actors than the cluster
             # can grant (a fixed pool larger than available CPUs stalls)
@@ -251,7 +263,8 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
             _apply_bucket_task,
             fn_kwargs={"snapshot_root": cfg.snapshot_dir,
                        "prev_version": prev, "new_version": new,
-                       "rows_per_file": cfg.snapshot_rows_per_file},
+                       "rows_per_file": cfg.snapshot_rows_per_file,
+                       "nonce": nonce},
             batch_format="pyarrow",
         )
     metrics = merged.take_all()  # one small row per bucket
@@ -290,8 +303,10 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         {k: v for k, v in row.items() if k not in ("tokens_json", "schema_b64")}
         for row in metrics
     ]
+    staged_files = [p for row in metrics if row["file"]
+                    for p in row["file"].split(",")]
     store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev,
-                 union_schema=union_b64)
+                 union_schema=union_b64, nonce=nonce, expected_files=staged_files)
     mirror_checkpoints(cfg.checkpoint_dir, all_tokens, version=new)
     return {
         "version": new,
@@ -320,6 +335,13 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
 
     store = SnapshotStore(cfg.snapshot_dir)
     v = version or store.current_version()
+    if version is not None and store.manifest(version) is None:
+        # distinguish "version does not exist" (typo / GC'd) from
+        # "table is empty" for explicit time-travel reads
+        raise ValueError(
+            f"snapshot version v{version} has no manifest under "
+            f"{cfg.snapshot_dir} (never committed, or garbage-collected)"
+        )
     files = store.bucket_files(v)
     if not files:
         return rd.from_arrow(SNAPSHOT_SCHEMA.empty_table())
@@ -365,6 +387,11 @@ def final_state_table(cfg: EngineConfig, version: int | None = None,
 
     store = SnapshotStore(cfg.snapshot_dir)
     v = version or store.current_version()
+    if version is not None and store.manifest(version) is None:
+        raise ValueError(
+            f"snapshot version v{version} has no manifest under "
+            f"{cfg.snapshot_dir} (never committed, or garbage-collected)"
+        )
     tables = [pq.read_table(f) for f in store.bucket_files(v)]
     state = concat_with_evolution(tables)
     if live_only:

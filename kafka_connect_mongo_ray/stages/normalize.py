@@ -52,16 +52,28 @@ def normalize_batch(
         return _empty_out()
 
     # 1. op predicate (OplogReader.kt:137-141) + malformed-record skip:
-    #    a row without key or timestamp cannot be applied — the
-    #    reference logs & skips malformed docs in the poll loop
-    #    (AbstractMongoSourceTask.kt:118-120)
+    #    a row without key, timestamp, inc or a valid partition id
+    #    cannot be applied — the reference logs & skips malformed docs
+    #    in the poll loop (AbstractMongoSourceTask.kt:118-120). inc and
+    #    op nullity are checked explicitly (a null inc would otherwise
+    #    poison-pill the token-row emission below on every retry), and
+    #    negative partition ids are malformed (they would wrap around
+    #    the dense checkpoint LUT and silently borrow another
+    #    partition's resume token).
     valid = pc.and_(
-        pc.is_in(batch["op"], value_set=pa.array(OPS)),
+        pc.and_(
+            pc.is_in(batch["op"], value_set=pa.array(OPS)),
+            pc.and_(pc.is_valid(batch["op"]), pc.is_valid(batch["inc"])),
+        ),
         pc.and_(
             pc.and_(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"])),
-            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["partition_id"])),
+            pc.and_(
+                pc.is_valid(batch["ts"]),
+                pc.greater_equal(batch["partition_id"], 0),
+            ),
         ),
     )
+    valid = pc.fill_null(valid, False)
     if not pc.all(valid).as_py():
         batch = batch.filter(valid)
     if batch.num_rows == 0:

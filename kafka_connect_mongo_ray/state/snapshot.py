@@ -41,6 +41,15 @@ class ConcurrentCommitError(RuntimeError):
     the refused job is idempotent, so the caller can simply retry)."""
 
 
+class StagingClobberedError(RuntimeError):
+    """A staged bucket file recorded by this job's appliers is missing
+    at commit time — some other process deleted or moved the staging
+    dir mid-run. Committing anyway would silently carry forward stale
+    bucket state while resume tokens advance (permanent event loss),
+    so the commit fails loudly instead; the replay is idempotent and
+    can simply be rerun."""
+
+
 class SnapshotStore:
     def __init__(self, root: str, *, create: bool = True):
         self.root = root
@@ -91,27 +100,54 @@ class SnapshotStore:
         return {int(p): (t[0], t[1]) for p, t in m.get("tokens", {}).items()}
 
     # -- write path --------------------------------------------------------
-    def staging_dir(self, new_version: int) -> str:
-        d = os.path.join(self.root, f".staging-v{new_version:06d}")
+    def staging_dir(self, new_version: int, nonce: str | None = None) -> str:
+        """Per-job staging dir. ``nonce`` stamps the dir with a job-unique
+        suffix so two drivers racing toward the same version each stage
+        into a PRIVATE dir — neither can clobber the other's staged
+        files (the OCC check at commit then refuses the loser)."""
+        suffix = f".{nonce}" if nonce else ""
+        d = os.path.join(self.root, f".staging-v{new_version:06d}{suffix}")
         os.makedirs(d, exist_ok=True)
         return d
 
-    def clean_staging(self, new_version: int) -> None:
+    def clean_staging(self, new_version: int, nonce: str | None = None) -> None:
         """Called at job start: a crashed prior attempt may have left
         partial staging files; committing would sweep them into the
-        manifest. The rerun rewrites everything it processes, so a
-        clean slate is always safe (replay is idempotent)."""
-        d = os.path.join(self.root, f".staging-v{new_version:06d}")
+        manifest. With a nonce this only removes THIS job's dir (a
+        fresh nonce makes it a no-op) — never another job's staging."""
+        suffix = f".{nonce}" if nonce else ""
+        d = os.path.join(self.root, f".staging-v{new_version:06d}{suffix}")
         if os.path.isdir(d):
             shutil.rmtree(d)
 
+    def clean_stale_staging(self) -> list[str]:
+        """Remove orphaned staging dirs whose target version has already
+        been committed (their job either finished — staging renamed
+        away — or lost the OCC race; either way the leftovers are
+        garbage). Same-or-future-version dirs are left alone: they may
+        belong to a live concurrent job."""
+        current = self.current_version()
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith(".staging-v"):
+                continue
+            try:
+                v = int(name[len(".staging-v"):].split(".")[0])
+            except ValueError:
+                continue
+            if v <= current:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                removed.append(name)
+        return removed
+
     def write_bucket_staging(self, new_version: int, bucket: int, state: pa.Table,
-                             rows_per_file: int | None = None) -> str:
+                             rows_per_file: int | None = None,
+                             nonce: str | None = None) -> str:
         """Called by applier actors; rows must already be in canonical
         (repo, path) order for byte-stable output (SURVEY.md §7.4).
         Large buckets split into multiple files of ``rows_per_file``
         (never one giant file); returns the paths joined by ','."""
-        d = self.staging_dir(new_version)
+        d = self.staging_dir(new_version, nonce)
         # schema may carry evolved payload columns beyond SNAPSHOT_SCHEMA;
         # the canonical columns must lead and be exactly typed
         assert state.schema.names[: len(SNAPSHOT_SCHEMA.names)] == SNAPSHOT_SCHEMA.names
@@ -147,6 +183,7 @@ class SnapshotStore:
                         referenced.add(os.path.normpath(r))
         deleted_files = 0
         deleted_versions = []
+        partially_cleaned = []
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("v"):
                 continue
@@ -165,11 +202,16 @@ class SnapshotStore:
                     continue
                 os.unlink(os.path.join(vdir, f))
                 deleted_files += 1
+            # only report a version as deleted when its dir actually
+            # went away; versions whose files are still referenced
+            # (carried forward into kept manifests) are partial
             if survivors == 0:
                 os.rmdir(vdir)
-            deleted_versions.append(v)
+                deleted_versions.append(v)
+            else:
+                partially_cleaned.append(v)
         return {"deleted_versions": deleted_versions, "deleted_files": deleted_files,
-                "kept_versions": keep_versions}
+                "partially_cleaned": partially_cleaned, "kept_versions": keep_versions}
 
     def commit(
         self,
@@ -179,6 +221,8 @@ class SnapshotStore:
         metrics: list[dict] | None = None,
         prev_version: int | None = None,
         union_schema: str | None = None,
+        nonce: str | None = None,
+        expected_files: list[str] | None = None,
     ) -> dict:
         """Atomic publish: staging → v{N}, manifest, CURRENT flip.
 
@@ -197,7 +241,18 @@ class SnapshotStore:
                 f"planned against v{prev} but CURRENT is v{live}; "
                 "retry the replay (idempotent)"
             )
-        staging = self.staging_dir(new_version)
+        # staged-file audit: every bucket file the appliers reported
+        # must still exist — a missing one means the staging dir was
+        # clobbered mid-run; committing would silently lose events
+        # while resume tokens advance (ADVICE: fail loudly instead)
+        missing = [p for p in (expected_files or []) if not os.path.isfile(p)]
+        if missing:
+            raise StagingClobberedError(
+                f"{len(missing)} staged bucket file(s) vanished before commit "
+                f"(first: {missing[0]}); staging was clobbered — rerun the "
+                "replay (idempotent)"
+            )
+        staging = self.staging_dir(new_version, nonce)
         vdir = self._vdir(new_version)
         if os.path.exists(vdir):
             shutil.rmtree(vdir)
