@@ -82,14 +82,13 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         sigs = np.stack([self.signature(t) for t in batch[self.text_col].to_pylist()])
-        return pa.table(
-            {
-                self.id_col: pa.array(ids),
-                "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), sigs.shape[1])),
-            }
-        )
+        mh = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), pa.uint64()), sigs.shape[1])
+        return pa.table({self.id_col: ids, "minhash": mh})
 
 
 class BandExploder:
@@ -100,8 +99,10 @@ class BandExploder:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from kafka_connect_mongo_ray.utils import embedding_matrix
+
         ids = np.asarray(batch[self.id_col])
-        sigs = np.stack([np.asarray(x) for x in batch["minhash"].to_pylist()])
+        sigs = embedding_matrix(batch["minhash"], dtype=np.uint64)
         n, h = sigs.shape
         rows_per_band = h // self.num_bands
         band_ids = []
@@ -192,14 +193,27 @@ class JaccardVerifier:
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens; deterministic (blake2b)."""
+    """64-bit SimHash over word tokens; deterministic (blake2b).
+
+    Vectorized batch path: tokens of the WHOLE batch are deduplicated
+    with ``np.unique`` first, blake2b runs once per unique token (with
+    a per-actor memo across batches), the 64-bit unpack + per-doc ±1
+    accumulation is two numpy ops (``bits[inverse]`` gather +
+    ``np.add.reduceat``) — no per-token numpy round trips. Produces
+    bit-identical signatures to the scalar ``simhash64`` reference
+    implementation (asserted in tests)."""
+
+    _BITPOS = np.arange(64, dtype=np.uint64)
+    _DENSE_LIMIT = 8_000_000  # max docs × uniq-tokens for the dense count matrix
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
+        self._memo: dict[str, int] = {}
 
     @staticmethod
     def simhash64(text: str) -> int:
+        """Scalar reference implementation (kept as the test oracle)."""
         acc = np.zeros(64, dtype=np.int64)
         for tok in (text or "").split():
             h = np.uint64(int.from_bytes(
@@ -208,10 +222,62 @@ class SimHasher:
             acc += np.where(bits == 1, 1, -1)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
+    def _hash_token(self, tok: str) -> int:
+        h = self._memo.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+            self._memo[tok] = h
+        return h
+
+    def simhash_batch(self, texts: list[str | None]) -> np.ndarray:
+        import pandas as pd
+
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        total = int(lens.sum())
+        n_docs = len(texts)
+        if total == 0:
+            return np.zeros(n_docs, dtype=np.uint64)
+        all_toks = np.empty(total, dtype=object)
+        pos = 0
+        for tl in tok_lists:
+            all_toks[pos:pos + len(tl)] = tl
+            pos += len(tl)
+        # hash-based factorize (np.unique sorts object arrays — ~25x slower)
+        codes, uniq = pd.factorize(all_toks)
+        uh = np.fromiter((self._hash_token(t) for t in uniq), dtype=np.uint64,
+                         count=len(uniq))
+        bits = ((uh[:, None] >> self._BITPOS) & np.uint64(1))  # (U, 64) 0/1
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        n_uniq = len(uniq)
+        # acc[d, b] = 2 * ones[d, b] - lens[d] with ones = counts @ bits:
+        # the ±1 accumulation reduces to a (docs × uniq) count matrix
+        # matmul — no per-token (T × 64) intermediate at all
+        if n_docs * n_uniq <= self._DENSE_LIMIT:
+            counts = np.bincount(doc_idx * n_uniq + codes,
+                                 minlength=n_docs * n_uniq)
+            ones = counts.reshape(n_docs, n_uniq).astype(np.float32) @ bits.astype(np.float32)
+            ones = np.rint(ones).astype(np.int64)
+        else:  # huge vocab fallback: one weighted bincount per bit
+            b8 = bits.astype(np.float64)
+            ones = np.empty((n_docs, 64), dtype=np.int64)
+            w = b8[codes]  # (T, 64)
+            for b in range(64):
+                ones[:, b] = np.bincount(doc_idx, weights=w[:, b],
+                                         minlength=n_docs).astype(np.int64)
+        acc = 2 * ones - lens[:, None]
+        sig = ((acc > 0).astype(np.uint64) << self._BITPOS[None, :]).sum(axis=1)
+        return sig.astype(np.uint64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        hs = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
-        return pa.table({self.id_col: pa.array(ids), "simhash": pa.array(hs, pa.uint64())})
+        texts = batch[self.text_col].to_pylist()
+        sigs = self.simhash_batch(texts)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({self.id_col: ids, "simhash": pa.array(sigs, pa.uint64())})
 
 
 def hamming64(a: int, b: int) -> int:
@@ -236,10 +302,12 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
     bucketer = LshBucketer(dim=dim, num_planes=num_planes, seed=seed, vec_col=vec_col)
     bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+    def pairs_in_bucket(g: pa.Table) -> pd.DataFrame:
+        from kafka_connect_mongo_ray.utils import embedding_matrix
+
+        vecs = embedding_matrix(g[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        ids = g[id_col].to_numpy()
+        ids = np.asarray(g[id_col])
         sims = vecs @ vecs.T
         ai, bi = np.where(np.triu(sims >= threshold, k=1))
         lo = np.minimum(ids[ai], ids[bi])
@@ -247,7 +315,7 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return bucketed.groupby("lsh_bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas")
+        pairs_in_bucket, batch_format="pyarrow")
 
 
 class EmbeddingNearDup:
@@ -271,8 +339,10 @@ class EmbeddingNearDup:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from kafka_connect_mongo_ray.utils import embedding_matrix
+
         ids = np.asarray(batch[self.id_col])
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()])
+        vecs = embedding_matrix(batch[self.vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = vecs @ self.matrix.T
         rows_a, rows_b, out_sims = [], [], []

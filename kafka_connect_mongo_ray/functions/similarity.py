@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from kafka_connect_mongo_ray.utils import embedding_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -36,7 +38,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col])
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()])
+        vecs = embedding_matrix(batch[self.vec_col])  # zero-copy flatten
         sims = self.q @ _normalize(vecs).T  # (Q, B)
         k = min(self.k, sims.shape[1])
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -102,14 +104,13 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
     # ships with the task spec
     bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
 
-    def search_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["lsh_bucket"].iloc[0])
+    def search_bucket(g: pa.Table) -> pd.DataFrame:
+        b = int(g["lsh_bucket"][0].as_py())
         qidx = by_bucket.get(b)
         if not qidx:
             return pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": []})
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        vecs = _normalize(vecs)
-        ids = g[id_col].to_numpy()
+        vecs = _normalize(embedding_matrix(g[vec_col]))
+        ids = np.asarray(g[id_col])
         sims = qn[qidx] @ vecs.T
         rows = []
         for row_i, qi in enumerate(qidx):
@@ -118,7 +119,7 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
                 rows.append((int(query_ids[qi]), rank, int(ids[j])))
         return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
 
-    return bucketed.groupby("lsh_bucket").map_groups(search_bucket, batch_format="pandas")
+    return bucketed.groupby("lsh_bucket").map_groups(search_bucket, batch_format="pyarrow")
 
 
 def kmeans_centroids(sample: np.ndarray, k: int, *, iters: int = 10,
@@ -154,8 +155,7 @@ class IvfAssigner:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]))
+        vecs = _normalize(embedding_matrix(batch[self.vec_col]))
         cell = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_cell", pa.array(cell))
 
@@ -171,8 +171,10 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
     import pandas as pd
     import ray
 
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in ds.limit(sample_size).take_all()])
+    # bounded driver-side sample (sample_size rows, not the corpus)
+    sample_tbl = pa.concat_tables(
+        ds.limit(sample_size).iter_batches(batch_size=None, batch_format="pyarrow"))
+    sample = embedding_matrix(sample_tbl[vec_col])
     centroids = kmeans_centroids(sample, num_cells, seed=seed)
     cref = ray.put(centroids)
 
@@ -188,13 +190,13 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
-    def search_cell(g: pd.DataFrame) -> pd.DataFrame:
-        cell = int(g["ivf_cell"].iloc[0])
+    def search_cell(g: pa.Table) -> pd.DataFrame:
+        cell = int(g["ivf_cell"][0].as_py())
         qidx = cell_to_queries.get(cell)
         if not qidx:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        vecs = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
-        ids = g[id_col].to_numpy()
+        vecs = _normalize(embedding_matrix(g[vec_col]))
+        ids = np.asarray(g[id_col])
         sims = q[qidx] @ vecs.T
         kk = min(k, sims.shape[1])
         top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
@@ -205,7 +207,7 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     cand = assigned.groupby("ivf_cell").map_groups(
-        search_cell, batch_format="pandas").to_pandas()
+        search_cell, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True], kind="mergesort")
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -229,7 +231,7 @@ class LshBucketer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()])
+        vecs = embedding_matrix(batch[self.vec_col])
         signs = (vecs @ self.planes.T) > 0
         bucket = (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1)
         return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int32)))

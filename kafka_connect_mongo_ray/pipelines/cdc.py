@@ -161,29 +161,50 @@ class AnalyzeObjectStage:
         from kafka_connect_mongo_ray.stages.schema_evolve import (
             _ARROW,
             coerce,
-            evolve,
+            infer_lattice_type,
             normalize_key,
         )
 
         docs = batch[self.json_col].to_pylist()
-        parsed = []
+        schema = self.analyzer.schema
+        # ONE pass per row: parse, normalize keys (memoized), evolve the
+        # running schema in-line — the key-normalized dict is built once
+        # per row, not once per (field × row)
+        lowered_docs: list[dict] = []
         for text in docs:
             try:
                 d = _json.loads(text) if text is not None else {}
-                parsed.append(d if isinstance(d, dict) else {})
+                if not isinstance(d, dict):
+                    d = {}
             except (ValueError, TypeError):
                 self.analyzer.malformed += 1
-                parsed.append({})
-        for d in parsed:
-            self.analyzer.schema = evolve(self.analyzer.schema, d)
+                d = {}
+            lowered: dict = {}
+            for rk, v in d.items():
+                k = normalize_key(rk)
+                if k is not None and k not in lowered:
+                    lowered[k] = v
+                    if k not in schema:
+                        t = infer_lattice_type(v)
+                        if t is not None:
+                            schema[k] = t
+            lowered_docs.append(lowered)
         out = batch.drop_columns([self.json_col])
-        for name in sorted(self.analyzer.schema):
-            t = self.analyzer.schema[name]
-            vals = []
-            for d in parsed:
-                lowered = {normalize_key(k): v for k, v in d.items()
-                           if normalize_key(k) is not None}
-                vals.append(coerce(lowered.get(name), t))
+        for name in sorted(schema):
+            t = schema[name]
+            # exact-type fast paths skip the coerce() call for the
+            # overwhelmingly common already-conformant values (type()
+            # is exact: bool never sneaks into the float path, NaN is
+            # screened with v == v)
+            if t == "string":
+                vals = [v if type(v := d.get(name)) is str else coerce(v, t)
+                        for d in lowered_docs]
+            elif t == "float64":
+                vals = [v if (type(v := d.get(name)) is float and v == v)
+                        else coerce(v, t) for d in lowered_docs]
+            else:
+                vals = [v if type(v := d.get(name)) is bool else coerce(v, t)
+                        for d in lowered_docs]
             out = out.append_column(name, pa.array(vals, _ARROW[t]))
         return out
 

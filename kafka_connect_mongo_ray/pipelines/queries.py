@@ -481,11 +481,12 @@ def q_dedup_group_sizes(sf_dir: str):
 def _load_query_vectors(sf_dir: str):
     import pyarrow.parquet as pq
 
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     mask = pc.less(t["vec_id"], ANN_NUM_QUERIES)
     t = t.filter(mask).sort_by("vec_id")
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
-    return q, np.asarray(t["vec_id"])
+    return embedding_matrix(t["embedding"]), np.asarray(t["vec_id"])
 
 
 def q_ann_topk(sf_dir: str):

@@ -47,8 +47,14 @@ SQL_TYPE = {FLOAT64: "DOUBLE", BOOL: "BOOLEAN", STRING: "VARCHAR"}
 META_COLS = ("__op", "__pkey", "__sql", "__ts")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def normalize_key(key: str) -> str | None:
-    """Lowercase; None if invalid (dropped) — ``SchemaMapper.kt:41-49``."""
+    """Lowercase; None if invalid (dropped) — ``SchemaMapper.kt:41-49``.
+    Memoized: field names repeat across millions of rows, the regex
+    match + lower() only run once per distinct raw key per process."""
     if not _NAME_RE.match(key):
         return None
     return key.lower()

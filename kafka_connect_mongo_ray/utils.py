@@ -80,6 +80,35 @@ def compact_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return fixed[0] if len(fixed) == 1 else pa.concat_arrays(fixed)
 
 
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<float>`` column → dense (n, dim) matrix, zero-copy.
+
+    The per-row ``to_pylist()`` + ``np.stack`` idiom costs a Python
+    loop per row; Arrow list columns flatten zero-copy instead:
+    ``values`` is one contiguous buffer, reshaped via the (verified
+    fixed) list length. Accepts Array / ChunkedArray; raises on ragged
+    lists (an embedding column must be fixed-dim)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if isinstance(col, pa.FixedSizeListArray):
+        dim = col.type.list_size
+        flat = np.asarray(col.values, dtype=dtype)
+        return flat.reshape(n, dim)
+    lengths = pc.list_value_length(col)
+    mn, mx = pc.min_max(lengths).values()
+    if mn.as_py() != mx.as_py():
+        raise ValueError("ragged embedding column: lengths vary "
+                         f"({mn.as_py()}..{mx.as_py()})")
+    dim = int(mx.as_py())
+    # flatten() respects slice offsets/nulls; values does not — use
+    # flatten for correctness, it is still vectorized C, not per-row
+    flat = np.asarray(col.flatten(), dtype=dtype)
+    return flat.reshape(n, dim)
+
+
 def atomic_write_json(path: str, obj) -> None:
     """Write-temp-then-rename: the commit protocol primitive (SURVEY.md §7.4)."""
     d = os.path.dirname(path)
