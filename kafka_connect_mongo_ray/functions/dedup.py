@@ -54,11 +54,17 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char shingle hashes (uint64), vectorized rolling view."""
-    b = np.frombuffer(text.encode()[: 1 << 16], dtype=np.uint8)
-    if len(b) < k:
-        b = np.pad(b, (0, k - len(b)))
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    """Distinct k-CHAR shingle hashes (uint64), vectorized rolling view
+    over codepoints — character-based so the shingle sets match a SQL
+    ``substr(text, i, k)`` oracle exactly (byte windows diverge on
+    multi-byte text). Texts shorter than k contribute one shingle (the
+    text itself), mirroring ``substr`` semantics. Truncated at 64Ki
+    chars (knob for pathological documents)."""
+    cp = np.frombuffer((text or "")[: 1 << 16].encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < k:
+        win = np.pad(cp, (0, k - len(cp)))[None, :].astype(np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(cp, k).astype(np.uint64)
     pw = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
     return np.unique((win * pw).sum(axis=1))
 
@@ -168,7 +174,12 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 class JaccardVerifier:
-    """Verify candidate pairs against a broadcast id→text lookup."""
+    """Verify candidate pairs against a broadcast id→text lookup.
+
+    Small-scale only: the broadcast dict holds the whole corpus. The
+    scale path is :func:`verify_pairs_jaccard`, which routes candidate
+    pairs through two bucketed hash joins against the documents table
+    instead — no corpus ever materializes on the driver."""
 
     def __init__(self, texts_ref, k: int = 5, threshold: float = 0.6):
         import ray
@@ -186,6 +197,48 @@ class JaccardVerifier:
         import pyarrow.compute as pc
 
         return t.filter(pc.greater_equal(t["jaccard"], self.threshold))
+
+
+def attach_pair_texts(cands_ds, docs_ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_buckets: int = 32):
+    """Attach both documents' texts to candidate (id_a, id_b) pairs via
+    TWO bucketed hash joins — only candidate rows and doc rows shuffle;
+    the corpus never materializes on the driver (the scale-path
+    replacement for the broadcast id→text dict)."""
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    def as_side(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name: batch[id_col],
+                             f"text_{name[-1]}": batch[text_col]})
+
+        return fn
+
+    docs_a = docs_ds.map_batches(as_side("id_a"), batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(as_side("id_b"), batch_format="pyarrow")
+    with_a = hash_join(cands_ds, docs_a, on=["id_a"], num_buckets=num_buckets)
+    return hash_join(with_a, docs_b, on=["id_b"], num_buckets=num_buckets)
+
+
+def verify_pairs_jaccard(cands_ds, docs_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5,
+                         threshold: float = 0.6, num_buckets: int = 32):
+    """Scale-path candidate verification: attach both texts via two
+    bucketed hash joins (no driver-side corpus broadcast), then compute
+    true k-shingle Jaccard per pair in ``map_batches`` and keep pairs
+    ≥ threshold. Returns a Dataset of (id_a, id_b) canonical pairs."""
+    with_ab = attach_pair_texts(cands_ds, docs_ds, id_col=id_col,
+                                text_col=text_col, num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        sims = [ngram_jaccard(x, y, k) for x, y in zip(ta, tb)]
+        keep = pa.array(np.asarray(sims, dtype=np.float64) >= threshold)
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
+        return out.filter(keep)
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -290,21 +343,44 @@ def hamming64(a: int, b: int) -> int:
 
 def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
                            seed: int = 42, id_col: str = "vec_id",
-                           vec_col: str = "embedding"):
+                           vec_col: str = "embedding", probe_bits: int = 0):
     """Scale path for embedding near-dup: LSH hyperplane bucketing then
     within-bucket pairwise cosine — per-bucket O((N/2^planes)²) instead
     of global O(N²), one groupby shuffle, no broadcast matrix. Recall
     < 1 (similar pairs split by a hyperplane are missed); precision 1.
+
+    ``probe_bits=1`` multiprobes: each row is ALSO emitted into every
+    bucket at hamming distance 1 (duplication factor 1+planes), so
+    pairs split by a single hyperplane are still co-located — recall
+    rises at the cost of probe_bits× more shuffled rows. Duplicate
+    discoveries are deduped by a final pair groupby.
+
     Returns canonical (id_a < id_b) pairs."""
     from kafka_connect_mongo_ray.functions.similarity import LshBucketer
+    from kafka_connect_mongo_ray.utils import embedding_matrix
 
     dim = len(ds.take(1)[0][vec_col])
     bucketer = LshBucketer(dim=dim, num_planes=num_planes, seed=seed, vec_col=vec_col)
-    bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+    def bucket_multiprobe(batch: pa.Table) -> pa.Table:
+        vecs = embedding_matrix(batch[vec_col])
+        signs = (vecs @ bucketer.planes.T) > 0
+        base = (signs.astype(np.uint32)
+                << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1).astype(np.int32)
+        buckets = [base]
+        if probe_bits >= 1:
+            for b in range(num_planes):
+                buckets.append(base ^ np.int32(1 << b))
+        n = batch.num_rows
+        rep = len(buckets)
+        idx = np.tile(np.arange(n, dtype=np.int64), rep)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "lsh_bucket", pa.array(np.concatenate(buckets), pa.int32()))
+
+    bucketed = ds.map_batches(bucket_multiprobe, batch_format="pyarrow")
 
     def pairs_in_bucket(g: pa.Table) -> pd.DataFrame:
-        from kafka_connect_mongo_ray.utils import embedding_matrix
-
         vecs = embedding_matrix(g[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = np.asarray(g[id_col])
@@ -312,10 +388,84 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
         ai, bi = np.where(np.triu(sims >= threshold, k=1))
         lo = np.minimum(ids[ai], ids[bi])
         hi = np.maximum(ids[ai], ids[bi])
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        keep = lo != hi  # multiprobe can pair a row with its own copy
+        df = pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+        return df.drop_duplicates()
 
-    return bucketed.groupby("lsh_bucket").map_groups(
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
         pairs_in_bucket, batch_format="pyarrow")
+    if probe_bits == 0:
+        return pairs
+    # multiprobe rediscovers a pair once per shared probe bucket — dedup
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def embedding_near_dup_exact(ds, *, threshold: float = 0.4,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             block_rows: int = 4096):
+    """EXACT all-pairs cosine near-dup, distributed as a block-pair
+    sweep: the corpus is packed into B normalized float64 blocks held
+    in the object store (one copy, never on the driver), and each of
+    the B·(B+1)/2 block pairs is one Ray task computing its sub-matmul.
+    The driver holds only block refs and the (small) matching-pair
+    results. O(N²) COMPUTE is inherent to exactness — the point is the
+    O(N·dim) MEMORY shape and even task decomposition. Raw Ray tasks
+    are used because Dataset has no self-cross-join.
+
+    Returns a pyarrow Table of canonical (id_a < id_b) pairs."""
+    import ray
+
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    def pack(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch[vec_col], dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = np.ascontiguousarray(np.asarray(batch[id_col], dtype=np.int64))
+        return pa.table({
+            "ids": pa.array([ids.tobytes()], pa.large_binary()),
+            "vecs": pa.array([np.ascontiguousarray(m).tobytes()], pa.large_binary()),
+            "n": pa.array([len(ids)], pa.int64()),
+            "dim": pa.array([m.shape[1]], pa.int64()),
+        })
+
+    n_total = ds.count()
+    n_blocks = max(1, -(-n_total // block_rows))
+    packed = ds.repartition(n_blocks).map_batches(
+        pack, batch_format="pyarrow", batch_size=None)
+    refs = packed.to_arrow_refs()  # refs only — blocks stay in the object store
+
+    @ray.remote(num_cpus=1)
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        def unpack(t):
+            # a ref may bundle several pack rows — stack them
+            ids = np.concatenate([
+                np.frombuffer(t["ids"][r].as_py(), dtype=np.int64)
+                for r in range(t.num_rows)])
+            mats = [np.frombuffer(t["vecs"][r].as_py(), dtype=np.float64)
+                    .reshape(t["n"][r].as_py(), t["dim"][r].as_py())
+                    for r in range(t.num_rows)]
+            return ids, np.vstack(mats)
+
+        ids_a, va = unpack(ta)
+        ids_b, vb = unpack(tb)
+        sims = va @ vb.T
+        mask = sims >= threshold
+        if same:
+            mask = np.triu(mask, k=1)
+        ai, bi = np.where(mask)
+        lo = np.minimum(ids_a[ai], ids_b[bi])
+        hi = np.maximum(ids_a[ai], ids_b[bi])
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64())})
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(pair_task.remote(refs[i], refs[j], i == j))
+    parts = ray.get(out_refs)
+    return pa.concat_tables(parts) if parts else pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
 
 
 class EmbeddingNearDup:

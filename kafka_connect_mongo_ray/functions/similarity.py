@@ -81,13 +81,17 @@ def brute_force_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int
 
 def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
              dim: int, num_planes: int = 8, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_bits: int = 1):
     """Approximate top-k: bucket the corpus by LSH hyperplane signs,
-    then each bucket group scans ONLY the queries that hash to it —
-    per-query work drops from O(corpus) to O(corpus / 2^planes).
-    Recall < 1 by construction (near neighbors across a hyperplane are
-    missed); raise recall by lowering num_planes or probing
-    neighboring buckets. Returns (query_id, rank, neighbor_id)."""
+    then each bucket group scans ONLY the queries that probe it —
+    per-query work drops from O(corpus) to O(corpus · probes / 2^planes).
+    Query-side multiprobe (``probe_bits=1``): each query also probes
+    every bucket at hamming distance ≤ 1 from its own — recall rises
+    with zero corpus duplication. Recall < 1 by construction; measured
+    against :func:`brute_force_topk` in the gate query. Returns
+    (query_id, rank, neighbor_id) with a global final reduce (only
+    Q × k × probed-buckets candidate rows reach the driver)."""
     import pandas as pd
 
     bucketer = LshBucketer(dim=dim, num_planes=num_planes, seed=seed, vec_col=vec_col)
@@ -98,7 +102,11 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
                  << np.arange(q_signs.shape[1], dtype=np.uint32)).sum(axis=1).astype(np.int32)
     by_bucket: dict[int, list[int]] = {}
     for qi, b in enumerate(q_buckets):
-        by_bucket.setdefault(int(b), []).append(qi)
+        probes = {int(b)}
+        if probe_bits >= 1:
+            probes |= {int(b) ^ (1 << p) for p in range(num_planes)}
+        for pb in probes:
+            by_bucket.setdefault(pb, []).append(qi)
 
     # instance (not class) → plain tasks; the plane matrix is tiny and
     # ships with the task spec
@@ -108,18 +116,26 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
         b = int(g["lsh_bucket"][0].as_py())
         qidx = by_bucket.get(b)
         if not qidx:
-            return pd.DataFrame({"query_id": [], "rank": [], "neighbor_id": []})
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
         vecs = _normalize(embedding_matrix(g[vec_col]))
         ids = np.asarray(g[id_col])
         sims = qn[qidx] @ vecs.T
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = []
         for row_i, qi in enumerate(qidx):
-            order = np.lexsort((ids, -sims[row_i]))[: min(k, len(ids))]
-            for rank, j in enumerate(order, 1):
-                rows.append((int(query_ids[qi]), rank, int(ids[j])))
-        return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+            for j in top[row_i]:
+                rows.append((int(query_ids[qi]), int(ids[j]), float(sims[row_i, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    return bucketed.groupby("lsh_bucket").map_groups(search_bucket, batch_format="pyarrow")
+    cand = bucketed.groupby("lsh_bucket").map_groups(
+        search_bucket, batch_format="pyarrow").to_pandas()
+    cand = cand.drop_duplicates(["query_id", "neighbor_id"])
+    cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "neighbor_id"]]
 
 
 def kmeans_centroids(sample: np.ndarray, k: int, *, iters: int = 10,

@@ -43,6 +43,32 @@ NUM_PARTITIONS = 8
 ANN_NUM_QUERIES = 3
 ANN_K = 5
 NEAR_DUP_COSINE = 0.4
+# ANN approximate paths: measured per-query recall@5 vs brute force is
+# ≥0.6 at every sf for the committed knobs (seeded/deterministic);
+# the gate asserts it as a machine-checked row
+ANN_RECALL_BOUND = 0.6
+# embedding LSH near-dup: measured pair recall vs the exact blocked
+# sweep is 0.94 (sf0.001) / 0.98 (sf0.01) at planes=3 + 1-bit multiprobe
+EMB_LSH_RECALL_BOUND = 0.85
+JACCARD_THRESHOLD = 0.6
+SIMHASH_HAMMING_BOUND = 8  # true J>=0.6 pairs measure hamming <= 8; random pairs >= 9
+HLL_ERROR_BOUND = 0.05  # measured 0.2%-2.9% at p=12 across sfs
+
+# True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
+# SQL — the independent oracle for the MinHash-LSH + verify pipeline.
+SHINGLE_PAIR_SQL = """
+WITH s AS (SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 5) AS sh
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, greatest(length(text)-4,1))) AS u
+                 FROM documents)),
+     c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+               FROM s a JOIN s b ON a.sh = b.sh AND b.doc_id > a.doc_id
+               GROUP BY 1, 2)
+SELECT id_a, id_b
+FROM inter JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {thr}
+"""
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -499,24 +525,14 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_dedup_embedding_cosine(sf_dir: str):
-    import ray
-    import pyarrow.parquet as pq
+    """EXACT cosine near-dup pairs via the distributed block-pair sweep
+    (one corpus copy in the object store, O(N·dim) memory everywhere,
+    no driver materialization, no broadcast matrix)."""
+    from kafka_connect_mongo_ray.functions.dedup import embedding_near_dup_exact
 
-    from kafka_connect_mongo_ray.functions.dedup import EmbeddingNearDup
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
-    ids = np.asarray(t["vec_id"])
-    mref, iref = ray.put(vecs), ray.put(ids)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ds.map_batches(
-        EmbeddingNearDup,
-        fn_constructor_kwargs={"matrix_ref": mref, "ids_ref": iref,
-                               "threshold": NEAR_DUP_COSINE},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    return out.select_columns(["id_a", "id_b"])
+    return embedding_near_dup_exact(ds, threshold=NEAR_DUP_COSINE,
+                                    block_rows=2048)
 
 
 def q_events_per_type(sf_dir: str):
@@ -607,10 +623,13 @@ def q_events_session_windows(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
-# -- rows-only (non-SQL-expressible) ----------------------------------------
+# -- formerly rows-only: now each carries a machine-checked oracle ----------
 
 
 def q_docs_langid(sf_dir: str):
+    """Stopword-profile language id; the oracle re-computes the full
+    classifier in SQL (word extraction, per-language stopword counts,
+    alphabetical-first argmax, unknown on zero score)."""
     from kafka_connect_mongo_ray.functions.text import LanguageId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -620,100 +639,284 @@ def q_docs_langid(sf_dir: str):
 
 
 def q_dedup_minhash_lsh(sf_dir: str):
-    import ray
-
-    from kafka_connect_mongo_ray.functions.dedup import JaccardVerifier, minhash_lsh_candidates
+    """MinHash→band→bucket candidates, verified by TRUE shingle Jaccard
+    attached via two bucketed hash joins (no corpus broadcast). The
+    oracle computes the full ≥0.6 pair set in SQL; the hash match
+    checks precision AND recall of the whole pipeline."""
+    from kafka_connect_mongo_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(ds)
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    tref = ray.put(texts)
-    return cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"texts_ref": tref, "threshold": 0.6},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return verify_pairs_jaccard(cands, docs, threshold=JACCARD_THRESHOLD)
 
 
 def q_dedup_simhash(sf_dir: str):
-    from kafka_connect_mongo_ray.functions.dedup import SimHasher
+    """SimHash agreement check: every true Jaccard-near-dup pair must
+    land within SIMHASH_HAMMING_BOUND bits (measured: true pairs ≤ 8,
+    random pairs ≥ 9). Output = the verified pair set + the per-pair
+    hamming bound flag; oracle = the SQL pair set + TRUE."""
+    from kafka_connect_mongo_ray.functions.dedup import (
+        SimHasher,
+        attach_pair_texts,
+        hamming64,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("simhash"), "simhash",
-                               pc.cast(t["simhash"], pa.int64(), safe=False)),
-        batch_format="pyarrow",
-    )
+    cands = minhash_lsh_candidates(ds)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_texts = attach_pair_texts(cands, docs)
+
+    class VerifyAndHamming:
+        def __init__(self):
+            self.hasher = SimHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ta = batch["text_a"].to_pylist()
+            tb = batch["text_b"].to_pylist()
+            jac = np.asarray([ngram_jaccard(x, y) for x, y in zip(ta, tb)],
+                             dtype=np.float64)
+            ha = self.hasher.simhash_batch(ta)
+            hb = self.hasher.simhash_batch(tb)
+            ham = np.asarray([hamming64(int(x), int(y)) for x, y in zip(ha, hb)])
+            out = pa.table({
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "hamming_ok": pa.array(ham <= SIMHASH_HAMMING_BOUND),
+            })
+            return out.filter(pa.array(jac >= JACCARD_THRESHOLD))
+
+    return with_texts.map_batches(VerifyAndHamming, batch_format="pyarrow",
+                                  concurrency=(1, 4))
+
+
+def _recall_vs_brute_force(sf_dir: str, approx: pd.DataFrame) -> pd.DataFrame:
+    """Per-query recall@k of an approximate ANN result vs the exact
+    brute-force top-k (both computed in-engine); returns the checkable
+    (query_id, n_results, recall_ok) rows."""
+    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
+
+    q, ids = _load_query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, q, ids, k=ANN_K)
+    ex = {int(qid): set(g["neighbor_id"]) for qid, g in exact.groupby("query_id")}
+    rows = []
+    for qid, g in approx.groupby("query_id"):
+        got = set(g["neighbor_id"])
+        recall = len(got & ex.get(int(qid), set())) / ANN_K
+        rows.append((int(qid), len(got), recall >= ANN_RECALL_BOUND))
+    return pd.DataFrame(rows, columns=["query_id", "n_results", "recall_ok"])
 
 
 def q_ann_lsh_topk(sf_dir: str):
-    """Scale-path ANN: LSH hyperplane bucketing; each query scans only
-    its own bucket (recall < 1 by design — rows-only check)."""
+    """Scale-path ANN: LSH hyperplane buckets + 1-bit query multiprobe;
+    each query scans ~(1+planes)/2^planes of the corpus. The gate row
+    asserts measured recall@k ≥ ANN_RECALL_BOUND vs brute force."""
     from kafka_connect_mongo_ray.functions.similarity import lsh_topk
 
     q, ids = _load_query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, q, ids, k=ANN_K, dim=q.shape[1], num_planes=4, seed=42)
+    approx = lsh_topk(ds, q, ids, k=ANN_K, dim=q.shape[1], num_planes=3,
+                      seed=42, probe_bits=1)
+    return _recall_vs_brute_force(sf_dir, approx)
 
 
 def q_ann_ivf_topk(sf_dir: str):
     """IVF scale path: k-means coarse quantization, nprobe cells per
-    query (recall < 1 — rows-only check)."""
+    query; gate row asserts measured recall@k ≥ ANN_RECALL_BOUND."""
     from kafka_connect_mongo_ray.functions.similarity import ivf_topk
 
     q, ids = _load_query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q, ids, k=ANN_K, num_cells=8, nprobe=2, seed=42)
+    approx = ivf_topk(ds, q, ids, k=ANN_K, num_cells=8, nprobe=4, seed=42)
+    return _recall_vs_brute_force(sf_dir, approx)
 
 
 def q_dedup_embedding_lsh(sf_dir: str):
-    """LSH-blocked embedding near-dup (scale path of
-    dedup_embedding_cosine; recall < 1 — rows-only check)."""
-    from kafka_connect_mongo_ray.functions.dedup import embedding_near_dup_lsh
+    """LSH-blocked near-dup (the scale path) measured against the exact
+    blocked sweep: one row asserting pair recall ≥ EMB_LSH_RECALL_BOUND
+    and precision == 1, plus the exact pair count cross-checked by the
+    SQL oracle."""
+    from kafka_connect_mongo_ray.functions.dedup import (
+        embedding_near_dup_exact,
+        embedding_near_dup_lsh,
+    )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dup_lsh(ds, threshold=NEAR_DUP_COSINE, num_planes=3)
+    exact = embedding_near_dup_exact(ds, threshold=NEAR_DUP_COSINE,
+                                     block_rows=2048)
+    exact_set = set(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
+    ds2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    lsh = embedding_near_dup_lsh(ds2, threshold=NEAR_DUP_COSINE, num_planes=3,
+                                 probe_bits=1).to_pandas()
+    lsh_set = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    recall = len(lsh_set & exact_set) / max(len(exact_set), 1)
+    return pd.DataFrame({
+        "n_exact_pairs": [len(exact_set)],
+        "recall_ok": [recall >= EMB_LSH_RECALL_BOUND],
+        "precision_ok": [lsh_set <= exact_set],
+    })
 
 
 def q_events_distinct_users_hll(sf_dir: str):
-    """Mergeable-sketch pattern: one HLL per batch, tiny merge —
-    approximate distinct count (rows-only: estimate ≈ exact ±~2%)."""
+    """Mergeable-sketch distinct count: the HLL estimate is checked
+    against the engine's own distributed exact distinct, the exact
+    count is cross-checked by the SQL oracle, and the ±5% error claim
+    becomes a machine-checked boolean."""
+    from ray.data.aggregate import Count
+
     from kafka_connect_mongo_ray.functions.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
-    return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
+    exact = _read(sf_dir, "events", columns=["user_id"]).groupby(
+        "user_id").aggregate(Count()).count()
+    ok = abs(est / max(exact, 1) - 1.0) <= HLL_ERROR_BOUND
+    return pd.DataFrame({"exact_distinct": [int(exact)], "within_bound": [ok]})
 
 
 def q_multimodal_decode(sf_dir: str):
-    from kafka_connect_mongo_ray.functions.multimodal import DecodeStub
+    """REAL image decode: render a deterministic P6 PPM per document
+    (dims + solid color derived from doc_id), then parse it back with
+    the pure-numpy PPM decoder — header grammar, pixel plane, mean.
+    The oracle recomputes every decoded property from doc_id in SQL."""
+    from kafka_connect_mongo_ray.functions.multimodal import PpmDecoder, encode_ppm
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def to_media(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = [encode_ppm(1 + int(i) % 16, 1 + int(i) % 13, int(i) % 256)
+                    for i in ids]
         return pa.table(
             {
-                "media_id": batch["doc_id"],
-                "mime": pa.array(["image/fake"] * len(texts), pa.string()),
-                "payload": pa.array([t.encode() for t in texts], pa.binary()),
-                "meta_json": pa.array(['{"w":1,"h":1}'] * len(texts), pa.string()),
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(["image/x-portable-pixmap"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
-    media = ds.map_batches(to_media, batch_format="pyarrow")
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
     return media.map_batches(
-        DecodeStub,
-        fn_constructor_kwargs={"feature_dim": 8},
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 4),
+        PpmDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
+
+
+def q_multimodal_audio(sf_dir: str):
+    """REAL audio decode: synthesize a PCM-16 WAV per document (rate,
+    length, amplitude derived from doc_id), parse it back by walking
+    RIFF chunks. Oracle recomputes every decoded property in SQL."""
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        WavDecoder,
+        encode_wav_pcm16,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            n = 100 + int(i) % 50
+            amp = int(i) % 1000
+            payloads.append(encode_wav_pcm16(
+                np.full(n, amp, dtype=np.int16), 8000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    return media.map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+def q_tpch_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem: partial aggregate
+    inside map_batches (combiner), tiny final groupby — the canonical
+    pre-aggregation pattern; only (flag, status) partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # integer-scaled money math: per-row values have ≤4 decimal
+        # digits, so scaling + rounding per ROW is exact in both
+        # engines and the summed int64s are order-independent — no
+        # float-summation / rounding-tie hazards at the hash compare
+        df["sum_qty"] = df["l_quantity"].round().astype("int64")
+        df["base_cents"] = (df["l_extendedprice"] * 100).round().astype("int64")
+        df["disc_x10k"] = (df["l_extendedprice"] * (1 - df["l_discount"])
+                           * 10_000).round().astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_x10k=("disc_x10k", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_x10k", alias_name="sum_disc_x10k"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def q_join_lineitem_part_supplier(sf_dir: str):
+    """Three-way join lineitem ⋈ part ⋈ supplier ⋈ nation via Ray's
+    native hash-partitioned Dataset.join, aggregated per (brand,
+    nation): revenue and line count. Exercises the unused TPC-H tables
+    and the native-join path (bucketed hash_join is the portable
+    fallback, benchmarked against it in BASELINE.md)."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import native_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]), batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]), batch_format="pyarrow")
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table({"s_nationkey": pc.cast(t["n_nationkey"], pa.int32()),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow")
+
+    j = native_join(li, part, on=["l_partkey"], num_buckets=16)
+    j = native_join(j, supp, on=["l_suppkey"], num_buckets=16)
+    j = native_join(j, nation, on=["s_nationkey"], num_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # same integer-scaling trick as tpch_pricing_summary: exact,
+        # order-independent revenue sums
+        df["rev_x10k"] = (df["l_extendedprice"] * (1 - df["l_discount"])
+                          * 10_000).round().astype("int64")
+        g = df.groupby(["p_brand", "n_name"], as_index=False).agg(
+            n=("rev_x10k", "size"), revenue_x10k=("rev_x10k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return j.map_batches(partial, batch_format="pyarrow").groupby(
+        ["p_brand", "n_name"]
+    ).aggregate(Sum("n", alias_name="n"),
+                Sum("revenue_x10k", alias_name="revenue_x10k"))
 
 
 # ---------------------------------------------------------------------------
@@ -743,7 +946,10 @@ def build_queries():
         "events_session_windows": q_events_session_windows,
         "events_top_values": q_events_top_values,
         "events_distinct_types": q_events_distinct_types,
-        # rows-only (non-SQL-expressible)
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "join_lineitem_part_supplier": q_join_lineitem_part_supplier,
+        # approximate / trained operators — each returns machine-checked
+        # rows (measured recall / error-bound flags) with a SQL oracle
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -752,6 +958,7 @@ def build_queries():
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -896,5 +1103,92 @@ def build_oracle_sql():
             SELECT user_id, MIN(tsu) AS session_start,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM y GROUP BY user_id, sid
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_x10k,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_lineitem_part_supplier": """
+            SELECT p_brand, n_name, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS revenue_x10k
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY p_brand, n_name
+        """,
+        "dedup_minhash_lsh": SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD),
+        "dedup_simhash": (
+            "SELECT id_a, id_b, TRUE AS hamming_ok FROM ("
+            + SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD) + ") t"
+        ),
+        "dedup_embedding_lsh": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS recall_ok, TRUE AS precision_ok
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id > a.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_COSINE}
+        """,
+        "ann_lsh_topk": f"""
+            SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+        """,
+        "ann_ivf_topk": f"""
+            SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+        """,
+        "events_distinct_users_hll": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM events
+        """,
+        "docs_langid": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                  '[a-záéíóúüñàèìòùäöß]+') AS words
+                       FROM documents),
+            sc AS (SELECT doc_id, len(words) AS nw,
+                len(list_filter(words, x -> x IN ('der','die','und','das','ist',
+                    'von','mit','den','nicht','ein'))) AS s_de,
+                len(list_filter(words, x -> x IN ('the','and','of','to','a',
+                    'in','is','it','that','for'))) AS s_en,
+                len(list_filter(words, x -> x IN ('el','la','de','que','y',
+                    'en','un','por','con','los'))) AS s_es,
+                len(list_filter(words, x -> x IN ('le','la','de','et','les',
+                    'des','est','un','une','dans'))) AS s_fr
+                FROM w)
+            SELECT doc_id, CASE
+                WHEN nw = 0 THEN 'unknown'
+                WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+            FROM sc
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(1 + doc_id % 16 AS BIGINT) AS width,
+                   CAST(1 + doc_id % 13 AS BIGINT) AS height,
+                   CAST((1 + doc_id % 16) * (1 + doc_id % 13) AS BIGINT) AS n_pixels,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+            FROM documents
+        """,
+        "multimodal_audio": """
+            SELECT doc_id AS media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+                   CAST((100 + doc_id % 50) * 125 AS BIGINT) AS duration_us,
+                   CAST(doc_id % 1000 AS BIGINT) AS max_amp
+            FROM documents
         """,
     }

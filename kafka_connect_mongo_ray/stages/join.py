@@ -39,9 +39,18 @@ def native_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
     """Ray's built-in hash-partitioned ``Dataset.join`` (Ray ≥2.46).
     Same semantics as :func:`hash_join`; prefer it when the installed
     Ray exposes it — our explicit bucketed implementation remains the
-    portable fallback and the reference for its shuffle mechanics."""
+    portable fallback and the reference for its shuffle mechanics.
+
+    num_partitions is capped at the cluster CPU count: the join's
+    HashShuffleAggregator pool allocates one actor per partition
+    up-front, and demanding more actors than grantable CPUs deadlocks
+    the streaming executor (reproduced at 16 partitions on 4 CPUs)."""
+    import ray
+
     join_type = {"inner": "inner", "left": "left_outer",
                  "right": "right_outer", "outer": "full_outer"}[how]
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    num_buckets = max(1, min(num_buckets, cpus))
     return left_ds.join(right_ds, join_type, num_buckets, on=tuple(on))
 
 

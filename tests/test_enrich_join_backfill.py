@@ -152,7 +152,7 @@ def test_lsh_topk_runs_and_self_hit():
     q = np.stack([np.asarray(v, dtype=np.float64)
                   for v in t["embedding"][:2].to_pylist()])
     ids = np.asarray(t["vec_id"])[:2]
-    out = lsh_topk(ds_of(t, 2), q, ids, k=3, dim=q.shape[1], num_planes=3, seed=5).to_pandas()
+    out = lsh_topk(ds_of(t, 2), q, ids, k=3, dim=q.shape[1], num_planes=3, seed=5)
     # every query's own vector hashes to its own bucket → rank-1 self hit
     top1 = out[out["rank"] == 1]
     assert set(top1["query_id"]) == set(ids.tolist())

@@ -309,3 +309,56 @@ def test_hll_approx_distinct(docs_tbl):
     assert abs(est - exact) / exact < 0.05
     # serialization round-trip
     assert HyperLogLog.deserialize(a.serialize()).estimate() == a.estimate()
+
+
+def test_multimodal_codecs_roundtrip_and_malformed():
+    import numpy as np
+
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        PpmDecoder,
+        WavDecoder,
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    assert decode_ppm(encode_ppm(5, 4, 77)) == (5, 4, 77.0)
+    # header comments + whitespace grammar
+    assert decode_ppm(b"P6\n# c\n 3 2\n255\n" + bytes([8]) * 18) == (3, 2, 8.0)
+    r = decode_wav_pcm16(encode_wav_pcm16(np.full(80, -12, dtype=np.int16), 16000))
+    assert r == (16000, 80, 80 * 1_000_000 // 16000, 12)
+    # malformed payloads are skipped and counted, not raised
+    import pyarrow as pa
+
+    dec = PpmDecoder()
+    out = dec(pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                        "payload": pa.array([encode_ppm(2, 2, 9), b"nope"],
+                                            pa.binary())}))
+    assert out.num_rows == 1 and dec.malformed == 1
+    wdec = WavDecoder()
+    out = wdec(pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                         "payload": pa.array(
+                             [b"RIFFxxxx", encode_wav_pcm16(
+                                 np.zeros(3, dtype=np.int16), 8000)],
+                             pa.binary())}))
+    assert out.num_rows == 1 and wdec.malformed == 1
+
+
+def test_embedding_near_dup_exact_matches_bruteforce(emb_tbl):
+    import numpy as np
+
+    from kafka_connect_mongo_ray.functions.dedup import embedding_near_dup_exact
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    got = embedding_near_dup_exact(docs_ds(emb_tbl), threshold=0.5,
+                                   block_rows=37)  # force many block pairs
+    got_set = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    m = embedding_matrix(emb_tbl["embedding"])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray(emb_tbl["vec_id"])
+    sims = m @ m.T
+    ai, bi = np.where(np.triu(sims >= 0.5, k=1))
+    want = set(zip(np.minimum(ids[ai], ids[bi]).tolist(),
+                   np.maximum(ids[ai], ids[bi]).tolist()))
+    assert got_set == want
