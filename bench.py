@@ -111,6 +111,50 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
     }
 
 
+def bench_analyzed(sf_dir: str, ncpu: int) -> dict:
+    """Analyzed-schema mode: events carry the row image as a JSON text
+    column (the reference's ``object`` field); the AnalyzeObjectStage
+    actor pool parses + lattice-coerces + schema-evolves every record
+    before the normal replay. The Python-parse-bound mode."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.sources.gen import GenSpec, change_event_dataset, synth_repo_files
+
+    rows = _docs_rows(sf_dir)
+    spec = GenSpec(num_partitions=32,
+                   events_per_partition=max(1000, rows * 200 // 32),
+                   seed=7, content_words=5)
+    base = synth_repo_files(max(1, rows // 25), 100, seed=7)
+
+    def attach_json(batch: pa.Table) -> pa.Table:
+        path = pd.Series(batch["path"].to_pylist())
+        lang = pd.Series(batch["lang"].to_pylist())
+        size = pd.Series(batch["ts"].to_pylist()).astype(str)
+        obj = ('{"Name": "' + path + '", "size": ' + size
+               + ', "language": "' + lang + '", "active": true}')
+        return batch.append_column(
+            "object", pa.array(obj.to_numpy(dtype=object), pa.large_string()))
+
+    shutil.rmtree("/tmp/kcm_bench_an", ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir="/tmp/kcm_bench_an/s",
+                       checkpoint_dir="/tmp/kcm_bench_an/c",
+                       num_buckets=64, analyze_schema=True,
+                       shuffle_strategy="SORT_SHUFFLE_PUSH_BASED",
+                       prereduce_coalesce=32)
+    events = change_event_dataset(spec, base).map_batches(
+        attach_json, batch_format="pyarrow")
+    n = spec.num_partitions * spec.events_per_partition
+    t0 = time.perf_counter()
+    run_replay(events, cfg)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "events": n, "events_per_sec": n / dt}
+
+
 def bench_queries(sf_dir: str) -> dict:
     from kafka_connect_mongo_ray.pipelines.queries import (
         q_ann_topk,
@@ -182,7 +226,10 @@ def run_once() -> dict:
     replay = bench_cdc_replay(SF_DIR, NCPU)
     queries = {"cdc_replay": round(replay["sec"], 3),
                "cdc_incremental": round(replay["incremental_sec"], 3)}
+    analyzed = None
     if "--headline-only" not in sys.argv:
+        analyzed = bench_analyzed(SF_DIR, NCPU)
+        queries["cdc_analyzed"] = round(analyzed["sec"], 3)
         queries.update(bench_queries(SF_DIR))
 
     result = {
@@ -195,6 +242,9 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }
+    if analyzed is not None:
+        result["analyzed_events_per_sec"] = round(analyzed["events_per_sec"], 1)
+        result["analyzed_events"] = analyzed["events"]
     ray.shutdown()
     return result
 

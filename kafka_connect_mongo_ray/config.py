@@ -13,6 +13,20 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+class ConfigError(ValueError):
+    """A knob failed validation at job start — the analog of the
+    reference's fail-fast connector validation
+    (``MongoSourceConnector.kt:43-60`` raising on missing/invalid
+    props, ``MongoSinkConnector.kt:54-71`` enforcing topics↔databases
+    1:1) instead of a deep in-job failure."""
+
+
+_APPLY_MODES = ("tasks", "actors")
+_SHUFFLE_STRATEGIES = (
+    "SORT_SHUFFLE_PULL_BASED", "SORT_SHUFFLE_PUSH_BASED", "HASH_SHUFFLE",
+)
+
+
 @dataclass
 class EngineConfig:
     """All knobs for one replay / backfill job.
@@ -41,11 +55,11 @@ class EngineConfig:
     analyze_schema: bool = False
     # Coalesce pre-reduced blocks and run a second partial-LWW combine
     # before the global shuffle — cuts shuffle volume ~keys/blocks-fold
-    # on high-dup / hot-key streams. int = explicit block count (THE
-    # performance path; size so coalesced blocks land ~150k rows, see
-    # BASELINE.md); "auto" = row-targeted repartition (convenient but
-    # measured far slower at ≥100M events — Ray's row-based
-    # repartition takes a costly path); None = single pre-reduce round.
+    # on high-dup / hot-key streams. int = explicit block count (size so
+    # coalesced blocks land ~150k rows, see BASELINE.md); "auto" = learn
+    # the count from the previous commit's manifest metrics (pre-reduced
+    # rows last window / 150k; first window runs a single pre-reduce
+    # round); None = single pre-reduce round always.
     prereduce_coalesce: int | str | None = None
     # Ray Data shuffle strategy for the bucket exchange; push-based
     # sort measured ~2x faster than the default pull-based on this
@@ -56,3 +70,48 @@ class EngineConfig:
     # Free-form extension bag for pipeline-specific knobs (the
     # reference's properties-file passthrough).
     extra: dict = field(default_factory=dict)
+
+    def validate(self) -> "EngineConfig":
+        """Fail fast on invalid knobs (called at every job start).
+        Returns self so call sites can chain."""
+        if not self.snapshot_dir or not isinstance(self.snapshot_dir, str):
+            raise ConfigError("snapshot_dir must be a non-empty path")
+        if not self.checkpoint_dir or not isinstance(self.checkpoint_dir, str):
+            raise ConfigError("checkpoint_dir must be a non-empty path")
+        if self.snapshot_dir == self.checkpoint_dir:
+            raise ConfigError("snapshot_dir and checkpoint_dir must differ "
+                              "(both atomically rename into their root)")
+        if not isinstance(self.num_buckets, int) or self.num_buckets < 1:
+            raise ConfigError(f"num_buckets must be a positive int, got "
+                              f"{self.num_buckets!r}")
+        if self.batch_size is not None and (
+                not isinstance(self.batch_size, int) or self.batch_size < 1):
+            raise ConfigError(f"batch_size must be None or a positive int, "
+                              f"got {self.batch_size!r}")
+        if self.apply_mode not in _APPLY_MODES:
+            raise ConfigError(f"apply_mode must be one of {_APPLY_MODES}, "
+                              f"got {self.apply_mode!r}")
+        pc = self.prereduce_coalesce
+        if pc is not None and pc != "auto" and (
+                not isinstance(pc, int) or isinstance(pc, bool) or pc < 1):
+            raise ConfigError("prereduce_coalesce must be None, 'auto' or a "
+                              f"positive int, got {pc!r}")
+        if (self.shuffle_strategy is not None
+                and self.shuffle_strategy not in _SHUFFLE_STRATEGIES):
+            raise ConfigError(f"shuffle_strategy must be None or one of "
+                              f"{_SHUFFLE_STRATEGIES}, got "
+                              f"{self.shuffle_strategy!r}")
+        if (not isinstance(self.snapshot_rows_per_file, int)
+                or self.snapshot_rows_per_file < 1):
+            raise ConfigError("snapshot_rows_per_file must be a positive int, "
+                              f"got {self.snapshot_rows_per_file!r}")
+        ac = self.apply_concurrency
+        if ac is not None:
+            ok = (isinstance(ac, int) and not isinstance(ac, bool) and ac >= 1) or (
+                isinstance(ac, tuple) and len(ac) == 2
+                and all(isinstance(x, int) and x >= 1 for x in ac)
+                and ac[0] <= ac[1])
+            if not ok:
+                raise ConfigError("apply_concurrency must be None, a positive "
+                                  f"int or an (lo, hi) tuple, got {ac!r}")
+        return self

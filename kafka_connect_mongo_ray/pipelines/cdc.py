@@ -215,6 +215,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     source (§1.6 two-phase semantics)."""
     import uuid
 
+    cfg.validate()  # fail fast on typo'd knobs (MongoSourceConnector.kt:43-60)
     store = SnapshotStore(cfg.snapshot_dir)
     prev = store.current_version()
     new = prev + 1
@@ -235,11 +236,17 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         )
 
     if cfg.analyze_schema:
+        import ray as _r
+
+        # the Python-parse-bound stage: give the pool most of the
+        # machine up front (autoscaling from 1 ramps too slowly on
+        # short windows — measured 177k vs 300k+ ev/s at 32 CPUs)
+        hi = max(2, int(_r.cluster_resources().get("CPU", 8)) - 2) if _r.is_initialized() else 8
         events_ds = events_ds.map_batches(
             AnalyzeObjectStage,
             fn_constructor_kwargs={"json_col": "object"},
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=(min(4, hi), hi),
         )
 
     ds = events_ds.map_batches(
@@ -254,16 +261,28 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         # input block into one giant serial task.
         batch_size=cfg.batch_size,
     )
-    if cfg.prereduce_coalesce:
-        # second combine round: coalesce pre-reduced blocks and LWW
-        # again — shuffle volume drops ~blocks/coalesce-fold when keys
-        # repeat across blocks (hot keys, replays). "auto" sizes the
-        # coalesced blocks directly to the measured sweet spot
-        # (~150k rows/block, BASELINE.md) without knowing counts ahead.
-        if cfg.prereduce_coalesce == "auto":
-            ds = ds.repartition(target_num_rows_per_block=150_000)
+    # second combine round: coalesce pre-reduced blocks and LWW again —
+    # shuffle volume drops ~blocks/coalesce-fold when keys repeat across
+    # blocks (hot keys, replays). The operative variable is ROWS PER
+    # COALESCED BLOCK (~150k sweet spot, BASELINE.md). "auto" learns the
+    # block count from the PREVIOUS commit's manifest metrics (events_in
+    # = pre-reduced rows that reached the merge last window — recorded
+    # lineage, no extra pass); the first window has no history and runs
+    # a single pre-reduce round.
+    coalesce = cfg.prereduce_coalesce
+    if coalesce == "auto":
+        prev_manifest = store.manifest(prev)
+        prev_rows = sum(int(m.get("events_in") or 0)
+                        for m in (prev_manifest or {}).get("metrics", []))
+        if prev_rows > 0:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+            coalesce = min(4096, max(cpus, round(prev_rows / 150_000)))
         else:
-            ds = ds.repartition(cfg.prereduce_coalesce)
+            coalesce = None
+    if coalesce:
+        ds = ds.repartition(coalesce)
         ds = ds.map_batches(
             partial_lww, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.batch_size,

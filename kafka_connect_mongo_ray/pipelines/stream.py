@@ -32,9 +32,35 @@ def run_micro_batches(
     return summaries
 
 
+def group_tables(tables: list[str], max_tasks: int) -> list[list[str]]:
+    """The reference's task-count balancing math
+    (``ConnectorUtils.groupPartitions`` via
+    ``MongoSourceConnector.taskConfigs``, ``MongoSourceConnector.kt:65-85``,
+    tested at ``MongoSourceConnectorTest.kt:34-52``): split N namespaces
+    into ``min(N, max_tasks)`` groups whose sizes differ by at most 1,
+    preserving order."""
+    if max_tasks < 1:
+        from kafka_connect_mongo_ray.config import ConfigError
+
+        raise ConfigError(f"max_tasks must be >= 1, got {max_tasks}")
+    n = len(tables)
+    if n == 0:
+        return []
+    k = min(n, max_tasks)
+    base, extra = divmod(n, k)
+    groups, i = [], 0
+    for g in range(k):
+        size = base + (1 if g < extra else 0)
+        groups.append(tables[i:i + size])
+        i += size
+    return groups
+
+
 def run_replay_tables(
     table_events: dict[str, Callable[[], "ray.data.Dataset"]],
     base_cfg: EngineConfig,
+    *,
+    max_parallel_tables: int = 1,
 ) -> dict[str, dict]:
     """Multi-namespace connector analog: the reference runs one reader
     per database and routes each namespace to its own topic/collection
@@ -42,18 +68,42 @@ def run_replay_tables(
     Here each logical table gets its own snapshot/checkpoint subtree
     (``{snapshot_dir}/{table}``) and an independent committed replay —
     tables never share buckets, so a hot table cannot delay another's
-    commit."""
+    commit.
+
+    ``max_parallel_tables`` is the ``tasks.max`` analog: tables are
+    balanced into ``min(#tables, max_parallel_tables)`` groups
+    (:func:`group_tables`); groups run concurrently (one driver thread
+    each — Ray schedules their stages side by side and the streaming
+    executor shares the CPU budget), tables within a group run
+    sequentially."""
     import dataclasses
 
-    out = {}
-    for table, factory in table_events.items():
+    base_cfg.validate()
+
+    def run_one(table: str) -> dict:
         cfg = dataclasses.replace(
             base_cfg,
             snapshot_dir=f"{base_cfg.snapshot_dir}/{table}",
             checkpoint_dir=f"{base_cfg.checkpoint_dir}/{table}",
         )
-        out[table] = run_replay(factory(), cfg)
-    return out
+        return run_replay(table_events[table](), cfg)
+
+    tables = list(table_events)
+    groups = group_tables(tables, max_parallel_tables)
+    out: dict[str, dict] = {}
+    if len(groups) <= 1:
+        for t in tables:
+            out[t] = run_one(t)
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_group(group: list[str]) -> list[tuple[str, dict]]:
+        return [(t, run_one(t)) for t in group]
+
+    with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+        for results in pool.map(run_group, groups):
+            out.update(results)
+    return {t: out[t] for t in tables}
 
 
 def backfill_then_tail(

@@ -169,6 +169,34 @@ def parse_avro_schema(avro_json: str | dict) -> dict[str, str]:
     return out
 
 
+def bootstrap_schema_from_registry(fetch, *, max_retries: int = 5,
+                                   backoff_s: float = 0.0,
+                                   parse=parse_avro_schema) -> dict[str, str]:
+    """Schema-registry bootstrap with retry — the analog of the
+    reference's registry fetch at task start
+    (``AbstractMongoSourceTask.kt:65-80``: fetch latest Avro schema,
+    parse it into the initial cached schema, retrying transient
+    failures under the ``TaskUtil.runTry`` policy).
+
+    ``fetch`` is any zero-arg callable returning the Avro-JSON schema
+    text (an HTTP client in a networked deployment, a file read or a
+    stub here — the transport is injected, the retry/parse contract is
+    the engine's). Retries up to ``max_retries`` consecutive failures
+    with linear backoff, then re-raises. Returns the initial lattice
+    schema for :class:`SchemaAnalyzer` (``initial_schema=``)."""
+    import time
+
+    last = None
+    for attempt in range(max_retries + 1):
+        try:
+            return parse(fetch())
+        except Exception as e:  # noqa: BLE001 — transport errors are opaque
+            last = e
+            if attempt < max_retries and backoff_s:
+                time.sleep(backoff_s * (attempt + 1))
+    raise last
+
+
 class SchemaAnalyzer:
     """Actor-pool stage: JSON documents → analyzed flat Arrow rows.
 
