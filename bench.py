@@ -79,6 +79,7 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
         apply_mode="tasks",
         shuffle_strategy="SORT_SHUFFLE_PUSH_BASED",
         prereduce_coalesce=32,
+        op_reservation_ratio=0.3,
     )
     events = change_event_dataset(spec, base, concurrency=min(ncpu, spec.num_partitions))
     total_events = spec.num_partitions * spec.events_per_partition
@@ -126,8 +127,9 @@ def bench_analyzed(sf_dir: str, ncpu: int) -> dict:
     from kafka_connect_mongo_ray.sources.gen import GenSpec, change_event_dataset, synth_repo_files
 
     rows = _docs_rows(sf_dir)
+    mult = int(os.environ.get("GRAFT_AN_MULT", "1"))
     spec = GenSpec(num_partitions=32,
-                   events_per_partition=max(1000, rows * 200 // 32),
+                   events_per_partition=max(1000, rows * 200 * mult // 32),
                    seed=7, content_words=5)
     base = synth_repo_files(max(1, rows // 25), 100, seed=7)
 
@@ -145,7 +147,7 @@ def bench_analyzed(sf_dir: str, ncpu: int) -> dict:
                        checkpoint_dir="/tmp/kcm_bench_an/c",
                        num_buckets=64, analyze_schema=True,
                        shuffle_strategy="SORT_SHUFFLE_PUSH_BASED",
-                       prereduce_coalesce=32)
+                       prereduce_coalesce=32, op_reservation_ratio=0.3)
     events = change_event_dataset(spec, base).map_batches(
         attach_json, batch_format="pyarrow")
     n = spec.num_partitions * spec.events_per_partition

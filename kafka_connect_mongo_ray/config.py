@@ -65,6 +65,13 @@ class EngineConfig:
     # sort measured ~2x faster than the default pull-based on this
     # workload. None = leave the session default untouched.
     shuffle_strategy: str | None = None
+    # DataContext.op_resource_reservation_ratio override. The default
+    # (0.5) reserves half the cluster per operator, which starves the
+    # map stage behind the exchange on small clusters; 0.3 measured
+    # tp8 239k→258k ev/s and tp32 813k→1.03M on the 10M-event job,
+    # bringing 8→32-CPU scaling efficiency into a 0.93–1.15 band.
+    # None = leave the session default untouched.
+    op_reservation_ratio: float | None = None
     # Max rows per written snapshot file (resumable, many-file layout).
     snapshot_rows_per_file: int = 1_000_000
     # Free-form extension bag for pipeline-specific knobs (the
@@ -101,6 +108,11 @@ class EngineConfig:
             raise ConfigError(f"shuffle_strategy must be None or one of "
                               f"{_SHUFFLE_STRATEGIES}, got "
                               f"{self.shuffle_strategy!r}")
+        if self.op_reservation_ratio is not None and not (
+                isinstance(self.op_reservation_ratio, (int, float))
+                and 0 < self.op_reservation_ratio <= 1):
+            raise ConfigError("op_reservation_ratio must be None or in (0, 1], "
+                              f"got {self.op_reservation_ratio!r}")
         if (not isinstance(self.snapshot_rows_per_file, int)
                 or self.snapshot_rows_per_file < 1):
             raise ConfigError("snapshot_rows_per_file must be a positive int, "

@@ -234,6 +234,12 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         DataContext.get_current().shuffle_strategy = getattr(
             ShuffleStrategy, cfg.shuffle_strategy
         )
+    if cfg.op_reservation_ratio is not None:
+        from ray.data.context import DataContext
+
+        DataContext.get_current().op_resource_reservation_ratio = (
+            cfg.op_reservation_ratio
+        )
 
     if cfg.analyze_schema:
         import ray as _r
