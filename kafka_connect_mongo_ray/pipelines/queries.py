@@ -324,8 +324,6 @@ def q_cdc_wal_tail(sf_dir: str):
     import hashlib
     import shutil
 
-    import pyarrow.parquet as pq
-
     from kafka_connect_mongo_ray.config import EngineConfig
     from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset
     from kafka_connect_mongo_ray.sources.wal import tail_wal
@@ -336,18 +334,22 @@ def q_cdc_wal_tail(sf_dir: str):
     import os
 
     os.makedirs(log, exist_ok=True)
-    # segments must be LOG PREFIXES per partition: sorting by the full
-    # (ts, inc) position before slicing guarantees any prefix is
-    # downward-closed per partition, so resume tokens never skip an
-    # unapplied event (the WAL ordering contract, sources/wal.py)
-    ev = pa.concat_tables(
-        doc_change_events(sf_dir).iter_batches(batch_size=None, batch_format="pyarrow")
-    ).sort_by([("ts", "ascending"), ("inc", "ascending")])
-    n = ev.num_rows
-    cuts = [0, n // 3, 2 * (n // 3), n]
-    for i in range(3):
-        pq.write_table(ev.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                       f"{log}/{i:012d}-seg.parquet")
+    # segments must be LOG PREFIXES per partition: a DISTRIBUTED sort
+    # by the full (ts, inc) position + row-position splits guarantees
+    # any prefix is downward-closed per partition, so resume tokens
+    # never skip an unapplied event (the WAL ordering contract,
+    # sources/wal.py). No driver-side materialization: the sort is the
+    # engine's shuffle, each segment lands via a single-file
+    # write_parquet (bounded by segment size, not corpus size).
+    ev_ds = doc_change_events(sf_dir).sort(key=["ts", "inc"])
+    n = ev_ds.count()
+    parts = ev_ds.split_at_indices([n // 3, 2 * (n // 3)])
+    for i, part in enumerate(parts):
+        seg_dir = f"{root}/segbuild-{i}"
+        part.repartition(1).write_parquet(seg_dir)
+        fname = next(f for f in sorted(os.listdir(seg_dir))
+                     if f.endswith(".parquet"))
+        os.replace(os.path.join(seg_dir, fname), f"{log}/{i:012d}-seg.parquet")
     cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
                        num_buckets=16)
     tail_wal(log, cfg, max_files_per_window=2)  # two committed windows

@@ -55,9 +55,31 @@ def native_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
 
 
 def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
-              how: str = "inner"):
+              how: str = "inner", hot_keys: list | None = None,
+              num_salts: int = 8):
     """Join two Datasets on equality keys ``on``; column sets must be
-    disjoint apart from the keys (standard star-schema usage)."""
+    disjoint apart from the keys (standard star-schema usage).
+
+    **Skew handling (salted split)**: pass ``hot_keys`` (values of the
+    single join key that are known/measured hot) and the LEFT (large)
+    side's hot rows are sprayed across ``num_salts`` sub-buckets while
+    the RIGHT side's matching rows are replicated into every sub-bucket
+    — the classic salted-replicate join. A hot key's group shrinks from
+    |left_hot| to |left_hot|/num_salts rows; the replication cost is
+    |right_hot| × num_salts (keep the small side right). Only valid for
+    single-column keys and inner/left joins (replicating the right side
+    would duplicate right-only rows under right/outer semantics)."""
+    if hot_keys is not None:
+        if len(on) != 1:
+            raise ValueError("salted join supports a single join key")
+        if how not in ("inner", "left"):
+            raise ValueError("salted join supports inner/left joins only")
+    return _hash_join_impl(left_ds, right_ds, on=on, num_buckets=num_buckets,
+                           how=how, hot_keys=hot_keys, num_salts=num_salts)
+
+
+def _hash_join_impl(left_ds, right_ds, *, on, num_buckets, how,
+                    hot_keys=None, num_salts=8):
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -65,8 +87,55 @@ def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
     left_types = dict(zip(left_schema.names, left_schema.types))
     right_types = dict(zip(right_schema.names, right_schema.types))
 
-    lt = left_ds.map_batches(_tag(0, on, num_buckets), batch_format="pyarrow")
-    rt = right_ds.map_batches(_tag(1, on, num_buckets), batch_format="pyarrow")
+    if hot_keys is None:
+        lt = left_ds.map_batches(_tag(0, on, num_buckets), batch_format="pyarrow")
+        rt = right_ds.map_batches(_tag(1, on, num_buckets), batch_format="pyarrow")
+    else:
+        key = on[0]
+        hot_list = list(hot_keys)
+
+        def tag_left_salted(batch: pa.Table) -> pa.Table:
+            limit_worker_threads()
+            b = hash_buckets(batch, on, num_buckets)
+            vals = np.asarray(batch[key])
+            for hi, hk in enumerate(hot_list):
+                m = vals == hk
+                nm = int(m.sum())
+                if nm:
+                    # spray the hot key's rows across its salt range
+                    b[m] = (num_buckets + hi * num_salts
+                            + (np.arange(nm) % num_salts))
+            t = batch.append_column(_BUCKET, pa.array(b, pa.int32()))
+            return t.append_column(
+                _SIDE, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+        def tag_right_salted(batch: pa.Table) -> pa.Table:
+            limit_worker_threads()
+            b = hash_buckets(batch, on, num_buckets)
+            vals = np.asarray(batch[key])
+            hot_any = np.zeros(len(vals), dtype=bool)
+            idx_parts: list[np.ndarray] = []
+            bkt_parts: list[np.ndarray] = []
+            for hi, hk in enumerate(hot_list):
+                m = vals == hk
+                hot_any |= m
+                rows = np.flatnonzero(m)
+                if len(rows):
+                    # replicate matching right rows into EVERY salt bucket
+                    idx_parts.append(np.repeat(rows, num_salts))
+                    bkt_parts.append(np.tile(
+                        num_buckets + hi * num_salts
+                        + np.arange(num_salts, dtype=np.int64), len(rows)))
+            cold = np.flatnonzero(~hot_any)
+            idx = np.concatenate([cold] + idx_parts) if idx_parts else cold
+            bkt = np.concatenate([b[cold]] + bkt_parts) if bkt_parts else b[cold]
+            t = batch.take(pa.array(idx))
+            t = t.append_column(_BUCKET, pa.array(bkt.astype(np.int32)))
+            return t.append_column(
+                _SIDE, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+        lt = left_ds.map_batches(tag_left_salted, batch_format="pyarrow")
+        rt = right_ds.map_batches(tag_right_salted, batch_format="pyarrow")
 
     # pad each side with the other's non-key columns (null) so union has
     # one schema; nulls never survive the merge

@@ -225,3 +225,33 @@ def test_native_join_matches_bucketed():
     a = ours[key].sort_values(key).reset_index(drop=True)
     b = theirs[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_salted_join_skewed_key():
+    """Salted split for a deliberately skewed key: half of the left
+    side shares one key. Result must equal a plain pandas merge, and
+    the hot key's rows must be spread across num_salts sub-buckets."""
+    import pandas as pd
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    n = 20_000
+    rng = np.random.default_rng(0)
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n))
+    left = pa.table({"custkey": pa.array(keys, pa.int64()),
+                     "val": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({"custkey": pa.array(np.arange(500, dtype=np.int64)),
+                      "seg": pa.array([f"s{i%5}" for i in range(500)])})
+    got = hash_join(ds_of(left, 4), ds_of(right, 2), on=["custkey"],
+                    num_buckets=8, hot_keys=[7], num_salts=4).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="custkey", how="inner")
+    key = ["custkey", "val", "seg"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+    # invalid salted forms fail fast
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_join(ds_of(left, 2), ds_of(right, 2), on=["custkey"],
+                  how="outer", hot_keys=[7])
