@@ -921,6 +921,134 @@ def q_join_lineitem_part_supplier(sf_dir: str):
                 Sum("revenue_x10k", alias_name="revenue_x10k"))
 
 
+QUALITY_MIN_TOKENS = 40
+QUALITY_MIN_CHARS = 100
+HOP_US = 3_600_000_000  # hop 1 h, window size 2 h (2 hops per window)
+
+
+def q_docs_quality_filter(sf_dir: str):
+    """Quality-gate filter stage of a training-data pipeline: drop
+    documents below token/char thresholds (vectorized Arrow kernels)."""
+    from kafka_connect_mongo_ray.functions.text import (
+        quality_score_batch,
+        token_count_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["n_tokens"], QUALITY_MIN_TOKENS),
+            pc.greater_equal(t["q_n_chars"], QUALITY_MIN_CHARS),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"])
+
+
+def q_corpus_prep(sf_dir: str):
+    """Flagship training-data-prep composition, end to end in one gate
+    query: exact dedup (min-id per md5 group) → near-dup removal (drop
+    the higher id of every verified shingle-Jaccard ≥ 0.6 pair, found
+    via MinHash-LSH + join-attached verification) → quality gate →
+    surviving (doc_id, n_tokens). The oracle recomputes the whole
+    composition in SQL."""
+    from kafka_connect_mongo_ray.functions.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
+    from kafka_connect_mongo_ray.functions.text import (
+        quality_score_batch,
+        token_count_batch,
+    )
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    survivors = exact_dedup(docs).select_columns(["doc_id"])
+
+    cands = minhash_lsh_candidates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    pairs = verify_pairs_jaccard(
+        cands, _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD, num_buckets=8)
+    # near-dup removal policy: the HIGHER id of each pair is dropped —
+    # deterministic and mirrored in SQL (id_b of canonical pairs).
+    # All id plumbing stays distributed (anti-join via left hash_join
+    # + null filter, then join back to the texts): no driver-side id
+    # set, so the pipeline shape survives a corpus of any size.
+    removed = pairs.map_batches(
+        lambda t: pa.table({"doc_id": t["id_b"],
+                            "__removed": pa.array([1] * t.num_rows, pa.int8())}),
+        batch_format="pyarrow",
+    ).groupby("doc_id").map_groups(lambda g: g.head(1), batch_format="pandas")
+    kept = hash_join(survivors, removed, on=["doc_id"], how="left",
+                     num_buckets=8).map_batches(
+        lambda t: t.filter(pc.is_null(t["__removed"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    scored = hash_join(kept, docs, on=["doc_id"], num_buckets=8)
+
+    def score_and_gate(t: pa.Table) -> pa.Table:
+        t = token_count_batch(t)
+        t = quality_score_batch(t)
+        mask = pc.and_(
+            pc.greater_equal(t["n_tokens"], QUALITY_MIN_TOKENS),
+            pc.greater_equal(t["q_n_chars"], QUALITY_MIN_CHARS),
+        )
+        return t.filter(mask)
+
+    out = scored.map_batches(score_and_gate, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def q_events_hopping_window(sf_dir: str):
+    """Hopping windows (size 2 h, hop 1 h — every event lands in two
+    overlapping windows): 1→2 row expansion inside map_batches, partial
+    count combiner, small final groupby. The overlapping-window variant
+    Ray Data lacks natively."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        etype = np.asarray(batch["event_type"]).astype(object)
+        hop_idx = ts_us // HOP_US
+        # window start hops: the event's own hop and the previous one
+        starts = np.concatenate([hop_idx, hop_idx - 1]) * HOP_US
+        types2 = np.concatenate([etype, etype])
+        df = pd.DataFrame({"event_type": types2, "window_start": starts})
+        g = df.groupby(["event_type", "window_start"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(expand_partial, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Sum("n", alias_name="n"))
+
+
+def q_events_topk_per_group(sf_dir: str):
+    """Top-2 events by value per event_type — per-group top-k via
+    in-group sort (the grouped ordering family)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("value", "descending"), ("event_id", "ascending")])
+        t = t.slice(0, 2)
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "value": pc.round(t["value"], 3),
+        })
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -950,6 +1078,10 @@ def build_queries():
         "events_distinct_types": q_events_distinct_types,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_lineitem_part_supplier": q_join_lineitem_part_supplier,
+        "events_hopping_window": q_events_hopping_window,
+        "events_topk_per_group": q_events_topk_per_group,
+        "docs_quality_filter": q_docs_quality_filter,
+        "corpus_prep": q_corpus_prep,
         # approximate / trained operators — each returns machine-checked
         # rows (measured recall / error-bound flags) with a SQL oracle
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1125,6 +1257,46 @@ def build_oracle_sql():
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY p_brand, n_name
+        """,
+        "events_hopping_window": f"""
+            SELECT event_type,
+                   CAST((FLOOR(epoch_us(ts) / {HOP_US}) - k) * {HOP_US} AS BIGINT)
+                       AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) hops
+            GROUP BY 1, 2
+        """,
+        "events_topk_per_group": """
+            SELECT event_type, event_id, ROUND(value, 3) AS value FROM (
+                SELECT event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events) t
+            WHERE rn <= 2
+        """,
+        "docs_quality_filter": f"""
+            SELECT doc_id,
+                   CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE array_length(string_split(text, ' ')) >= {QUALITY_MIN_TOKENS}
+              AND length(text) >= {QUALITY_MIN_CHARS}
+        """,
+        "corpus_prep": f"""
+            WITH survivors AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            removed AS (
+                SELECT DISTINCT id_b AS doc_id
+                FROM ({SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD)}) p
+            )
+            SELECT d.doc_id,
+                   CAST(array_length(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents d
+            JOIN survivors s USING (doc_id)
+            LEFT JOIN removed r USING (doc_id)
+            WHERE r.doc_id IS NULL
+              AND array_length(string_split(d.text, ' ')) >= {QUALITY_MIN_TOKENS}
+              AND length(d.text) >= {QUALITY_MIN_CHARS}
         """,
         "dedup_minhash_lsh": SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD),
         "dedup_simhash": (
