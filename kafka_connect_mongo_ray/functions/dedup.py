@@ -459,11 +459,19 @@ def embedding_near_dup_exact(ds, *, threshold: float = 0.4,
         return pa.table({"id_a": pa.array(lo, pa.int64()),
                          "id_b": pa.array(hi, pa.int64())})
 
-    out_refs = []
+    # bounded-inflight submission: B·(B+1)/2 pair tasks can be large at
+    # scale — keep a window of ~4× cluster CPUs in flight instead of
+    # dumping the whole task set on the scheduler
+    max_inflight = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+    pending: list = []
+    parts: list[pa.Table] = []
     for i in range(len(refs)):
         for j in range(i, len(refs)):
-            out_refs.append(pair_task.remote(refs[i], refs[j], i == j))
-    parts = ray.get(out_refs)
+            if len(pending) >= max_inflight:
+                done, pending = ray.wait(pending, num_returns=1)
+                parts.extend(ray.get(done))
+            pending.append(pair_task.remote(refs[i], refs[j], i == j))
+    parts.extend(ray.get(pending))
     return pa.concat_tables(parts) if parts else pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
 

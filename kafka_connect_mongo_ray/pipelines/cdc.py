@@ -368,16 +368,15 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
 def final_state_dataset(cfg: EngineConfig, version: int | None = None):
     """Committed snapshot as a streaming Dataset (tombstones dropped).
 
-    Evolved-schema-safe: each read task conforms its bucket file to the
-    manifest-recorded union schema (nullable-add for columns the bucket
-    predates), so mixed-schema snapshots stream without a driver-side
-    materialization."""
-    import base64
-
+    Evolved-schema-safe: a custom :class:`SnapshotDatasource` conforms
+    each bucket file to the manifest-recorded union schema
+    (nullable-add for columns the bucket predates), so mixed-schema
+    snapshots stream without a driver-side materialization — and the
+    optimizer sees real per-file size metadata."""
     import ray.data as rd
 
     from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
-    from kafka_connect_mongo_ray.stages.apply import conform_table
+    from kafka_connect_mongo_ray.sources.snapshot_source import SnapshotDatasource
 
     store = SnapshotStore(cfg.snapshot_dir)
     v = version or store.current_version()
@@ -392,23 +391,8 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
     if not files:
         return rd.from_arrow(SNAPSHOT_SCHEMA.empty_table())
     union_b64 = (store.manifest(v) or {}).get("union_schema")
-
-    def read_conform(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        outs = []
-        union = (pa.ipc.read_schema(pa.BufferReader(base64.b64decode(union_b64)))
-                 if union_b64 else None)
-        for path in batch["path"].to_pylist():
-            t = pq.read_table(path)
-            if union is not None and not t.schema.equals(union):
-                t = conform_table(t, union)
-            outs.append(live_rows(t))
-        return pa.concat_tables(outs)
-
-    items = [{"path": f} for f in files]
-    return rd.from_items(items).map_batches(read_conform, batch_size=1,
-                                            batch_format="pyarrow")
+    return rd.read_datasource(
+        SnapshotDatasource(files, union_b64, live_only=True))
 
 
 def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = None,

@@ -3,6 +3,7 @@ COW-aware garbage collection."""
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -94,3 +95,39 @@ def test_gc_cow_aware(tmp_engine_dirs):
     assert after.equals(before)
     # expired manifests are gone → time travel to v1 now fails cleanly
     assert store.manifest(1) is None
+
+
+def test_snapshot_datasource_evolved_streaming_read(tmp_engine_dirs):
+    """The custom SnapshotDatasource streams a MIXED-schema snapshot
+    (bucket files written before and after a payload-column evolution),
+    conforming every file to the manifest union schema per read task."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_dataset
+
+    cfg = tmp_engine_dirs
+
+    def ev(rows, with_stars=False):
+        cols = {
+            "ts": pa.array([r[0] for r in rows], pa.int64()),
+            "inc": pa.array([0] * len(rows), pa.int32()),
+            "op": pa.array([r[1] for r in rows]),
+            "repo": pa.array(["r"] * len(rows)),
+            "path": pa.array([r[2] for r in rows]),
+            "commit": pa.array([""] * len(rows)),
+            "lang": pa.array([""] * len(rows)),
+            "content": pa.array([r[3] for r in rows], pa.large_string()),
+            "partition_id": pa.array([0] * len(rows), pa.int32()),
+        }
+        if with_stars:
+            cols["stars"] = pa.array([r[4] for r in rows], pa.float64())
+        return pa.table(cols)
+
+    run_replay(rd.from_arrow(ev([(1, "i", "a", "ca"), (1, "i", "b", "cb")])), cfg)
+    run_replay(rd.from_arrow(ev([(2, "u", "a", "ca2", 4.5)], with_stars=True)), cfg)
+    ds = final_state_dataset(cfg)
+    df = ds.to_pandas().sort_values("path").reset_index(drop=True)
+    assert list(df["content"]) == ["ca2", "cb"]
+    assert df["stars"][0] == 4.5 and pd.isna(df["stars"][1])
+    # plan-time metadata flows: schema visible without execution
+    assert "stars" in [f for f in ds.schema().names]
