@@ -921,6 +921,41 @@ def q_join_lineitem_part_supplier(sf_dir: str):
                 Sum("revenue_x10k", alias_name="revenue_x10k"))
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join (time-series lookup Ray Data lacks natively): each
+    'click' event attaches the same user's most recent 'view' event at
+    or before it — bucket-hash on user, one shuffle, per-group sorted
+    merge. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from kafka_connect_mongo_ray.stages.join import asof_join
+
+    def shape(etype, id_out):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table({
+                "user_id": t["user_id"],
+                "tsu": pc.cast(t["ts"], pa.int64()),
+                id_out: t["event_id"],
+            })
+
+        return fn
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                              "event_type"]).map_batches(
+        shape("click", "event_id"), batch_format="pyarrow")
+    views = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                             "event_type"]).map_batches(
+        shape("view", "view_event_id"), batch_format="pyarrow")
+    out = asof_join(clicks, views, by=["user_id"], on="tsu", num_buckets=16)
+    # unmatched clicks carry NaN — keep float64 on both sides (ids are
+    # far below 2^53, exact) rather than gamble on NaN→int casts
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("view_event_id"), "view_event_id",
+            pc.cast(t["view_event_id"], pa.float64())),
+        batch_format="pyarrow",
+    )
+
+
 QUALITY_MIN_TOKENS = 40
 QUALITY_MIN_CHARS = 100
 HOP_US = 3_600_000_000  # hop 1 h, window size 2 h (2 hops per window)
@@ -1080,6 +1115,7 @@ def build_queries():
         "join_lineitem_part_supplier": q_join_lineitem_part_supplier,
         "events_hopping_window": q_events_hopping_window,
         "events_topk_per_group": q_events_topk_per_group,
+        "events_asof_join": q_events_asof_join,
         "docs_quality_filter": q_docs_quality_filter,
         "corpus_prep": q_corpus_prep,
         # approximate / trained operators — each returns machine-checked
@@ -1265,6 +1301,17 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) hops
             GROUP BY 1, 2
+        """,
+        "events_asof_join": """
+            WITH clicks AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                            FROM events WHERE event_type = 'click'),
+                 views AS (SELECT user_id, epoch_us(ts) AS tsu,
+                                  event_id AS view_event_id
+                           FROM events WHERE event_type = 'view')
+            SELECT c.user_id, c.tsu, c.event_id,
+                   CAST(v.view_event_id AS DOUBLE) AS view_event_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.tsu >= v.tsu
         """,
         "events_topk_per_group": """
             SELECT event_type, event_id, ROUND(value, 3) AS value FROM (

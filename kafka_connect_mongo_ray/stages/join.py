@@ -54,6 +54,67 @@ def native_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
     return left_ds.join(right_ds, join_type, num_buckets, on=tuple(on))
 
 
+def asof_join(left_ds, right_ds, *, by: list[str], on: str,
+              num_buckets: int = 32, direction: str = "backward"):
+    """As-of join — the time-series lookup Ray Data lacks natively: for
+    every left row, attach the right row with the greatest ``on`` value
+    ≤ the left's (``direction='backward'``; ``'forward'`` = smallest ≥)
+    within the same ``by`` group. Left join semantics: unmatched left
+    rows keep null right columns.
+
+    Composition (no raw actors): both sides bucket-hash on ``by`` and
+    union (ONE shuffle moving each row once); inside every bucket group
+    a pandas ``merge_asof`` (sorted merge) resolves the per-key nearest
+    match. Partitioning assumption: all rows of a ``by`` key land in
+    one group — guaranteed by the bucket hash. Column sets must be
+    disjoint apart from ``by``/``on``; the right's ``on`` column is not
+    emitted (standard merge_asof contract)."""
+    left_cols = list(left_ds.schema().names)
+    right_schema = right_ds.schema()
+    right_cols = list(right_schema.names)
+    r_payload = [c for c in right_cols if c not in by and c != on]
+    right_types = dict(zip(right_schema.names, right_schema.types))
+
+    lt = left_ds.map_batches(_tag(0, by, num_buckets), batch_format="pyarrow")
+    rt = right_ds.map_batches(_tag(1, by, num_buckets), batch_format="pyarrow")
+
+    def pad(cols_missing, types):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols_missing:
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, types[c]))
+            return batch
+
+        return fn
+
+    left_types = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    l_missing = [c for c in right_cols if c not in left_cols]
+    r_missing = [c for c in left_cols if c not in right_cols]
+    types = {c: right_types[c] for c in l_missing}
+    types.update({c: left_types[c] for c in r_missing})
+    lt = lt.map_batches(pad(l_missing, types), batch_format="pyarrow")
+    rt = rt.map_batches(pad(r_missing, types), batch_format="pyarrow")
+    ordered = [_BUCKET, _SIDE] + sorted(set(left_cols + right_cols))
+    lt = lt.select_columns(ordered)
+    rt = rt.select_columns(ordered)
+    both = lt.union(rt)
+
+    l_payload = [c for c in left_cols if c not in by]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[_SIDE] == 0][by + l_payload].sort_values(on, kind="mergesort")
+        r = g[g[_SIDE] == 1][by + [on] + r_payload].sort_values(on, kind="mergesort")
+        if len(r) == 0:
+            out = l.copy()
+            for c in r_payload:
+                out[c] = pd.Series([None] * len(out), dtype=object)
+            return out[by + l_payload + r_payload]
+        out = pd.merge_asof(l, r, on=on, by=by, direction=direction)
+        return out[by + l_payload + r_payload]
+
+    return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas")
+
+
 def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
               how: str = "inner", hot_keys: list | None = None,
               num_salts: int = 8):

@@ -149,3 +149,47 @@ def test_prereduce_auto_learns_from_manifest(tmp_engine_dirs):
 
     want = content_sha256_map(final_table(replay(pa.concat_tables([ev1, ev2]))))
     assert engine_sha_map(final_state_dataset(cfg)) == want
+
+
+def test_periodic_reexport(tmp_engine_dirs):
+    """S5 cron re-export analog: scheduled backfill re-runs converge to
+    the latest snapshot content; the injected clock/sleep make the
+    schedule deterministic."""
+    import pyarrow as pa
+
+    from kafka_connect_mongo_ray.pipelines.cdc import final_state_table
+    from kafka_connect_mongo_ray.pipelines.stream import run_periodic_reexport
+    from kafka_connect_mongo_ray.sources.backfill import snapshot_to_insert_events
+    from kafka_connect_mongo_ray.sources.gen import synth_repo_files
+    from tests.test_replay_e2e import ds_from_table
+
+    cfg = tmp_engine_dirs
+    runs = {"n": 0}
+    base = synth_repo_files(3, 5, seed=9)
+
+    def factory():
+        runs["n"] += 1
+        # each export snapshots newer source content at a later ts
+        upd = base.set_column(
+            base.schema.get_field_index("content"), "content",
+            pa.array([f"{c}:v{runs['n']}" for c in base["content"].to_pylist()],
+                     pa.large_string()))
+        return ds_from_table(
+            snapshot_to_insert_events(upd, backfill_ts=runs["n"] * 1000,
+                                      num_partitions=2), 2)
+
+    slept = []
+    t = {"now": 100.0}
+
+    def fake_sleep(s):
+        slept.append(round(s, 6))
+        t["now"] += s
+
+    summaries = run_periodic_reexport(
+        factory, cfg, interval_s=60.0, max_runs=3,
+        sleep=fake_sleep, clock=lambda: t["now"])
+    assert [s["version"] for s in summaries] == [1, 2, 3]
+    state = final_state_table(cfg)
+    assert all(c.endswith(":v3") for c in state["content"].to_pylist())
+    # ticks waited for the schedule (first fires immediately)
+    assert len(slept) == 2 and all(abs(s - 60.0) < 1e-6 for s in slept)
