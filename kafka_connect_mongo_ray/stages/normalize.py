@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from kafka_connect_mongo_ray.schema import OPS
-from kafka_connect_mongo_ray.stages.apply import TOKEN_OP_RANK, partial_lww
+from kafka_connect_mongo_ray.stages.apply import TOKEN_OP_RANK
 from kafka_connect_mongo_ray.utils import compact_array, hash_buckets
 
 _SHUFFLE_COLS = ["bucket", "repo", "path", "commit", "lang", "content", "ts", "inc", "op_rank"]
@@ -187,25 +187,3 @@ def _empty_out() -> pa.Table:
     )
 
 
-class NormalizePreReduce:
-    """Fused normalize + partial-LWW stage for ``map_batches``.
-
-    One fused pass instead of two keeps the event stream zero-copy
-    Arrow end to end and halves task overhead; the resume tokens are
-    fetched once per actor from the broadcast ref (``ray.put`` on the
-    driver), never re-shipped per batch.
-    """
-
-    def __init__(self, num_buckets: int, tokens_ref=None):
-        self.num_buckets = num_buckets
-        if tokens_ref is not None:
-            import ray
-
-            self.tokens = ray.get(tokens_ref)
-        else:
-            self.tokens = None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return partial_lww(
-            normalize_batch(batch, num_buckets=self.num_buckets, tokens=self.tokens)
-        )
