@@ -121,6 +121,43 @@ def validate(args) -> int:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def gc(args) -> int:
+    """Lake maintenance: expire snapshot versions beyond the retention
+    window (COW-aware — carried-forward files referenced by kept
+    manifests survive) and sweep orphaned staging dirs."""
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot, create=False)
+    out = store.gc(keep_last=args.keep_last)
+    out["swept_staging"] = store.clean_stale_staging()
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+def export(args) -> int:
+    """Materialize the live final state (tombstones dropped) as a
+    directory of Parquet part files — streaming write, never one giant
+    file."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import export_final_state
+
+    cfg = EngineConfig(snapshot_dir=args.snapshot, checkpoint_dir=args.checkpoints)
+    rows = export_final_state(cfg, args.out, version=args.version or None)
+    print(json.dumps({"out_dir": args.out, "rows": rows,
+                      "version": args.version or "current"}, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -138,6 +175,14 @@ def main(argv=None) -> int:
     va.add_argument("--events", type=int, default=20_000)
     va.add_argument("--partitions", type=int, default=4)
     va.add_argument("--seed", type=int, default=42)
+    g = sub.add_parser("gc")
+    g.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    g.add_argument("--keep-last", type=int, default=2, dest="keep_last")
+    ex = sub.add_parser("export")
+    ex.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    ex.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--version", type=int, default=0)
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -146,6 +191,10 @@ def main(argv=None) -> int:
         return replay(args)
     if args.cmd == "validate":
         return validate(args)
+    if args.cmd == "gc":
+        return gc(args)
+    if args.cmd == "export":
+        return export(args)
     p.print_help()
     return 0
 

@@ -255,3 +255,37 @@ def test_salted_join_skewed_key():
     with pytest.raises(ValueError):
         hash_join(ds_of(left, 2), ds_of(right, 2), on=["custkey"],
                   how="outer", hot_keys=[7])
+
+
+def test_cli_gc_and_export(tmp_path, capsys):
+    """Operational CLI: gc expires versions, export materializes the
+    live state as parquet part files (in-process: the test session owns
+    the Ray instance)."""
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import main
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.sources.gen import GenSpec, gen_all_events, synth_repo_files
+    from tests.test_replay_e2e import ds_from_table
+
+    snap, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    cfg = EngineConfig(snapshot_dir=snap, checkpoint_dir=ckpt, num_buckets=4)
+    base = synth_repo_files(2, 6, seed=5)
+    for seed in (5, 6, 7):
+        ev = gen_all_events(GenSpec(num_partitions=2, events_per_partition=80,
+                                    seed=seed, base_ts=1_600_000_000 + seed * 10**6), base)
+        run_replay(ds_from_table(ev, 2), cfg)
+
+    rc = main(["export", "--snapshot", snap, "--checkpoints", ckpt,
+               "--out", str(tmp_path / "exported")])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["rows"] > 0
+
+    rc = main(["gc", "--snapshot", snap, "--keep-last", "1"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["kept_versions"] == [3]
+    # the current version still reads after gc
+    rc = main(["healthcheck", "--snapshot", snap, "--checkpoints", ckpt])
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ok" and out["current_version"] == 3
