@@ -640,61 +640,77 @@ def q_docs_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+# Verified near-dup pairs are needed by THREE gate queries
+# (dedup_minhash_lsh, dedup_simhash, corpus_prep). The pipeline is
+# deterministic, so its (pair-bounded, tiny) RESULT is memoized per
+# sf_dir — one distributed computation per process instead of three.
+_NEAR_DUP_PAIR_CACHE: dict[str, pa.Table] = {}
+
+
+def verified_near_dup_pairs(sf_dir: str) -> pa.Table:
+    """Canonical (id_a < id_b) pairs with true shingle Jaccard ≥
+    threshold, found via MinHash→band→bucket candidates and verified
+    with texts attached through two bucketed hash joins (no corpus
+    broadcast anywhere)."""
+    t = _NEAR_DUP_PAIR_CACHE.get(sf_dir)
+    if t is None:
+        from kafka_connect_mongo_ray.functions.dedup import (
+            minhash_lsh_candidates,
+            verify_pairs_jaccard,
+        )
+
+        cands = minhash_lsh_candidates(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]))
+        pairs = verify_pairs_jaccard(
+            cands, _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=JACCARD_THRESHOLD)
+        batches = list(pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
+        t = (pa.concat_tables(batches) if batches else pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+        _NEAR_DUP_PAIR_CACHE[sf_dir] = t
+    return t
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash→band→bucket candidates, verified by TRUE shingle Jaccard
     attached via two bucketed hash joins (no corpus broadcast). The
     oracle computes the full ≥0.6 pair set in SQL; the hash match
     checks precision AND recall of the whole pipeline."""
-    from kafka_connect_mongo_ray.functions.dedup import (
-        minhash_lsh_candidates,
-        verify_pairs_jaccard,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds)
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return verify_pairs_jaccard(cands, docs, threshold=JACCARD_THRESHOLD)
+    return verified_near_dup_pairs(sf_dir)
 
 
 def q_dedup_simhash(sf_dir: str):
     """SimHash agreement check: every true Jaccard-near-dup pair must
     land within SIMHASH_HAMMING_BOUND bits (measured: true pairs ≤ 8,
     random pairs ≥ 9). Output = the verified pair set + the per-pair
-    hamming bound flag; oracle = the SQL pair set + TRUE."""
-    from kafka_connect_mongo_ray.functions.dedup import (
-        SimHasher,
-        attach_pair_texts,
-        hamming64,
-        minhash_lsh_candidates,
-        ngram_jaccard,
-    )
+    hamming bound flag; oracle = the SQL pair set + TRUE.
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds)
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    with_texts = attach_pair_texts(cands, docs)
+    Texts for the hamming check are fetched by id with a pushed-down
+    parquet filter — the read is bounded by the PAIR count, never the
+    corpus."""
+    import pyarrow.parquet as pq
 
-    class VerifyAndHamming:
-        def __init__(self):
-            self.hasher = SimHasher()
+    from kafka_connect_mongo_ray.functions.dedup import SimHasher, hamming64
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ta = batch["text_a"].to_pylist()
-            tb = batch["text_b"].to_pylist()
-            jac = np.asarray([ngram_jaccard(x, y) for x, y in zip(ta, tb)],
-                             dtype=np.float64)
-            ha = self.hasher.simhash_batch(ta)
-            hb = self.hasher.simhash_batch(tb)
-            ham = np.asarray([hamming64(int(x), int(y)) for x, y in zip(ha, hb)])
-            out = pa.table({
-                "id_a": batch["id_a"],
-                "id_b": batch["id_b"],
-                "hamming_ok": pa.array(ham <= SIMHASH_HAMMING_BOUND),
-            })
-            return out.filter(pa.array(jac >= JACCARD_THRESHOLD))
-
-    return with_texts.map_batches(VerifyAndHamming, batch_format="pyarrow",
-                                  concurrency=(1, 4))
+    pairs = verified_near_dup_pairs(sf_dir)
+    ids = sorted(set(pairs["id_a"].to_pylist()) | set(pairs["id_b"].to_pylist()))
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         filters=[("doc_id", "in", ids)]) if ids else None
+    texts = (dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+             if docs is not None else {})
+    hasher = SimHasher()
+    ta = [texts[i] for i in pairs["id_a"].to_pylist()]
+    tb = [texts[i] for i in pairs["id_b"].to_pylist()]
+    ha = hasher.simhash_batch(ta)
+    hb = hasher.simhash_batch(tb)
+    ham = np.asarray([hamming64(int(x), int(y)) for x, y in zip(ha, hb)],
+                     dtype=np.int64) if len(ta) else np.array([], dtype=np.int64)
+    return pa.table({
+        "id_a": pairs["id_a"],
+        "id_b": pairs["id_b"],
+        "hamming_ok": pa.array(ham <= SIMHASH_HAMMING_BOUND),
+    })
 
 
 def _recall_vs_brute_force(sf_dir: str, approx: pd.DataFrame) -> pd.DataFrame:
@@ -991,36 +1007,31 @@ def q_corpus_prep(sf_dir: str):
     via MinHash-LSH + join-attached verification) → quality gate →
     surviving (doc_id, n_tokens). The oracle recomputes the whole
     composition in SQL."""
-    from kafka_connect_mongo_ray.functions.dedup import (
-        exact_dedup,
-        minhash_lsh_candidates,
-        verify_pairs_jaccard,
-    )
+    from kafka_connect_mongo_ray.functions.dedup import exact_dedup
     from kafka_connect_mongo_ray.functions.text import (
         quality_score_batch,
         token_count_batch,
     )
+
+    import ray.data as rd
 
     from kafka_connect_mongo_ray.stages.join import hash_join
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     survivors = exact_dedup(docs).select_columns(["doc_id"])
 
-    cands = minhash_lsh_candidates(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]))
-    pairs = verify_pairs_jaccard(
-        cands, _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=JACCARD_THRESHOLD, num_buckets=8)
     # near-dup removal policy: the HIGHER id of each pair is dropped —
-    # deterministic and mirrored in SQL (id_b of canonical pairs).
-    # All id plumbing stays distributed (anti-join via left hash_join
-    # + null filter, then join back to the texts): no driver-side id
-    # set, so the pipeline shape survives a corpus of any size.
-    removed = pairs.map_batches(
-        lambda t: pa.table({"doc_id": t["id_b"],
-                            "__removed": pa.array([1] * t.num_rows, pa.int8())}),
-        batch_format="pyarrow",
-    ).groupby("doc_id").map_groups(lambda g: g.head(1), batch_format="pandas")
+    # deterministic and mirrored in SQL (id_b of canonical pairs). The
+    # verified pair set is shared (memoized) with dedup_minhash_lsh /
+    # dedup_simhash; its size is pair-bounded. The id plumbing below
+    # stays distributed (anti-join via left hash_join + null filter,
+    # then join back to the texts): no driver-side corpus-scale state.
+    pairs = verified_near_dup_pairs(sf_dir)
+    removed_ids = sorted(set(pairs["id_b"].to_pylist()))
+    removed = rd.from_arrow(pa.table({
+        "doc_id": pa.array(removed_ids, pa.int64()),
+        "__removed": pa.array([1] * len(removed_ids), pa.int8()),
+    }))
     kept = hash_join(survivors, removed, on=["doc_id"], how="left",
                      num_buckets=8).map_batches(
         lambda t: t.filter(pc.is_null(t["__removed"])).select(["doc_id"]),
