@@ -226,6 +226,118 @@ class WavDecoder:
         )
 
 
+def encode_avi_rgb(frames: list[np.ndarray], width: int, height: int,
+                   us_per_frame: int = 33_333) -> bytes:
+    """Minimal RIFF/AVI writer: uncompressed RGB24 '00db' frames under
+    one 'movi' list, a spec-shaped 'avih' main header and one 'strl'
+    stream list. Enough structure for any chunk-walking reader."""
+    import struct
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    n = len(frames)
+    frame_bytes = [np.ascontiguousarray(f, dtype=np.uint8).tobytes()
+                   for f in frames]
+    max_len = max((len(b) for b in frame_bytes), default=0)
+    avih = struct.pack("<14I", us_per_frame, max_len * 8, 0, 0x10, n, 0, 1,
+                       max_len, width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+                       us_per_frame, 1_000_000, 0, n, max_len, 0xFFFFFFFF, 0,
+                       0, 0, width, height)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Parse a RIFF/AVI container by walking its chunk tree: returns
+    (width, height, n_frames, us_per_frame, frame_payloads) where
+    frame_payloads are the raw '00db'/'00dc' video chunks in order.
+    Raises ValueError on malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    header = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, i: int, end: int) -> None:
+        nonlocal header
+        while i + 8 <= end:
+            cid = buf[i:i + 4]
+            size = struct.unpack("<I", buf[i + 4:i + 8])[0]
+            if i + 8 + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(buf, i + 12, i + 8 + size)
+            elif cid == b"avih":
+                header = struct.unpack("<14I", buf[i + 8:i + 8 + 56])
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[i + 8:i + 8 + size])
+            i += 8 + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if header is None:
+        raise ValueError("missing avih header")
+    us_per_frame, total_frames = header[0], header[4]
+    width, height = header[8], header[9]
+    if total_frames != len(frames):
+        raise ValueError(
+            f"avih declares {total_frames} frames, found {len(frames)}")
+    return width, height, len(frames), us_per_frame, frames
+
+
+class AviDecoder:
+    """Actor-pool video decode stage: parses the AVI container, counts
+    frames, and extracts the FIRST and LAST frame's mean pixel value —
+    proving real frame extraction, not just header parsing. Malformed
+    payloads are skipped and counted."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.malformed = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, ns, durs, first, last = [], [], [], [], [], [], []
+        for mid, p in zip(batch[self.id_col].to_pylist(),
+                          batch[self.payload_col].to_pylist()):
+            try:
+                w, h, n, upf, frames = decode_avi(p or b"")
+                if n == 0:
+                    raise ValueError("no frames")
+            except ValueError:
+                self.malformed += 1
+                continue
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            ns.append(n)
+            durs.append(n * upf)
+            first.append(float(np.frombuffer(frames[0], np.uint8).mean()))
+            last.append(float(np.frombuffer(frames[-1], np.uint8).mean()))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_frames": pa.array(ns, pa.int64()),
+                "duration_us": pa.array(durs, pa.int64()),
+                "mean_first_frame": pa.array(first, pa.float64()),
+                "mean_last_frame": pa.array(last, pa.float64()),
+            }
+        )
+
+
 class FrameSampleStub:
     """Video frame-sampling stub: emits ``frames_per_clip`` byte slices
     per payload (deterministic offsets), flat_map-shaped (1 → N rows)."""

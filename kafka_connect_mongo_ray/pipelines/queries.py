@@ -868,6 +868,42 @@ def q_multimodal_audio(sf_dir: str):
     )
 
 
+def q_multimodal_video(sf_dir: str):
+    """REAL video container decode: synthesize a RIFF/AVI clip per
+    document (frame count / dims / per-frame solid color derived from
+    doc_id), then walk the chunk tree back — header AND raw '00db'
+    frame extraction (first/last frame means prove the frames were
+    actually read). Oracle recomputes every property from doc_id."""
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        AviDecoder,
+        encode_avi_rgb,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n, w, h = 2 + i % 6, 4 + i % 8, 3 + i % 5
+            frames = [np.full((h, w, 3), (i + f) % 256, np.uint8)
+                      for f in range(n)]
+            payloads.append(encode_avi_rgb(frames, w, h, us_per_frame=33_333))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(["video/x-msvideo"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=128)
+    return media.map_batches(
+        AviDecoder, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem: partial aggregate
     inside map_batches (combiner), tiny final groupby — the canonical
@@ -1150,6 +1186,7 @@ def build_queries():
         "dedup_simhash": q_dedup_simhash,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
     }
 
 
@@ -1431,6 +1468,16 @@ def build_oracle_sql():
                    CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
                    CAST((100 + doc_id % 50) * 125 AS BIGINT) AS duration_us,
                    CAST(doc_id % 1000 AS BIGINT) AS max_amp
+            FROM documents
+        """,
+        "multimodal_video": """
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 8 AS BIGINT) AS width,
+                   CAST(3 + doc_id % 5 AS BIGINT) AS height,
+                   CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+                   CAST((2 + doc_id % 6) * 33333 AS BIGINT) AS duration_us,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_first_frame,
+                   CAST((doc_id + 1 + doc_id % 6) % 256 AS DOUBLE) AS mean_last_frame
             FROM documents
         """,
     }

@@ -362,3 +362,36 @@ def test_embedding_near_dup_exact_matches_bruteforce(emb_tbl):
     want = set(zip(np.minimum(ids[ai], ids[bi]).tolist(),
                    np.maximum(ids[ai], ids[bi]).tolist()))
     assert got_set == want
+
+
+def test_avi_codec_roundtrip_and_malformed():
+    import numpy as np
+
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        AviDecoder,
+        decode_avi,
+        encode_avi_rgb,
+    )
+
+    frames = [np.full((3, 4, 3), v, np.uint8) for v in (10, 20, 30)]
+    w, h, n, upf, fr = decode_avi(encode_avi_rgb(frames, 4, 3, us_per_frame=40_000))
+    assert (w, h, n, upf) == (4, 3, 3, 40_000)
+    assert np.frombuffer(fr[0], np.uint8).mean() == 10
+    assert np.frombuffer(fr[2], np.uint8).mean() == 30
+    # odd-length chunk padding path
+    assert decode_avi(encode_avi_rgb([np.full((1, 1, 3), 7, np.uint8)], 1, 1))[2] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        decode_avi(encode_avi_rgb(frames, 4, 3)[:-10])  # truncated
+    import pyarrow as pa
+
+    dec = AviDecoder()
+    out = dec(pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                        "payload": pa.array(
+                            [encode_avi_rgb(frames, 4, 3), b"junk"],
+                            pa.binary())}))
+    assert out.num_rows == 1 and dec.malformed == 1
+    assert out["n_frames"][0].as_py() == 3
