@@ -338,6 +338,55 @@ class AviDecoder:
         )
 
 
+class FrameSampler:
+    """REAL frame sampler over AVI payloads — the flat_map-shaped
+    (1 → N rows) multimodal stage: decodes the container and emits up
+    to ``max_frames`` evenly-spaced frames per clip as
+    (media_id, frame_idx, frame_mean, frame_bytes?) rows. Payload
+    bytes are optional (``emit_bytes``) — at scale the downstream
+    stage usually wants features, not raw frames."""
+
+    def __init__(self, max_frames: int = 4, payload_col: str = "payload",
+                 id_col: str = "media_id", emit_bytes: bool = False):
+        self.max_frames = max_frames
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.emit_bytes = emit_bytes
+        self.malformed = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, means, blobs = [], [], [], []
+        for mid, p in zip(batch[self.id_col].to_pylist(),
+                          batch[self.payload_col].to_pylist()):
+            try:
+                _w, _h, n, _upf, frames = decode_avi(p or b"")
+            except ValueError:
+                self.malformed += 1
+                continue
+            k = min(self.max_frames, n)
+            # integer-arithmetic even spacing (deduped, order kept) —
+            # exactly reproducible in SQL, unlike np.linspace rounding
+            if k <= 1:
+                picks = [0] if n else []
+            else:
+                picks = list(dict.fromkeys(
+                    j * (n - 1) // (k - 1) for j in range(k)))
+            for fi in picks:
+                ids.append(mid)
+                idxs.append(int(fi))
+                means.append(float(np.frombuffer(frames[fi], np.uint8).mean()))
+                if self.emit_bytes:
+                    blobs.append(frames[fi])
+        cols = {
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_mean": pa.array(means, pa.float64()),
+        }
+        if self.emit_bytes:
+            cols["frame_bytes"] = pa.array(blobs, pa.binary())
+        return pa.table(cols)
+
+
 class FrameSampleStub:
     """Video frame-sampling stub: emits ``frames_per_clip`` byte slices
     per payload (deterministic offsets), flat_map-shaped (1 → N rows)."""

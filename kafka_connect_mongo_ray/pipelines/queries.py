@@ -904,6 +904,36 @@ def q_multimodal_video(sf_dir: str):
     )
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame sampling as a flat-map-shaped (1 → N rows) stage: up to 3
+    evenly-spaced raw frames extracted per synthesized AVI clip; the
+    oracle enumerates the integer-spaced indices and per-frame means
+    from doc_id in SQL."""
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        FrameSampler,
+        encode_avi_rgb,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n, w, h = 2 + i % 6, 4 + i % 8, 3 + i % 5
+            frames = [np.full((h, w, 3), (i + f) % 256, np.uint8)
+                      for f in range(n)]
+            payloads.append(encode_avi_rgb(frames, w, h))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=128)
+    return media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"max_frames": 3},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem: partial aggregate
     inside map_batches (combiner), tiny final groupby — the canonical
@@ -1187,6 +1217,7 @@ def build_queries():
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1479,5 +1510,19 @@ def build_oracle_sql():
                    CAST(doc_id % 256 AS DOUBLE) AS mean_first_frame,
                    CAST((doc_id + 1 + doc_id % 6) % 256 AS DOUBLE) AS mean_last_frame
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH clip AS (
+                SELECT doc_id, 2 + doc_id % 6 AS n,
+                       LEAST(3, 2 + doc_id % 6) AS k
+                FROM documents),
+            idx AS (
+                SELECT DISTINCT doc_id,
+                       CAST((j * (n - 1)) // (k - 1) AS INTEGER) AS frame_idx
+                FROM clip CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js
+                WHERE j < k)
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST((doc_id + frame_idx) % 256 AS DOUBLE) AS frame_mean
+            FROM idx
         """,
     }
