@@ -398,10 +398,25 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
 def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = None,
                        min_rows_per_file: int | None = None) -> int:
     """Materialize the live final state as a directory of Parquet part
-    files (streaming write — never one giant file). Returns row count."""
+    files (streaming write — never one giant file). Atomic at the
+    directory level: parts stream into a temp sibling that is renamed
+    into place only after the write completes, so readers never see a
+    half-written export and a crashed export leaves the previous one
+    intact. Returns row count."""
+    import os
+    import shutil
+    import uuid
+
     ds = final_state_dataset(cfg, version)
     kwargs = {"min_rows_per_file": min_rows_per_file} if min_rows_per_file else {}
-    ds.write_parquet(out_dir, **kwargs)
+    tmp = f"{out_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        ds.write_parquet(tmp, **kwargs)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     import ray.data as rd
 
     return rd.read_parquet(out_dir).count()

@@ -131,3 +131,51 @@ def test_snapshot_datasource_evolved_streaming_read(tmp_engine_dirs):
     assert df["stars"][0] == 4.5 and pd.isna(df["stars"][1])
     # plan-time metadata flows: schema visible without execution
     assert "stars" in [f for f in ds.schema().names]
+
+
+def test_export_atomic(tmp_engine_dirs, monkeypatch):
+    """A crashed export leaves the previous export intact; a successful
+    one replaces it atomically."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.pipelines.cdc import export_final_state
+
+    cfg = tmp_engine_dirs
+    ev = make_events(
+        [dict(ts=1, inc=0, op="i", repo="r", path="a", commit="", lang="",
+              content="c1", partition_id=0)])
+    run_replay(ds_from_table(ev, 1), cfg)
+    out = f"{cfg.snapshot_dir}-export"
+    n = export_final_state(cfg, out)
+    assert n == 1
+
+    # second replay updates the row; a crashing write must not damage
+    # the existing export
+    ev2 = make_events(
+        [dict(ts=2, inc=0, op="u", repo="r", path="a", commit="", lang="",
+              content="c2", partition_id=0)])
+    run_replay(ds_from_table(ev2, 1), cfg)
+
+    import ray.data
+
+    real_write = ray.data.Dataset.write_parquet
+
+    def boom(self, path, **kw):
+        raise RuntimeError("simulated export crash")
+
+    monkeypatch.setattr(ray.data.Dataset, "write_parquet", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        export_final_state(cfg, out)
+    monkeypatch.setattr(ray.data.Dataset, "write_parquet", real_write)
+    # previous export survived the crash
+    assert rd.read_parquet(out).count() == 1
+    tbl = pa.concat_tables(rd.read_parquet(out).iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    assert tbl["content"][0].as_py() == "c1"
+    # retry succeeds and replaces atomically
+    assert export_final_state(cfg, out) == 1
+    tbl = pa.concat_tables(rd.read_parquet(out).iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    assert tbl["content"][0].as_py() == "c2"
