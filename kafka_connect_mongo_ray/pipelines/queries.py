@@ -246,71 +246,74 @@ def q_cdc_resume_tokens(sf_dir: str):
     return toks[["partition_id", "ts", "inc", "token"]]
 
 
+def _backfill_events(batch: pa.Table) -> pa.Table:
+    """S2 backfill phase: synthetic op='i' at ts=0 per document."""
+    doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+    n = len(doc_id)
+    return pa.table(
+        {
+            "ts": pa.array(np.zeros(n, dtype=np.int64)),
+            "inc": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(np.full(n, "i", dtype=object), pa.string()),
+            "repo": pc.cast(batch["source"], pa.string()),
+            "path": pa.array(doc_id.astype(str), pa.string()),
+            "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
+            "lang": pc.cast(batch["lang"], pa.string()),
+            "content": pc.cast(batch["text"], pa.large_string()),
+            "partition_id": pa.array((doc_id % NUM_PARTITIONS).astype(np.int32)),
+        },
+        schema=CHANGE_EVENT_SCHEMA,
+    )
+
+
+def _tail_events(batch: pa.Table) -> pa.Table:
+    """Tail phase: updates (doc_id%3 != 0, ts=1, content text||':u') and
+    tombstones (doc_id%7 == 0, ts=2)."""
+    doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+    text = np.asarray(batch["text"]).astype(object)
+    lang = np.asarray(batch["lang"]).astype(object)
+    source = np.asarray(batch["source"]).astype(object)
+    upd = (doc_id % 3) != 0
+    dele = (doc_id % 7) == 0
+    u_ids = doc_id[upd]
+    parts = {
+        "ts": np.concatenate([np.ones(upd.sum(), dtype=np.int64),
+                              np.full(dele.sum(), 2, dtype=np.int64)]),
+        "op": np.concatenate([np.full(upd.sum(), "u", dtype=object),
+                              np.full(dele.sum(), "d", dtype=object)]),
+        "ids": np.concatenate([u_ids, doc_id[dele]]),
+        "lang": np.concatenate([lang[upd], lang[dele]]),
+        "source": np.concatenate([source[upd], source[dele]]),
+        "content": np.concatenate(
+            [(pd.Series(text[upd]) + ":u").to_numpy(dtype=object),
+             np.full(dele.sum(), None, dtype=object)]
+        ),
+    }
+    n = len(parts["ids"])
+    return pa.table(
+        {
+            "ts": pa.array(parts["ts"], pa.int64()),
+            "inc": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(parts["op"], pa.string()),
+            "repo": pa.array(parts["source"], pa.string()),
+            "path": pa.array(parts["ids"].astype(str), pa.string()),
+            "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
+            "lang": pa.array(parts["lang"], pa.string()),
+            "content": pa.array(parts["content"], pa.large_string()),
+            "partition_id": pa.array((parts["ids"] % NUM_PARTITIONS).astype(np.int32)),
+        },
+        schema=CHANGE_EVENT_SCHEMA,
+    )
+
+
 def q_cdc_backfill_union_tail(sf_dir: str):
     """S2 backfill (synthetic op='i' at ts=0) unioned with a tail
     stream; two-phase semantics of ExportReader + OplogReader."""
     from kafka_connect_mongo_ray.pipelines.cdc import replay_collect
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
-
-    def backfill(batch: pa.Table) -> pa.Table:
-        doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
-        n = len(doc_id)
-        return pa.table(
-            {
-                "ts": pa.array(np.zeros(n, dtype=np.int64)),
-                "inc": pa.array(np.zeros(n, dtype=np.int32)),
-                "op": pa.array(np.full(n, "i", dtype=object), pa.string()),
-                "repo": pc.cast(batch["source"], pa.string()),
-                "path": pa.array(doc_id.astype(str), pa.string()),
-                "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
-                "lang": pc.cast(batch["lang"], pa.string()),
-                "content": pc.cast(batch["text"], pa.large_string()),
-                "partition_id": pa.array((doc_id % NUM_PARTITIONS).astype(np.int32)),
-            },
-            schema=CHANGE_EVENT_SCHEMA,
-        )
-
-    def tail(batch: pa.Table) -> pa.Table:
-        doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
-        text = np.asarray(batch["text"]).astype(object)
-        lang = np.asarray(batch["lang"]).astype(object)
-        source = np.asarray(batch["source"]).astype(object)
-        upd = (doc_id % 3) != 0
-        dele = (doc_id % 7) == 0
-        rows = []
-        u_ids = doc_id[upd]
-        parts = {
-            "ts": np.concatenate([np.ones(upd.sum(), dtype=np.int64),
-                                  np.full(dele.sum(), 2, dtype=np.int64)]),
-            "op": np.concatenate([np.full(upd.sum(), "u", dtype=object),
-                                  np.full(dele.sum(), "d", dtype=object)]),
-            "ids": np.concatenate([u_ids, doc_id[dele]]),
-            "lang": np.concatenate([lang[upd], lang[dele]]),
-            "source": np.concatenate([source[upd], source[dele]]),
-            "content": np.concatenate(
-                [(pd.Series(text[upd]) + ":u").to_numpy(dtype=object),
-                 np.full(dele.sum(), None, dtype=object)]
-            ),
-        }
-        n = len(parts["ids"])
-        return pa.table(
-            {
-                "ts": pa.array(parts["ts"], pa.int64()),
-                "inc": pa.array(np.zeros(n, dtype=np.int32)),
-                "op": pa.array(parts["op"], pa.string()),
-                "repo": pa.array(parts["source"], pa.string()),
-                "path": pa.array(parts["ids"].astype(str), pa.string()),
-                "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
-                "lang": pa.array(parts["lang"], pa.string()),
-                "content": pa.array(parts["content"], pa.large_string()),
-                "partition_id": pa.array((parts["ids"] % NUM_PARTITIONS).astype(np.int32)),
-            },
-            schema=CHANGE_EVENT_SCHEMA,
-        )
-
-    events = docs.map_batches(backfill, batch_format="pyarrow").union(
-        docs.map_batches(tail, batch_format="pyarrow")
+    events = docs.map_batches(_backfill_events, batch_format="pyarrow").union(
+        docs.map_batches(_tail_events, batch_format="pyarrow")
     )
     out = replay_collect(events, num_buckets=16)
     return out.select_columns(["repo", "path", "content"])
@@ -354,6 +357,34 @@ def q_cdc_wal_tail(sf_dir: str):
                        num_buckets=16)
     tail_wal(log, cfg, max_files_per_window=2)  # two committed windows
     return final_state_dataset(cfg).select_columns(["repo", "path", "lang", "content"])
+
+
+def q_cdc_change_feed(sf_dir: str):
+    """The read side of CDC: the change feed BETWEEN two committed
+    snapshot versions (what an incremental consumer reads instead of
+    rescanning). Two replays commit v1 (backfill) and v2 (tail with
+    updates + tombstones); ``changes_between`` diffs them per bucket,
+    COW-skipping untouched buckets without reading a byte. The oracle
+    derives the same per-key changes analytically."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.state.diff import changes_between
+
+    root = f"/tmp/kcm_feedq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs.map_batches(_backfill_events, batch_format="pyarrow"), cfg)
+    docs2 = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
+    feed = changes_between(cfg.snapshot_dir, 1, 2)
+    return feed.map_batches(
+        lambda t: t.select(["op", "repo", "path", "content", "ts"]),
+        batch_format="pyarrow")
 
 
 def q_cdc_update_enrichment(sf_dir: str):
@@ -1184,6 +1215,7 @@ def build_queries():
         "cdc_resume_tokens": q_cdc_resume_tokens,
         "cdc_backfill_union_tail": q_cdc_backfill_union_tail,
         "cdc_wal_tail": q_cdc_wal_tail,
+        "cdc_change_feed": q_cdc_change_feed,
         "cdc_update_enrichment": q_cdc_update_enrichment,
         "join_orders_customer": q_join_orders_customer,
         "analyze_props": q_analyze_props,
@@ -1269,6 +1301,15 @@ def build_oracle_sql():
             SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, lang,
                    text || ':v' || CAST(doc_id % 5 AS VARCHAR) AS content
             FROM documents WHERE doc_id % 7 <> 0
+        """,
+        "cdc_change_feed": """
+            SELECT 'd' AS op, source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                   CAST(NULL AS VARCHAR) AS content, CAST(2 AS BIGINT) AS ts
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'u' AS op, source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                   text || ':u' AS content, CAST(1 AS BIGINT) AS ts
+            FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0
         """,
         "cdc_update_enrichment": """
             SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
