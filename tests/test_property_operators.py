@@ -124,3 +124,48 @@ def test_embedding_matrix_roundtrip(vecs):
     if len(vecs) > 1:
         m2 = embedding_matrix(col.slice(1))
         assert np.allclose(m2, want[1:])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+             min_size=1, max_size=60),
+    # right min_size=1: a fully EMPTY Ray dataset loses its schema
+    # (ds.schema() is None); empty-right-per-group is still exercised
+    # because keys 0..4 rarely all appear on the right
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+             min_size=1, max_size=60),
+)
+def test_asof_join_matches_pandas_reference(left_rows, right_rows):
+    """Distributed asof_join == pandas merge_asof on arbitrary keyed
+    time series (duplicate timestamps deduped to keep the reference
+    deterministic)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.stages.join import asof_join
+
+    left_rows = list({(k, t): None for k, t in left_rows})
+    right_rows = list({(k, t): None for k, t in right_rows})
+    left = pa.table({
+        "k": pa.array([r[0] for r in left_rows], pa.int64()),
+        "t": pa.array([r[1] for r in left_rows], pa.int64()),
+        "lv": pa.array(range(len(left_rows)), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([r[0] for r in right_rows], pa.int64()),
+        "t": pa.array([r[1] for r in right_rows], pa.int64()),
+        "rv": pa.array(range(len(right_rows)), pa.int64()),
+    })
+    got = asof_join(rd.from_arrow(left).repartition(2),
+                    rd.from_arrow(right).repartition(2),
+                    by=["k"], on="t", num_buckets=4).to_pandas()
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("t", kind="mergesort"),
+        right.to_pandas().sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="backward")
+    key = ["k", "t", "lv"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want[got.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
