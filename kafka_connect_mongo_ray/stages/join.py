@@ -24,6 +24,20 @@ _SIDE = "__side"
 _BUCKET = "__bucket"
 
 
+def _restore_types(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast ``t`` back to the exact input types column by column,
+    keeping the pandas-upcast type only where the cast would lose data
+    (a genuinely null-bearing float column stays float64)."""
+    cols = []
+    for f in schema:
+        col = t[f.name]
+        try:
+            cols.append(pc.cast(col, f.type))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            cols.append(col)
+    return pa.table(dict(zip(schema.names, cols)))
+
+
 def _tag(side: int, key_cols, num_buckets):
     def fn(batch: pa.Table) -> pa.Table:
         limit_worker_threads()
@@ -100,16 +114,30 @@ def asof_join(left_ds, right_ds, *, by: list[str], on: str,
 
     l_payload = [c for c in left_cols if c not in by]
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # Exact output schema from the INPUT datasets: the null padding before
+    # the union makes every column nullable, and the pandas group
+    # conversion upcasts int64→float64(+NaN). Left columns are never null
+    # after a left asof join, so their cast always succeeds; right payload
+    # columns restore where lossless (from_pandas maps NaN→null, and a
+    # null-bearing float column of integral values casts back to int).
+    all_types = dict(left_types)
+    all_types.update({c: right_types[c] for c in r_payload})
+    out_cols = by + l_payload + r_payload
+    out_schema = pa.schema([pa.field(c, all_types[c]) for c in out_cols])
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
         l = g[g[_SIDE] == 0][by + l_payload].sort_values(on, kind="mergesort")
         r = g[g[_SIDE] == 1][by + [on] + r_payload].sort_values(on, kind="mergesort")
         if len(r) == 0:
-            out = l.copy()
+            t = pa.Table.from_pandas(l, preserve_index=False)
+            t = _restore_types(t, pa.schema(
+                [pa.field(c, all_types[c]) for c in by + l_payload]))
             for c in r_payload:
-                out[c] = pd.Series([None] * len(out), dtype=object)
-            return out[by + l_payload + r_payload]
+                t = t.append_column(c, pa.nulls(t.num_rows, all_types[c]))
+            return t.select(out_cols)
         out = pd.merge_asof(l, r, on=on, by=by, direction=direction)
-        return out[by + l_payload + r_payload]
+        t = pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        return _restore_types(t, out_schema)
 
     return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas")
@@ -242,14 +270,7 @@ def _hash_join_impl(left_ds, right_ds, *, on, num_buckets, how,
             return t.cast(out_schema)
         # outer-ish joins carry real nulls: restore types only where the
         # cast is lossless (float64 with nulls stays float64)
-        cols = []
-        for f in out_schema:
-            col = t[f.name]
-            try:
-                cols.append(pc.cast(col, f.type))
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                cols.append(col)
-        return pa.table(dict(zip(out_schema.names, cols)))
+        return _restore_types(t, out_schema)
 
     return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"

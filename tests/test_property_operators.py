@@ -169,3 +169,9 @@ def test_asof_join_matches_pandas_reference(left_rows, right_rows):
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want[got.columns].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    # exact output types: left columns restore to int64 always (never
+    # null post-left-join); rv restores to int64 unless a group had no
+    # match (then it carries real nulls and pandas reads it as float64)
+    assert [str(got[c].dtype) for c in key] == ["int64"] * 3
+    assert str(got["rv"].dtype) == ("float64" if want["rv"].isna().any()
+                                    else "int64")
