@@ -412,9 +412,24 @@ def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = No
     tmp = f"{out_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
     try:
         ds.write_parquet(tmp, **kwargs)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.replace(tmp, out_dir)
+        # Move any existing export aside (never rmtree-before-replace: a
+        # crash in that window would destroy the previous export), swing
+        # tmp into place, then drop the old one; restore it on failure.
+        old = None
+        if os.path.lexists(out_dir):
+            old = f"{out_dir.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+            os.replace(out_dir, old)
+        try:
+            os.replace(tmp, out_dir)
+        except BaseException:
+            if old is not None:
+                os.replace(old, out_dir)
+            raise
+        if old is not None:
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.unlink(old)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     import ray.data as rd

@@ -1196,7 +1196,10 @@ def q_events_topk_per_group(sf_dir: str):
         return pa.table({
             "event_type": t["event_type"],
             "event_id": t["event_id"],
-            "value": pc.round(t["value"], 3),
+            # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+            # half-to-even — pin the mode so .0005 ties agree
+            "value": pc.round(t["value"], 3,
+                              round_mode="half_towards_infinity"),
         })
 
     return ds.groupby("event_type").map_groups(topk, batch_format="pyarrow")
@@ -1505,9 +1508,11 @@ def build_oracle_sql():
         "docs_langid": """
             WITH w AS (SELECT doc_id,
                               regexp_extract_all(lower(text),
-                                  '[a-záéíóúüñàèìòùäöß]+') AS words
+                                  '[a-záéíóúüñàèìòùäöß]+') AS words,
+                              regexp_matches(substr(text, 1, 200),
+                                  '[一-鿿]') AS cjk
                        FROM documents),
-            sc AS (SELECT doc_id, len(words) AS nw,
+            sc AS (SELECT doc_id, cjk, len(words) AS nw,
                 len(list_filter(words, x -> x IN ('der','die','und','das','ist',
                     'von','mit','den','nicht','ein'))) AS s_de,
                 len(list_filter(words, x -> x IN ('the','and','of','to','a',
@@ -1519,6 +1524,7 @@ def build_oracle_sql():
                 FROM w)
             SELECT doc_id, CASE
                 WHEN nw = 0 THEN 'unknown'
+                WHEN cjk THEN 'zh'
                 WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'

@@ -93,9 +93,15 @@ def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError(
+            f"embedding column has {col.null_count} null rows; embeddings "
+            "must be dense (filter or impute nulls upstream)")
     if isinstance(col, pa.FixedSizeListArray):
         dim = col.type.list_size
-        flat = np.asarray(col.values, dtype=dtype)
+        # flatten() honors slice offsets; .values would misalign a
+        # sliced array (and read garbage under null slots, guarded above)
+        flat = np.asarray(col.flatten(), dtype=dtype)
         return flat.reshape(n, dim)
     lengths = pc.list_value_length(col)
     mn, mx = pc.min_max(lengths).values()

@@ -179,3 +179,14 @@ def test_export_atomic(tmp_engine_dirs, monkeypatch):
     tbl = pa.concat_tables(rd.read_parquet(out).iter_batches(
         batch_size=None, batch_format="pyarrow"))
     assert tbl["content"][0].as_py() == "c2"
+    # an existing regular FILE at the destination is replaced too
+    # (os.replace(dir, file) alone would raise NotADirectoryError)
+    import os
+    import shutil
+
+    shutil.rmtree(out)
+    with open(out, "w") as f:
+        f.write("stale non-directory export")
+    assert export_final_state(cfg, out) == 1
+    assert os.path.isdir(out)
+    assert rd.read_parquet(out).count() == 1

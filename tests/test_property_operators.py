@@ -5,6 +5,7 @@ join-equivalence) must hold."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -124,6 +125,23 @@ def test_embedding_matrix_roundtrip(vecs):
     if len(vecs) > 1:
         m2 = embedding_matrix(col.slice(1))
         assert np.allclose(m2, want[1:])
+    # fixed-size list: same answers, including under a slice offset
+    fcol = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.asarray(vecs, dtype=np.float32).ravel()), 4)
+    assert np.allclose(embedding_matrix(fcol), want)
+    if len(vecs) > 1:
+        assert np.allclose(embedding_matrix(fcol.slice(1)), want[1:])
+
+
+def test_embedding_matrix_rejects_nulls():
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    col = pa.array([[1.0, 2.0], None], pa.list_(pa.float32(), 2))
+    with pytest.raises(ValueError, match="null"):
+        embedding_matrix(col)
+    vcol = pa.array([[1.0, 2.0], None], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="null"):
+        embedding_matrix(vcol)
 
 
 @settings(max_examples=15, deadline=None)
