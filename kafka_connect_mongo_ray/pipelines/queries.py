@@ -388,24 +388,29 @@ def q_cdc_change_feed(sf_dir: str):
 
 
 def q_cdc_update_enrichment(sf_dir: str):
-    """S3 point-lookup enrichment: image-less 'u' events get the full
-    row image substituted from the broadcast base table; updates whose
-    key is missing are dropped (OplogReader.kt:99-125 semantics)."""
-    import pyarrow.parquet as pq
+    """S3 point-lookup enrichment at scale: image-less 'u' events get
+    the full row image via a bucketed inner hash join against the base
+    DATASET (never materialized on the driver); updates whose key is
+    missing are dropped (OplogReader.kt:99-125 semantics). The
+    broadcast variant (stages/enrich.py::enrich_updates) remains for
+    genuinely small lookup sides."""
+    from kafka_connect_mongo_ray.stages.enrich import enrich_updates_join
 
-    from kafka_connect_mongo_ray.stages.enrich import enrich_updates
+    def shape_base(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": pc.cast(t["source"], pa.string()),
+                "path": pa.array(
+                    np.asarray(t["doc_id"], dtype=np.int64).astype(str)),
+                "commit": pa.array([""] * t.num_rows, pa.string()),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "content": pc.cast(t["text"], pa.large_string()),
+            }
+        )
 
-    base_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text", "lang", "source"])
-    base = pa.table(
-        {
-            "repo": pc.cast(base_tbl["source"], pa.string()),
-            "path": pa.array(np.asarray(base_tbl["doc_id"], dtype=np.int64).astype(str)),
-            "commit": pa.array([""] * base_tbl.num_rows, pa.string()),
-            "lang": pc.cast(base_tbl["lang"], pa.string()),
-            "content": pc.cast(base_tbl["text"], pa.large_string()),
-        }
-    )
+    base = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"]).map_batches(
+        shape_base, batch_format="pyarrow")
 
     def imageless_updates(batch: pa.Table) -> pa.Table:
         doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
@@ -435,7 +440,7 @@ def q_cdc_update_enrichment(sf_dir: str):
     ev = _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
         imageless_updates, batch_format="pyarrow"
     )
-    enriched = enrich_updates(ev, base)
+    enriched = enrich_updates_join(ev, base, num_buckets=16)
     return enriched.select_columns(["repo", "path", "content"])
 
 

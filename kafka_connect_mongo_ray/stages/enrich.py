@@ -71,6 +71,9 @@ class UpdateEnricher:
 def enrich_updates(events_ds, base_table: pa.Table, *,
                    key_cols=("repo", "path"), image_cols=("commit", "lang", "content"),
                    concurrency=(1, 8)):
+    """Broadcast variant — ONLY for lookup sides that genuinely fit in
+    one worker's heap (a dimension table, not the corpus). The scale
+    path is :func:`enrich_updates_join`."""
     import ray
 
     lookup_ref = ray.put(build_lookup(base_table, list(key_cols), list(image_cols)))
@@ -81,3 +84,42 @@ def enrich_updates(events_ds, base_table: pa.Table, *,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def _needs_image(batch: pa.Table, image_probe: str):
+    return pc.and_(pc.equal(batch["op"], "u"), pc.is_null(batch[image_probe]))
+
+
+def enrich_updates_join(events_ds, base_ds, *, key_cols=("repo", "path"),
+                        image_cols=("commit", "lang", "content"),
+                        num_buckets: int = 32):
+    """Scale path for S3 enrichment: the base side stays a Dataset —
+    nothing corpus-sized ever touches the driver. Image-less update
+    events inner-hash-join the base on the key (miss ⇒ drop, the
+    reference's deleted-before-lookup semantics, ``OplogReader.kt:102``)
+    and take the base's image columns; everything else passes through
+    untouched and never shuffles. The events source is read twice (one
+    filtered branch each way) — cheap column-pruned scans — in exchange
+    for shuffling only the image-less slice, which is the right trade at
+    100 TB where updates needing enrichment are a small fraction of the
+    stream."""
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    key_cols, image_cols = list(key_cols), list(image_cols)
+    out_names = list(events_ds.schema().names)
+    probe = image_cols[-1]
+
+    def keep_passthrough(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(_needs_image(t, probe)))
+
+    def keep_todo(t: pa.Table) -> pa.Table:
+        # drop the (null/stale) image columns; the join supplies them
+        return t.filter(_needs_image(t, probe)).drop_columns(image_cols)
+
+    passthrough = events_ds.map_batches(keep_passthrough, batch_format="pyarrow")
+    todo = events_ds.map_batches(keep_todo, batch_format="pyarrow")
+    joined = hash_join(todo, base_ds.select_columns(key_cols + image_cols),
+                       on=key_cols, num_buckets=num_buckets, how="inner")
+    enriched = joined.map_batches(lambda t: t.select(out_names),
+                                  batch_format="pyarrow")
+    return passthrough.union(enriched)

@@ -54,6 +54,54 @@ def test_update_enricher_substitutes_and_drops():
     assert u["commit"][0].as_py() == "c9"
 
 
+def test_enrich_updates_join_matches_broadcast():
+    """The scale (join-based) enrichment path returns exactly what the
+    broadcast path returns: substituted images, miss⇒drop, i/d and
+    image-bearing-u pass-through — with identical column types."""
+    from kafka_connect_mongo_ray.stages.enrich import (
+        enrich_updates,
+        enrich_updates_join,
+    )
+
+    base = pa.table(
+        {
+            "repo": ["r", "r"], "path": ["a.py", "b.py"],
+            "commit": ["c9", "c8"], "lang": ["python", "go"],
+            "content": pa.array(["image a", "image b"], pa.large_string()),
+        }
+    )
+    events = make_events(
+        [
+            dict(ts=1, inc=0, op="i", repo="r", path="a.py", commit="c1",
+                 lang="l", content="insert image", partition_id=0),
+            dict(ts=2, inc=0, op="u", repo="r", path="a.py", commit="",
+                 lang="", content=None, partition_id=0),
+            dict(ts=3, inc=0, op="u", repo="r", path="gone.py", commit="",
+                 lang="", content=None, partition_id=0),
+            dict(ts=4, inc=0, op="d", repo="r", path="a.py", commit="",
+                 lang="", content=None, partition_id=0),
+            # image-bearing update passes through unchanged
+            dict(ts=5, inc=0, op="u", repo="r", path="b.py", commit="c5",
+                 lang="go", content="own image", partition_id=0),
+        ]
+    )
+
+    def collect(ds):
+        return pa.concat_tables(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("ts", "ascending")])
+
+    got = collect(enrich_updates_join(ds_of(events), ds_of(base),
+                                      num_buckets=4))
+    want = collect(enrich_updates(ds_of(events), base, concurrency=1))
+    assert got.schema == want.schema
+    assert got.select(want.column_names).equals(want)
+    assert got["ts"].to_pylist() == [1, 2, 4, 5]  # ts=3 miss dropped
+    u = got.filter(pc.equal(got["ts"], 2))
+    assert u["content"][0].as_py() == "image a"
+    assert u["commit"][0].as_py() == "c9"
+
+
 def test_hash_join_matches_pandas():
     from kafka_connect_mongo_ray.stages.join import hash_join
 
