@@ -337,25 +337,37 @@ def q_cdc_wal_tail(sf_dir: str):
     import os
 
     os.makedirs(log, exist_ok=True)
-    # segments must be LOG PREFIXES per partition: a DISTRIBUTED sort
-    # by the full (ts, inc) position + row-position splits guarantees
-    # any prefix is downward-closed per partition, so resume tokens
-    # never skip an unapplied event (the WAL ordering contract,
-    # sources/wal.py). No driver-side materialization: the sort is the
-    # engine's shuffle, each segment lands via a single-file
-    # write_parquet (bounded by segment size, not corpus size).
-    ev_ds = doc_change_events(sf_dir).sort(key=["ts", "inc"])
-    n = ev_ds.count()
-    parts = ev_ds.split_at_indices([n // 3, 2 * (n // 3)])
-    for i, part in enumerate(parts):
-        seg_dir = f"{root}/segbuild-{i}"
-        part.repartition(1).write_parquet(seg_dir)
-        fname = next(f for f in sorted(os.listdir(seg_dir))
-                     if f.endswith(".parquet"))
-        os.replace(os.path.join(seg_dir, fname), f"{log}/{i:012d}-seg.parquet")
+    # Segments must be LOG PREFIXES per partition (sources/wal.py
+    # ordering contract). File names are "{seq}-p{partition}", so
+    # lexicographic order runs all seq-0 files before any seq-1 file —
+    # per partition the seq sequence IS sorted (ts, inc) order, so any
+    # window boundary is prefix-safe. Build: ONE partition-keyed
+    # shuffle; each group task sorts ITS partition's events and writes
+    # its 3 segment files directly (write-temp-then-rename). No global
+    # sort, no driver-side count, no single-task funnel — per-task
+    # memory is bounded by one partition's slice of the corpus.
+    def write_segments(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pid = g["partition_id"][0].as_py()
+        t = g.sort_by([("ts", "ascending"), ("inc", "ascending")])
+        n = t.num_rows
+        cuts = [0, n // 3, 2 * (n // 3), n]
+        for seq in range(3):
+            chunk = t.slice(cuts[seq], cuts[seq + 1] - cuts[seq])
+            tmp = f"{log}/{seq:012d}-p{pid:04d}.inprogress"
+            pq.write_table(chunk, tmp)
+            os.replace(tmp, f"{log}/{seq:012d}-p{pid:04d}-seg.parquet")
+        return pa.table({"partition_id": pa.array([pid], pa.int32()),
+                         "rows": pa.array([n], pa.int64())})
+
+    n_parts = doc_change_events(sf_dir).groupby("partition_id").map_groups(
+        write_segments, batch_format="pyarrow").count()
+    assert n_parts == NUM_PARTITIONS
     cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
                        num_buckets=16)
-    tail_wal(log, cfg, max_files_per_window=2)  # two committed windows
+    # 3 committed windows of one seq level (= NUM_PARTITIONS files) each
+    tail_wal(log, cfg, max_files_per_window=NUM_PARTITIONS)
     return final_state_dataset(cfg).select_columns(["repo", "path", "lang", "content"])
 
 
