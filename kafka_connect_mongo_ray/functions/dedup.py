@@ -129,16 +129,36 @@ class BandExploder:
         )
 
 
-def _pairs_in_bucket(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+#: full all-pairs expansion is allowed up to this bucket size; beyond it
+#: a bucket switches to the O(n) star+chain topology (see below)
+BUCKET_PAIR_CAP = 512
+
+
+def _pairs_in_bucket(g: pd.DataFrame, id_col: str,
+                     cap: int = BUCKET_PAIR_CAP) -> pd.DataFrame:
     ids = np.sort(g[id_col].to_numpy())
-    if len(ids) < 2:
+    n = len(ids)
+    if n < 2:
         return pd.DataFrame({"id_a": [], "id_b": []})
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    if n <= cap:
+        a, b = np.triu_indices(n, k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    # Degenerate band bucket (mass-identical corpus slice): all-pairs is
+    # O(n²) and would explode a 100-TB run. Emit a star to the min id
+    # plus a consecutive chain — 2n-3 pairs keeping every member
+    # connected to the cluster anchor, so min-id dedup still removes
+    # every duplicate; the downstream Jaccard verify rejects any false
+    # candidate this adds (recall loss is confined to buckets that were
+    # already degenerate).
+    return pd.DataFrame({
+        "id_a": np.concatenate([np.full(n - 1, ids[0]), ids[1:-1]]),
+        "id_b": np.concatenate([ids[1:], ids[2:]]),
+    }).drop_duplicates()
 
 
 def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                           num_hashes: int = 64, num_bands: int = 16, seed: int = 42):
+                           num_hashes: int = 64, num_bands: int = 16, seed: int = 42,
+                           bucket_cap: int = BUCKET_PAIR_CAP):
     """Candidate near-dup pairs via MinHash-LSH; distinct (id_a, id_b)."""
     sigs = ds.map_batches(
         MinHasher,
@@ -154,7 +174,7 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
         concurrency=(1, 8),
     )
     pairs = bands.groupby(["band_id", "band_hash"], num_partitions=32).map_groups(
-        lambda g: _pairs_in_bucket(g, id_col), batch_format="pandas"
+        lambda g: _pairs_in_bucket(g, id_col, bucket_cap), batch_format="pandas"
     )
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -343,7 +363,8 @@ def hamming64(a: int, b: int) -> int:
 
 def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
                            seed: int = 42, id_col: str = "vec_id",
-                           vec_col: str = "embedding", probe_bits: int = 0):
+                           vec_col: str = "embedding", probe_bits: int = 0,
+                           bucket_cap: int = BUCKET_PAIR_CAP):
     """Scale path for embedding near-dup: LSH hyperplane bucketing then
     within-bucket pairwise cosine — per-bucket O((N/2^planes)²) instead
     of global O(N²), one groupby shuffle, no broadcast matrix. Recall
@@ -384,8 +405,22 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
         vecs = embedding_matrix(g[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = np.asarray(g[id_col])
-        sims = vecs @ vecs.T
-        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        n = len(ids)
+        if n <= bucket_cap:
+            sims = vecs @ vecs.T
+            ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        else:
+            # degenerate bucket: O(n²) matmul would explode — compare
+            # each row only to the min-id anchor and its id-order
+            # neighbor (star + chain, same topology as _pairs_in_bucket;
+            # cosine is still computed, so precision stays 1)
+            order = np.argsort(ids, kind="mergesort")
+            ids, vecs = ids[order], vecs[order]
+            star = np.flatnonzero(vecs[1:] @ vecs[0] >= threshold) + 1
+            chain = np.flatnonzero(
+                np.einsum("ij,ij->i", vecs[1:-1], vecs[2:]) >= threshold) + 1
+            ai = np.concatenate([np.zeros(len(star), dtype=np.int64), chain])
+            bi = np.concatenate([star, chain + 1])
         lo = np.minimum(ids[ai], ids[bi])
         hi = np.maximum(ids[ai], ids[bi])
         keep = lo != hi  # multiprobe can pair a row with its own copy
