@@ -27,6 +27,23 @@ def _removal_set(pairs_df: pd.DataFrame) -> set:
     return set(pairs_df["id_b"].tolist())
 
 
+def test_minhash_batch_parity_with_scalar():
+    """signatures_batch (chunked minimum.reduceat) is bit-identical to
+    the per-doc scalar reference across chunk boundaries."""
+    from kafka_connect_mongo_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_hashes=32, k=5, seed=7)
+    texts = [DUP_TEXT, "", "short", "äöü multi-byte ßtring " * 3,
+             "another document entirely " * 10, None]
+    got = mh.signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert (got[i] == mh.signature(t or "")).all()
+    # force multiple reduceat chunks
+    mh._CHUNK_SHINGLES = 50
+    got2 = mh.signatures_batch(texts)
+    assert (got2 == got).all()
+
+
 def test_minhash_bucket_cap_bounds_pairs_and_keeps_removals():
     import ray.data as rd
 
