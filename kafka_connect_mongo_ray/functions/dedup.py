@@ -206,10 +206,24 @@ def _pairs_in_bucket(g: pd.DataFrame, id_col: str,
     }).drop_duplicates()
 
 
+def _default_partitions(requested: int | None) -> int:
+    """Shuffle width: callers at real scale should size this to their
+    data; the default tracks the session's CPU count so small runs
+    don't pay 32 partitions of fixed task cost for 2k rows."""
+    if requested is not None:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, min(64, 2 * cpus))
+
+
 def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            num_hashes: int = 64, num_bands: int = 16, seed: int = 42,
-                           bucket_cap: int = BUCKET_PAIR_CAP):
+                           bucket_cap: int = BUCKET_PAIR_CAP,
+                           num_partitions: int | None = None):
     """Candidate near-dup pairs via MinHash-LSH; distinct (id_a, id_b)."""
+    num_partitions = _default_partitions(num_partitions)
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes, "seed": seed,
@@ -223,14 +237,16 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = bands.groupby(["band_id", "band_hash"], num_partitions=32).map_groups(
+    pairs = bands.groupby(["band_id", "band_hash"],
+                          num_partitions=num_partitions).map_groups(
         lambda g: _pairs_in_bucket(g, id_col, bucket_cap), batch_format="pandas"
     )
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return pairs.groupby(["id_a", "id_b"], num_partitions=16).map_groups(
+    return pairs.groupby(["id_a", "id_b"],
+                         num_partitions=max(8, num_partitions // 2)).map_groups(
         dedup_pairs, batch_format="pandas")
 
 

@@ -77,6 +77,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _gate_buckets(cap: int = 16) -> int:
+    """Join/shuffle width for gate-scale fixtures: track the session's
+    CPUs so thousands-of-rows inputs don't pay 32 partitions of fixed
+    task cost. Production pipelines size buckets to their data."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, min(cap, cpus))
+
+
 # ---------------------------------------------------------------------------
 # CDC event derivation (documents → deterministic change stream)
 
@@ -703,11 +713,18 @@ def verified_near_dup_pairs(sf_dir: str) -> pa.Table:
             verify_pairs_jaccard,
         )
 
+        # STAGE the (tiny) candidate set: one lazy plan chaining the
+        # 2 candidate shuffles into the 2 verify joins runs ~2x slower
+        # under the streaming executor's per-operator resource
+        # reservation than two separately executed halves (measured at
+        # sf0.01: 33 s lazy vs 15 s staged) — and the materialized set
+        # is pair-bounded, never corpus-bounded
         cands = minhash_lsh_candidates(
-            _read(sf_dir, "documents", columns=["doc_id", "text"]))
+            _read(sf_dir, "documents", columns=["doc_id", "text"])).materialize()
         pairs = verify_pairs_jaccard(
             cands, _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            threshold=JACCARD_THRESHOLD)
+            threshold=JACCARD_THRESHOLD,
+            num_buckets=_gate_buckets())
         batches = list(pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
         t = (pa.concat_tables(batches) if batches else pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
