@@ -143,14 +143,51 @@ def asof_join(left_ds, right_ds, *, by: list[str], on: str,
         merge_bucket, batch_format="pandas")
 
 
+def detect_hot_keys(ds, key: str, num_buckets: int, *, frac: float = 0.5,
+                    per_batch_k: int = 16, max_keys: int = 16) -> list:
+    """Sample-free heavy-hitter pass over the key column: each batch
+    reports its top-``per_batch_k`` key counts plus its row count
+    (space-saving style — a globally hot key is hot in the batches it
+    appears in), the driver combines the bounded summaries, and a key
+    is hot when its (under)estimated global count exceeds ``frac`` ×
+    the average bucket's row budget (total/num_buckets). One cheap
+    column-pruned extra pass; the summary shipped to the driver is
+    O(per_batch_k × blocks), never data-sized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        cnts = np.asarray(vc.field("counts"))
+        top = np.argsort(cnts)[-per_batch_k:]
+        ks = vc.field("values").take(pa.array(top, pa.int64()))
+        # one null-key row per batch carries the batch's row count so
+        # the driver can compute the global total without a second pass
+        return pa.table({
+            "k": pa.concat_arrays([ks, pa.nulls(1, ks.type)]),
+            "c": pa.array(np.append(cnts[top], batch.num_rows), pa.int64()),
+        })
+
+    summary = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    total = int(summary.loc[summary["k"].isna(), "c"].sum())
+    per_key = summary.dropna(subset=["k"]).groupby("k")["c"].sum()
+    threshold = max(2.0, frac * total / max(1, num_buckets))
+    hot = per_key[per_key >= threshold]
+    return hot.nlargest(max_keys).index.tolist()
+
+
 def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
-              how: str = "inner", hot_keys: list | None = None,
+              how: str = "inner", hot_keys: list | str | None = None,
               num_salts: int = 8):
     """Join two Datasets on equality keys ``on``; column sets must be
     disjoint apart from the keys (standard star-schema usage).
 
     **Skew handling (salted split)**: pass ``hot_keys`` (values of the
-    single join key that are known/measured hot) and the LEFT (large)
+    single join key that are known/measured hot) — or ``"auto"`` to
+    measure them with :func:`detect_hot_keys` (one extra column-pruned
+    pass over the left side) — and the LEFT (large)
     side's hot rows are sprayed across ``num_salts`` sub-buckets while
     the RIGHT side's matching rows are replicated into every sub-bucket
     — the classic salted-replicate join. A hot key's group shrinks from
@@ -163,6 +200,11 @@ def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
             raise ValueError("salted join supports a single join key")
         if how not in ("inner", "left"):
             raise ValueError("salted join supports inner/left joins only")
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys must be a list, 'auto', or None, "
+                             f"got {hot_keys!r}")
+        hot_keys = detect_hot_keys(left_ds, on[0], num_buckets) or None
     return _hash_join_impl(left_ds, right_ds, on=on, num_buckets=num_buckets,
                            how=how, hot_keys=hot_keys, num_salts=num_salts)
 

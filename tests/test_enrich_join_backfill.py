@@ -304,6 +304,22 @@ def test_salted_join_skewed_key():
         hash_join(ds_of(left, 2), ds_of(right, 2), on=["custkey"],
                   how="outer", hot_keys=[7])
 
+    # hot_keys="auto" measures the heavy hitter itself: same result,
+    # no hand-written list
+    from kafka_connect_mongo_ray.stages.join import detect_hot_keys
+
+    detected = detect_hot_keys(ds_of(left, 4), "custkey", 8)
+    assert 7 in detected and len(detected) <= 16
+    got_auto = hash_join(ds_of(left, 4), ds_of(right, 2), on=["custkey"],
+                         num_buckets=8, hot_keys="auto",
+                         num_salts=4).to_pandas()
+    auto_s = got_auto[key].sort_values(key).reset_index(drop=True)
+    assert auto_s.equals(want_s)
+    # a uniform key column detects nothing (falls back to unsalted)
+    uni = pa.table({"custkey": pa.array(np.arange(5000) % 500, pa.int64()),
+                    "val": pa.array(np.arange(5000, dtype=np.int64))})
+    assert detect_hot_keys(ds_of(uni, 4), "custkey", 8) == []
+
 
 def test_cli_gc_and_export(tmp_path, capsys):
     """Operational CLI: gc expires versions, export materializes the
