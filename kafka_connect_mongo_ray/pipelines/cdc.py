@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kafka_connect_mongo_ray.config import EngineConfig
 from kafka_connect_mongo_ray.stages.apply import (
@@ -146,7 +147,8 @@ class AnalyzeObjectStage:
     Malformed JSON nulls the payload for that row (skip-and-count
     semantics of ``MongoSinkTask.kt:62-70``)."""
 
-    def __init__(self, json_col: str = "object", initial_schema: dict | None = None):
+    def __init__(self, json_col: str = "object", initial_schema: dict | None = None,
+                 arrow_fast_path: bool = True):
         from kafka_connect_mongo_ray.stages.schema_evolve import SchemaAnalyzer
 
         self.json_col = json_col
@@ -154,8 +156,139 @@ class AnalyzeObjectStage:
             json_col=json_col, op_col=None, pkey_cols=None, ts_col=None,
             initial_schema=initial_schema,
         )
+        self.arrow_fast_path = arrow_fast_path
+        self.fast_batches = 0
+        self.slow_batches = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.arrow_fast_path:
+            out = self._arrow_ndjson(batch)
+            if out is not None:
+                self.fast_batches += 1
+                return out
+        self.slow_batches += 1
+        return self._python_path(batch)
+
+    def _arrow_ndjson(self, batch: pa.Table) -> pa.Table | None:
+        """Arrow NDJSON fast path for clean uniform batches: one
+        ``pyarrow.json.read_json`` with the running schema pinned as
+        ``explicit_schema`` (so known fields never hit type inference —
+        the ISO-string→timestamp hazard) and ``unexpected_field_
+        behavior='infer'`` for evolution. Returns None — fall back to
+        the exact per-row Python lattice — whenever the batch is not
+        cleanly expressible: malformed JSON, a value conflicting with a
+        known field's lattice type, a new field inferring to a
+        non-scalar (timestamp/struct/list), mixed-type raw spellings of
+        one normalized key, or a row carrying two spellings at once.
+        Every fallback batch reproduces the reference semantics
+        byte-for-byte, so the fast path only ever changes speed."""
+        import io
+
+        import pyarrow.json as pj
+
+        from kafka_connect_mongo_ray.stages.schema_evolve import (
+            _ARROW,
+            BOOL,
+            FLOAT64,
+            STRING,
+            normalize_key,
+        )
+
+        texts = batch[self.json_col].to_pylist()
+        data = "\n".join("{}" if t is None else t for t in texts).encode()
+        schema = self.analyzer.schema
+        explicit = pa.schema([(k, _ARROW[schema[k]]) for k in sorted(schema)])
+        try:
+            tbl = pj.read_json(
+                io.BytesIO(data),
+                read_options=pj.ReadOptions(
+                    use_threads=False,
+                    block_size=max(1 << 20, min(len(data) + 1, (1 << 31) - 1))),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=explicit,
+                    unexpected_field_behavior="infer"),
+            )
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+        if tbl.num_rows != len(texts):
+            return None  # an embedded raw newline smeared the row count
+
+        def lattice_of(typ):
+            if pa.types.is_boolean(typ):
+                return BOOL
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                return FLOAT64
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                return STRING
+            return None
+
+        groups: dict[str, list[str]] = {}
+        for raw in tbl.schema.names:
+            k = normalize_key(raw)
+            if k is not None:
+                groups.setdefault(k, []).append(raw)
+
+        cols: dict[str, pa.ChunkedArray] = {}
+        new_fields: dict[str, str] = {}
+        for k, raws in groups.items():
+            if k in schema:
+                lt = schema[k]
+            else:
+                lt = None
+                for raw in raws:
+                    typ = tbl[raw].type
+                    if pa.types.is_null(typ):
+                        continue
+                    cand = lattice_of(typ)
+                    if cand is None or (lt is not None and lt != cand):
+                        return None
+                    lt = cand
+                if lt is None:
+                    continue  # all-null new field: skipped, like coerce(None)
+                new_fields[k] = lt
+            want = _ARROW[lt]
+            resolved = []
+            for raw in raws:
+                c = tbl[raw]
+                typ = c.type
+                if typ.equals(want):
+                    resolved.append(c)
+                elif pa.types.is_null(typ):
+                    continue
+                elif lt == FLOAT64 and (pa.types.is_integer(typ)
+                                        or pa.types.is_floating(typ)):
+                    resolved.append(pc.cast(c, want))
+                else:
+                    return None
+            if not resolved:
+                cols[k] = pa.nulls(tbl.num_rows, want)
+            elif len(resolved) == 1:
+                cols[k] = resolved[0]
+            else:
+                # distinct raw spellings ("Name"/"name") of one field:
+                # coalescing is exact only while no single row carries
+                # two values (the Python path resolves those by
+                # document key order, which Arrow cannot see)
+                total_nonnull = sum(len(c) - c.null_count for c in resolved)
+                merged = resolved[0]
+                for c in resolved[1:]:
+                    merged = pc.coalesce(merged, c)
+                if len(merged) - merged.null_count != total_nonnull:
+                    return None
+                cols[k] = merged
+
+        schema.update(new_fields)
+        out = batch.drop_columns([self.json_col])
+        for name in sorted(schema):
+            arr = cols.get(name)
+            if arr is None:
+                arr = pa.nulls(batch.num_rows, _ARROW[schema[name]])
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            out = out.append_column(name, arr)
+        return out
+
+    def _python_path(self, batch: pa.Table) -> pa.Table:
         import json as _json
 
         from kafka_connect_mongo_ray.stages.schema_evolve import (

@@ -62,6 +62,75 @@ def test_analyzed_mode_full_replay(tmp_engine_dirs):
     assert state.schema.field("flag").type == pa.bool_()
 
 
+def _stage_pair():
+    from kafka_connect_mongo_ray.pipelines.cdc import AnalyzeObjectStage
+
+    return (AnalyzeObjectStage(arrow_fast_path=True),
+            AnalyzeObjectStage(arrow_fast_path=False))
+
+
+def _batch_of(objects):
+    n = len(objects)
+    return pa.table({
+        "ts": pa.array(range(n), pa.int64()),
+        "object": pa.array(objects, pa.large_string()),
+    })
+
+
+@pytest.mark.parametrize("objects,expect_fast", [
+    # clean uniform batch → fast path
+    (['{"name": "a", "size": 1, "active": true}',
+      '{"name": "b", "size": 2.5, "active": false}'], True),
+    # new field evolves (int → float64 lattice) on the fast path
+    (['{"name": "a"}', '{"name": "b", "added": 7}'], True),
+    # capital spelling of a known field (coalesce branch) → fast
+    (['{"Name": "a", "size": 1}', '{"name": "b", "size": 2}'], True),
+    # ISO date string NEW field infers timestamp → Python fallback,
+    # lattice keeps it a verbatim STRING
+    (['{"d": "2024-01-01T00:00:00Z"}'], False),
+    # malformed row → fallback (skip-and-count semantics)
+    (['{"name": "a"}', '{broken'], False),
+    # number under a known string field → fallback (str() coercion)
+    (['{"name": "a"}', '{"name": 5}'], False),
+    # nested object → fallback (JSON-text re-stringify)
+    (['{"name": {"x": 1}}'], False),
+    # bool under a known float64 field → fallback (null-on-conflict)
+    (['{"size": 1}', '{"size": true}'], False),
+    # null row image → empty payload, fast
+    (['{"name": "a"}', None], True),
+    # invalid key dropped either way
+    (['{"9bad": 1, "ok": 2}'], True),
+])
+def test_arrow_ndjson_parity(objects, expect_fast):
+    """The NDJSON fast path returns byte-identical tables to the
+    per-row Python lattice, and falls back exactly when it must."""
+    fast, slow = _stage_pair()
+    # seed both with the same known schema so the explicit_schema
+    # covers name/size/active
+    for stage in (fast, slow):
+        stage.analyzer.schema.update(
+            {"name": "string", "size": "float64", "active": "bool"})
+    got = fast(_batch_of(objects))
+    want = slow(_batch_of(objects))
+    assert got.schema == want.schema
+    assert got.equals(want)
+    assert fast.fast_batches == (1 if expect_fast else 0)
+    assert fast.analyzer.schema == slow.analyzer.schema
+
+
+def test_arrow_ndjson_parity_empty_schema_start():
+    """From a cold schema, the first batch evolves identically on both
+    paths and later batches reuse the evolved explicit schema."""
+    fast, slow = _stage_pair()
+    b1 = _batch_of(['{"a": 1, "b": "x"}', '{"a": 2}'])
+    b2 = _batch_of(['{"a": 3, "b": "y", "c": true}'])
+    for b in (b1, b2):
+        got, want = fast(b), slow(b)
+        assert got.equals(want)
+    assert fast.fast_batches == 2
+    assert fast.analyzer.schema == {"a": "float64", "b": "string", "c": "bool"}
+
+
 _FLAKY_FLAG = "/tmp/kcm_flaky_test_flag"
 
 
