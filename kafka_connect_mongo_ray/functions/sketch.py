@@ -80,3 +80,38 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
         s = HyperLogLog.deserialize(row["sketch"])
         merged = s if merged is None else merged.merge(s)
     return 0.0 if merged is None else merged.estimate()
+
+
+def approx_distinct_by(ds, column: str, by: str, *, p: int = 12):
+    """Per-group approximate COUNT(DISTINCT column) GROUP BY ``by``.
+
+    Each batch emits one serialized sketch PER GROUP IT CONTAINS (the
+    values are hashed once for the whole batch, then sliced by group
+    code), so the only thing that shuffles is O(groups × blocks)
+    fixed-size sketches — never the raw values. The final merge is a
+    tiny per-group register max. Returns a Dataset of
+    ``(by, approx_distinct)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[by]).astype(object)
+        codes, uniq = pd.factorize(keys)
+        h = pd.util.hash_array(
+            np.asarray(batch[column]).astype(object), categorize=False)
+        sketches = []
+        for gi in range(len(uniq)):
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[codes == gi])
+            sketches.append(hll.serialize())
+        return pa.table({by: pa.array(list(uniq)),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for b in g["sketch"]:
+            s = HyperLogLog.deserialize(b)
+            merged = s if merged is None else merged.merge(s)
+        return pd.DataFrame({by: [g[by].iloc[0]],
+                             "approx_distinct": [merged.estimate()]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(by).map_groups(
+        merge_group, batch_format="pandas")

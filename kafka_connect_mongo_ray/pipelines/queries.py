@@ -53,6 +53,9 @@ EMB_LSH_RECALL_BOUND = 0.85
 JACCARD_THRESHOLD = 0.6
 SIMHASH_HAMMING_BOUND = 8  # true J>=0.6 pairs measure hamming <= 8; random pairs >= 9
 HLL_ERROR_BOUND = 0.05  # measured 0.2%-2.9% at p=12 across sfs
+QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
+SAMPLE_THRESHOLD_HEX = "33333333"  # md5 prefix < this ≈ 20% of keys
+PRICE_BRACKETS = [(i * 10000, (i + 1) * 10000) for i in range(10)]
 
 # True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
 # SQL — the independent oracle for the MinHash-LSH + verify pipeline.
@@ -1239,6 +1242,79 @@ def q_events_topk_per_group(sf_dir: str):
     return ds.groupby("event_type").map_groups(topk, batch_format="pyarrow")
 
 
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact discrete quantiles without a global sort: per-batch
+    value→count compaction, one value-domain-bounded groupby, a driver
+    pick over the tiny count table (functions/quantiles.py). Oracle:
+    DuckDB ``quantile_disc`` over the same int64-scaled values."""
+    from kafka_connect_mongo_ray.functions.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS, scale=100)
+
+
+def q_orders_sample_md5(sf_dir: str):
+    """Deterministic ~20% sample: membership = md5(str(key)) hex prefix
+    below a threshold — a pure function of the key, so every engine,
+    re-run, and partitioning sees the identical sample (the
+    reproducible train/eval split a corpus pipeline needs)."""
+    from kafka_connect_mongo_ray.functions.quantiles import sample_by_md5
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return sample_by_md5(ds, "o_orderkey", threshold_hex=SAMPLE_THRESHOLD_HEX)
+
+
+def q_lineitem_price_brackets(sf_dir: str):
+    """Range join (stages/join.py::interval_join): price brackets are a
+    broadcast interval table resolved per batch with vectorized
+    searchsorted — the fact stream never shuffles until the tiny
+    per-bracket aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from kafka_connect_mongo_ray.stages.join import interval_join
+
+    iv = pa.table({
+        "bracket": pa.array([f"b{i:02d}" for i in range(len(PRICE_BRACKETS))]),
+        "lo": pa.array([float(lo) for lo, _ in PRICE_BRACKETS], pa.float64()),
+        "hi": pa.array([float(hi) for _, hi in PRICE_BRACKETS], pa.float64()),
+    })
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    joined = interval_join(ds, iv, on="l_extendedprice", how="inner")
+    out = joined.groupby("bracket").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    # l_quantity is integral (1..50) so the float64 sum is exact in any
+    # addition order; cast defensively documents the bit-stability claim
+    return out.map_batches(
+        lambda t: pa.table({"bracket": t["bracket"], "n": t["n"],
+                            "sum_qty": pc.cast(t["sum_qty"], pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_events_user_hll_by_type(sf_dir: str):
+    """Per-group mergeable-sketch distinct (functions/sketch.py::
+    approx_distinct_by): only O(groups × blocks) fixed-size sketches
+    shuffle. The estimate is checked against the engine's own exact
+    per-group distinct; the oracle recomputes the exact count and the
+    ±5% claim becomes a machine-checked boolean per group."""
+    from ray.data.aggregate import Count
+
+    from kafka_connect_mongo_ray.functions.sketch import approx_distinct_by
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    est = approx_distinct_by(ds, "user_id", "event_type", p=12).to_pandas()
+    exact = (_read(sf_dir, "events", columns=["event_type", "user_id"])
+             .groupby(["event_type", "user_id"]).aggregate(Count())
+             .groupby("event_type").aggregate(Count(alias_name="exact_distinct"))
+             ).to_pandas()
+    m = exact.merge(est, on="event_type")
+    ok = (m["approx_distinct"] / m["exact_distinct"].clip(lower=1) - 1.0).abs() \
+        <= HLL_ERROR_BOUND
+    return pd.DataFrame({"event_type": m["event_type"],
+                         "exact_distinct": m["exact_distinct"].astype("int64"),
+                         "within_bound": ok})
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1287,6 +1363,10 @@ def build_queries():
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "orders_sample_md5": q_orders_sample_md5,
+        "lineitem_price_brackets": q_lineitem_price_brackets,
+        "events_user_hll_by_type": q_events_user_hll_by_type,
     }
 
 
@@ -1605,5 +1685,33 @@ def build_oracle_sql():
             SELECT doc_id AS media_id, frame_idx,
                    CAST((doc_id + frame_idx) % 256 AS DOUBLE) AS frame_mean
             FROM idx
+        """,
+        "lineitem_quantiles": " UNION ALL ".join(
+            f"""SELECT CAST({q} AS DOUBLE) AS q,
+                       quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),
+                                     {q}) AS value_scaled
+                FROM lineitem"""
+            for q in QUANTILE_QS),
+        "orders_sample_md5": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1,
+                         {len(SAMPLE_THRESHOLD_HEX)}) < '{SAMPLE_THRESHOLD_HEX}'
+        """,
+        "lineitem_price_brackets": f"""
+            WITH iv(bracket, lo, hi) AS (VALUES {", ".join(
+                f"('b{i:02d}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+                for i, (lo, hi) in enumerate(PRICE_BRACKETS))})
+            SELECT bracket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN iv
+              ON l_extendedprice >= lo AND l_extendedprice < hi
+            GROUP BY bracket
+        """,
+        "events_user_hll_by_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
     }

@@ -143,6 +143,58 @@ def asof_join(left_ds, right_ds, *, by: list[str], on: str,
         merge_bucket, batch_format="pandas")
 
 
+def interval_join(ds, intervals: pa.Table, *, on: str, lo_col: str = "lo",
+                  hi_col: str = "hi", how: str = "inner"):
+    """Range join against a SMALL interval table (the lookup side of a
+    bucketing / validity-window join — Ray Data has no native range
+    join). Intervals must be non-overlapping; rows match the interval
+    with ``lo <= value < hi``. ``how='inner'`` drops non-matching rows,
+    ``'left'`` keeps them with null interval columns.
+
+    Scale shape: the interval table is broadcast ONCE via ``ray.put``
+    (it is dimension-sized by definition — validity windows, price
+    brackets, time buckets) and every batch resolves its rows with two
+    vectorized ``np.searchsorted`` calls; the fact stream never
+    shuffles. For interval tables too large to broadcast, bucket both
+    sides by a coarse grid of the range and use :func:`hash_join` on
+    the grid key."""
+    import ray
+
+    lo = np.asarray(intervals[lo_col], dtype=np.float64)
+    hi = np.asarray(intervals[hi_col], dtype=np.float64)
+    order = np.argsort(lo, kind="mergesort")
+    lo, hi = lo[order], hi[order]
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("interval_join requires non-overlapping intervals")
+    payload_cols = [c for c in intervals.column_names if c not in (lo_col, hi_col)]
+    payload = intervals.take(pa.array(order)).select(payload_cols)
+    iv_ref = ray.put((lo, hi, payload))
+
+    class Resolver:
+        def __init__(self):
+            self.lo, self.hi, self.payload = ray.get(iv_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            limit_worker_threads()
+            v = np.asarray(batch[on], dtype=np.float64)
+            idx = np.searchsorted(self.lo, v, side="right") - 1
+            ok = (idx >= 0) & (v < self.hi[np.clip(idx, 0, None)])
+            if how == "inner":
+                out = batch.filter(pa.array(ok))
+                take = pa.array(idx[ok], pa.int64())
+                attach = self.payload.take(take)
+            else:
+                out = batch
+                # null payload for misses: a masked index array makes
+                # Table.take emit a null row wherever the index is null
+                attach = self.payload.take(pa.array(idx, pa.int64(), mask=~ok))
+            for c in attach.column_names:
+                out = out.append_column(c, attach[c])
+            return out
+
+    return ds.map_batches(Resolver, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def detect_hot_keys(ds, key: str, num_buckets: int, *, frac: float = 0.5,
                     per_batch_k: int = 16, max_keys: int = 16) -> list:
     """Sample-free heavy-hitter pass over the key column: each batch
