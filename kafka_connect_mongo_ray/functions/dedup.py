@@ -13,7 +13,9 @@ All expressed Ray-Data-first:
 - **SimHash**: 64-bit signature per doc; near-dups = equal signature
   bands (hamming≤k via band collision), verified by hamming distance.
 - **n-gram Jaccard**: the verifier, also usable brute-force on small
-  candidate sets.
+  candidate sets; plus a first-class exact word-n-gram AllPairs
+  similarity join (DF-ordered prefix filtering) — see
+  :func:`ngram_allpairs_pairs`.
 - **embedding cosine**: near-dup pairs above a cosine threshold,
   blocked by LSH hyperplane buckets at scale (here: per-batch matmul
   against the broadcast matrix for exactness at test scale).
@@ -325,6 +327,161 @@ def verify_pairs_jaccard(cands_ds, docs_ds, *, id_col: str = "doc_id",
         return out.filter(keep)
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact word-n-gram Jaccard similarity join (AllPairs prefix filtering)
+
+
+def _word_ngrams(text: str | None, n: int = 3) -> list[str]:
+    """Word n-grams matching the SQL oracle exactly:
+    ``array_to_string(list_slice(string_split(text,' '), u, u+n-1), ' ')``
+    — split on single spaces (empty tokens kept), texts shorter than
+    ``n`` tokens contribute one gram (the whole token list)."""
+    toks = (text or "").split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def word_ngram_jaccard(text_a: str | None, text_b: str | None, n: int = 3) -> float:
+    """True distinct-word-n-gram Jaccard (string sets — no hashing, so
+    the verify stage is collision-free by construction)."""
+    sa, sb = set(_word_ngrams(text_a, n)), set(_word_ngrams(text_b, n))
+    return len(sa & sb) / len(sa | sb)
+
+
+def word_ngram_explode(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> pa.Table:
+    """docs → distinct (gram, id) rows. Gram strings (not hashes) flow
+    through the pipeline: rows are short (n words) and exactness
+    against a SQL oracle costs nothing extra."""
+    ids = np.asarray(batch[id_col])
+    texts = batch[text_col].to_pylist()
+    gram_lists = [np.unique(np.asarray(_word_ngrams(t, n), dtype=object))
+                  for t in texts]
+    lens = np.fromiter((len(g) for g in gram_lists), dtype=np.int64,
+                       count=len(gram_lists))
+    flat = (np.concatenate(gram_lists) if gram_lists
+            else np.array([], dtype=object))
+    return pa.table({"gram": pa.array(flat, pa.string()),
+                     id_col: pa.array(np.repeat(ids, lens))})
+
+
+def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3,
+                              threshold: float = 0.5,
+                              bucket_cap: int = BUCKET_PAIR_CAP,
+                              num_partitions: int | None = None,
+                              staged: bool = False):
+    """Candidate pairs for exact word-n-gram Jaccard ≥ ``threshold`` via
+    DF-ordered prefix filtering (the AllPairs family — Bayardo, Ma &
+    Srikant, WWW'07). Unlike MinHash-LSH this is deterministic and
+    RECALL-COMPLETE: every pair with true Jaccard ≥ t shares a gram in
+    both docs' prefixes.
+
+    Prefix principle: fix any global total order on grams; a doc with
+    ``s`` distinct grams keeps its first ``p = s - ceil(t·s) + 1``. If
+    J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), and the smallest common
+    gram has rank ≤ |A| - ceil(t·|A|) + 1 in A (ditto B), so the two
+    prefixes intersect. We order grams by (global document frequency
+    asc, gram asc) — the DF ordering puts RARE grams in prefixes, which
+    is what keeps per-gram candidate buckets small at corpus scale.
+
+    Distributed shape (three groupbys, no broadcast):
+      1. ``map_batches`` explode → distinct (gram, id) rows;
+      2. ``groupby(gram)`` attaches each gram's global DF in the same
+         pass that co-locates it (no separate count + join);
+      3. ``groupby(id)`` sorts each doc's grams by (df, gram) and keeps
+         the prefix;
+      4. ``groupby(gram)`` over prefix rows emits in-bucket pairs
+         (``bucket_cap`` star+chain degrades only mass-identical
+         buckets, as in the LSH paths).
+    Shuffle volume is O(total distinct grams) rows of a few words each
+    — word n-grams (≈ tokens per doc), not char shingles, precisely so
+    this stays linear in corpus token count.
+
+    ``staged=True`` materializes between the groupbys: a lazy chain of
+    four AllToAll sorts stalls under the streaming executor's
+    per-operator resource reservation at small scale (same phenomenon
+    as pipelines/queries.py::verified_near_dup_pairs — measured ~10×
+    on gate fixtures). Leave False for large runs so the whole chain
+    streams and spills."""
+    import math
+
+    num_partitions = _default_partitions(num_partitions)
+    grams = ds.map_batches(
+        word_ngram_explode,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "n": n},
+        batch_format="pyarrow",
+    )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = np.int64(len(g))
+        return g
+
+    with_df = grams.groupby("gram", num_partitions=num_partitions).map_groups(
+        attach_df, batch_format="pandas")
+    if staged:
+        with_df = with_df.materialize()
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "gram"], kind="mergesort")
+        s = len(g)
+        p = s - int(math.ceil(threshold * s)) + 1
+        return g.head(p)[["gram", id_col]]
+
+    pref = with_df.groupby(id_col, num_partitions=num_partitions).map_groups(
+        prefix, batch_format="pandas")
+    if staged:
+        pref = pref.materialize()
+
+    pairs = pref.groupby("gram", num_partitions=num_partitions).map_groups(
+        lambda g: _pairs_in_bucket(g, id_col, bucket_cap), batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"],
+                         num_partitions=max(8, num_partitions // 2)).map_groups(
+        dedup_pairs, batch_format="pandas")
+
+
+def verify_pairs_word_ngram(cands_ds, docs_ds, *, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.5, num_buckets: int = 32):
+    """Attach both texts via two bucketed hash joins (no driver-side
+    corpus state) and keep pairs with TRUE word-n-gram Jaccard ≥
+    threshold. Combined with :func:`ngram_allpairs_candidates` this is
+    an EXACT similarity join: recall-complete candidates × exact
+    verification."""
+    with_ab = attach_pair_texts(cands_ds, docs_ds, id_col=id_col,
+                                text_col=text_col, num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        sims = np.fromiter((word_ngram_jaccard(x, y, n) for x, y in zip(ta, tb)),
+                           dtype=np.float64, count=len(ta))
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
+        return out.filter(pa.array(sims >= threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def ngram_allpairs_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, threshold: float = 0.5,
+                         num_partitions: int | None = None):
+    """Exact word-n-gram Jaccard pair join: AllPairs prefix-filter
+    candidates verified by true Jaccard. The deterministic counterpart
+    to ``minhash_lsh_candidates`` + ``verify_pairs_jaccard``."""
+    cands = ngram_allpairs_candidates(
+        ds, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        num_partitions=num_partitions)
+    return verify_pairs_word_ngram(
+        cands, ds, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        num_buckets=_default_partitions(num_partitions))
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,8 @@ ANN_RECALL_BOUND = 0.6
 # sweep is 0.94 (sf0.001) / 0.98 (sf0.01) at planes=3 + 1-bit multiprobe
 EMB_LSH_RECALL_BOUND = 0.85
 JACCARD_THRESHOLD = 0.6
+NGRAM_N = 3  # word n-grams for the exact AllPairs similarity join
+NGRAM_JACCARD_THRESHOLD = 0.5
 SIMHASH_HAMMING_BOUND = 8  # true J>=0.6 pairs measure hamming <= 8; random pairs >= 9
 HLL_ERROR_BOUND = 0.05  # measured 0.2%-2.9% at p=12 across sfs
 QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
@@ -67,6 +69,26 @@ WITH s AS (SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 5) AS sh
      c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
                FROM s a JOIN s b ON a.sh = b.sh AND b.doc_id > a.doc_id
+               GROUP BY 1, 2)
+SELECT id_a, id_b
+FROM inter JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {thr}
+"""
+
+# True word-{n}-gram Jaccard pairs >= threshold in SQL — the
+# independent oracle for the exact AllPairs prefix-filter join.
+WORD_NGRAM_PAIR_SQL = """
+WITH g AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(string_split(text, ' '),
+                                             u, u + {n} - 1), ' ') AS gram
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(
+                            1, greatest(array_length(string_split(text, ' '))
+                                        - {n} + 1, 1))) AS u
+                 FROM documents)),
+     c AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+               FROM g a JOIN g b ON a.gram = b.gram AND b.doc_id > a.doc_id
                GROUP BY 1, 2)
 SELECT id_a, id_b
 FROM inter JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
@@ -735,6 +757,32 @@ def verified_near_dup_pairs(sf_dir: str) -> pa.Table:
     return t
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """Exact word-n-gram Jaccard similarity join via AllPairs
+    DF-ordered prefix filtering (functions/dedup.py::
+    ngram_allpairs_pairs) — deterministic and recall-complete, the
+    exact counterpart to the probabilistic MinHash path. The oracle
+    computes the full word-3-gram ≥ 0.5 pair set in SQL, so the hash
+    match checks recall AND precision of the whole prefix-filter +
+    verify pipeline."""
+    from kafka_connect_mongo_ray.functions.dedup import (
+        ngram_allpairs_candidates,
+        verify_pairs_word_ngram,
+    )
+
+    # staged like verified_near_dup_pairs: the candidate set is
+    # pair-bounded, and splitting the 4-groupby candidate plan from the
+    # 2-join verify plan avoids the lazy-chain reservation stall
+    cands = ngram_allpairs_candidates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=NGRAM_N, threshold=NGRAM_JACCARD_THRESHOLD,
+        num_partitions=_gate_buckets(), staged=True).materialize()
+    return verify_pairs_word_ngram(
+        cands, _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=NGRAM_N, threshold=NGRAM_JACCARD_THRESHOLD,
+        num_buckets=_gate_buckets())
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     """MinHash→band→bucket candidates, verified by TRUE shingle Jaccard
     attached via two bucketed hash joins (no corpus broadcast). The
@@ -1358,6 +1406,7 @@ def build_queries():
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "docs_langid": q_docs_langid,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
@@ -1593,6 +1642,8 @@ def build_oracle_sql():
               AND length(d.text) >= {QUALITY_MIN_CHARS}
         """,
         "dedup_minhash_lsh": SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD),
+        "dedup_ngram_jaccard": WORD_NGRAM_PAIR_SQL.format(
+            n=NGRAM_N, thr=NGRAM_JACCARD_THRESHOLD),
         "dedup_simhash": (
             "SELECT id_a, id_b, TRUE AS hamming_ok FROM ("
             + SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD) + ") t"
