@@ -1,0 +1,135 @@
+"""Ordered / window operators: per-key lag deltas, running sums, and a
+distributed global ROW_NUMBER.
+
+The reference engine exposes only per-namespace `$natural` ordering
+(``database/OplogReader.kt:55``); a lake-side engine needs the full
+ordered-analytics family over that ordered stream. All three operators
+here avoid any driver-side iteration:
+
+- per-key window functions (:func:`lag_delta`, :func:`running_sum`)
+  are one ``groupby(key).map_groups`` — the shuffle moves each key's
+  rows once and the in-group kernel is vectorized numpy;
+- :func:`global_row_number` is the classic distributed rank: sample
+  order-key boundaries (bounded driver sample), range-bucket every row
+  by broadcast ``searchsorted``, count rows per bucket (a tiny
+  aggregate), then sort each bucket locally and add the exclusive
+  prefix-sum offset. Two small shuffles, no global sort funnel, no
+  block-metadata introspection — scales to any row count because the
+  only driver state is ``num_buckets`` counts + ``sample_size`` keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["lag_delta", "running_sum", "global_row_number"]
+
+
+def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
+    return t.sort_by([(c, "ascending") for c in order_cols])
+
+
+def lag_delta(ds, *, key: str, order_cols: list[str], ts_col: str,
+              out_col: str = "delta", num_partitions: int | None = None):
+    """Per-``key`` difference between each row's ``ts_col`` and the
+    previous row's (ordered by ``order_cols``); first row per key is
+    null — LAG(ts) OVER (PARTITION BY key ORDER BY ...) subtraction.
+
+    ``ts_col`` must be an integer column (e.g. epoch microseconds);
+    the delta is emitted as int64 so the result is bit-stable."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        t = _sort_key_arrays(g, order_cols)
+        ts = np.asarray(t[ts_col], dtype=np.int64)
+        delta = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            delta[1:] = ts[1:] - ts[:-1]
+        mask = np.zeros(len(ts), dtype=bool)
+        mask[0] = True  # LAG of the first row per key is NULL
+        return t.append_column(out_col, pa.array(delta, pa.int64(), mask=mask))
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+
+
+def running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
+                out_col: str = "running_sum",
+                num_partitions: int | None = None):
+    """Per-``key`` cumulative sum of integer ``val_col`` ordered by
+    ``order_cols`` — SUM(val) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING). Integer-only on purpose: a float cumsum's
+    value depends on addition order, an int64 one does not."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        t = _sort_key_arrays(g, order_cols)
+        vals = np.asarray(t[val_col], dtype=np.int64)
+        return t.append_column(out_col, pa.array(np.cumsum(vals), pa.int64()))
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+
+
+def _stride_sample(order_col: str, stride: int):
+    """Deterministic per-batch stride sample of the range-partitioning
+    column (no RNG: resumable replays must see identical boundaries)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx = np.arange(0, batch.num_rows, stride)
+        return batch.select([order_col]).take(pa.array(idx))
+
+    return fn
+
+
+def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
+                      num_buckets: int = 32, sample_stride: int = 64,
+                      start: int = 1):
+    """Distributed ROW_NUMBER() OVER (ORDER BY ``order_cols``).
+
+    Range partitioning is driven by the FIRST order column only, so all
+    ties on it land in one bucket and the within-bucket sort over the
+    full ``order_cols`` settles them; the remaining columns must make
+    the order total for a deterministic result (same contract as any
+    rank over a non-unique leading key).
+
+    Driver state is bounded: the stride sample is ~rows/stride scalar
+    keys reduced to ``num_buckets - 1`` quantile boundaries, and the
+    per-bucket count table is ``num_buckets`` rows."""
+    lead = order_cols[0]
+
+    sample = ds.map_batches(_stride_sample(lead, sample_stride),
+                            batch_format="pyarrow").take_all()
+    keys = np.sort(np.array([r[lead] for r in sample]))
+    if len(keys):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(keys[(qs * (len(keys) - 1)).astype(np.int64)])
+    else:
+        bounds = np.array([], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[lead])
+        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return batch.append_column("__rbucket", pa.array(b))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    counts = {int(r["__rbucket"]): int(r["count()"])
+              for r in bucketed.groupby("__rbucket").aggregate(Count()).take_all()}
+    offsets = {}
+    acc = start
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        t = _sort_key_arrays(g, order_cols)
+        b = int(t["__rbucket"][0].as_py())
+        rn = offsets[b] + np.arange(t.num_rows, dtype=np.int64)
+        return t.drop_columns(["__rbucket"]).append_column(
+            rank_col, pa.array(rn, pa.int64()))
+
+    return bucketed.groupby("__rbucket",
+                            num_partitions=min(num_buckets, max(len(counts), 1))
+                            ).map_groups(rank_bucket, batch_format="pyarrow")

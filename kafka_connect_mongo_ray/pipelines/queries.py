@@ -58,6 +58,9 @@ HLL_ERROR_BOUND = 0.05  # measured 0.2%-2.9% at p=12 across sfs
 QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
 SAMPLE_THRESHOLD_HEX = "33333333"  # md5 prefix < this ≈ 20% of keys
 PRICE_BRACKETS = [(i * 10000, (i + 1) * 10000) for i in range(10)]
+# "high-value order" cut for the anti join: ~20 / ~200 customers at
+# sf0.001 / sf0.01 have NO order above it (non-degenerate both ways)
+ANTI_JOIN_PRICE = 400_000.0
 
 # True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
 # SQL — the independent oracle for the MinHash-LSH + verify pipeline.
@@ -1363,6 +1366,102 @@ def q_events_user_hll_by_type(sf_dir: str):
                          "within_bound": ok})
 
 
+def _events_ts_us(sf_dir: str, extra_cols: list[str] | None = None,
+                  cents: bool = False):
+    """events with ts pre-cast to int64 epoch-µs (+ optional integer
+    cents) so every downstream ordered operator works on bit-stable
+    integers — float accumulation order never enters the result."""
+    cols = ["event_id", "user_id", "ts"] + (extra_cols or [])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = {"event_id": t["event_id"], "user_id": t["user_id"],
+               "ts_us": pc.cast(t["ts"], pa.int64())}
+        if cents:
+            # DuckDB ROUND is half-away-from-zero; pin Arrow's mode
+            out["cents"] = pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0), 0,
+                         round_mode="half_towards_infinity"), pa.int64())
+        for c in extra_cols or []:
+            if c != "value":
+                out[c] = t[c]
+        return pa.table(out)
+
+    return _read(sf_dir, "events", columns=cols).map_batches(
+        prep, batch_format="pyarrow")
+
+
+def q_events_lag_delta(sf_dir: str):
+    """Per-user LAG delta (functions/ranking.py::lag_delta): µs since
+    the user's previous event, NULL for the first — one groupby
+    shuffle, vectorized in-group diff."""
+    from kafka_connect_mongo_ray.functions.ranking import lag_delta
+
+    out = lag_delta(_events_ts_us(sf_dir), key="user_id",
+                    order_cols=["ts_us", "event_id"], ts_col="ts_us",
+                    out_col="delta_us", num_partitions=_gate_buckets())
+    return out.select_columns(["event_id", "user_id", "delta_us"])
+
+
+def q_events_running_sum(sf_dir: str):
+    """Per-user running sum (functions/ranking.py::running_sum) over
+    integer cents — SUM OVER (PARTITION BY user ORDER BY ts) with an
+    order-independent int64 accumulator."""
+    from kafka_connect_mongo_ray.functions.ranking import running_sum
+
+    out = running_sum(_events_ts_us(sf_dir, extra_cols=["value"], cents=True),
+                      key="user_id", order_cols=["ts_us", "event_id"],
+                      val_col="cents", out_col="cum_cents",
+                      num_partitions=_gate_buckets())
+    return out.select_columns(["event_id", "user_id", "cum_cents"])
+
+
+def q_events_global_rank(sf_dir: str):
+    """Distributed global ROW_NUMBER (functions/ranking.py::
+    global_row_number): sampled range boundaries → bucket counts →
+    per-bucket sort + prefix-sum offset. No global sort funnel; driver
+    state is the boundary sample + one count per bucket."""
+    from kafka_connect_mongo_ray.functions.ranking import global_row_number
+
+    out = global_row_number(_events_ts_us(sf_dir),
+                            order_cols=["ts_us", "event_id"], rank_col="rn",
+                            num_buckets=_gate_buckets())
+    return out.select_columns(["event_id", "rn"])
+
+
+def q_join_anti_customers(sf_dir: str):
+    """Anti join (stages/join.py::hash_join how='anti'): customers with
+    no high-value order (filter pushed into the pruned read). The right
+    side ships key columns only, deduplicated per batch — the exchange
+    moves keys, never payloads."""
+    import pyarrow.dataset as pads
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > ANTI_JOIN_PRICE,
+    ).map_batches(lambda t: t.rename_columns(["c_custkey"]),
+                  batch_format="pyarrow")
+    return hash_join(cust, orders, on=["c_custkey"], how="anti",
+                     num_buckets=_gate_buckets())
+
+
+def q_join_semi_parts(sf_dir: str):
+    """Semi join (how='semi'): parts that appear in ≥1 lineitem, left
+    payload passed through exactly once regardless of match count."""
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"]).map_batches(
+        lambda t: t.rename_columns(["p_partkey"]), batch_format="pyarrow")
+    return hash_join(part, li, on=["p_partkey"], how="semi",
+                     num_buckets=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1416,6 +1515,11 @@ def build_queries():
         "orders_sample_md5": q_orders_sample_md5,
         "lineitem_price_brackets": q_lineitem_price_brackets,
         "events_user_hll_by_type": q_events_user_hll_by_type,
+        "events_lag_delta": q_events_lag_delta,
+        "events_running_sum": q_events_running_sum,
+        "events_global_rank": q_events_global_rank,
+        "join_anti_customers": q_join_anti_customers,
+        "join_semi_parts": q_join_semi_parts,
     }
 
 
@@ -1764,5 +1868,39 @@ def build_oracle_sql():
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "events_lag_delta": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS delta_us
+            FROM events
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cents
+            FROM events
+        """,
+        "events_global_rank": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        """,
+        "join_anti_customers": f"""
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > {ANTI_JOIN_PRICE})
+        """,
+        "join_semi_parts": """
+            SELECT p_partkey, p_brand
+            FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey)
         """,
     }

@@ -245,13 +245,24 @@ def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
     — the classic salted-replicate join. A hot key's group shrinks from
     |left_hot| to |left_hot|/num_salts rows; the replication cost is
     |right_hot| × num_salts (keep the small side right). Only valid for
-    single-column keys and inner/left joins (replicating the right side
-    would duplicate right-only rows under right/outer semantics)."""
+    single-column keys and inner/left/semi/anti joins (replicating the
+    right side would duplicate right-only rows under right/outer
+    semantics).
+
+    ``how='semi'`` / ``how='anti'`` return the LEFT side's columns for
+    rows with ≥1 / 0 key matches on the right — the right side is
+    pruned to its key columns before the shuffle, so only keys move."""
+    if how in ("semi", "anti"):
+        # existence joins never read right payloads: ship keys only,
+        # deduplicated per batch to shrink the exchange further
+        right_ds = right_ds.select_columns(on).map_batches(
+            lambda t: t.group_by(on).aggregate([]), batch_format="pyarrow")
     if hot_keys is not None:
         if len(on) != 1:
             raise ValueError("salted join supports a single join key")
-        if how not in ("inner", "left"):
-            raise ValueError("salted join supports inner/left joins only")
+        if how not in ("inner", "left", "semi", "anti"):
+            raise ValueError("salted join supports inner/left/semi/anti "
+                             "joins only")
     if isinstance(hot_keys, str):
         if hot_keys != "auto":
             raise ValueError(f"hot_keys must be a list, 'auto', or None, "
@@ -353,9 +364,23 @@ def _hash_join_impl(left_ds, right_ds, *, on, num_buckets, how,
         [pa.field(c, all_types[c]) for c in on + l_payload + r_payload]
     )
 
+    if how in ("semi", "anti"):
+        # existence joins emit the left side's columns only
+        out_schema = pa.schema(
+            [pa.field(c, left_types[c]) for c in on + l_payload]
+        )
+
     def merge_bucket(g: pd.DataFrame) -> pa.Table:
         l = g[g[_SIDE] == 0][on + l_payload]
         r = g[g[_SIDE] == 1][on + r_payload]
+        if how in ("semi", "anti"):
+            m = l.merge(r.drop_duplicates(), on=on, how="left",
+                        indicator="__exists")
+            keep = m["__exists"] == ("both" if how == "semi" else "left_only")
+            out = m.loc[keep, on + l_payload]
+            # left rows carry no join-introduced nulls: exact-type cast
+            return pa.Table.from_pandas(
+                out, preserve_index=False).cast(out_schema)
         out = l.merge(r, on=on, how=how)
         t = pa.Table.from_pandas(out, preserve_index=False)
         if how == "inner":

@@ -1,0 +1,112 @@
+"""Ordered-analytics operators (functions/ranking.py) and the
+semi/anti existence joins (stages/join.py) against in-process pandas
+references on randomized keyed inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(seed: int, n: int = 400, n_keys: int = 17) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_keys, n).astype(np.int64),
+        # duplicate timestamps on purpose: the order tie-break is event_id
+        "ts_us": rng.integers(0, n // 2, n).astype(np.int64) * 1_000_000,
+        "val": rng.integers(-50, 50, n).astype(np.int64),
+    })
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_lag_delta_matches_pandas(seed):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import lag_delta
+
+    df = _events(seed)
+    ds = rd.from_pandas(df).repartition(5)
+    got = lag_delta(ds, key="user_id", order_cols=["ts_us", "event_id"],
+                    ts_col="ts_us", out_col="d", num_partitions=4).to_pandas()
+    want = df.sort_values(["ts_us", "event_id"])
+    want["d"] = want.groupby("user_id")["ts_us"].diff()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["d"].astype("float64"),
+                                   want["d"], check_names=False)
+    # first row per key is null, all others are not
+    assert got["d"].isna().sum() == df["user_id"].nunique()
+
+
+@pytest.mark.parametrize("seed", [1, 8])
+def test_running_sum_matches_pandas(seed):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import running_sum
+
+    df = _events(seed)
+    ds = rd.from_pandas(df).repartition(5)
+    got = running_sum(ds, key="user_id", order_cols=["ts_us", "event_id"],
+                      val_col="val", out_col="cs", num_partitions=4).to_pandas()
+    want = df.sort_values(["ts_us", "event_id"])
+    want["cs"] = want.groupby("user_id")["val"].cumsum()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["cs"].dtype == np.int64
+    pd.testing.assert_series_equal(got["cs"], want["cs"], check_names=False)
+
+
+@pytest.mark.parametrize("seed,buckets", [(2, 4), (9, 1)])
+def test_global_row_number_is_a_permutation_in_order(seed, buckets):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import global_row_number
+
+    df = _events(seed)
+    ds = rd.from_pandas(df).repartition(5)
+    got = global_row_number(ds, order_cols=["ts_us", "event_id"],
+                            rank_col="rn", num_buckets=buckets,
+                            sample_stride=16).to_pandas()
+    want = df.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    want["rn"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["rn"].dtype == np.int64
+    pd.testing.assert_series_equal(got["rn"], want["rn"], check_names=False)
+
+
+def _sides(seed: int):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300).astype(np.int64),
+        "payload": rng.integers(0, 1000, 300).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(20, 60, 500).astype(np.int64),
+        # right payload must be ignored by existence joins
+        "other": rng.integers(0, 9, 500).astype(np.int64),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+@pytest.mark.parametrize("hot", [None, "auto"])
+def test_semi_anti_join_matches_pandas(how, hot):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    left, right = _sides(3)
+    out = hash_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(4),
+                    on=["k"], num_buckets=6, how=how,
+                    hot_keys=hot).to_pandas()
+    present = left["k"].isin(set(right["k"]))
+    want = left[present if how == "semi" else ~present]
+    assert list(out.columns) == ["k", "payload"]
+    assert out["k"].dtype == np.int64 and out["payload"].dtype == np.int64
+    key = lambda d: d.sort_values(["k", "payload"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(want))
+    # a left row with N matches is emitted exactly once
+    assert len(out) == len(want)
