@@ -1,0 +1,102 @@
+"""Hierarchical ROLLUP aggregation (GROUP BY ROLLUP(k1, k2, ...)).
+
+The reference has no group-by at all (its reduction is the sink upsert,
+``sink/MongoSinkTask.kt:34-90``); a lake engine needs the OLAP rollup
+family. The distributed shape matters more than the operator: only the
+FINEST level touches fact-sized data (per-batch partial pre-aggregation
+followed by one ``groupby`` shuffle). Every coarser level re-aggregates
+the finest aggregate — dimension-sized data, materialized once — so a
+rollup over N fact rows costs exactly one fact-sized exchange no matter
+how many levels the key hierarchy has.
+
+Rolled-up key columns are filled with caller-supplied sentinels instead
+of SQL's NULL markers: the output stays join-able and deterministic
+without a GROUPING() side channel (mirror the sentinels with COALESCE
+in any SQL oracle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+__all__ = ["rollup_aggregate"]
+
+
+def _partial(keys: list[str], sum_cols: list[str], count_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        aggs = {count_col: (keys[0], "size")}
+        aggs.update({c: (c, "sum") for c in sum_cols})
+        g = df.groupby(keys, as_index=False).agg(**aggs)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return fn
+
+
+def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
+                     count_col: str = "n", sentinels: dict | None = None,
+                     num_partitions: int | None = None):
+    """COUNT(*) + SUM(sum_cols) at every ROLLUP level of ``keys``
+    (finest → grand total). Sum columns must be integers or otherwise
+    order-independent under addition — levels are sums of partial sums.
+
+    ``sentinels`` maps key column → fill value for levels where that
+    key is rolled up (defaults: ``"ALL"`` for strings, ``-1`` for
+    numerics)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sentinels = dict(sentinels or {})
+    schema = ds.schema()
+
+    def _arrow_type(t):
+        # pandas-block datasets report numpy dtypes; object means string
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+    for k in keys:
+        if k not in sentinels:
+            sentinels[k] = "ALL" if pa.types.is_string(types[k]) else -1
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    measures = [count_col] + sum_cols
+    sums = [Sum(c, alias_name=c) for c in measures]
+
+    # ONE fact-sized exchange: batch-local pre-aggregation, then the
+    # finest-level groupby; materialized because every coarser level
+    # re-reads it (it is dimension-sized by construction)
+    finest = ds.map_batches(
+        _partial(keys, sum_cols, count_col), batch_format="pyarrow"
+    ).groupby(keys, **kwargs).aggregate(*sums).materialize()
+    agg_types = dict(zip(finest.schema().names, finest.schema().types))
+
+    out_cols = keys + measures
+    levels = [finest.select_columns(out_cols)]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        rolled = tuple(keys[depth:])
+
+        def fill(batch: pa.Table, rolled=rolled) -> pa.Table:
+            for c in rolled:
+                batch = batch.append_column(
+                    c, pa.array([sentinels[c]] * batch.num_rows, types[c]))
+            return batch.select(out_cols)
+
+        if kept:
+            lvl = finest.groupby(kept).aggregate(*sums)
+        else:
+            # grand total: one driver-side row over the small aggregate
+            row = finest.aggregate(*sums)
+            lvl = rd.from_arrow(pa.table(
+                {c: pa.array([row[c]], agg_types[c]) for c in measures}))
+        levels.append(lvl.map_batches(fill, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

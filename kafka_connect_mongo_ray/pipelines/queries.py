@@ -1450,6 +1450,48 @@ def q_join_anti_customers(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+def q_dedup_components(sf_dir: str):
+    """Duplicate-cluster labeling: the verified near-dup pair set
+    (shared memo) → distributed min-label propagation
+    (functions/graph.py::connected_components) → (doc_id, component)
+    where component = min doc_id reachable through near-dup edges. The
+    oracle recomputes the true pair set AND the transitive closure in
+    SQL (recursive CTE), so the hash match checks the whole clustering."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import connected_components
+
+    pairs = verified_near_dup_pairs(sf_dir).select(["id_a", "id_b"])
+    return connected_components(
+        rd.from_arrow(pairs), num_buckets=_gate_buckets(),
+    ).map_batches(lambda t: t.rename_columns(["doc_id", "component"]),
+                  batch_format="pyarrow")
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) — functions/rollup.py: one
+    fact-sized exchange at the finest level, coarser levels re-aggregate
+    the dimension-sized result; integer cents keep every level
+    bit-exact. Sentinels ('ALL', -1) stand in for SQL's NULL markers."""
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(ts_us, 86_400_000_000),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0), 0,
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    return rollup_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                            keys=["event_type", "day"], sum_cols=["cents"],
+                            num_partitions=_gate_buckets())
+
+
 def q_join_semi_parts(sf_dir: str):
     """Semi join (how='semi'): parts that appear in ≥1 lineitem, left
     payload passed through exactly once regardless of match count."""
@@ -1520,6 +1562,8 @@ def build_queries():
         "events_global_rank": q_events_global_rank,
         "join_anti_customers": q_join_anti_customers,
         "join_semi_parts": q_join_semi_parts,
+        "events_rollup": q_events_rollup,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -1902,5 +1946,28 @@ def build_oracle_sql():
             FROM part p
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey)
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD)}),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY node
+        """,
+        "events_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, -1) AS day,
+                   COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
         """,
     }

@@ -1,0 +1,85 @@
+"""functions/rollup.py and functions/graph.py against in-process
+references (pandas multi-level groupby; union-find) on random inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_rollup_matches_pandas(seed):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "k1": rng.choice(["a", "b", "c"], 200),
+        "k2": rng.integers(0, 4, 200).astype(np.int64),
+        "v": rng.integers(-100, 100, 200).astype(np.int64),
+    })
+    out = rollup_aggregate(
+        rd.from_pandas(df).repartition(4), keys=["k1", "k2"],
+        sum_cols=["v"], num_partitions=3).to_pandas()
+
+    fin = df.groupby(["k1", "k2"], as_index=False).agg(
+        n=("v", "size"), v=("v", "sum"))
+    l1 = df.groupby(["k1"], as_index=False).agg(n=("v", "size"), v=("v", "sum"))
+    l1["k2"] = np.int64(-1)
+    l0 = pd.DataFrame({"k1": ["ALL"], "k2": np.array([-1], np.int64),
+                       "n": [len(df)], "v": [df["v"].sum()]})
+    want = pd.concat([fin, l1, l0], ignore_index=True)[
+        ["k1", "k2", "n", "v"]]
+    want["n"] = want["n"].astype(np.int64)
+
+    key = lambda d: d.sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(want), check_dtype=False)
+    assert out["v"].dtype == np.int64
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 25), (4, 60, 40),
+                                                  (7, 12, 60)])
+def test_connected_components_matches_union_find(seed, n_nodes, n_edges):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import connected_components
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    edges = pa.table({"id_a": a, "id_b": b})
+    got = connected_components(
+        rd.from_arrow(edges).repartition(3), num_buckets=4).to_pandas()
+    want = _uf_components(zip(a.tolist(), b.tolist()))
+    assert dict(zip(got["node"], got["component"])) == want
+
+
+def test_connected_components_long_chain_converges():
+    """A path graph is the worst case for min propagation (diameter
+    rounds) — every node must still end at label 0."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import connected_components
+
+    n = 20
+    edges = pa.table({"id_a": pa.array(range(n - 1), pa.int64()),
+                      "id_b": pa.array(range(1, n), pa.int64())})
+    got = connected_components(rd.from_arrow(edges), num_buckets=2).to_pandas()
+    assert set(got["component"]) == {0} and len(got) == n
