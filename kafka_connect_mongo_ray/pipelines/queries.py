@@ -61,6 +61,8 @@ PRICE_BRACKETS = [(i * 10000, (i + 1) * 10000) for i in range(10)]
 # "high-value order" cut for the anti join: ~20 / ~200 customers at
 # sf0.001 / sf0.01 have NO order above it (non-degenerate both ways)
 ANTI_JOIN_PRICE = 400_000.0
+BM25_TERMS = ["hash", "stream", "window"]
+BM25_K = 10
 
 # True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
 # SQL — the independent oracle for the MinHash-LSH + verify pipeline.
@@ -1450,6 +1452,46 @@ def q_join_anti_customers(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """Full BM25 recomputed in SQL over the same whitespace tokens.
+    Every literal is arranged to replicate the engine's float64
+    evaluation order exactly (CAST({k1} AS DOUBLE) + 1 mirrors k1+1.0,
+    term scores summed in query-term order)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS)))
+    term_exprs = " + ".join(
+        f"LN((CAST(s.n AS DOUBLE) - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * CAST(tf{i} AS DOUBLE) * (CAST({k1} AS DOUBLE) + 1)"
+        f" / (tf{i} + {k1} * (1 - {b} + {b} * CAST(dl AS DOUBLE) / s.avgdl))"
+        for i in range(len(BM25_TERMS)))
+    return f"""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                     FROM documents),
+        t AS (SELECT doc_id, len(ts) AS dl, {tf_cols} FROM tok),
+        s AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     {df_cols} FROM t)
+        SELECT doc_id, ROUND(score, 6) AS score
+        FROM (SELECT doc_id, {term_exprs} AS score FROM t, s
+              ORDER BY score DESC, doc_id LIMIT {BM25_K})
+    """
+
+
+def q_docs_bm25(sf_dir: str):
+    """BM25 top-k lexical retrieval (functions/retrieval.py::bm25_topk):
+    one tokenize pass to a narrow tf table, scalar corpus stats, per-
+    block top-k before the global sort+limit. The oracle recomputes the
+    full formula in SQL over exact whitespace tokens."""
+    from kafka_connect_mongo_ray.functions.retrieval import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                     terms=BM25_TERMS, k=BM25_K)
+
+
 def q_dedup_components(sf_dir: str):
     """Duplicate-cluster labeling: the verified near-dup pair set
     (shared memo) → distributed min-label propagation
@@ -1564,6 +1606,7 @@ def build_queries():
         "join_semi_parts": q_join_semi_parts,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
+        "docs_bm25": q_docs_bm25,
     }
 
 
@@ -1947,6 +1990,7 @@ def build_oracle_sql():
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey)
         """,
+        "docs_bm25": _bm25_oracle_sql(),
         "dedup_components": f"""
             WITH RECURSIVE pairs AS ({SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD)}),
             edges AS (SELECT id_a AS s, id_b AS d FROM pairs
