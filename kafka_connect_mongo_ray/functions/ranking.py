@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["lag_delta", "running_sum", "global_row_number"]
+__all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
@@ -65,6 +65,29 @@ def running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
         t = _sort_key_arrays(g, order_cols)
         vals = np.asarray(t[val_col], dtype=np.int64)
         return t.append_column(out_col, pa.array(np.cumsum(vals), pa.int64()))
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+
+
+def rolling_mean(ds, *, key: str, order_cols: list[str], val_col: str,
+                 window: int, out_col: str = "rolling_mean",
+                 num_partitions: int | None = None):
+    """Per-``key`` trailing mean of integer ``val_col`` over the last
+    ``window`` rows ordered by ``order_cols`` — AVG(val) OVER
+    (PARTITION BY key ORDER BY ... ROWS window-1 PRECEDING). The
+    windowed sum is an exact int64 difference of prefix sums; only the
+    final division is float, so the result is bit-stable for any
+    partitioning."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        t = _sort_key_arrays(g, order_cols)
+        vals = np.asarray(t[val_col], dtype=np.int64)
+        cs = np.concatenate(([0], np.cumsum(vals)))
+        lo = np.maximum(np.arange(len(vals)) - window + 1, 0)
+        wsum = cs[1:] - cs[lo]
+        cnt = np.arange(1, len(vals) + 1) - lo
+        return t.append_column(out_col, pa.array(wsum / cnt, pa.float64()))
 
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
     return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")

@@ -1481,6 +1481,44 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
+def q_events_moving_avg(sf_dir: str):
+    """Trailing 5-row mean per user (functions/ranking.py::
+    rolling_mean): exact int64 prefix-sum window, single float division
+    at the end — bit-stable under any partitioning."""
+    from kafka_connect_mongo_ray.functions.ranking import rolling_mean
+
+    out = rolling_mean(_events_ts_us(sf_dir, extra_cols=["value"], cents=True),
+                       key="user_id", order_cols=["ts_us", "event_id"],
+                       val_col="cents", window=5, out_col="avg_cents",
+                       num_partitions=_gate_buckets())
+    return out.select_columns(["event_id", "user_id", "avg_cents"]).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("avg_cents"), "avg_cents",
+            pc.round(t["avg_cents"], 6, round_mode="half_towards_infinity")),
+        batch_format="pyarrow")
+
+
+def q_join_full_outer(sf_dir: str):
+    """Full outer hash join: rich customers vs per-customer big-order
+    counts — both sides contribute unmatched rows, exercising the
+    null-bearing type-restore path of stages/join.py::merge_bucket."""
+    from ray.data.aggregate import Count
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]
+                 ).filter(expr="c_acctbal > 5000")
+    big = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+                ).filter(expr="o_totalprice > 300000")
+    counts = (big.groupby("o_custkey").aggregate(Count())
+              .map_batches(lambda t: pa.table(
+                  {"c_custkey": t["o_custkey"],
+                   "n_big": pc.cast(t["count()"], pa.int64())}),
+                  batch_format="pyarrow"))
+    return hash_join(cust, counts, on=["c_custkey"], how="outer",
+                     num_buckets=_gate_buckets())
+
+
 def q_docs_bm25(sf_dir: str):
     """BM25 top-k lexical retrieval (functions/retrieval.py::bm25_topk):
     one tokenize pass to a narrow tf table, scalar corpus stats, per-
@@ -1607,6 +1645,8 @@ def build_queries():
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
+        "events_moving_avg": q_events_moving_avg,
+        "join_full_outer": q_join_full_outer,
     }
 
 
@@ -1991,6 +2031,25 @@ def build_oracle_sql():
                           WHERE l.l_partkey = p.p_partkey)
         """,
         "docs_bm25": _bm25_oracle_sql(),
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ), 6) AS avg_cents
+            FROM events
+        """,
+        "join_full_outer": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   c.c_acctbal, o.n_big
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal > 5000) c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                  WHERE o_totalprice > 300000 GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey
+        """,
         "dedup_components": f"""
             WITH RECURSIVE pairs AS ({SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD)}),
             edges AS (SELECT id_a AS s, id_b AS d FROM pairs

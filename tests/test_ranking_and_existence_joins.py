@@ -57,6 +57,26 @@ def test_running_sum_matches_pandas(seed):
     pd.testing.assert_series_equal(got["cs"], want["cs"], check_names=False)
 
 
+@pytest.mark.parametrize("seed,window", [(3, 1), (6, 4)])
+def test_rolling_mean_matches_pandas(seed, window):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import rolling_mean
+
+    df = _events(seed)
+    ds = rd.from_pandas(df).repartition(5)
+    got = rolling_mean(ds, key="user_id", order_cols=["ts_us", "event_id"],
+                       val_col="val", window=window, out_col="m",
+                       num_partitions=4).to_pandas()
+    want = df.sort_values(["ts_us", "event_id"])
+    want["m"] = (want.groupby("user_id")["val"]
+                 .rolling(window, min_periods=1).mean()
+                 .reset_index(level=0, drop=True))
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["m"], want["m"], check_names=False)
+
+
 @pytest.mark.parametrize("seed,buckets", [(2, 4), (9, 1)])
 def test_global_row_number_is_a_permutation_in_order(seed, buckets):
     import ray.data as rd
