@@ -163,6 +163,9 @@ def bench_queries(sf_dir: str) -> dict:
         q_cdc_final_state,
         q_cdc_lww_user_state,
         q_dedup_exact,
+        q_docs_bm25,
+        q_events_global_rank,
+        q_events_rollup,
         q_text_stats,
     )
 
@@ -173,6 +176,9 @@ def bench_queries(sf_dir: str) -> dict:
         ("dedup_exact", q_dedup_exact),
         ("ann_topk", q_ann_topk),
         ("text_stats", q_text_stats),
+        ("docs_bm25", q_docs_bm25),
+        ("events_rollup", q_events_rollup),
+        ("events_global_rank", q_events_global_rank),
     ]:
         t0 = time.perf_counter()
         res = fn(sf_dir)
