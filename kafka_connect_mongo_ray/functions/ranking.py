@@ -93,19 +93,23 @@ def rolling_mean(ds, *, key: str, order_cols: list[str], val_col: str,
     return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
 
 
-def _stride_sample(order_col: str, stride: int):
-    """Deterministic per-batch stride sample of the range-partitioning
-    column (no RNG: resumable replays must see identical boundaries)."""
+def _spaced_sample(order_col: str, per_block: int):
+    """Deterministic per-batch evenly-spaced sample of the
+    range-partitioning column (no RNG: resumable replays must see
+    identical boundaries). Emits at most ``per_block`` values per
+    batch regardless of batch size."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        idx = np.arange(0, batch.num_rows, stride)
+        n = batch.num_rows
+        idx = np.unique(np.linspace(0, n - 1, min(per_block, n),
+                                    dtype=np.int64)) if n else np.array([], np.int64)
         return batch.select([order_col]).take(pa.array(idx))
 
     return fn
 
 
 def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
-                      num_buckets: int = 32, sample_stride: int = 64,
+                      num_buckets: int = 32, sample_per_block: int = 64,
                       start: int = 1):
     """Distributed ROW_NUMBER() OVER (ORDER BY ``order_cols``).
 
@@ -115,13 +119,24 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
     the order total for a deterministic result (same contract as any
     rank over a non-unique leading key).
 
-    Driver state is bounded: the stride sample is ~rows/stride scalar
-    keys reduced to ``num_buckets - 1`` quantile boundaries, and the
-    per-bucket count table is ``num_buckets`` rows."""
+    Driver state is bounded INDEPENDENT of row count: stage 1 samples
+    ≤ ``sample_per_block`` evenly-spaced keys per block, stage 2
+    coalesces that sample to ``num_buckets`` blocks and samples again,
+    so at most ``sample_per_block × num_buckets`` scalars reach the
+    driver (then reduce to ``num_buckets - 1`` boundaries), plus one
+    count per bucket. Skewed leading keys cost nothing here — ties all
+    land in one bucket by construction — but a single value spanning
+    a large fraction of all rows makes that bucket's local sort the
+    straggler (same contract as any range partitioning)."""
     lead = order_cols[0]
 
-    sample = ds.map_batches(_stride_sample(lead, sample_stride),
-                            batch_format="pyarrow").take_all()
+    sample_ds = ds.map_batches(_spaced_sample(lead, sample_per_block),
+                               batch_format="pyarrow")
+    # second-level sample caps driver state at per_block × num_buckets
+    sample = (sample_ds.repartition(num_buckets)
+              .map_batches(_spaced_sample(lead, sample_per_block),
+                           batch_format="pyarrow")
+              .take_all())
     keys = np.sort(np.array([r[lead] for r in sample]))
     if len(keys):
         qs = np.linspace(0, 1, num_buckets + 1)[1:-1]

@@ -87,7 +87,7 @@ def test_global_row_number_is_a_permutation_in_order(seed, buckets):
     ds = rd.from_pandas(df).repartition(5)
     got = global_row_number(ds, order_cols=["ts_us", "event_id"],
                             rank_col="rn", num_buckets=buckets,
-                            sample_stride=16).to_pandas()
+                            sample_per_block=16).to_pandas()
     want = df.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
     want["rn"] = np.arange(1, len(want) + 1, dtype=np.int64)
     got = got.sort_values("event_id").reset_index(drop=True)
