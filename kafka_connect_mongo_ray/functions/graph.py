@@ -138,6 +138,12 @@ def connected_components(edges_ds, *, src: str = "id_a", dst: str = "id_b",
                   .repartition(num_buckets)
                   .materialize())
 
+        # early exit; labels strictly decrease until fixed point, so an
+        # unchanged sum means converged. (With > 2^31 nodes the int64
+        # sum could in principle wrap to an equal value on a changed
+        # round — replace with a changed-row count there; max_iters
+        # bounds the loop regardless: pointer jumping converges in
+        # O(log n) rounds.)
         cur_sum = labels.aggregate(Sum(_COMP, alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break

@@ -86,3 +86,34 @@ def sample_by_md5(ds, id_col: str, *, threshold_hex: str = "33333333"):
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_by_md5(ds, id_col: str, group_col: str, *,
+                             thresholds: dict, default_hex: str = "00000000"):
+    """Per-group deterministic sampling — the "balance the corpus by
+    language" primitive: a row is kept iff ``md5(str(id))``'s hex
+    prefix is below its GROUP's threshold (groups absent from
+    ``thresholds`` get ``default_hex``; "00000000" drops them).
+
+    Embarrassingly parallel: the per-group threshold table is
+    dimension-sized by definition and travels inside the task closure;
+    membership stays a pure function of (key, group) — identical across
+    runs, partitionings, and engines (mirror in SQL with a CASE over
+    the same prefix comparison). All thresholds must share one prefix
+    length."""
+    lens = {len(h) for h in thresholds.values()} | {len(default_hex)}
+    if len(lens) != 1:
+        raise ValueError("all thresholds must have the same hex length")
+    k = lens.pop()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        mask = pa.array([
+            md5_hex(i)[:k] < thresholds.get(g, default_hex)
+            for i, g in zip(ids, groups)
+        ])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

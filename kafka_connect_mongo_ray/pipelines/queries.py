@@ -63,6 +63,10 @@ PRICE_BRACKETS = [(i * 10000, (i + 1) * 10000) for i in range(10)]
 ANTI_JOIN_PRICE = 400_000.0
 BM25_TERMS = ["hash", "stream", "window"]
 BM25_K = 10
+# corpus rebalancing rates: downsample the majority language, keep all
+# of the rarest, drop the rest (md5-prefix thresholds, ~frac*16^8)
+STRATA_HEX = {"en": "33333333", "fr": "80000000", "es": "80000000",
+              "de": "ffffffff"}
 
 # True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
 # SQL — the independent oracle for the MinHash-LSH + verify pipeline.
@@ -1481,6 +1485,20 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
+def q_docs_stratified_sample(sf_dir: str):
+    """Language-balanced deterministic sampling (functions/quantiles.py
+    ::stratified_sample_by_md5): per-lang md5-prefix thresholds
+    downsample 'en' to ~20%, 'fr'/'es' to 50%, keep all 'de', drop
+    'zh'. Membership is a pure function of (doc_id, lang)."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        stratified_sample_by_md5,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample_by_md5(ds, "doc_id", "lang",
+                                    thresholds=STRATA_HEX)
+
+
 def q_events_moving_avg(sf_dir: str):
     """Trailing 5-row mean per user (functions/ranking.py::
     rolling_mean): exact int64 prefix-sum window, single float division
@@ -1647,6 +1665,7 @@ def build_queries():
         "docs_bm25": q_docs_bm25,
         "events_moving_avg": q_events_moving_avg,
         "join_full_outer": q_join_full_outer,
+        "docs_stratified_sample": q_docs_stratified_sample,
     }
 
 
@@ -2031,6 +2050,15 @@ def build_oracle_sql():
                           WHERE l.l_partkey = p.p_partkey)
         """,
         "docs_bm25": _bm25_oracle_sql(),
+        "docs_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE lang
+                  WHEN 'en' THEN '{STRATA_HEX['en']}'
+                  WHEN 'fr' THEN '{STRATA_HEX['fr']}'
+                  WHEN 'es' THEN '{STRATA_HEX['es']}'
+                  WHEN 'de' THEN '{STRATA_HEX['de']}'
+                  ELSE '00000000' END
+        """,
         "events_moving_avg": """
             SELECT event_id, user_id,
                    ROUND(AVG(CAST(ROUND(value * 100) AS BIGINT)) OVER (

@@ -139,3 +139,36 @@ def test_interval_join_rejects_overlap(intervals):
                     "lo": pa.array([0.0, 5.0]), "hi": pa.array([10.0, 15.0])})
     with pytest.raises(ValueError, match="non-overlapping"):
         interval_join(_ds(pa.table({"x": pa.array([1.0])})), bad, on="x")
+
+
+def test_stratified_sample_membership_and_rates():
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        md5_hex,
+        stratified_sample_by_md5,
+    )
+
+    n = 400
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "g": pa.array(["a", "b", "c", "d"] * (n // 4))})
+    thresholds = {"a": "33333333", "b": "ffffffff"}  # ~20%, all; c/d drop
+    out = stratified_sample_by_md5(_ds(t, 3), "id", "g",
+                                   thresholds=thresholds).to_pandas()
+    # pure-function reference membership
+    want = [(i, g) for i, g in zip(range(n), ["a", "b", "c", "d"] * (n // 4))
+            if md5_hex(i)[:8] < thresholds.get(g, "00000000")]
+    got = sorted(map(tuple, out[["id", "g"]].values.tolist()))
+    assert got == sorted(want)
+    by_g = out.groupby("g").size()
+    assert by_g.get("b") == n // 4 and "c" not in by_g and "d" not in by_g
+    assert 0 < by_g.get("a") < n // 4
+
+
+def test_stratified_sample_rejects_mixed_prefix_lengths():
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        stratified_sample_by_md5,
+    )
+
+    t = pa.table({"id": pa.array([1], pa.int64()), "g": pa.array(["a"])})
+    with pytest.raises(ValueError, match="same hex length"):
+        stratified_sample_by_md5(_ds(t), "id", "g",
+                                 thresholds={"a": "3333", "b": "333333"})
