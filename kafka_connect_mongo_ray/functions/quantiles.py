@@ -25,6 +25,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kafka_connect_mongo_ray.utils import limit_worker_threads
 
@@ -64,6 +65,55 @@ def exact_quantiles(ds, col: str, qs: list[float], *, scale: int = 100):
               for q in qs]
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value_scaled": pa.array(picked, pa.int64())})
+
+
+def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
+                            *, scale: int = 100,
+                            num_partitions: int | None = None):
+    """EXACT per-group discrete quantiles of ``round(col * scale)`` —
+    quantile_disc(...) GROUP BY ``group_col``, fully distributed.
+
+    Same value→count compaction as :func:`exact_quantiles`, but the
+    cumulative pick runs INSIDE a per-group ``map_groups`` instead of
+    on the driver: the one shuffle moves (group, value, count) rows —
+    bounded by groups × distinct scaled values, never by row count —
+    and nothing is materialized driver-side. Returns a Dataset
+    ``(group_col, q, value_scaled)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        v = np.asarray(batch[col], dtype=np.float64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "v": np.rint(v * scale).astype(np.int64)})
+        g = df.groupby([group_col, "v"], as_index=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "v"], **kwargs)
+              .aggregate(Sum("c", alias_name="c")))
+
+    def pick(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("v", "ascending")])
+        t = g.take(order)
+        c = np.asarray(t["c"], dtype=np.int64)
+        vals = np.asarray(t["v"], dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        picked = [int(vals[int(np.searchsorted(cum, quantile_disc_index(q, n) + 1))])
+                  for q in qs]
+        return pa.table({
+            group_col: pa.array([t[group_col][0].as_py()] * len(qs),
+                                t.schema.field(group_col).type),
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            "value_scaled": pa.array(picked, pa.int64()),
+        })
+
+    return counts.groupby(group_col).map_groups(pick, batch_format="pyarrow")
 
 
 def md5_hex(value) -> str:

@@ -1310,6 +1310,21 @@ def q_lineitem_quantiles(sf_dir: str):
     return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS, scale=100)
 
 
+def q_lineitem_quantiles_by_flag(sf_dir: str):
+    """Per-group exact quantiles (functions/quantiles.py::
+    grouped_exact_quantiles): the cumulative pick runs inside a
+    per-group map_groups over the (group, value, count) compaction —
+    no driver materialization at any group count."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_exact_quantiles(ds, "l_returnflag", "l_extendedprice",
+                                   QUANTILE_QS, scale=100,
+                                   num_partitions=_gate_buckets())
+
+
 def q_orders_sample_md5(sf_dir: str):
     """Deterministic ~20% sample: membership = md5(str(key)) hex prefix
     below a threshold — a pure function of the key, so every engine,
@@ -1666,6 +1681,7 @@ def build_queries():
         "events_moving_avg": q_events_moving_avg,
         "join_full_outer": q_join_full_outer,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "lineitem_quantiles_by_flag": q_lineitem_quantiles_by_flag,
     }
 
 
@@ -1992,6 +2008,12 @@ def build_oracle_sql():
                        quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),
                                      {q}) AS value_scaled
                 FROM lineitem"""
+            for q in QUANTILE_QS),
+        "lineitem_quantiles_by_flag": " UNION ALL ".join(
+            f"""SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+                       quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),
+                                     {q}) AS value_scaled
+                FROM lineitem GROUP BY l_returnflag"""
             for q in QUANTILE_QS),
         "orders_sample_md5": f"""
             SELECT o_orderkey, o_custkey, o_totalprice

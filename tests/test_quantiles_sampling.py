@@ -172,3 +172,28 @@ def test_stratified_sample_rejects_mixed_prefix_lengths():
     with pytest.raises(ValueError, match="same hex length"):
         stratified_sample_by_md5(_ds(t), "id", "g",
                                  thresholds={"a": "3333", "b": "333333"})
+
+
+def test_grouped_exact_quantiles_matches_per_group_reference():
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_exact_quantiles,
+        quantile_disc_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 600
+    t = pa.table({
+        "g": pa.array(rng.choice(["x", "y", "z"], n)),
+        "v": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    qs = [0.25, 0.5, 0.9]
+    out = grouped_exact_quantiles(_ds(t, 4), "g", "v", qs,
+                                  scale=100, num_partitions=3).to_pandas()
+    df = t.to_pandas()
+    df["s"] = np.rint(df["v"] * 100).astype(np.int64)
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["s"].to_numpy())
+        for q in qs:
+            want = int(vals[quantile_disc_index(q, len(vals))])
+            got = out[(out["g"] == g) & (out["q"] == q)]["value_scaled"]
+            assert len(got) == 1 and int(got.iloc[0]) == want, (g, q)
