@@ -251,3 +251,50 @@ class LshBucketer:
         signs = (vecs @ self.planes.T) > 0
         bucket = (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1)
         return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int32)))
+
+
+def group_centroids(ds, group_col: str, *, vec_col: str = "embedding",
+                    round_to: int = 6, num_partitions: int | None = None):
+    """Per-group embedding centroid (mean vector) — the vector
+    AGGREGATION primitive (class prototypes, per-language embedding
+    means, k-means M-step). Output is exploded to (group, dim, value)
+    rows with 1-based dims so the result is directly comparable to a
+    SQL unnest oracle.
+
+    Distributed shape: each batch reduces to (groups-in-batch × dim)
+    partial-sum rows — fact-sized input collapses before the one
+    groupby, whose volume is groups × dim regardless of row count. The
+    float mean is rounded to ``round_to`` to absorb summation-order
+    differences (exact-sum parity would need integer scaling)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch[vec_col]).astype(np.float64)
+        codes, uniq = pd.factorize(batch[group_col].to_pandas())
+        d = m.shape[1]
+        sums = np.empty((len(uniq), d), dtype=np.float64)
+        for g in range(len(uniq)):
+            sums[g] = m[codes == g].sum(axis=0)
+        cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(np.repeat(np.asarray(uniq, dtype=object), d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(cnts, d), pa.int64()),
+        })
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([group_col, "dim"], **kwargs)
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        val = pc.round(pc.divide(batch["s"], pc.cast(batch["n"], pa.float64())),
+                       round_to, round_mode="half_towards_infinity")
+        return pa.table({group_col: batch[group_col], "dim": batch["dim"],
+                         "value": val})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

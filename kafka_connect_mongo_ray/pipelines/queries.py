@@ -1118,9 +1118,26 @@ def q_join_lineitem_part_supplier(sf_dir: str):
                             "n_name": t["n_name"]}),
         batch_format="pyarrow")
 
-    j = native_join(li, part, on=["l_partkey"], num_buckets=16)
-    j = native_join(j, supp, on=["l_suppkey"], num_buckets=16)
-    j = native_join(j, nation, on=["s_nationkey"], num_buckets=16)
+    def conform(cols):
+        # rebuild each block with a fixed column order and no schema
+        # metadata: the native join's aggregator resolves key fields by
+        # name and has intermittently seen blocks whose join outputs
+        # differ in column order/metadata ("multiple matches for key
+        # field" flake observed once in-session); zero-copy projection
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({c: t[c] for c in cols})
+
+        return fn
+
+    j = native_join(li, part, on=["l_partkey"], num_buckets=16).map_batches(
+        conform(["l_suppkey", "l_extendedprice", "l_discount", "p_brand"]),
+        batch_format="pyarrow")
+    j = native_join(j, supp, on=["l_suppkey"], num_buckets=16).map_batches(
+        conform(["s_nationkey", "l_extendedprice", "l_discount", "p_brand"]),
+        batch_format="pyarrow")
+    j = native_join(j, nation, on=["s_nationkey"], num_buckets=16).map_batches(
+        conform(["l_extendedprice", "l_discount", "p_brand", "n_name"]),
+        batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1308,6 +1325,21 @@ def q_lineitem_quantiles(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
     return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS, scale=100)
+
+
+def q_embedding_group_centroids(sf_dir: str):
+    """Per-language embedding centroids (functions/similarity.py::
+    group_centroids): vectors joined to their documents' lang via the
+    bucketed hash join, then batch-local partial sums collapse the
+    fact table to groups × dim rows before the one groupby."""
+    from kafka_connect_mongo_ray.functions.similarity import group_centroids
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        lambda t: t.rename_columns(["vec_id", "lang"]), batch_format="pyarrow")
+    joined = hash_join(emb, langs, on=["vec_id"], num_buckets=_gate_buckets())
+    return group_centroids(joined, "lang", num_partitions=_gate_buckets())
 
 
 def q_lineitem_quantiles_by_flag(sf_dir: str):
@@ -1682,6 +1714,7 @@ def build_queries():
         "join_full_outer": q_join_full_outer,
         "docs_stratified_sample": q_docs_stratified_sample,
         "lineitem_quantiles_by_flag": q_lineitem_quantiles_by_flag,
+        "embedding_group_centroids": q_embedding_group_centroids,
     }
 
 
@@ -2009,6 +2042,14 @@ def build_oracle_sql():
                                      {q}) AS value_scaled
                 FROM lineitem"""
             for q in QUANTILE_QS),
+        "embedding_group_centroids": """
+            SELECT lang, dim, ROUND(SUM(v) / COUNT(*), 6) AS value
+            FROM (SELECT d.lang,
+                         unnest(generate_series(1, len(e.embedding))) AS dim,
+                         unnest(e.embedding) AS v
+                  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id) t
+            GROUP BY lang, dim
+        """,
         "lineitem_quantiles_by_flag": " UNION ALL ".join(
             f"""SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
                        quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),

@@ -395,3 +395,25 @@ def test_avi_codec_roundtrip_and_malformed():
                             pa.binary())}))
     assert out.num_rows == 1 and dec.malformed == 1
     assert out["n_frames"][0].as_py() == 3
+
+
+def test_group_centroids_matches_numpy_reference():
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.similarity import group_centroids
+
+    rng = np.random.default_rng(5)
+    n, d = 90, 8
+    m = rng.normal(size=(n, d))
+    groups = rng.choice(["p", "q", "r"], n)
+    t = pa.table({"g": pa.array(groups),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        pa.list_(pa.float32()))})
+    out = group_centroids(rd.from_arrow(t).repartition(4), "g",
+                          num_partitions=2).to_pandas()
+    assert len(out) == 3 * d
+    m32 = m.astype(np.float32).astype(np.float64)
+    for g in ("p", "q", "r"):
+        want = np.round(m32[groups == g].mean(axis=0), 6)
+        got = (out[out["g"] == g].sort_values("dim")["value"].to_numpy())
+        np.testing.assert_allclose(got, want, atol=2e-6)
