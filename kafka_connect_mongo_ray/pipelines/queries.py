@@ -67,6 +67,9 @@ BM25_K = 10
 # of the rarest, drop the rest (md5-prefix thresholds, ~frac*16^8)
 STRATA_HEX = {"en": "33333333", "fr": "80000000", "es": "80000000",
               "de": "ffffffff"}
+BM25_MULTI = {0: ["hash", "stream", "window"],
+              1: ["join", "merge"],
+              2: ["customer", "table", "row"]}
 
 # True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
 # SQL — the independent oracle for the MinHash-LSH + verify pipeline.
@@ -1503,22 +1506,26 @@ def q_join_anti_customers(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
-def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_oracle_sql(terms: list[str] | None = None, *, qid: int | None = None,
+                     k1: float = 1.2, b: float = 0.75) -> str:
     """Full BM25 recomputed in SQL over the same whitespace tokens.
     Every literal is arranged to replicate the engine's float64
     evaluation order exactly (CAST({k1} AS DOUBLE) + 1 mirrors k1+1.0,
-    term scores summed in query-term order)."""
+    term scores summed in query-term order). With ``qid`` set, emits a
+    constant query_id column (one branch of the batched oracle)."""
+    terms = BM25_TERMS if terms is None else terms
     tf_cols = ", ".join(
         f"len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(BM25_TERMS))
+        for i, t in enumerate(terms))
     df_cols = ", ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(BM25_TERMS)))
+        for i in range(len(terms)))
     term_exprs = " + ".join(
         f"LN((CAST(s.n AS DOUBLE) - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
         f" * CAST(tf{i} AS DOUBLE) * (CAST({k1} AS DOUBLE) + 1)"
         f" / (tf{i} + {k1} * (1 - {b} + {b} * CAST(dl AS DOUBLE) / s.avgdl))"
-        for i in range(len(BM25_TERMS)))
+        for i in range(len(terms)))
+    qid_col = "" if qid is None else f"CAST({qid} AS BIGINT) AS query_id, "
     return f"""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
                      FROM documents),
@@ -1526,7 +1533,7 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
         s AS (SELECT COUNT(*) AS n,
                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
                      {df_cols} FROM t)
-        SELECT doc_id, ROUND(score, 6) AS score
+        SELECT {qid_col}doc_id, ROUND(score, 6) AS score
         FROM (SELECT doc_id, {term_exprs} AS score FROM t, s
               ORDER BY score DESC, doc_id LIMIT {BM25_K})
     """
@@ -1593,6 +1600,17 @@ def q_docs_bm25(sf_dir: str):
 
     return bm25_topk(_read(sf_dir, "documents", columns=["doc_id", "text"]),
                      terms=BM25_TERMS, k=BM25_K)
+
+
+def q_docs_bm25_multi(sf_dir: str):
+    """Batched BM25 (functions/retrieval.py::bm25_topk_multi): three
+    term-bag queries share one corpus pass — union-term tf table, one
+    stats reduce, per-block per-query top-k, per-query final pick."""
+    from kafka_connect_mongo_ray.functions.retrieval import bm25_topk_multi
+
+    return bm25_topk_multi(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        queries=BM25_MULTI, k=BM25_K)
 
 
 def q_dedup_components(sf_dir: str):
@@ -1715,6 +1733,7 @@ def build_queries():
         "docs_stratified_sample": q_docs_stratified_sample,
         "lineitem_quantiles_by_flag": q_lineitem_quantiles_by_flag,
         "embedding_group_centroids": q_embedding_group_centroids,
+        "docs_bm25_multi": q_docs_bm25_multi,
     }
 
 
@@ -2113,6 +2132,9 @@ def build_oracle_sql():
                           WHERE l.l_partkey = p.p_partkey)
         """,
         "docs_bm25": _bm25_oracle_sql(),
+        "docs_bm25_multi": " UNION ALL ".join(
+            f"SELECT * FROM ({_bm25_oracle_sql(ts, qid=qid)})"
+            for qid, ts in sorted(BM25_MULTI.items())),
         "docs_stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE lang

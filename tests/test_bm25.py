@@ -66,3 +66,25 @@ def test_bm25_term_absent_everywhere():
                     terms=["zzz_not_a_word"], k=5).to_pandas()
     assert len(got) == 5
     assert (got["score"] == 0.0).all()
+
+
+def test_bm25_multi_equals_single_per_query():
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+
+    df = _corpus(2)
+    queries = {0: ["hash", "stream"], 1: ["sort"], 2: ["merge", "the", "a"]}
+    multi = bm25_topk_multi(rd.from_pandas(df).repartition(4),
+                            queries=queries, k=6).to_pandas()
+    for qid, terms in queries.items():
+        single = bm25_topk(rd.from_pandas(df).repartition(4), terms=terms,
+                           k=6).to_pandas()
+        part = (multi[multi["query_id"] == qid]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .reset_index(drop=True)[["doc_id", "score"]])
+        assert part["doc_id"].tolist() == single["doc_id"].tolist()
+        assert part["score"].tolist() == single["score"].tolist()
