@@ -70,6 +70,10 @@ STRATA_HEX = {"en": "33333333", "fr": "80000000", "es": "80000000",
 BM25_MULTI = {0: ["hash", "stream", "window"],
               1: ["join", "merge"],
               2: ["customer", "table", "row"]}
+# packing layout constants are part of the data contract (the oracle
+# reproduces them), so they are fixed — NOT session-CPU-derived
+PACK_SEQ_LEN = 512
+PACK_BUCKETS = 8
 
 # True k=5 char-shingle Jaccard pairs >= threshold, computed entirely in
 # SQL — the independent oracle for the MinHash-LSH + verify pipeline.
@@ -1602,6 +1606,19 @@ def q_docs_bm25(sf_dir: str):
                      terms=BM25_TERMS, k=BM25_K)
 
 
+def q_docs_pack_sequences(sf_dir: str):
+    """LLM-style concat-and-chunk sequence packing (functions/
+    packing.py::pack_sequences): deterministic per-bucket streams, one
+    shuffle of (id, token_count) pairs, prefix-sum placement. The
+    oracle reproduces bucket assignment, ordering, and the chunk
+    arithmetic with SQL window functions."""
+    from kafka_connect_mongo_ray.functions.packing import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                          seq_len=PACK_SEQ_LEN, num_buckets=PACK_BUCKETS)
+
+
 def q_docs_bm25_multi(sf_dir: str):
     """Batched BM25 (functions/retrieval.py::bm25_topk_multi): three
     term-bag queries share one corpus pass — union-term tf table, one
@@ -1734,6 +1751,7 @@ def build_queries():
         "lineitem_quantiles_by_flag": q_lineitem_quantiles_by_flag,
         "embedding_group_centroids": q_embedding_group_centroids,
         "docs_bm25_multi": q_docs_bm25_multi,
+        "docs_pack_sequences": q_docs_pack_sequences,
     }
 
 
@@ -2135,6 +2153,21 @@ def build_oracle_sql():
         "docs_bm25_multi": " UNION ALL ".join(
             f"SELECT * FROM ({_bm25_oracle_sql(ts, qid=qid)})"
             for qid, ts in sorted(BM25_MULTI.items())),
+        "docs_pack_sequences": f"""
+            SELECT doc_id, n_tokens, bucket,
+                   start // {PACK_SEQ_LEN} AS seq_id,
+                   start % {PACK_SEQ_LEN} AS "offset"
+            FROM (SELECT doc_id, n_tokens, bucket,
+                         COALESCE(SUM(n_tokens) OVER (
+                             PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start
+                  FROM (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT)
+                                   AS n_tokens,
+                               doc_id % {PACK_BUCKETS} AS bucket
+                        FROM documents))
+        """,
         "docs_stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE lang
