@@ -19,7 +19,47 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["rollup_aggregate"]
+__all__ = ["rollup_aggregate", "pivot_counts"]
+
+
+def pivot_counts(ds, *, key: str, pivot_col: str, categories: list | None = None,
+                 prefix: str = "", num_partitions: int | None = None):
+    """Wide reshaping: one row per ``key`` with one count column per
+    ``pivot_col`` category (PIVOT ... USING COUNT(*)). If ``categories``
+    is None they are discovered with a distinct pass — the category set
+    is dimension-sized by definition (it becomes the output schema), so
+    the driver-side list is bounded by design.
+
+    Shuffle volume is keys × categories partial rows, never fact-sized:
+    each batch pre-aggregates to its local (key → per-category counts)
+    before the one groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    if categories is None:
+        cats_rows = (ds.select_columns([pivot_col])
+                     .groupby(pivot_col).aggregate(Count()).take_all())
+        categories = sorted(r[pivot_col] for r in cats_rows)
+    cats = list(categories)
+    col_names = [f"{prefix}{c}" for c in cats]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        df = pd.DataFrame({key: batch[key].to_pandas(),
+                           "_c": batch[pivot_col].to_pandas()})
+        wide = (df.groupby([key, "_c"]).size().unstack(fill_value=0)
+                .reindex(columns=cats, fill_value=0))
+        cols = {key: pa.array(wide.index.to_numpy())}
+        cols.update({name: pa.array(wide[c].to_numpy(dtype=np.int64),
+                                    pa.int64())
+                     for c, name in zip(cats, col_names)})
+        return pa.table(cols)
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key, **kwargs)
+            .aggregate(*[Sum(n, alias_name=n) for n in col_names]))
 
 
 def _partial(keys: list[str], sum_cols: list[str], count_col: str):

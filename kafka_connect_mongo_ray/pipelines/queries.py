@@ -1606,6 +1606,17 @@ def q_docs_bm25(sf_dir: str):
                      terms=BM25_TERMS, k=BM25_K)
 
 
+def q_events_pivot_types(sf_dir: str):
+    """Wide reshaping (functions/rollup.py::pivot_counts): one row per
+    user with one count column per event type, categories discovered
+    with a distinct pass. Shuffle volume is keys × categories."""
+    from kafka_connect_mongo_ray.functions.rollup import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, key="user_id", pivot_col="event_type",
+                        prefix="n_", num_partitions=_gate_buckets())
+
+
 def q_docs_pack_sequences(sf_dir: str):
     """LLM-style concat-and-chunk sequence packing (functions/
     packing.py::pack_sequences): deterministic per-bucket streams, one
@@ -1752,6 +1763,7 @@ def build_queries():
         "embedding_group_centroids": q_embedding_group_centroids,
         "docs_bm25_multi": q_docs_bm25_multi,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "events_pivot_types": q_events_pivot_types,
     }
 
 
@@ -2153,6 +2165,15 @@ def build_oracle_sql():
         "docs_bm25_multi": " UNION ALL ".join(
             f"SELECT * FROM ({_bm25_oracle_sql(ts, qid=qid)})"
             for qid, ts in sorted(BM25_MULTI.items())),
+        "events_pivot_types": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
         "docs_pack_sequences": f"""
             SELECT doc_id, n_tokens, bucket,
                    start // {PACK_SEQ_LEN} AS seq_id,

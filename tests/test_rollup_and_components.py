@@ -83,3 +83,26 @@ def test_connected_components_long_chain_converges():
                       "id_b": pa.array(range(1, n), pa.int64())})
     got = connected_components(rd.from_arrow(edges), num_buckets=2).to_pandas()
     assert set(got["component"]) == {0} and len(got) == n
+
+
+@pytest.mark.parametrize("explicit_cats", [None, ["a", "b", "zz_absent"]])
+def test_pivot_counts_matches_pandas(explicit_cats):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.rollup import pivot_counts
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.integers(0, 20, 300).astype(np.int64),
+                       "c": rng.choice(["a", "b", "c"], 300)})
+    out = pivot_counts(rd.from_pandas(df).repartition(4), key="k",
+                       pivot_col="c", categories=explicit_cats,
+                       prefix="n_", num_partitions=3).to_pandas()
+    cats = explicit_cats or ["a", "b", "c"]
+    want = (df.groupby(["k", "c"]).size().unstack(fill_value=0)
+            .reindex(columns=cats, fill_value=0))
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == sorted(df["k"].unique())
+    for c in cats:
+        assert out[f"n_{c}"].tolist() == want[c].tolist(), c
+    if explicit_cats:
+        assert (out["n_zz_absent"] == 0).all()
