@@ -298,3 +298,61 @@ def group_centroids(ds, group_col: str, *, vec_col: str = "embedding",
                          "value": val})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
+                           vec_col: str = "embedding", seed: int = 42):
+    """Distributed k-means clustering pass with a machine-checkable
+    summary: centroids fit on a bounded driver-side sample
+    (:func:`kmeans_centroids`, same pattern as IVF), every vector
+    assigned to its nearest centroid in one broadcast ``map_batches``
+    sweep, and cluster tightness reduced to one row —
+    ``mean_best_cos`` (mean cosine to the assigned centroid) vs
+    ``mean_global_cos`` (mean cosine to the normalized global mean,
+    the k=1 baseline). ``improved`` asserts the clustering is at least
+    as tight as a single cluster; an oracle checks (k, n, improved).
+
+    Scale shape: sample → driver once (bounded); centroid matrix
+    broadcast via ``ray.put``; both reductions are Sum-aggregates of
+    per-batch scalars."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in sample_rows])
+    centroids = kmeans_centroids(sample, k, seed=seed)
+
+    # k=1 baseline direction: normalized mean of the sample (the
+    # global mean estimated from the same bounded sample, so the
+    # summary is deterministic and replayable)
+    gmean = _normalize(_normalize(sample).mean(axis=0, keepdims=True))[0]
+    c_ref = ray.put(centroids)
+    g_ref = ray.put(gmean)
+
+    class Scorer:
+        def __init__(self):
+            self.c = np.asarray(ray.get(c_ref), dtype=np.float64)
+            self.g = np.asarray(ray.get(g_ref), dtype=np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from kafka_connect_mongo_ray.utils import embedding_matrix
+
+            v = _normalize(embedding_matrix(batch[vec_col]))
+            best = np.max(v @ self.c.T, axis=1)
+            glob = v @ self.g
+            return pa.table({
+                "n": pa.array([v.shape[0]], pa.int64()),
+                "best": pa.array([float(best.sum())], pa.float64()),
+                "glob": pa.array([float(glob.sum())], pa.float64()),
+            })
+
+    agg = ds.map_batches(Scorer, batch_format="pyarrow",
+                         concurrency=(1, 8)).aggregate(
+        Sum("n", alias_name="n"), Sum("best", alias_name="best"),
+        Sum("glob", alias_name="glob"))
+    n = int(agg["n"])
+    improved = bool(agg["best"] / n >= agg["glob"] / n)
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "n": pa.array([n], pa.int64()),
+                     "improved": pa.array([improved], pa.bool_())})

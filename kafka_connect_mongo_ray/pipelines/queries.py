@@ -1606,6 +1606,20 @@ def q_docs_bm25(sf_dir: str):
                      terms=BM25_TERMS, k=BM25_K)
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed k-means pass (functions/similarity.py::
+    kmeans_cluster_summary): bounded-sample centroids, broadcast
+    assignment sweep, scalar tightness reduction. The oracle checks
+    (k, n) exactly and the machine-checked `improved` flag (clustering
+    at least as tight as the k=1 baseline)."""
+    from kafka_connect_mongo_ray.functions.similarity import (
+        kmeans_cluster_summary,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_cluster_summary(ds, k=8)
+
+
 def q_events_pivot_types(sf_dir: str):
     """Wide reshaping (functions/rollup.py::pivot_counts): one row per
     user with one count column per event type, categories discovered
@@ -1764,6 +1778,7 @@ def build_queries():
         "docs_bm25_multi": q_docs_bm25_multi,
         "docs_pack_sequences": q_docs_pack_sequences,
         "events_pivot_types": q_events_pivot_types,
+        "embedding_kmeans": q_embedding_kmeans,
     }
 
 
@@ -2165,6 +2180,11 @@ def build_oracle_sql():
         "docs_bm25_multi": " UNION ALL ".join(
             f"SELECT * FROM ({_bm25_oracle_sql(ts, qid=qid)})"
             for qid, ts in sorted(BM25_MULTI.items())),
+        "embedding_kmeans": """
+            SELECT CAST(8 AS BIGINT) AS k, COUNT(*) AS n,
+                   TRUE AS improved
+            FROM embeddings
+        """,
         "events_pivot_types": """
             SELECT user_id,
                    COUNT(*) FILTER (event_type = 'click') AS n_click,

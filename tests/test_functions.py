@@ -417,3 +417,24 @@ def test_group_centroids_matches_numpy_reference():
         want = np.round(m32[groups == g].mean(axis=0), 6)
         got = (out[out["g"] == g].sort_values("dim")["value"].to_numpy())
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_kmeans_cluster_summary_improves_on_single_cluster():
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.similarity import (
+        kmeans_cluster_summary,
+    )
+
+    rng = np.random.default_rng(9)
+    # three well-separated blobs: clustering must beat the k=1 baseline
+    centers = rng.normal(size=(3, 16)) * 5
+    vecs = np.concatenate([c + rng.normal(size=(40, 16)) * 0.2
+                           for c in centers])
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = kmeans_cluster_summary(rd.from_arrow(t).repartition(3),
+                                 k=3, sample_size=60).to_pandas()
+    assert out["k"].iloc[0] == 3 and out["n"].iloc[0] == len(vecs)
+    assert bool(out["improved"].iloc[0])
