@@ -75,10 +75,12 @@ def _partial(keys: list[str], sum_cols: list[str], count_col: str):
 
 def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
                      count_col: str = "n", sentinels: dict | None = None,
-                     num_partitions: int | None = None):
+                     num_partitions: int | None = None,
+                     mode: str = "rollup"):
     """COUNT(*) + SUM(sum_cols) at every ROLLUP level of ``keys``
-    (finest → grand total). Sum columns must be integers or otherwise
-    order-independent under addition — levels are sums of partial sums.
+    (finest → grand total), or at every subset with ``mode="cube"``.
+    Sum columns must be integers or otherwise order-independent under
+    addition — levels are sums of partial sums.
 
     ``sentinels`` maps key column → fill value for levels where that
     key is rolled up (defaults: ``"ALL"`` for strings, ``-1`` for
@@ -115,11 +117,21 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
     ).groupby(keys, **kwargs).aggregate(*sums).materialize()
     agg_types = dict(zip(finest.schema().names, finest.schema().types))
 
+    if mode == "rollup":
+        keysets = [keys[:depth] for depth in range(len(keys) - 1, -1, -1)]
+    elif mode == "cube":
+        from itertools import combinations
+
+        keysets = [list(c)
+                   for r in range(len(keys) - 1, -1, -1)
+                   for c in combinations(keys, r)]
+    else:
+        raise ValueError(f"mode must be 'rollup' or 'cube', got {mode!r}")
+
     out_cols = keys + measures
     levels = [finest.select_columns(out_cols)]
-    for depth in range(len(keys) - 1, -1, -1):
-        kept = keys[:depth]
-        rolled = tuple(keys[depth:])
+    for kept in keysets:
+        rolled = tuple(k for k in keys if k not in kept)
 
         def fill(batch: pa.Table, rolled=rolled) -> pa.Table:
             for c in rolled:

@@ -1655,6 +1655,29 @@ def q_docs_bm25_multi(sf_dir: str):
         queries=BM25_MULTI, k=BM25_K)
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): same one-fact-exchange shape as
+    the rollup — the extra (day-only) level is another re-aggregation
+    of the dimension-sized finest table."""
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(ts_us, 86_400_000_000),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0), 0,
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    return rollup_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                            keys=["event_type", "day"], sum_cols=["cents"],
+                            num_partitions=_gate_buckets(), mode="cube")
+
+
 def q_dedup_components(sf_dir: str):
     """Duplicate-cluster labeling: the verified near-dup pair set
     (shared memo) → distributed min-label propagation
@@ -1779,6 +1802,7 @@ def build_queries():
         "docs_pack_sequences": q_docs_pack_sequences,
         "events_pivot_types": q_events_pivot_types,
         "embedding_kmeans": q_embedding_kmeans,
+        "events_cube": q_events_cube,
     }
 
 
@@ -2259,5 +2283,16 @@ def build_oracle_sql():
                          CAST(ROUND(value * 100) AS BIGINT) AS cents
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
+        """,
+        "events_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, -1) AS day,
+                   COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY CUBE(event_type, day)
         """,
     }

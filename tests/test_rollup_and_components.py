@@ -106,3 +106,29 @@ def test_pivot_counts_matches_pandas(explicit_cats):
         assert out[f"n_{c}"].tolist() == want[c].tolist(), c
     if explicit_cats:
         assert (out["n_zz_absent"] == 0).all()
+
+
+def test_cube_mode_matches_pandas():
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k1": rng.choice(["a", "b"], 120),
+        "k2": rng.integers(0, 3, 120).astype(np.int64),
+        "v": rng.integers(0, 50, 120).astype(np.int64),
+    })
+    out = rollup_aggregate(rd.from_pandas(df).repartition(3),
+                           keys=["k1", "k2"], sum_cols=["v"],
+                           mode="cube").to_pandas()
+    # cube = finest + (k1) + (k2) + grand total
+    fin = df.groupby(["k1", "k2"]).size()
+    assert len(out) == len(fin) + df["k1"].nunique() + df["k2"].nunique() + 1
+    k2_only = out[(out["k1"] == "ALL") & (out["k2"] != -1)]
+    want = df.groupby("k2").agg(n=("v", "size"), v=("v", "sum"))
+    got = k2_only.sort_values("k2").reset_index(drop=True)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    total = out[(out["k1"] == "ALL") & (out["k2"] == -1)]
+    assert total["n"].iloc[0] == len(df) and total["v"].iloc[0] == df["v"].sum()
