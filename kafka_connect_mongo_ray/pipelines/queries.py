@@ -1606,6 +1606,65 @@ def q_docs_bm25(sf_dir: str):
                      terms=BM25_TERMS, k=BM25_K)
 
 
+def q_training_set_prep(sf_dir: str):
+    """Second flagship composition — the training-set builder:
+    language-rebalancing stratified sample → exact dedup (min-id
+    survivor per identical text) → semi join back to texts →
+    concat-and-chunk sequence packing. Every stage is the distributed
+    operator used by its standalone gate query; the oracle chains the
+    whole thing in SQL CTEs."""
+    from kafka_connect_mongo_ray.functions.dedup import exact_dedup
+    from kafka_connect_mongo_ray.functions.packing import pack_sequences
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        stratified_sample_by_md5,
+    )
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    sampled = stratified_sample_by_md5(docs, "doc_id", "lang",
+                                       thresholds=STRATA_HEX)
+    # dedup decisions shuffle only (id, hash); texts come back via a
+    # bucketed semi join, never a driver-side collect
+    survivors = exact_dedup(sampled, num_partitions=_gate_buckets()
+                            ).select_columns(["doc_id"])
+    kept = hash_join(
+        sampled.select_columns(["doc_id", "text"]), survivors,
+        on=["doc_id"], how="semi", num_buckets=_gate_buckets())
+    return pack_sequences(kept, seq_len=PACK_SEQ_LEN,
+                          num_buckets=PACK_BUCKETS)
+
+
+def q_events_asof_forward(sf_dir: str):
+    """Forward as-of join: each 'click' attaches the same user's NEXT
+    'view' at or after it (direction='forward') — the other half of the
+    asof contract, oracled against DuckDB ASOF with c.tsu <= v.tsu."""
+    from kafka_connect_mongo_ray.stages.join import asof_join
+
+    def shape(etype, id_out):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table({
+                "user_id": t["user_id"],
+                "tsu": pc.cast(t["ts"], pa.int64()),
+                id_out: t["event_id"],
+            })
+
+        return fn
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    clicks = _read(sf_dir, "events", columns=cols).map_batches(
+        shape("click", "event_id"), batch_format="pyarrow")
+    views = _read(sf_dir, "events", columns=cols).map_batches(
+        shape("view", "view_event_id"), batch_format="pyarrow")
+    out = asof_join(clicks, views, by=["user_id"], on="tsu",
+                    num_buckets=16, direction="forward")
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("view_event_id"), "view_event_id",
+            pc.cast(t["view_event_id"], pa.float64())),
+        batch_format="pyarrow")
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed k-means pass (functions/similarity.py::
     kmeans_cluster_summary): bounded-sample centroids, broadcast
@@ -1803,6 +1862,8 @@ def build_queries():
         "events_pivot_types": q_events_pivot_types,
         "embedding_kmeans": q_embedding_kmeans,
         "events_cube": q_events_cube,
+        "events_asof_forward": q_events_asof_forward,
+        "training_set_prep": q_training_set_prep,
     }
 
 
@@ -1995,6 +2056,45 @@ def build_oracle_sql():
                    CAST(v.view_event_id AS DOUBLE) AS view_event_id
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.tsu >= v.tsu
+        """,
+        "training_set_prep": f"""
+            WITH sampled AS (
+                SELECT doc_id, text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE lang
+                      WHEN 'en' THEN '{STRATA_HEX['en']}'
+                      WHEN 'fr' THEN '{STRATA_HEX['fr']}'
+                      WHEN 'es' THEN '{STRATA_HEX['es']}'
+                      WHEN 'de' THEN '{STRATA_HEX['de']}'
+                      ELSE '00000000' END),
+            kept AS (SELECT MIN(doc_id) AS doc_id FROM sampled
+                     GROUP BY md5(text)),
+            docs AS (SELECT s.doc_id, s.text FROM sampled s
+                     JOIN kept k ON s.doc_id = k.doc_id),
+            counted AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT)
+                                   AS n_tokens,
+                               doc_id % {PACK_BUCKETS} AS bucket
+                        FROM docs)
+            SELECT doc_id, n_tokens, bucket,
+                   start // {PACK_SEQ_LEN} AS seq_id,
+                   start % {PACK_SEQ_LEN} AS "offset"
+            FROM (SELECT doc_id, n_tokens, bucket,
+                         COALESCE(SUM(n_tokens) OVER (
+                             PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start
+                  FROM counted)
+        """,
+        "events_asof_forward": """
+            WITH clicks AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                            FROM events WHERE event_type = 'click'),
+                 views AS (SELECT user_id, epoch_us(ts) AS tsu,
+                                  event_id AS view_event_id
+                           FROM events WHERE event_type = 'view')
+            SELECT c.user_id, c.tsu, c.event_id,
+                   CAST(v.view_event_id AS DOUBLE) AS view_event_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.tsu <= v.tsu
         """,
         "events_topk_per_group": """
             SELECT event_type, event_id, ROUND(value, 3) AS value FROM (
