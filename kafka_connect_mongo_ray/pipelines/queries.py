@@ -1125,24 +1125,30 @@ def q_join_lineitem_part_supplier(sf_dir: str):
                             "n_name": t["n_name"]}),
         batch_format="pyarrow")
 
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
     def conform(cols):
         # rebuild each block with a fixed column order and no schema
-        # metadata: the native join's aggregator resolves key fields by
-        # name and has intermittently seen blocks whose join outputs
-        # differ in column order/metadata ("multiple matches for key
-        # field" flake observed once in-session); zero-copy projection
+        # metadata (zero-copy projection)
         def fn(t: pa.Table) -> pa.Table:
             return pa.table({c: t[c] for c in cols})
 
         return fn
 
+    # native join for the fact-sized first hop; the remaining hops use
+    # the portable bucketed hash_join — CHAINING native joins makes the
+    # HashShuffleAggregator intermittently see a left partition with a
+    # duplicated key field in long-lived sessions ("No match or
+    # multiple matches for key field", reproduced twice in the full
+    # pytest session, never in a fresh process); single native joins
+    # have not shown it (unit test test_native_join_matches_bucketed)
     j = native_join(li, part, on=["l_partkey"], num_buckets=16).map_batches(
         conform(["l_suppkey", "l_extendedprice", "l_discount", "p_brand"]),
         batch_format="pyarrow")
-    j = native_join(j, supp, on=["l_suppkey"], num_buckets=16).map_batches(
+    j = hash_join(j, supp, on=["l_suppkey"], num_buckets=16).map_batches(
         conform(["s_nationkey", "l_extendedprice", "l_discount", "p_brand"]),
         batch_format="pyarrow")
-    j = native_join(j, nation, on=["s_nationkey"], num_buckets=16).map_batches(
+    j = hash_join(j, nation, on=["s_nationkey"], num_buckets=16).map_batches(
         conform(["l_extendedprice", "l_discount", "p_brand", "n_name"]),
         batch_format="pyarrow")
 
