@@ -144,6 +144,7 @@ def test_embedding_matrix_rejects_nulls():
         embedding_matrix(vcol)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
@@ -154,7 +155,7 @@ def test_embedding_matrix_rejects_nulls():
     st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
              min_size=1, max_size=60),
 )
-def test_asof_join_matches_pandas_reference(left_rows, right_rows):
+def test_asof_join_matches_pandas_reference(direction, left_rows, right_rows):
     """Distributed asof_join == pandas merge_asof on arbitrary keyed
     time series (duplicate timestamps deduped to keep the reference
     deterministic)."""
@@ -178,11 +179,12 @@ def test_asof_join_matches_pandas_reference(left_rows, right_rows):
     })
     got = asof_join(rd.from_arrow(left).repartition(2),
                     rd.from_arrow(right).repartition(2),
-                    by=["k"], on="t", num_buckets=4).to_pandas()
+                    by=["k"], on="t", num_buckets=4,
+                    direction=direction).to_pandas()
     want = pd.merge_asof(
         left.to_pandas().sort_values("t", kind="mergesort"),
         right.to_pandas().sort_values("t", kind="mergesort"),
-        on="t", by="k", direction="backward")
+        on="t", by="k", direction=direction)
     key = ["k", "t", "lv"]
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want[got.columns].sort_values(key).reset_index(drop=True)
