@@ -19,7 +19,38 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["rollup_aggregate", "pivot_counts"]
+__all__ = ["rollup_aggregate", "pivot_counts", "melt"]
+
+
+def melt(ds, *, key: str, value_cols: list[str], var_col: str = "variable",
+         value_col: str = "value", var_names: dict | None = None,
+         drop_zero: bool = False):
+    """Unpivot — the inverse reshaping of :func:`pivot_counts`: each
+    input row becomes one output row per entry of ``value_cols``
+    (key, variable, value). Embarrassingly parallel ``map_batches``
+    (no shuffle: long form preserves the input partitioning).
+    ``var_names`` optionally maps column name → emitted variable label;
+    ``drop_zero`` drops zero-valued cells (pivot fill)."""
+    import numpy as np
+
+    names = [str((var_names or {}).get(c, c)) for c in value_cols]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[key]
+        key_idx = pa.array(np.tile(np.arange(n, dtype=np.int64),
+                                   len(value_cols)))
+        var = pa.array(np.repeat(np.asarray(names, dtype=object), n))
+        vals = pa.concat_arrays([
+            batch[c].combine_chunks().cast(pa.int64())
+            for c in value_cols])
+        out = pa.table({key: keys.take(key_idx), var_col: var,
+                        value_col: vals})
+        if drop_zero:
+            out = out.filter(pa.compute.not_equal(out[value_col], 0))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def pivot_counts(ds, *, key: str, pivot_col: str, categories: list | None = None,

@@ -1671,6 +1671,23 @@ def q_events_asof_forward(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_unpivot_roundtrip(sf_dir: str):
+    """Pivot → unpivot roundtrip (functions/rollup.py::melt): the wide
+    per-user count table melts back to long (user, type, n) rows with
+    the zero fill dropped — equal to the direct GROUP BY, proving the
+    reshaping pair is lossless."""
+    from kafka_connect_mongo_ray.functions.rollup import melt, pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(ds, key="user_id", pivot_col="event_type",
+                        categories=cats, prefix="n_",
+                        num_partitions=_gate_buckets())
+    return melt(wide, key="user_id", value_cols=[f"n_{c}" for c in cats],
+                var_col="event_type", value_col="n",
+                var_names={f"n_{c}": c for c in cats}, drop_zero=True)
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed k-means pass (functions/similarity.py::
     kmeans_cluster_summary): bounded-sample centroids, broadcast
@@ -1870,6 +1887,7 @@ def build_queries():
         "events_cube": q_events_cube,
         "events_asof_forward": q_events_asof_forward,
         "training_set_prep": q_training_set_prep,
+        "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
     }
 
 
@@ -2310,6 +2328,10 @@ def build_oracle_sql():
         "docs_bm25_multi": " UNION ALL ".join(
             f"SELECT * FROM ({_bm25_oracle_sql(ts, qid=qid)})"
             for qid, ts in sorted(BM25_MULTI.items())),
+        "events_unpivot_roundtrip": """
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        """,
         "embedding_kmeans": """
             SELECT CAST(8 AS BIGINT) AS k, COUNT(*) AS n,
                    TRUE AS improved

@@ -132,3 +132,23 @@ def test_cube_mode_matches_pandas():
     assert got["v"].tolist() == want["v"].tolist()
     total = out[(out["k1"] == "ALL") & (out["k2"] == -1)]
     assert total["n"].iloc[0] == len(df) and total["v"].iloc[0] == df["v"].sum()
+
+
+def test_melt_inverts_pivot():
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.rollup import melt, pivot_counts
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 200).astype(np.int64),
+                       "c": rng.choice(["x", "y", "z"], 200)})
+    wide = pivot_counts(rd.from_pandas(df).repartition(3), key="k",
+                        pivot_col="c", prefix="n_")
+    long = melt(wide, key="k", value_cols=["n_x", "n_y", "n_z"],
+                var_col="c", value_col="n",
+                var_names={"n_x": "x", "n_y": "y", "n_z": "z"},
+                drop_zero=True).to_pandas()
+    want = (df.groupby(["k", "c"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+    key = lambda d: d.sort_values(["k", "c"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(long), key(want), check_dtype=False)
