@@ -187,14 +187,26 @@ BUCKET_PAIR_CAP = 512
 
 
 def _pairs_in_bucket(g: pd.DataFrame, id_col: str,
-                     cap: int = BUCKET_PAIR_CAP) -> pd.DataFrame:
+                     cap: int | None = BUCKET_PAIR_CAP,
+                     warn_context: str | None = None) -> pd.DataFrame:
+    """In-bucket pair expansion; ``cap=None`` means unconditional
+    all-pairs (required wherever recall-completeness is claimed).
+    ``warn_context`` logs when a bucket degrades past the cap so a
+    capped run can't silently lose recall."""
     ids = np.sort(g[id_col].to_numpy())
     n = len(ids)
     if n < 2:
         return pd.DataFrame({"id_a": [], "id_b": []})
-    if n <= cap:
+    if cap is None or n <= cap:
         a, b = np.triu_indices(n, k=1)
         return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    if warn_context:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: bucket of %d ids exceeds bucket_cap=%d — degrading to "
+            "star+chain topology; pairs sharing ONLY this bucket's key "
+            "may be lost", warn_context, n, cap)
     # Degenerate band bucket (mass-identical corpus slice): all-pairs is
     # O(n²) and would explode a 100-TB run. Emit a star to the min id
     # plus a consecutive chain — 2n-3 pairs keeping every member
@@ -371,7 +383,7 @@ def word_ngram_explode(batch: pa.Table, *, id_col: str = "doc_id",
 def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
                               text_col: str = "text", n: int = 3,
                               threshold: float = 0.5,
-                              bucket_cap: int = BUCKET_PAIR_CAP,
+                              bucket_cap: int | None = None,
                               num_partitions: int | None = None,
                               staged: bool = False):
     """Candidate pairs for exact word-n-gram Jaccard ≥ ``threshold`` via
@@ -394,9 +406,16 @@ def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
          pass that co-locates it (no separate count + join);
       3. ``groupby(id)`` sorts each doc's grams by (df, gram) and keeps
          the prefix;
-      4. ``groupby(gram)`` over prefix rows emits in-bucket pairs
-         (``bucket_cap`` star+chain degrades only mass-identical
-         buckets, as in the LSH paths).
+      4. ``groupby(gram)`` over prefix rows emits in-bucket pairs —
+         ALL pairs, because ``bucket_cap`` defaults to None here:
+         recall-completeness only holds with unconditional expansion
+         (a capped bucket whose members share ONLY that gram would
+         silently drop true pairs — template-heavy corpora hit this).
+         Set ``bucket_cap`` to trade recall for a hard per-bucket
+         bound at scale; every bucket that degrades logs a warning,
+         and the claim above then holds only below the cap. The DF
+         ordering already keeps prefix buckets rare-gram-small, which
+         is the structural defense against quadratic buckets.
     Shuffle volume is O(total distinct grams) rows of a few words each
     — word n-grams (≈ tokens per doc), not char shingles, precisely so
     this stays linear in corpus token count.
@@ -438,7 +457,9 @@ def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
         pref = pref.materialize()
 
     pairs = pref.groupby("gram", num_partitions=num_partitions).map_groups(
-        lambda g: _pairs_in_bucket(g, id_col, bucket_cap), batch_format="pandas")
+        lambda g: _pairs_in_bucket(g, id_col, bucket_cap,
+                                   warn_context="ngram_allpairs_candidates"),
+        batch_format="pandas")
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)

@@ -88,7 +88,9 @@ def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
         v = np.asarray(batch[col], dtype=np.float64)
         df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
                            "v": np.rint(v * scale).astype(np.int64)})
-        g = df.groupby([group_col, "v"], as_index=False).size()
+        # dropna=False: NULL-group rows keep their own quantile row
+        # (SQL GROUP BY keeps NULL groups; Ray's groupby does too)
+        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
         g = g.rename(columns={"size": "c"})
         return pa.Table.from_pandas(g, preserve_index=False)
 

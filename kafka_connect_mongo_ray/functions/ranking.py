@@ -127,11 +127,20 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
     count per bucket. Skewed leading keys cost nothing here — ties all
     land in one bucket by construction — but a single value spanning
     a large fraction of all rows makes that bucket's local sort the
-    straggler (same contract as any range partitioning)."""
+    straggler (same contract as any range partitioning).
+
+    The input lineage executes EXACTLY ONCE: ``ds`` is materialized up
+    front (the multi-consumer staging rule — see functions/graph.py),
+    so the boundary sample, the per-bucket counts, and the rank pass
+    all start from the same cached blocks. The counts pass never
+    shuffles row data either: each batch reduces to a ≤num_buckets-row
+    bincount and only those partials move."""
     lead = order_cols[0]
 
-    sample_ds = ds.map_batches(_spaced_sample(lead, sample_per_block),
-                               batch_format="pyarrow")
+    base = ds.materialize()
+
+    sample_ds = base.map_batches(_spaced_sample(lead, sample_per_block),
+                                 batch_format="pyarrow")
     # second-level sample caps driver state at per_block × num_buckets
     sample = (sample_ds.repartition(num_buckets)
               .map_batches(_spaced_sample(lead, sample_per_block),
@@ -149,12 +158,22 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
         b = np.searchsorted(bounds, v, side="right").astype(np.int32)
         return batch.append_column("__rbucket", pa.array(b))
 
-    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    bucketed = base.map_batches(assign, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    counts = {int(r["__rbucket"]): int(r["count()"])
-              for r in bucketed.groupby("__rbucket").aggregate(Count()).take_all()}
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[lead])
+        b = np.searchsorted(bounds, v, side="right")
+        c = np.bincount(b, minlength=len(bounds) + 1)
+        nz = np.flatnonzero(c)
+        return pa.table({"__rbucket": pa.array(nz.astype(np.int32)),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    counts = {int(r["__rbucket"]): int(r["n"])
+              for r in base.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("__rbucket").aggregate(Sum("n", alias_name="n"))
+              .take_all()}
     offsets = {}
     acc = start
     for b in sorted(counts):

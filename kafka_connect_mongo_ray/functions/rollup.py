@@ -22,6 +22,26 @@ import pyarrow as pa
 __all__ = ["rollup_aggregate", "pivot_counts", "melt"]
 
 
+def _cat_name(c) -> str:
+    """Stable string label for a pivot category; NULL categories (None
+    or NaN group keys out of pandas) all label as ``"None"``."""
+    import pandas as pd
+
+    if c is None or (not isinstance(c, (str, bytes)) and pd.isna(c)):
+        return "None"
+    return str(c)
+
+
+def _arrow_type(t) -> pa.DataType:
+    # pandas-block datasets report numpy dtypes; object means string
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def melt(ds, *, key: str, value_cols: list[str], var_col: str = "variable",
          value_col: str = "value", var_names: dict | None = None,
          drop_zero: bool = False):
@@ -66,12 +86,19 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list | None = None
     before the one groupby."""
     from ray.data.aggregate import Count, Sum
 
+    key_type = _arrow_type(
+        dict(zip(ds.schema().names, ds.schema().types))[key])
+
     if categories is None:
         cats_rows = (ds.select_columns([pivot_col])
                      .groupby(pivot_col).aggregate(Count()).take_all())
-        categories = sorted(r[pivot_col] for r in cats_rows)
+        # None sorts last; everything else by its string form so the
+        # discovered column order is deterministic even for mixed types
+        categories = sorted((r[pivot_col] for r in cats_rows),
+                            key=lambda v: (v is None, str(v)))
     cats = list(categories)
-    col_names = [f"{prefix}{c}" for c in cats]
+    cat_labels = [_cat_name(c) for c in cats]
+    col_names = [f"{prefix}{lbl}" for lbl in cat_labels]
 
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -79,12 +106,19 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list | None = None
 
         df = pd.DataFrame({key: batch[key].to_pandas(),
                            "_c": batch[pivot_col].to_pandas()})
-        wide = (df.groupby([key, "_c"]).size().unstack(fill_value=0)
-                .reindex(columns=cats, fill_value=0))
-        cols = {key: pa.array(wide.index.to_numpy())}
-        cols.update({name: pa.array(wide[c].to_numpy(dtype=np.int64),
+        # dropna=False keeps NULL-key rows in their own group (SQL
+        # GROUP BY semantics); null CATEGORIES surface as the "None"
+        # count column via the same labeling as the discovery pass
+        wide = (df.groupby([key, "_c"], dropna=False).size()
+                .unstack(fill_value=0))
+        wide.columns = [_cat_name(c) for c in wide.columns]
+        wide = wide.reindex(columns=cat_labels, fill_value=0)
+        keys_out = [None if pd.isna(v) else v
+                    for v in wide.index.to_numpy(dtype=object)]
+        cols = {key: pa.array(keys_out, key_type)}
+        cols.update({name: pa.array(wide[lbl].to_numpy(dtype=np.int64),
                                     pa.int64())
-                     for c, name in zip(cats, col_names)})
+                     for lbl, name in zip(cat_labels, col_names)})
         return pa.table(cols)
 
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
@@ -98,7 +132,10 @@ def _partial(keys: list[str], sum_cols: list[str], count_col: str):
         df = batch.to_pandas()
         aggs = {count_col: (keys[0], "size")}
         aggs.update({c: (c, "sum") for c in sum_cols})
-        g = df.groupby(keys, as_index=False).agg(**aggs)
+        # dropna=False: SQL GROUP BY keeps NULL-key groups, and the
+        # grand total must equal COUNT(*) — Ray's groupby downstream
+        # keeps null keys too, so they flow through every level
+        g = df.groupby(keys, as_index=False, dropna=False).agg(**aggs)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return fn
@@ -115,22 +152,15 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
 
     ``sentinels`` maps key column → fill value for levels where that
     key is rolled up (defaults: ``"ALL"`` for strings, ``-1`` for
-    numerics)."""
+    numerics). Rows whose key value is genuinely NULL form their own
+    group at every level they survive to (SQL GROUP BY semantics) and
+    stay distinct from the rolled-up sentinel — cleaner than SQL's
+    NULL-marker ROLLUP, which needs GROUPING() to tell them apart."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     sentinels = dict(sentinels or {})
     schema = ds.schema()
-
-    def _arrow_type(t):
-        # pandas-block datasets report numpy dtypes; object means string
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
-
     types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
     for k in keys:
         if k not in sentinels:

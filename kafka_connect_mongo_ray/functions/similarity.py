@@ -21,6 +21,54 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _subsplit_oversized_groups(bucketed, bucket_col: str, id_col: str,
+                               cap: int | None):
+    """Bound the rows any ``groupby(bucket).map_groups`` task must
+    materialize: a hot LSH bucket (corpus/2^planes on average, far more
+    under skew) or a fat IVF cell would otherwise land WHOLE in one
+    task and OOM a worker at corpus scale — the same failure mode
+    ``BUCKET_PAIR_CAP`` guards in functions/dedup.py.
+
+    Mechanics: one cheap column-pruned counting pass (each batch emits
+    ≤ #distinct-buckets partial rows; only those tiny partials shuffle,
+    and the driver holds one count per non-empty bucket — bounded by
+    2^num_planes / num_cells, never by corpus size), then a map adds
+    ``__sub = hash64(id) % ceil(n_bucket / cap)`` so the downstream
+    groupby on (bucket, __sub) sees ≤ ~cap rows per task. Scoring is
+    per-row, so partitioning a bucket's candidate set is semantics-free
+    for top-k: every sub-group emits its local top-k and the global
+    final reduce re-merges. Returns (ds, group_keys)."""
+    if cap is None:
+        return bucketed, [bucket_col]
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch[bucket_col], dtype=np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({bucket_col: pa.array(u.astype(np.int32)),
+                         "n": pa.array(c, pa.int64())})
+
+    counts = (bucketed.select_columns([bucket_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(bucket_col).aggregate(Sum("n", alias_name="n"))
+              .take_all())
+    splits = {int(r[bucket_col]): max(1, -(-int(r["n"]) // cap))
+              for r in counts}
+    if all(s == 1 for s in splits.values()):
+        return bucketed, [bucket_col]
+
+    def add_sub(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch[bucket_col], dtype=np.int64)
+        nsplit = np.fromiter((splits.get(int(x), 1) for x in b),
+                             dtype=np.int64, count=len(b))
+        h = pd.util.hash_array(np.asarray(batch[id_col]), categorize=False)
+        sub = (h % nsplit.astype(np.uint64)).astype(np.int32)
+        return batch.append_column("__sub", pa.array(sub))
+
+    return (bucketed.map_batches(add_sub, batch_format="pyarrow"),
+            [bucket_col, "__sub"])
+
+
 class BruteForceTopK:
     """Per-batch scorer: emits (query_id, neighbor_id, cosine) rows for
     the batch-local top-k; the global top-k is a small final reduce."""
@@ -82,7 +130,7 @@ def brute_force_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int
 def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
              dim: int, num_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             probe_bits: int = 1):
+             probe_bits: int = 1, group_row_cap: int | None = 100_000):
     """Approximate top-k: bucket the corpus by LSH hyperplane signs,
     then each bucket group scans ONLY the queries that probe it —
     per-query work drops from O(corpus) to O(corpus · probes / 2^planes).
@@ -91,7 +139,12 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
     with zero corpus duplication. Recall < 1 by construction; measured
     against :func:`brute_force_topk` in the gate query. Returns
     (query_id, rank, neighbor_id) with a global final reduce (only
-    Q × k × probed-buckets candidate rows reach the driver)."""
+    Q × k × probed-buckets candidate rows reach the driver).
+
+    ``group_row_cap`` bounds per-task memory: buckets larger than the
+    cap are hash-split into sub-groups before the per-bucket scan
+    (:func:`_subsplit_oversized_groups`) — output-identical, since each
+    sub-group's local top-k feeds the same final reduce."""
     import pandas as pd
 
     bucketer = LshBucketer(dim=dim, num_planes=num_planes, seed=seed, vec_col=vec_col)
@@ -128,7 +181,9 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
                 rows.append((int(query_ids[qi]), int(ids[j]), float(sims[row_i, j])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    cand = bucketed.groupby("lsh_bucket").map_groups(
+    split_ds, group_keys = _subsplit_oversized_groups(
+        bucketed, "lsh_bucket", id_col, group_row_cap)
+    cand = split_ds.groupby(group_keys).map_groups(
         search_bucket, batch_format="pyarrow").to_pandas()
     cand = cand.drop_duplicates(["query_id", "neighbor_id"])
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
@@ -178,12 +233,17 @@ class IvfAssigner:
 
 def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
              num_cells: int = 16, nprobe: int = 2, sample_size: int = 2000,
-             seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding"):
+             seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+             group_row_cap: int | None = 100_000):
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_cells`` k-means cells, then each query scans only its
     ``nprobe`` nearest cells. Recall grows with nprobe; nprobe =
     num_cells degrades to exact. Returns (query_id, rank, neighbor_id).
-    """
+
+    ``group_row_cap`` hash-splits fat cells before the per-cell scan
+    (:func:`_subsplit_oversized_groups`): per-task rows stay bounded
+    and the output is identical because each sub-group's local top-k
+    feeds the same final reduce."""
     import pandas as pd
     import ray
 
@@ -222,7 +282,9 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
                 rows.append((int(query_ids[qi]), int(ids[j]), float(sims[row_i, j])))
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    cand = assigned.groupby("ivf_cell").map_groups(
+    split_ds, group_keys = _subsplit_oversized_groups(
+        assigned, "ivf_cell", id_col, group_row_cap)
+    cand = split_ds.groupby(group_keys).map_groups(
         search_cell, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True], kind="mergesort")
@@ -307,10 +369,13 @@ def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
     (:func:`kmeans_centroids`, same pattern as IVF), every vector
     assigned to its nearest centroid in one broadcast ``map_batches``
     sweep, and cluster tightness reduced to one row —
-    ``mean_best_cos`` (mean cosine to the assigned centroid) vs
+    ``mean_best_cos`` (mean cosine to the best candidate direction) vs
     ``mean_global_cos`` (mean cosine to the normalized global mean,
-    the k=1 baseline). ``improved`` asserts the clustering is at least
-    as tight as a single cluster; an oracle checks (k, n, improved).
+    the k=1 baseline). The global-mean direction is itself one of the
+    candidate directions (best = max over centroids ∪ {gmean}), so
+    ``improved`` (best ≥ global) holds BY CONSTRUCTION for every
+    vector — including out-of-sample ones the bounded fitting sample
+    never saw; an oracle checks (k, n, improved).
 
     Scale shape: sample → driver once (bounded); centroid matrix
     broadcast via ``ray.put``; both reductions are Sum-aggregates of
@@ -339,8 +404,9 @@ def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
             from kafka_connect_mongo_ray.utils import embedding_matrix
 
             v = _normalize(embedding_matrix(batch[vec_col]))
-            best = np.max(v @ self.c.T, axis=1)
             glob = v @ self.g
+            # gmean is a candidate direction: best >= glob structurally
+            best = np.maximum(np.max(v @ self.c.T, axis=1), glob)
             return pa.table({
                 "n": pa.array([v.shape[0]], pa.int64()),
                 "best": pa.array([float(best.sum())], pa.float64()),

@@ -254,9 +254,13 @@ def hash_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
     pruned to its key columns before the shuffle, so only keys move."""
     if how in ("semi", "anti"):
         # existence joins never read right payloads: ship keys only,
-        # deduplicated per batch to shrink the exchange further
+        # deduplicated per batch to shrink the exchange further.
+        # drop_null first: SQL EXISTS/NOT EXISTS never matches NULL
+        # keys (pandas merge would match NaN==NaN), so a null-key left
+        # row always survives anti and never survives semi
         right_ds = right_ds.select_columns(on).map_batches(
-            lambda t: t.group_by(on).aggregate([]), batch_format="pyarrow")
+            lambda t: t.drop_null().group_by(on).aggregate([]),
+            batch_format="pyarrow")
     if hot_keys is not None:
         if len(on) != 1:
             raise ValueError("salted join supports a single join key")
@@ -381,7 +385,24 @@ def _hash_join_impl(left_ds, right_ds, *, on, num_buckets, how,
             # left rows carry no join-introduced nulls: exact-type cast
             return pa.Table.from_pandas(
                 out, preserve_index=False).cast(out_schema)
-        out = l.merge(r, on=on, how=how)
+        # SQL equality never matches NULL keys, pandas merge matches
+        # NaN==NaN: drop null-key rows from any side whose unmatched
+        # rows are not emitted; sides that keep unmatched rows keep
+        # their null-key rows, which then match nothing by construction
+        l_null = l[on].isna().any(axis=1)
+        r_null = r[on].isna().any(axis=1)
+        if how == "inner":
+            out = l[~l_null].merge(r[~r_null], on=on, how="inner")
+        elif how == "left":
+            out = l.merge(r[~r_null], on=on, how="left")
+        elif how == "right":
+            out = l[~l_null].merge(r, on=on, how="right")
+        else:  # full outer: keep both sides' null-key rows unmatched
+            out = l.merge(r[~r_null], on=on, how="outer")
+            if r_null.any():
+                out = pd.concat(
+                    [out, r[r_null].reindex(columns=out.columns)],
+                    ignore_index=True)
         t = pa.Table.from_pandas(out, preserve_index=False)
         if how == "inner":
             # the null padding upcasts ints to float64 in pandas; restore

@@ -1,0 +1,220 @@
+"""Round-4 hardening: SQL NULL-key semantics for joins and grouped
+aggregates, recall-complete ngram AllPairs by default, bounded ANN
+bucket groups, and the structural kmeans `improved` guarantee."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rd(t: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(t)
+
+
+# ---------------------------------------------------------------------------
+# join null-key semantics (SQL equality never matches NULL)
+
+LEFT = pa.table({
+    "k": pa.array(["a", "b", None, "c", None], pa.string()),
+    "lv": pa.array([1, 2, 3, 4, 5], pa.int64()),
+})
+RIGHT = pa.table({
+    "k": pa.array(["a", None, "d"], pa.string()),
+    "rv": pa.array([10, 20, 30], pa.int64()),
+})
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("l", LEFT.to_pandas())
+    con.register("r", RIGHT.to_pandas())
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype("object").where(df[c].notna(), None)
+    return df.sort_values(sorted(df.columns), kind="mergesort",
+                          na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
+    ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+    ("outer", "SELECT COALESCE(l.k, r.k) AS k, lv, rv "
+              "FROM l FULL OUTER JOIN r ON l.k = r.k"),
+    ("semi", "SELECT k, lv FROM l WHERE EXISTS "
+             "(SELECT 1 FROM r WHERE r.k = l.k)"),
+    ("anti", "SELECT k, lv FROM l WHERE NOT EXISTS "
+             "(SELECT 1 FROM r WHERE r.k = l.k)"),
+])
+def test_hash_join_null_keys_match_sql(how, sql):
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    got = hash_join(_rd(LEFT), _rd(RIGHT), on=["k"], num_buckets=4,
+                    how=how).to_pandas()
+    want = _oracle(sql)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# rollup / pivot / grouped quantiles keep NULL-key groups
+
+EV = pa.table({
+    "etype": pa.array(["x", "x", None, "y", None, "y"], pa.string()),
+    "day": pa.array(["d1", "d2", "d1", "d1", "d2", "d1"], pa.string()),
+    "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+})
+
+
+def test_rollup_keeps_null_key_groups_and_exact_grand_total():
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    out = rollup_aggregate(_rd(EV), keys=["etype"], sum_cols=["v"],
+                           count_col="n").to_pandas()
+    # grand total equals COUNT(*) / SUM(v) over ALL rows incl. null keys
+    total = out[out["etype"] == "ALL"]
+    assert int(total["n"].iloc[0]) == 6
+    assert int(total["v"].iloc[0]) == 21
+    # the NULL-key group survives at the finest level, distinct from ALL
+    nullg = out[out["etype"].isna()]
+    assert len(nullg) == 1
+    assert int(nullg["n"].iloc[0]) == 2 and int(nullg["v"].iloc[0]) == 8
+
+
+def test_pivot_counts_null_key_and_null_category():
+    from kafka_connect_mongo_ray.functions.rollup import pivot_counts
+
+    out = pivot_counts(_rd(EV), key="day", pivot_col="etype",
+                       prefix="n_").to_pandas().set_index("day")
+    # null categories land in the n_None column; counts cover all rows
+    assert int(out.loc["d1", "n_None"]) == 1
+    assert int(out.loc["d2", "n_None"]) == 1
+    assert int(out[["n_None", "n_x", "n_y"]].to_numpy().sum()) == 6
+    # and a null KEY keeps its own row
+    ev2 = pa.table({"day": pa.array([None, "d1"], pa.string()),
+                    "etype": pa.array(["x", "x"], pa.string())})
+    out2 = pivot_counts(_rd(ev2), key="day", pivot_col="etype",
+                        prefix="n_").to_pandas()
+    assert len(out2) == 2 and int(out2["n_x"].sum()) == 2
+
+
+def test_grouped_quantiles_keep_null_group():
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_exact_quantiles)
+
+    t = pa.table({"g": pa.array(["a", None, "a", None], pa.string()),
+                  "x": pa.array([1.0, 10.0, 3.0, 20.0], pa.float64())})
+    out = grouped_exact_quantiles(_rd(t), "g", "x", [0.5],
+                                  scale=1).to_pandas()
+    assert len(out) == 2
+    nullrow = out[out["g"].isna()]
+    assert int(nullrow["value_scaled"].iloc[0]) == 10
+
+
+# ---------------------------------------------------------------------------
+# ngram AllPairs: default is recall-complete (no silent cap degrade)
+
+def test_ngram_allpairs_default_uncapped_recovers_capped_losses():
+    from kafka_connect_mongo_ray.functions.dedup import (
+        ngram_allpairs_candidates)
+
+    # template-heavy corpus: every doc shares the rare gram "zz yy xx"
+    # but docs are NOT mutually near-identical — under a tiny cap the
+    # star+chain topology drops true candidate pairs
+    n_docs = 12
+    texts = [f"zz yy xx unique{i} filler{i} tail{i}" for i in range(n_docs)]
+    docs = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+    def pairs(bucket_cap):
+        df = ngram_allpairs_candidates(
+            _rd(docs), n=3, threshold=0.1,
+            bucket_cap=bucket_cap, num_partitions=4).to_pandas()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    capped = pairs(4)
+    uncapped = pairs(None)  # the default
+    assert capped < uncapped  # the cap provably lost candidates
+    assert len(uncapped) == n_docs * (n_docs - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# ANN: oversized bucket groups are hash-split with identical output
+
+def _skewed_embeddings(n=600, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    # force ~half the corpus into ONE lsh bucket: copy a single base
+    # direction with tiny jitter so all hyperplane signs agree
+    base = rng.standard_normal(dim)
+    v[: n // 2] = base + 0.01 * rng.standard_normal((n // 2, dim))
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in v],
+                              pa.list_(pa.float64())),
+    }), v
+
+
+def test_subsplit_bounds_group_sizes():
+    from kafka_connect_mongo_ray.functions.similarity import (
+        LshBucketer, _subsplit_oversized_groups)
+
+    t, _ = _skewed_embeddings()
+    bucketed = _rd(t).map_batches(LshBucketer(dim=8, num_planes=4),
+                                  batch_format="pyarrow")
+    cap = 50
+    split, keys = _subsplit_oversized_groups(bucketed, "lsh_bucket",
+                                             "vec_id", cap)
+    assert keys == ["lsh_bucket", "__sub"]
+    sizes = split.to_pandas().groupby(keys).size()
+    # hash split is probabilistic: allow 2x headroom over the cap
+    assert int(sizes.max()) <= 2 * cap
+    assert int(sizes.sum()) == t.num_rows
+
+
+def test_lsh_and_ivf_topk_identical_under_subsplit():
+    from kafka_connect_mongo_ray.functions.similarity import ivf_topk, lsh_topk
+
+    t, v = _skewed_embeddings()
+    q = v[:3] + 0.001
+    qids = np.array([900, 901, 902])
+
+    a = lsh_topk(_rd(t), q, qids, k=5, dim=8, num_planes=4,
+                 group_row_cap=None)
+    b = lsh_topk(_rd(t), q, qids, k=5, dim=8, num_planes=4,
+                 group_row_cap=40)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    c = ivf_topk(_rd(t), q, qids, k=5, num_cells=4, nprobe=2,
+                 group_row_cap=None)
+    d = ivf_topk(_rd(t), q, qids, k=5, num_cells=4, nprobe=2,
+                 group_row_cap=40)
+    pd.testing.assert_frame_equal(c.reset_index(drop=True),
+                                  d.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# kmeans summary: improved holds by construction, even out-of-sample
+
+def test_kmeans_improved_structural_on_drifted_distribution():
+    from kafka_connect_mongo_ray.functions.similarity import (
+        kmeans_cluster_summary)
+
+    rng = np.random.default_rng(3)
+    # sample window (first rows) is one cluster; the rest drifts to an
+    # opposite direction the fitted centroids never saw
+    a = rng.standard_normal((300, 6)) + np.array([5, 0, 0, 0, 0, 0])
+    b = rng.standard_normal((300, 6)) + np.array([-5, 0, 0, 0, 0, 0])
+    v = np.vstack([a, b])
+    t = pa.table({"embedding": pa.array([r.tolist() for r in v],
+                                        pa.list_(pa.float64()))})
+    out = kmeans_cluster_summary(_rd(t), k=2, sample_size=300).to_pandas()
+    assert bool(out["improved"].iloc[0]) is True
