@@ -252,6 +252,7 @@ def run_once() -> dict:
 
         _q._NEAR_DUP_PAIR_CACHE.clear()
         _q._BRUTE_FORCE_CACHE.clear()
+        _q._BM25_TF_CACHE.clear()
 
         replay = bench_cdc_replay(SF_DIR, NCPU)
         queries = {"cdc_replay": round(replay["sec"], 3),

