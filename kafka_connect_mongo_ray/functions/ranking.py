@@ -23,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number"]
+__all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
+           "dense_rank"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
@@ -190,3 +191,75 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
     return bucketed.groupby("__rbucket",
                             num_partitions=min(num_buckets, max(len(counts), 1))
                             ).map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def dense_rank(ds, *, order_col: str, rank_col: str = "dr",
+               num_buckets: int = 32, sample_per_block: int = 64):
+    """Distributed DENSE_RANK() OVER (ORDER BY ``order_col`` ASC):
+    equal values share a rank and ranks have no gaps. For descending
+    semantics, negate the column upstream.
+
+    Same range-partitioned shape as :func:`global_row_number`, with the
+    offsets derived from per-bucket DISTINCT-value counts instead of
+    row counts. The counts pass is distinct-pruned per batch before
+    its (tiny) shuffle — it moves at most the distinct-value domain,
+    never row data; the one full shuffle is the rank pass. The input
+    lineage executes once (materialized up front)."""
+    base = ds.materialize()
+
+    sample = (base.map_batches(_spaced_sample(order_col, sample_per_block),
+                               batch_format="pyarrow")
+              .repartition(num_buckets)
+              .map_batches(_spaced_sample(order_col, sample_per_block),
+                           batch_format="pyarrow")
+              .take_all())
+    keys = np.sort(np.array([r[order_col] for r in sample]))
+    if len(keys):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(keys[(qs * (len(keys) - 1)).astype(np.int64)])
+    else:
+        bounds = np.array([], dtype=np.int64)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.asarray(batch[order_col]))
+        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return pa.table({"__rbucket": pa.array(b),
+                         order_col: pa.array(v)})
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "__rbucket": pa.array([int(g["__rbucket"][0].as_py())],
+                                  pa.int32()),
+            "nd": pa.array([len(np.unique(np.asarray(g[order_col])))],
+                           pa.int64()),
+        })
+
+    counts = {int(r["__rbucket"]): int(r["nd"])
+              for r in base.map_batches(distinct_partial,
+                                        batch_format="pyarrow")
+              .groupby("__rbucket").map_groups(count_distinct,
+                                               batch_format="pyarrow")
+              .take_all()}
+    offsets = {}
+    acc = 1
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[order_col])
+        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return batch.append_column("__rbucket", pa.array(b))
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__rbucket"][0].as_py())
+        v = np.asarray(g[order_col])
+        uniq = np.unique(v)
+        dr = offsets[b] + np.searchsorted(uniq, v)
+        return g.drop_columns(["__rbucket"]).append_column(
+            rank_col, pa.array(dr.astype(np.int64), pa.int64()))
+
+    return (base.map_batches(assign, batch_format="pyarrow")
+            .groupby("__rbucket",
+                     num_partitions=min(num_buckets, max(len(counts), 1)))
+            .map_groups(rank_bucket, batch_format="pyarrow"))

@@ -1,0 +1,63 @@
+"""Distinct set operations (SQL INTERSECT / EXCEPT) over key columns.
+
+Composition, not new machinery: both sides reduce to per-batch
+DISTINCT keys first (the exchange only ever moves distinct keys, the
+same prune the existence joins use — stages/join.py), then ONE
+bucketed shuffle co-locates equal keys and a membership test per
+bucket emits the result. NULL keys follow SQL set semantics: INTERSECT
+and EXCEPT treat NULLs as equal (unlike join equality), so a NULL key
+present on both sides intersects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_connect_mongo_ray.utils import hash_buckets
+
+__all__ = ["set_op_distinct"]
+
+_SIDE = "__side"
+_BUCKET = "__bucket"
+
+
+def _distinct_tag(side: int, cols: list[str], num_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([])
+        t = t.append_column(
+            _BUCKET, pa.array(hash_buckets(t, cols, num_buckets), pa.int32()))
+        return t.append_column(
+            _SIDE, pa.array(np.full(t.num_rows, side, np.int8)))
+
+    return fn
+
+
+def set_op_distinct(left_ds, right_ds, *, on: list[str], op: str,
+                    num_buckets: int = 32):
+    """``op='intersect'`` → SELECT DISTINCT keys present on BOTH sides;
+    ``op='except'`` → DISTINCT left keys absent from the right
+    (SQL INTERSECT / EXCEPT). Returns a Dataset of the key columns.
+
+    Scale shape: per-batch distinct prune on both sides, one shuffle
+    of distinct keys, per-bucket pandas membership resolve. NaN keys
+    compare equal here (SQL set-op semantics — DISTINCT grouping, not
+    join equality)."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    lt = left_ds.map_batches(_distinct_tag(0, on, num_buckets),
+                             batch_format="pyarrow")
+    rt = right_ds.map_batches(_distinct_tag(1, on, num_buckets),
+                              batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[_SIDE] == 0][on].drop_duplicates()
+        r = g[g[_SIDE] == 1][on].drop_duplicates()
+        m = l.merge(r, on=on, how="left", indicator="__in_r")
+        want = "both" if op == "intersect" else "left_only"
+        return m.loc[m["__in_r"] == want, on]
+
+    return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
+        resolve, batch_format="pandas")

@@ -1,0 +1,177 @@
+"""Distributed statistics: exact correlation components and
+recall-complete frequent-item (heavy-hitter) mining.
+
+Reference analog: none (the reference has no aggregates at all —
+SURVEY.md §2.5); these are the corpus-analytics primitives a
+training-data pipeline needs at 100 TB. Both are single-pass shapes
+whose driver state is scalars, never data-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["corr_components", "frequent_items"]
+
+
+def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
+                    y_scale: int = 1, round_to: int = 9) -> pa.Table:
+    """Pearson correlation from EXACT integer moment sums.
+
+    Each batch reduces to six int64 partials (n, Σx, Σy, Σxy, Σx², Σy²)
+    over ``round(col·scale)`` — the same integer-scaling trick as
+    ``exact_quantiles``, so the moments are bit-exact under ANY
+    partitioning and the only float operation is the final closed-form
+    correlation, reproducible in SQL from the same integers::
+
+        (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²̂) · sqrt(n·Σy² − Σy²̂))
+
+    Pick scales so ``max|x·scale| · max|y·scale| · rows`` stays inside
+    int64 — the caller owns that bound (an overflow raises, never
+    wraps: numpy sums are checked against the float approximation).
+    Returns one row: the six components plus ``corr`` rounded to
+    ``round_to``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(np.asarray(batch[x_col], dtype=np.float64)
+                    * x_scale).astype(np.int64)
+        y = np.rint(np.asarray(batch[y_col], dtype=np.float64)
+                    * y_scale).astype(np.int64)
+
+        def checked(ints: np.ndarray, floats: np.ndarray, what: str) -> int:
+            # int64 multiplies wrap silently; a float64 shadow sum
+            # diverges wildly on any wrap, so a loose relative check
+            # turns silent corruption into a loud error
+            iv, fv = int(ints.sum()), float(floats.sum())
+            if abs(iv - fv) > 1e-6 * abs(fv) + 16:
+                raise OverflowError(
+                    f"corr_components {what} overflowed int64 — reduce "
+                    f"x_scale/y_scale")
+            return iv
+
+        xf = x.astype(np.float64)
+        yf = y.astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([checked(x, xf, "sum(x)")], pa.int64()),
+            "sy": pa.array([checked(y, yf, "sum(y)")], pa.int64()),
+            "sxy": pa.array([checked(x * y, xf * yf, "sum(x*y)")],
+                            pa.int64()),
+            "sx2": pa.array([checked(x * x, xf * xf, "sum(x^2)")],
+                            pa.int64()),
+            "sy2": pa.array([checked(y * y, yf * yf, "sum(y^2)")],
+                            pa.int64()),
+        })
+
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
+                                         "sx2", "sy2")])
+    n, sx, sy = row["n"], row["sx"], row["sy"]
+    sxy, sx2, sy2 = row["sxy"], row["sx2"], row["sy2"]
+    # overflow guard: exact int result must round-trip through float64
+    # within the rounding the final formula can absorb
+    for v in (sxy, sx2, sy2):
+        if abs(v) > (1 << 62):
+            raise OverflowError(
+                "corr_components moment sum too large for exact int64 — "
+                "reduce x_scale/y_scale")
+    denom = float(np.sqrt(n * sx2 - sx * sx) * np.sqrt(n * sy2 - sy * sy))
+    corr = (n * sxy - sx * sy) / denom if denom else float("nan")
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "sx2": pa.array([sx2], pa.int64()),
+        "sy2": pa.array([sy2], pa.int64()),
+        "corr": pa.array([round(corr, round_to)], pa.float64()),
+    })
+
+
+def frequent_items(ds, col: str, *, min_frac: tuple[int, int],
+                   num_partitions: int | None = None):
+    """EXACT frequent items: every value with global frequency ≥
+    ``p/q`` of all rows (``min_frac=(p, q)`` — a RATIONAL, so the
+    threshold comparison ``q·cnt ≥ p·total`` is pure integer math and
+    reproducible bit-for-bit in SQL), with its exact count. Two
+    passes, both recall-complete:
+
+    1. *Candidates*: each batch emits the values whose LOCAL share
+       satisfies ``q·cnt_b ≥ p·rows_b``. Pigeonhole guarantee: if a
+       value misses that bound in EVERY batch then summing the strict
+       inequalities gives ``q·cnt < p·total`` — so no globally
+       qualifying value can be missed; per-batch output is ≤ q/p rows
+       regardless of batch size.
+    2. *Verify*: exact per-batch counts are emitted ONLY for candidate
+       rows (a broadcast set of ≤ blocks·q/p entries, tiny) and
+       Sum-reduced; a final integer filter applies the global bound.
+
+    The only all-to-alls move candidate-bounded rows, never data. The
+    driver holds the candidate set and the total row count — both
+    O(q/p · blocks) at worst, independent of data size. Returns a
+    Dataset (value, cnt) with q·cnt ≥ p·total."""
+    from ray.data.aggregate import Sum
+
+    p, q = min_frac
+    if p <= 0 or q <= 0:
+        raise ValueError("min_frac must be a positive (p, q) fraction")
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(c)
+        cnts = np.asarray(vc.field("counts"), dtype=np.int64)
+        keep = q * cnts >= p * batch.num_rows
+        return pa.table({"value": vc.field("values").filter(pa.array(keep))})
+
+    # batch_size=None pins one batch per block: the pigeonhole bound
+    # is stated over a partition of the data, so batches must tile the
+    # input exactly (bundled/sliced batches would still partition it,
+    # but block-aligned batches keep the candidate sets deterministic
+    # for a given partitioning)
+    summary = (ds.select_columns([col])
+               .map_batches(local_candidates, batch_format="pyarrow",
+                            batch_size=None)
+               .to_pandas())
+    # the exact total must count batches that emitted no candidates
+    # too, so it comes from a metadata count, not the summary
+    total = ds.count()
+    cand = (set(summary["value"].tolist())
+            if "value" in summary.columns else set())
+    if not cand:
+        import ray.data as rd
+
+        schema = ds.schema()
+        col_type = dict(zip(schema.names, schema.types))[col]
+        if not isinstance(col_type, pa.DataType):
+            col_type = pa.from_numpy_dtype(col_type)
+        return rd.from_arrow(pa.table({
+            "value": pa.array([], col_type),
+            "cnt": pa.array([], pa.int64())}))
+
+    cand_arr = pa.array(sorted(cand))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(c)
+        vals = vc.field("values")
+        mask = pc.is_in(vals, value_set=cand_arr)
+        return pa.table({"value": vals.filter(mask),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())
+                         .filter(mask)})
+
+    # q·cnt ≥ p·total as an integer bound: cnt ≥ ceil(p·total / q)
+    threshold = -(-(p * total) // q)
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    counts = (ds.select_columns([col])
+              .map_batches(exact_counts, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby("value", **kwargs)
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    return counts.filter(expr=f"cnt >= {threshold}")

@@ -1135,17 +1135,20 @@ def q_join_lineitem_part_supplier(sf_dir: str):
 
         return fn
 
-    # native join for the fact-sized first hop; the remaining hops use
-    # the portable bucketed hash_join — CHAINING native joins makes the
-    # HashShuffleAggregator intermittently see a left partition with a
-    # duplicated key field in long-lived sessions ("No match or
-    # multiple matches for key field", reproduced twice in the full
-    # pytest session, never in a fresh process); single native joins
-    # have not shown it (unit test test_native_join_matches_bucketed)
+    # native joins for the two fact-sized hops; the dimension-sized
+    # nation hop uses the portable bucketed hash_join. Round-3 ran a
+    # single native hop after CHAINED native joins twice hit a
+    # HashShuffleAggregator.finalize "No match or multiple matches for
+    # key field" in long-lived pytest sessions (never in a fresh
+    # process); round 4 could not reproduce it — 30 churned chained
+    # executions clean (tools/repro_native_join_chain.py) and 3 full
+    # pytest runs stable — so the second hop is native again. If the
+    # flake resurfaces, run the repro script and swap this hop back to
+    # hash_join.
     j = native_join(li, part, on=["l_partkey"], num_buckets=16).map_batches(
         conform(["l_suppkey", "l_extendedprice", "l_discount", "p_brand"]),
         batch_format="pyarrow")
-    j = hash_join(j, supp, on=["l_suppkey"], num_buckets=16).map_batches(
+    j = native_join(j, supp, on=["l_suppkey"], num_buckets=16).map_batches(
         conform(["s_nationkey", "l_extendedprice", "l_discount", "p_brand"]),
         batch_format="pyarrow")
     j = hash_join(j, nation, on=["s_nationkey"], num_buckets=16).map_batches(
@@ -1838,6 +1841,108 @@ def q_join_semi_parts(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Pearson correlation from exact integer moment sums
+    (functions/stats.py::corr_components): six int64 components are
+    bit-exact under any partitioning; the one float op is the final
+    closed form, mirrored verbatim in the oracle so both sides run the
+    identical IEEE arithmetic on identical integers."""
+    from kafka_connect_mongo_ray.functions.stats import corr_components
+
+    return corr_components(
+        _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"]),
+        "l_quantity", "l_discount", x_scale=1, y_scale=100)
+
+
+def q_events_heavy_hitters(sf_dir: str):
+    """Exact frequent items (functions/stats.py::frequent_items):
+    integer-valued FLOOR(value) buckets occurring in ≥ 1/100 of all
+    events — pigeonhole-complete per-batch candidates, then exact
+    counts for candidates only; both thresholds are pure integer
+    comparisons (q·cnt ≥ p·total) so the SQL mirror is bit-exact."""
+    from kafka_connect_mongo_ray.functions.stats import frequent_items
+
+    def floor_value(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.floor(np.asarray(batch["value"], dtype=np.float64))
+        return pa.table({"v": pa.array(v.astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "events", columns=["value"]).map_batches(
+        floor_value, batch_format="pyarrow")
+    return frequent_items(ds, "v", min_frac=(1, 100),
+                          num_partitions=_gate_buckets())
+
+
+def q_events_user_dense_rank(sf_dir: str):
+    """DENSE_RANK over per-user activity (functions/ranking.py::
+    dense_rank): per-user event counts (one groupby), then the
+    range-partitioned dense rank on count descending — ties share a
+    rank, ranks are gapless. The distinct-count offsets pass moves at
+    most the count-domain, never rows."""
+    import pyarrow.compute as pc
+
+    from kafka_connect_mongo_ray.functions.ranking import dense_rank
+    from ray.data.aggregate import Count
+
+    counts = (_read(sf_dir, "events", columns=["user_id"])
+              .groupby("user_id").aggregate(Count(alias_name="cnt")))
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "negcnt", pc.negate(pc.cast(batch["cnt"], pa.int64())))
+
+    ranked = dense_rank(counts.map_batches(neg, batch_format="pyarrow"),
+                        order_col="negcnt", rank_col="dr",
+                        num_buckets=_gate_buckets())
+    return ranked.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "cnt": pc.cast(t["cnt"], pa.int64()),
+                            "dr": t["dr"]}),
+        batch_format="pyarrow")
+
+
+def _event_value_buckets(sf_dir: str, etype: str):
+    """Distinct-prunable (v,) side for the set-op queries: integer
+    FLOOR(value) buckets of one event type."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def shape(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], etype))
+        v = np.floor(np.asarray(t["value"], dtype=np.float64))
+        return pa.table({"v": pa.array(v.astype(np.int64), pa.int64())})
+
+    return _read(sf_dir, "events", columns=["event_type", "value"]
+                 ).map_batches(shape, batch_format="pyarrow")
+
+
+def q_events_intersect_users(sf_dir: str):
+    """SQL INTERSECT (functions/setops.py::set_op_distinct): distinct
+    FLOOR(value) buckets seen in BOTH 'click' and 'purchase' events —
+    per-batch distinct prune on each side, one shuffle of distinct
+    keys."""
+    from kafka_connect_mongo_ray.functions.setops import set_op_distinct
+
+    return set_op_distinct(_event_value_buckets(sf_dir, "click"),
+                           _event_value_buckets(sf_dir, "purchase"),
+                           on=["v"], op="intersect",
+                           num_buckets=_gate_buckets())
+
+
+def q_events_except_users(sf_dir: str):
+    """SQL EXCEPT (functions/setops.py::set_op_distinct): distinct
+    FLOOR(value) buckets seen in 'click' events but never in
+    'purchase' events — same one-shuffle distinct-key shape as the
+    intersect."""
+    from kafka_connect_mongo_ray.functions.setops import set_op_distinct
+
+    return set_op_distinct(_event_value_buckets(sf_dir, "click"),
+                           _event_value_buckets(sf_dir, "purchase"),
+                           on=["v"], op="except",
+                           num_buckets=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1912,6 +2017,11 @@ def build_queries():
         "events_asof_forward": q_events_asof_forward,
         "training_set_prep": q_training_set_prep,
         "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
+        "lineitem_corr": q_lineitem_corr,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "events_user_dense_rank": q_events_user_dense_rank,
+        "events_intersect_users": q_events_intersect_users,
+        "events_except_users": q_events_except_users,
     }
 
 
@@ -2446,5 +2556,53 @@ def build_oracle_sql():
                          CAST(ROUND(value * 100) AS BIGINT) AS cents
                   FROM events)
             GROUP BY CUBE(event_type, day)
+        """,
+        # corr from exact integer moments: identical integers on both
+        # sides, identical closed-form float arithmetic
+        "lineitem_corr": """
+            WITH m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sx2,
+                     CAST(SUM(y * y) AS BIGINT) AS sy2
+              FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                           CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+                    FROM lineitem))
+            SELECT n, sx, sy, sxy, sx2, sy2,
+                   ROUND((n * sxy - sx * sy)
+                         / (SQRT(CAST(n * sx2 - sx * sx AS DOUBLE))
+                            * SQRT(CAST(n * sy2 - sy * sy AS DOUBLE))),
+                         9) AS corr
+            FROM m
+        """,
+        # integer threshold comparison (q*cnt >= p*total) on both sides
+        "events_heavy_hitters": """
+            SELECT CAST(FLOOR(value) AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+            HAVING 100 * COUNT(*) >= (SELECT COUNT(*) FROM events)
+        """,
+        "events_user_dense_rank": """
+            SELECT user_id, cnt,
+                   CAST(DENSE_RANK() OVER (ORDER BY cnt DESC) AS BIGINT)
+                       AS dr
+            FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM events GROUP BY user_id)
+        """,
+        "events_intersect_users": """
+            SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+            WHERE event_type = 'click'
+            INTERSECT
+            SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+            WHERE event_type = 'purchase'
+        """,
+        "events_except_users": """
+            SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+            WHERE event_type = 'click'
+            EXCEPT
+            SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+            WHERE event_type = 'purchase'
         """,
     }
