@@ -129,14 +129,13 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list | None = None
 
 def _partial(keys: list[str], sum_cols: list[str], count_col: str):
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        aggs = {count_col: (keys[0], "size")}
-        aggs.update({c: (c, "sum") for c in sum_cols})
-        # dropna=False: SQL GROUP BY keeps NULL-key groups, and the
-        # grand total must equal COUNT(*) — Ray's groupby downstream
-        # keeps null keys too, so they flow through every level
-        g = df.groupby(keys, as_index=False, dropna=False).agg(**aggs)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow batch-local combine; Arrow group_by keeps NULL-key
+        # groups natively (SQL GROUP BY semantics — the grand total
+        # must equal COUNT(*)), and Ray's groupby downstream keeps
+        # them too, so null keys flow through every level
+        g = batch.group_by(keys).aggregate(
+            [([], "count_all")] + [(c, "sum") for c in sum_cols])
+        return g.rename_columns(keys + [count_col] + sum_cols)
 
     return fn
 

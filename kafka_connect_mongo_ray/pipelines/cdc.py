@@ -375,18 +375,32 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         )
 
     if cfg.analyze_schema:
-        import ray as _r
+        if cfg.analyze_mode == "tasks":
+            # elastic tasks get full parallelism the moment input blocks
+            # exist — no pool ramp (measured 1.7-4.5 s vs 4.8-6.2 s for
+            # the (4,30) actor pool on the same 1M-event batch set; the
+            # same finding that made apply_mode="tasks" the default).
+            # A fresh analyzer per batch also makes schema decisions a
+            # function of the BATCH, not of actor arrival order.
+            def analyze_batch(batch: pa.Table) -> pa.Table:
+                return AnalyzeObjectStage(json_col="object")(batch)
 
-        # the Python-parse-bound stage: give the pool most of the
-        # machine up front (autoscaling from 1 ramps too slowly on
-        # short windows — measured 177k vs 300k+ ev/s at 32 CPUs)
-        hi = max(2, int(_r.cluster_resources().get("CPU", 8)) - 2) if _r.is_initialized() else 8
-        events_ds = events_ds.map_batches(
-            AnalyzeObjectStage,
-            fn_constructor_kwargs={"json_col": "object"},
-            batch_format="pyarrow",
-            concurrency=(min(4, hi), hi),
-        )
+            events_ds = events_ds.map_batches(
+                analyze_batch, batch_format="pyarrow")
+        else:
+            import ray as _r
+
+            # the Python-parse-bound stage: give the pool most of the
+            # machine up front (autoscaling from 1 ramps too slowly on
+            # short windows — measured 177k vs 300k+ ev/s at 32 CPUs)
+            hi = max(2, int(_r.cluster_resources().get("CPU", 8)) - 2) \
+                if _r.is_initialized() else 8
+            events_ds = events_ds.map_batches(
+                AnalyzeObjectStage,
+                fn_constructor_kwargs={"json_col": "object"},
+                batch_format="pyarrow",
+                concurrency=(min(4, hi), hi),
+            )
 
     ds = events_ds.map_batches(
         normalize_prereduce,

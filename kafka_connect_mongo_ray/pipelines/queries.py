@@ -523,11 +523,10 @@ def q_join_orders_customer(sf_dir: str):
     joined = hash_join(orders, cust, on=["custkey"], num_buckets=16)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("mktsegment", as_index=False).agg(
-            n=("o_totalprice", "size"), total=("o_totalprice", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow batch-local combine (no pandas round trip)
+        g = batch.group_by("mktsegment").aggregate(
+            [([], "count_all"), ("o_totalprice", "sum")])
+        return g.rename_columns(["mktsegment", "n", "total"])
 
     agg = joined.map_batches(partial, batch_format="pyarrow").groupby("mktsegment").aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total")
@@ -638,11 +637,10 @@ def q_events_per_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), total=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow batch-local combine (no pandas round trip)
+        g = batch.group_by("event_type").aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["event_type", "n", "total"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total")
@@ -1077,22 +1075,30 @@ def q_tpch_pricing_summary(sf_dir: str):
                         "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        import numpy as np
+
         # integer-scaled money math: per-row values have ≤4 decimal
         # digits, so scaling + rounding per ROW is exact in both
         # engines and the summed int64s are order-independent — no
-        # float-summation / rounding-tie hazards at the hash compare
-        df["sum_qty"] = df["l_quantity"].round().astype("int64")
-        df["base_cents"] = (df["l_extendedprice"] * 100).round().astype("int64")
-        df["disc_x10k"] = (df["l_extendedprice"] * (1 - df["l_discount"])
-                           * 10_000).round().astype("int64")
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("sum_qty", "sum"),
-            sum_base_cents=("base_cents", "sum"),
-            sum_disc_x10k=("disc_x10k", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # float-summation / rounding-tie hazards at the hash compare.
+        # Pure-Arrow batch-local combine (no pandas round trip).
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pa.array(np.rint(qty).astype(np.int64)),
+            "base_cents": pa.array(np.rint(price * 100).astype(np.int64)),
+            "disc_x10k": pa.array(
+                np.rint(price * (1 - disc) * 10_000).astype(np.int64)),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("base_cents", "sum"),
+             ("disc_x10k", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_cents", "sum_disc_x10k",
+                                 "count_order"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
@@ -1156,14 +1162,21 @@ def q_join_lineitem_part_supplier(sf_dir: str):
         batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        import numpy as np
+
         # same integer-scaling trick as tpch_pricing_summary: exact,
-        # order-independent revenue sums
-        df["rev_x10k"] = (df["l_extendedprice"] * (1 - df["l_discount"])
-                          * 10_000).round().astype("int64")
-        g = df.groupby(["p_brand", "n_name"], as_index=False).agg(
-            n=("rev_x10k", "size"), revenue_x10k=("rev_x10k", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # order-independent revenue sums; pure-Arrow combine
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        t = pa.table({
+            "p_brand": batch["p_brand"],
+            "n_name": batch["n_name"],
+            "rev_x10k": pa.array(
+                np.rint(price * (1 - disc) * 10_000).astype(np.int64)),
+        })
+        g = t.group_by(["p_brand", "n_name"]).aggregate(
+            [([], "count_all"), ("rev_x10k", "sum")])
+        return g.rename_columns(["p_brand", "n_name", "n", "revenue_x10k"])
 
     return j.map_batches(partial, batch_format="pyarrow").groupby(
         ["p_brand", "n_name"]
