@@ -174,11 +174,15 @@ class AnalyzeObjectStage:
         ``pyarrow.json.read_json`` with the running schema pinned as
         ``explicit_schema`` (so known fields never hit type inference —
         the ISO-string→timestamp hazard) and ``unexpected_field_
-        behavior='infer'`` for evolution. Returns None — fall back to
-        the exact per-row Python lattice — whenever the batch is not
-        cleanly expressible: malformed JSON, a value conflicting with a
-        known field's lattice type, a new field inferring to a
-        non-scalar (timestamp/struct/list), mixed-type raw spellings of
+        behavior='infer'`` for evolution. A NEW field Arrow infers as a
+        timestamp/date (an ISO-looking string the Python lattice keeps
+        as raw STRING text) triggers ONE re-parse with that raw field
+        pinned to string, so ISO-date-bearing corpora stay on the fast
+        path. Returns None — fall back to the exact per-row Python
+        lattice — whenever the batch is not cleanly expressible:
+        malformed JSON, a value conflicting with a known field's
+        lattice type, a new field inferring to a struct/list,
+        mixed-type raw spellings of
         one normalized key, or a row carrying two spellings at once.
         Every fallback batch reproduces the reference semantics
         byte-for-byte, so the fast path only ever changes speed."""
@@ -198,18 +202,39 @@ class AnalyzeObjectStage:
         data = "\n".join("{}" if t is None else t for t in texts).encode()
         schema = self.analyzer.schema
         explicit = pa.schema([(k, _ARROW[schema[k]]) for k in sorted(schema)])
-        try:
-            tbl = pj.read_json(
+
+        def parse(explicit_schema):
+            return pj.read_json(
                 io.BytesIO(data),
                 read_options=pj.ReadOptions(
                     use_threads=False,
                     block_size=max(1 << 20, min(len(data) + 1, (1 << 31) - 1))),
                 parse_options=pj.ParseOptions(
-                    explicit_schema=explicit,
+                    explicit_schema=explicit_schema,
                     unexpected_field_behavior="infer"),
             )
+
+        try:
+            tbl = parse(explicit)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             return None
+        # per-column conform: NEW raw fields Arrow inferred as
+        # timestamp/date were ISO-looking STRINGS in the source (the
+        # Python lattice keeps the raw spelling); pin them to string
+        # and re-parse once so the exact text survives — ISO-date-
+        # bearing corpora stay on the fast path instead of falling
+        # back to the per-row Python parser
+        pin = [raw for raw in tbl.schema.names
+               if normalize_key(raw) not in schema
+               and (pa.types.is_timestamp(tbl.schema.field(raw).type)
+                    or pa.types.is_date(tbl.schema.field(raw).type))]
+        if pin:
+            pinned = pa.schema(
+                list(explicit) + [pa.field(r, _ARROW[STRING]) for r in pin])
+            try:
+                tbl = parse(pinned)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return None
         if tbl.num_rows != len(texts):
             return None  # an embedded raw newline smeared the row count
 

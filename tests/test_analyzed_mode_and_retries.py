@@ -85,9 +85,15 @@ def _batch_of(objects):
     (['{"name": "a"}', '{"name": "b", "added": 7}'], True),
     # capital spelling of a known field (coalesce branch) → fast
     (['{"Name": "a", "size": 1}', '{"name": "b", "size": 2}'], True),
-    # ISO date string NEW field infers timestamp → Python fallback,
-    # lattice keeps it a verbatim STRING
-    (['{"d": "2024-01-01T00:00:00Z"}'], False),
+    # ISO date string NEW field infers timestamp → pinned-to-string
+    # re-parse keeps the verbatim STRING on the fast path
+    (['{"d": "2024-01-01T00:00:00Z"}'], True),
+    # mixed ISO timestamp + plain date + a second normal new field
+    (['{"d": "2024-01-01T00:00:00Z", "x": 1}',
+      '{"d": "2024-02-03T04:05:06.789Z", "e": "2023-05-06"}'], True),
+    # ISO strings mixed with non-ISO strings under one new field still
+    # parse as plain string (no pin needed) → fast
+    (['{"d": "2024-01-01T00:00:00Z"}', '{"d": "not a date"}'], True),
     # malformed row → fallback (skip-and-count semantics)
     (['{"name": "a"}', '{broken'], False),
     # number under a known string field → fallback (str() coercion)
