@@ -37,9 +37,15 @@ def _subsplit_oversized_groups(bucketed, bucket_col: str, id_col: str,
     groupby on (bucket, __sub) sees ≤ ~cap rows per task. Scoring is
     per-row, so partitioning a bucket's candidate set is semantics-free
     for top-k: every sub-group emits its local top-k and the global
-    final reduce re-merges. Returns (ds, group_keys)."""
+    final reduce re-merges. Returns (ds, group_keys).
+
+    ``bucketed`` is materialized first (the repo's multi-consumer
+    staging rule): the counting pass and the downstream per-group scan
+    both start from the same cached blocks instead of re-running the
+    upstream read + bucket/cell assign."""
     if cap is None:
         return bucketed, [bucket_col]
+    bucketed = bucketed.materialize()
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
