@@ -197,6 +197,43 @@ def bootstrap_schema_from_registry(fetch, *, max_retries: int = 5,
     raise last
 
 
+def http_schema_fetcher(url: str, *, timeout_s: float = 10.0,
+                        headers: dict | None = None):
+    """Real HTTP transport for :func:`bootstrap_schema_from_registry` —
+    the live analog of the reference's registry client call at task
+    start (``AbstractMongoSourceTask.kt:65-80``; it asks the Confluent
+    registry for the latest schema of a subject).
+
+    Returns a zero-arg callable that GETs ``url`` (stdlib urllib — no
+    extra dependency) and returns the Avro-JSON schema text. Confluent
+    registry endpoints (``/subjects/<s>/versions/latest``) wrap the
+    schema in a JSON envelope ``{"schema": "<escaped avro json>"}``;
+    that envelope is unwrapped when present, a bare Avro document body
+    is returned as-is. Compose with the bootstrap's retry policy::
+
+        fetch = http_schema_fetcher("http://registry:8081/subjects/"
+                                    "events-value/versions/latest")
+        schema = bootstrap_schema_from_registry(fetch, backoff_s=1.0)
+    """
+    import json as _json
+    import urllib.request
+
+    def fetch() -> str:
+        req = urllib.request.Request(url, headers=headers or {})
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read().decode("utf-8")
+        try:
+            envelope = _json.loads(body)
+        except ValueError:
+            return body
+        if isinstance(envelope, dict) and isinstance(
+                envelope.get("schema"), str):
+            return envelope["schema"]
+        return body
+
+    return fetch
+
+
 class SchemaAnalyzer:
     """Actor-pool stage: JSON documents → analyzed flat Arrow rows.
 

@@ -100,3 +100,70 @@ def test_naming_rules():
     # SchemaMapper.kt:108-114: default-db special case
     assert analyzed_table_name("teambition", "tasks") == "base_tasks"
     assert analyzed_table_name("other", "tasks") == "base_other_tasks"
+
+
+def test_http_schema_fetcher_against_local_registry():
+    """The real urllib transport against an in-process HTTP server:
+    Confluent-style envelope unwrap, bare-document passthrough, and a
+    flaky-then-healthy server healed by the bootstrap retry policy."""
+    import http.server
+    import json
+    import threading
+
+    from kafka_connect_mongo_ray.stages.schema_evolve import (
+        bootstrap_schema_from_registry,
+        http_schema_fetcher,
+    )
+
+    avro = json.dumps({
+        "type": "record", "name": "Doc",
+        "fields": [{"name": "name", "type": ["null", "string"]},
+                   {"name": "size", "type": "double"},
+                   {"name": "active", "type": "boolean"}],
+    })
+    fail_first = {"n": 2}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/flaky") and fail_first["n"] > 0:
+                fail_first["n"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            if self.path.startswith("/subjects/"):
+                body = json.dumps({"schema": avro, "id": 7, "version": 1})
+            else:
+                body = avro  # bare Avro document endpoint
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        want = {"name": "string", "size": "float64", "active": "bool"}
+        # Confluent envelope endpoint
+        got = bootstrap_schema_from_registry(http_schema_fetcher(
+            f"{base}/subjects/docs-value/versions/latest"))
+        assert got == want
+        # bare Avro document endpoint
+        got2 = bootstrap_schema_from_registry(http_schema_fetcher(
+            f"{base}/schema.avsc"))
+        assert got2 == want
+        # two 503s then healthy: healed by the retry policy
+        got3 = bootstrap_schema_from_registry(
+            http_schema_fetcher(f"{base}/flaky/subjects/d/versions/latest"),
+            max_retries=4)
+        assert got3 == want
+    finally:
+        srv.shutdown()
+        srv.server_close()
