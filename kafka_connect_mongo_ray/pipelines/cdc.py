@@ -367,6 +367,11 @@ class AnalyzeObjectStage:
         return out
 
 
+#: per-stage ds.stats() text of the most recent run_replay in this
+#: process (profiling / BASELINE capture; not used by the engine)
+LAST_REPLAY_STATS: str | None = None
+
+
 def run_replay(events_ds, cfg: EngineConfig) -> dict:
     """One committed replay job; resumable — events at or below the
     previous commit's per-partition resume tokens are filtered at the
@@ -486,6 +491,10 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
             batch_format="pyarrow",
         )
     metrics = merged.take_all()  # one small row per bucket
+    # per-stage ds.stats() of the whole replay plan, for profiling /
+    # BASELINE capture (string; assigning it costs nothing)
+    global LAST_REPLAY_STATS
+    LAST_REPLAY_STATS = merged.stats()
 
     new_tokens: dict[int, tuple[int, int]] = {}
     for row in metrics:
