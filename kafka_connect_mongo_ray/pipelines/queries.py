@@ -2247,8 +2247,8 @@ def build_oracle_sql():
                                doc_id % {PACK_BUCKETS} AS bucket
                         FROM docs)
             SELECT doc_id, n_tokens, bucket,
-                   start // {PACK_SEQ_LEN} AS seq_id,
-                   start % {PACK_SEQ_LEN} AS "offset"
+                   CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS "offset"
             FROM (SELECT doc_id, n_tokens, bucket,
                          COALESCE(SUM(n_tokens) OVER (
                              PARTITION BY bucket ORDER BY doc_id
@@ -2495,8 +2495,8 @@ def build_oracle_sql():
         """,
         "docs_pack_sequences": f"""
             SELECT doc_id, n_tokens, bucket,
-                   start // {PACK_SEQ_LEN} AS seq_id,
-                   start % {PACK_SEQ_LEN} AS "offset"
+                   CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS "offset"
             FROM (SELECT doc_id, n_tokens, bucket,
                          COALESCE(SUM(n_tokens) OVER (
                              PARTITION BY bucket ORDER BY doc_id
