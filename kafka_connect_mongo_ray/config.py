@@ -77,8 +77,15 @@ class EngineConfig:
     # map stage behind the exchange on small clusters; 0.3 measured
     # tp8 239k→258k ev/s and tp32 813k→1.03M on the 10M-event job,
     # bringing 8→32-CPU scaling efficiency into a 0.93–1.15 band.
-    # None = leave the session default untouched.
-    op_reservation_ratio: float | None = None
+    # "auto" = size to the cluster: below _SMALL_CLUSTER_CPUS the
+    # reservation machinery itself is the bottleneck (round-4 four-
+    # quadrant measurement, BASELINE.md: the SAME 8-CPU 10M-event job
+    # runs 185k ev/s with reservation vs 1.07M without — 5.8×; still
+    # 3.8× at 50M events), so "auto" DISABLES reservation on small
+    # sessions and applies 0.3 on large ones (where reservation
+    # protects big runs: 32 CPUs / 50M events measured 519k on vs
+    # 391k off). None = leave the session default untouched.
+    op_reservation_ratio: float | str | None = None
     # Max rows per written snapshot file (resumable, many-file layout).
     snapshot_rows_per_file: int = 1_000_000
     # Free-form extension bag for pipeline-specific knobs (the
@@ -118,11 +125,13 @@ class EngineConfig:
             raise ConfigError(f"shuffle_strategy must be None or one of "
                               f"{_SHUFFLE_STRATEGIES}, got "
                               f"{self.shuffle_strategy!r}")
-        if self.op_reservation_ratio is not None and not (
+        if self.op_reservation_ratio is not None and (
+                self.op_reservation_ratio != "auto") and not (
                 isinstance(self.op_reservation_ratio, (int, float))
+                and not isinstance(self.op_reservation_ratio, bool)
                 and 0 < self.op_reservation_ratio <= 1):
-            raise ConfigError("op_reservation_ratio must be None or in (0, 1], "
-                              f"got {self.op_reservation_ratio!r}")
+            raise ConfigError("op_reservation_ratio must be None, 'auto', or "
+                              f"in (0, 1], got {self.op_reservation_ratio!r}")
         if (not isinstance(self.snapshot_rows_per_file, int)
                 or self.snapshot_rows_per_file < 1):
             raise ConfigError("snapshot_rows_per_file must be a positive int, "

@@ -31,6 +31,12 @@ from kafka_connect_mongo_ray.state.checkpoint import merge_tokens, mirror_checkp
 from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
 from kafka_connect_mongo_ray.utils import limit_worker_threads
 
+#: op_reservation_ratio="auto" boundary: below this many cluster CPUs
+#: the streaming executor's per-operator reservation is disabled
+#: outright (BASELINE.md round-4 measurement), at or above it the
+#: measured-best 0.3 ratio applies
+_SMALL_CLUSTER_CPUS = 16
+
 METRICS_SCHEMA = pa.schema(
     [
         pa.field("bucket", pa.int32()),
@@ -400,9 +406,24 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     if cfg.op_reservation_ratio is not None:
         from ray.data.context import DataContext
 
-        DataContext.get_current().op_resource_reservation_ratio = (
-            cfg.op_reservation_ratio
-        )
+        ratio = cfg.op_reservation_ratio
+        if ratio == "auto":
+            # small sessions: the reservation machinery itself is the
+            # bottleneck (BASELINE.md round-4 four-quadrant: the same
+            # 8-CPU job runs 5.8x faster with it off), large sessions:
+            # it protects big runs — size the decision to the cluster
+            import ray as _r
+
+            cpus = (int(_r.cluster_resources().get("CPU", 8))
+                    if _r.is_initialized() else 8)
+            if cpus < _SMALL_CLUSTER_CPUS:
+                DataContext.get_current(
+                    ).op_resource_reservation_enabled = False
+            else:
+                DataContext.get_current(
+                    ).op_resource_reservation_ratio = 0.3
+        else:
+            DataContext.get_current().op_resource_reservation_ratio = ratio
 
     if cfg.analyze_schema:
         if cfg.analyze_mode == "tasks":

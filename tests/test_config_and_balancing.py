@@ -193,3 +193,45 @@ def test_periodic_reexport(tmp_engine_dirs):
     assert all(c.endswith(":v3") for c in state["content"].to_pylist())
     # ticks waited for the schedule (first fires immediately)
     assert len(slept) == 2 and all(abs(s - 60.0) < 1e-6 for s in slept)
+
+
+def test_op_reservation_auto_small_cluster(tmp_path):
+    """op_reservation_ratio='auto' validates, and on this 4-CPU test
+    session (below the small-cluster boundary) a replay disables the
+    per-operator reservation outright (BASELINE.md round-4 four-
+    quadrant measurement: 5.8x on the same 8-CPU job)."""
+    from ray.data.context import DataContext
+
+    from kafka_connect_mongo_ray.config import ConfigError, EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.sources.gen import (
+        GenSpec,
+        change_event_dataset,
+        synth_repo_files,
+    )
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"),
+                       num_buckets=4, op_reservation_ratio="auto")
+    cfg.validate()
+    import pytest
+
+    with pytest.raises(ConfigError):
+        EngineConfig(snapshot_dir="x", checkpoint_dir="y",
+                     op_reservation_ratio="bogus").validate()
+    with pytest.raises(ConfigError):
+        EngineConfig(snapshot_dir="x", checkpoint_dir="y",
+                     op_reservation_ratio=True).validate()
+
+    ctx = DataContext.get_current()
+    before_enabled = ctx.op_resource_reservation_enabled
+    before_ratio = ctx.op_resource_reservation_ratio
+    try:
+        spec = GenSpec(num_partitions=2, events_per_partition=500, seed=11)
+        out = run_replay(change_event_dataset(spec, synth_repo_files(5, 20, seed=11)), cfg)
+        assert out["live_rows"] > 0
+        # 4-CPU session < _SMALL_CLUSTER_CPUS -> reservation disabled
+        assert ctx.op_resource_reservation_enabled is False
+    finally:
+        ctx.op_resource_reservation_enabled = before_enabled
+        ctx.op_resource_reservation_ratio = before_ratio
