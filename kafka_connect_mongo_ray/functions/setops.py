@@ -46,18 +46,25 @@ def set_op_distinct(left_ds, right_ds, *, on: list[str], op: str,
     join equality)."""
     if op not in ("intersect", "except"):
         raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    schema = left_ds.schema()
+    key_types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([pa.field(c, key_types[c]) for c in on])
+
     lt = left_ds.map_batches(_distinct_tag(0, on, num_buckets),
                              batch_format="pyarrow")
     rt = right_ds.map_batches(_distinct_tag(1, on, num_buckets),
                               batch_format="pyarrow")
     both = lt.union(rt)
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+    def resolve(g: pd.DataFrame) -> pa.Table:
         l = g[g[_SIDE] == 0][on].drop_duplicates()
         r = g[g[_SIDE] == 1][on].drop_duplicates()
         m = l.merge(r, on=on, how="left", indicator="__in_r")
         want = "both" if op == "intersect" else "left_only"
-        return m.loc[m["__in_r"] == want, on]
+        out = m.loc[m["__in_r"] == want, on]
+        # explicit schema so an all-empty result still carries columns
+        return pa.Table.from_pandas(
+            out, preserve_index=False).cast(out_schema)
 
     return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
         resolve, batch_format="pandas")

@@ -15,6 +15,18 @@ def _rd(t: pa.Table):
     return rd.from_arrow(t)
 
 
+def _to_pd(ds) -> pd.DataFrame:
+    """Dataset → pandas, preserving columns for all-empty results
+    (Ray's to_pandas returns a column-less frame when no rows exist
+    even though ds.schema() knows the columns)."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        schema = ds.schema()
+        df = pd.DataFrame({n: pd.Series(dtype="object")
+                           for n in schema.names})
+    return df
+
+
 # ---------------------------------------------------------------------------
 # join null-key semantics (SQL equality never matches NULL)
 
@@ -218,3 +230,87 @@ def test_kmeans_improved_structural_on_drifted_distribution():
                                         pa.list_(pa.float64()))})
     out = kmeans_cluster_summary(_rd(t), k=2, sample_size=300).to_pandas()
     assert bool(out["improved"].iloc[0]) is True
+
+
+# ---------------------------------------------------------------------------
+# seeded randomized oracle checks (DuckDB ground truth, 3 seeds each)
+
+def _rand_tables(seed):
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(30, 120)), int(rng.integers(10, 60))
+    keys = np.array(["k%d" % i for i in range(12)] + [None], dtype=object)
+    l = pa.table({
+        "k": pa.array(rng.choice(keys, nl), pa.string()),
+        "lv": pa.array(rng.integers(0, 100, nl), pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array(rng.choice(keys, nr), pa.string()),
+        "rv": pa.array(rng.integers(0, 100, nr), pa.int64()),
+    })
+    return l, r
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_randomized_joins_and_setops_match_duckdb(seed):
+    from kafka_connect_mongo_ray.functions.setops import set_op_distinct
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    l, r = _rand_tables(seed)
+    con = duckdb.connect()
+    con.register("l", l.to_pandas())
+    con.register("r", r.to_pandas())
+
+    cases = [
+        ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
+        ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+        ("outer", "SELECT COALESCE(l.k, r.k) AS k, lv, rv "
+                  "FROM l FULL OUTER JOIN r ON l.k = r.k"),
+        ("semi", "SELECT k, lv FROM l WHERE EXISTS "
+                 "(SELECT 1 FROM r WHERE r.k = l.k)"),
+        ("anti", "SELECT k, lv FROM l WHERE NOT EXISTS "
+                 "(SELECT 1 FROM r WHERE r.k = l.k)"),
+    ]
+    for how, sql in cases:
+        got = hash_join(_rd(l), _rd(r), on=["k"], num_buckets=4,
+                        how=how).to_pandas()
+        want = con.sql(sql).df()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False), how
+
+    for op, sql in (("intersect", "SELECT k FROM l INTERSECT "
+                                  "SELECT k FROM r"),
+                    ("except", "SELECT k FROM l EXCEPT SELECT k FROM r")):
+        got = _to_pd(set_op_distinct(_rd(l), _rd(r), on=["k"], op=op,
+                                     num_buckets=4))
+        want = con.sql(sql).df()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False), op
+
+
+@pytest.mark.parametrize("seed", [4, 5, 6])
+def test_randomized_dense_rank_and_frequent_items_match_duckdb(seed):
+    from kafka_connect_mongo_ray.functions.ranking import dense_rank
+    from kafka_connect_mongo_ray.functions.stats import frequent_items
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(200, 800))
+    # zipf-ish skewed ints: plenty of ties and a few heavy values
+    vals = (rng.zipf(1.7, n) % 50).astype(np.int64)
+    t = pa.table({"v": pa.array(vals), "i": pa.array(range(n), pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+
+    got = (dense_rank(_rd(t).repartition(5), order_col="v", num_buckets=4)
+           .to_pandas())
+    want = con.sql("SELECT v, i, CAST(DENSE_RANK() OVER (ORDER BY v) "
+                   "AS BIGINT) AS dr FROM t").df()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want[sorted(want.columns)]), check_dtype=False)
+
+    fi = frequent_items(_rd(t).repartition(5), "v",
+                        min_frac=(1, 20)).to_pandas()
+    want_fi = con.sql(
+        "SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS cnt FROM t "
+        "GROUP BY v HAVING 20 * COUNT(*) >= (SELECT COUNT(*) FROM t)").df()
+    pd.testing.assert_frame_equal(_canon(fi), _canon(want_fi),
+                                  check_dtype=False)
