@@ -84,7 +84,7 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
         checkpoint_dir=f"{BENCH_ROOT}/checkpoints",
         num_buckets=64,  # fixed: identical job shape at every parallelism level
         apply_mode="tasks",
-        shuffle_strategy="SORT_SHUFFLE_PUSH_BASED",
+        shuffle_strategy="HASH_SHUFFLE",
         prereduce_coalesce=32,
         op_reservation_ratio=0.3,
     )
@@ -153,7 +153,7 @@ def bench_analyzed(sf_dir: str, ncpu: int) -> dict:
     cfg = EngineConfig(snapshot_dir="/tmp/kcm_bench_an/s",
                        checkpoint_dir="/tmp/kcm_bench_an/c",
                        num_buckets=64, analyze_schema=True,
-                       shuffle_strategy="SORT_SHUFFLE_PUSH_BASED",
+                       shuffle_strategy="HASH_SHUFFLE",
                        prereduce_coalesce=32, op_reservation_ratio=0.3)
     events = change_event_dataset(spec, base).map_batches(
         attach_json, batch_format="pyarrow")

@@ -138,3 +138,52 @@ def test_wide_content_records_e2e():
     lens = [len(c) for c in ev["content"].to_pylist() if c is not None]
     assert max(lens) > 4000
     assert_parity(ev, num_buckets=4)
+
+
+def test_replay_hash_shuffle_strategy_matches_default(tmp_path):
+    """HASH_SHUFFLE (the bench strategy since round 4: 995k vs 763k
+    ev/s on the 2M headline, 762k vs 519k at 50M events / 32 CPUs)
+    must produce the identical committed state as the default
+    shuffle."""
+    from ray.data.context import DataContext
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.sources.gen import (
+        GenSpec,
+        change_event_dataset,
+        synth_repo_files,
+    )
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    ctx = DataContext.get_current()
+    before = ctx.shuffle_strategy
+    spec = GenSpec(num_partitions=4, events_per_partition=2000, seed=23,
+                   dup_frac=0.05)
+    base = synth_repo_files(10, 40, seed=23)
+
+    def run(strategy, sub):
+        cfg = EngineConfig(snapshot_dir=str(tmp_path / sub / "s"),
+                           checkpoint_dir=str(tmp_path / sub / "c"),
+                           num_buckets=8, shuffle_strategy=strategy)
+        out = run_replay(change_event_dataset(spec, base), cfg)
+        store = SnapshotStore(cfg.snapshot_dir)
+        import pyarrow as pa
+
+        tables = [store.read_bucket(out["version"], b)
+                  for b in range(cfg.num_buckets)]
+        rows = pa.concat_tables(
+            [t for t in tables if t is not None]).to_pandas()
+        key = [c for c in ("repo", "path") if c in rows.columns]
+        return out, rows.sort_values(key).reset_index(drop=True)
+
+    try:
+        out_h, rows_h = run("HASH_SHUFFLE", "hash")
+        out_d, rows_d = run(None, "default")
+    finally:
+        ctx.shuffle_strategy = before
+    assert out_h["live_rows"] == out_d["live_rows"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(rows_h[sorted(rows_h.columns)],
+                                  rows_d[sorted(rows_d.columns)])
