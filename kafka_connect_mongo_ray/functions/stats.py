@@ -110,9 +110,17 @@ def frequent_items(ds, col: str, *, min_frac: tuple[int, int],
        Sum-reduced; a final integer filter applies the global bound.
 
     The only all-to-alls move candidate-bounded rows, never data. The
-    driver holds the candidate set and the total row count — both
-    O(q/p · blocks) at worst, independent of data size. Returns a
-    Dataset (value, cnt) with q·cnt ≥ p·total."""
+    driver holds the candidate set and the total row count: at most
+    ``min(distinct-value domain, blocks·q/p)`` entries. That bound
+    GROWS with block count — at extreme scale (say 10^6 blocks at
+    φ = 1/100, up to 10^8 candidates) the broadcast set would be the
+    bottleneck; exactness fundamentally needs every candidate's count
+    from every batch (the 2-round Misra–Gries shape), so at that scale
+    raise φ, pre-aggregate into fewer/larger blocks, or accept the
+    one-pass approximate top-k (space-saving) instead. For the
+    φ ≥ 1/1000, ≤10^4-block regime this targets, the set is ≤ a few
+    hundred thousand scalars. Returns a Dataset (value, cnt) with
+    q·cnt ≥ p·total."""
     from ray.data.aggregate import Sum
 
     p, q = min_frac
