@@ -58,6 +58,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("how,sql", [
     ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
     ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+    ("right", "SELECT r.k, lv, rv FROM l RIGHT JOIN r ON l.k = r.k"),
     ("outer", "SELECT COALESCE(l.k, r.k) AS k, lv, rv "
               "FROM l FULL OUTER JOIN r ON l.k = r.k"),
     ("semi", "SELECT k, lv FROM l WHERE EXISTS "
@@ -263,6 +264,7 @@ def test_randomized_joins_and_setops_match_duckdb(seed):
     cases = [
         ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
         ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+        ("right", "SELECT r.k, lv, rv FROM l RIGHT JOIN r ON l.k = r.k"),
         ("outer", "SELECT COALESCE(l.k, r.k) AS k, lv, rv "
                   "FROM l FULL OUTER JOIN r ON l.k = r.k"),
         ("semi", "SELECT k, lv FROM l WHERE EXISTS "
