@@ -109,6 +109,34 @@ def _spaced_sample(order_col: str, per_block: int):
     return fn
 
 
+def _range_bounds(base, lead: str, num_buckets: int,
+                  sample_per_block: int) -> np.ndarray:
+    """Two-level evenly-spaced sample of ``lead`` → ``num_buckets - 1``
+    range boundaries; driver state capped at sample_per_block ×
+    num_buckets scalars regardless of row count. Shared by the rank
+    operators (row_number, dense_rank)."""
+    sample = (base.map_batches(_spaced_sample(lead, sample_per_block),
+                               batch_format="pyarrow")
+              .repartition(num_buckets)
+              .map_batches(_spaced_sample(lead, sample_per_block),
+                           batch_format="pyarrow")
+              .take_all())
+    keys = np.sort(np.array([r[lead] for r in sample]))
+    if len(keys):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        return np.unique(keys[(qs * (len(keys) - 1)).astype(np.int64)])
+    return np.array([], dtype=np.int64)
+
+
+def _bucket_assigner(bounds: np.ndarray, lead: str):
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[lead])
+        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return batch.append_column("__rbucket", pa.array(b))
+
+    return assign
+
+
 def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
                       num_buckets: int = 32, sample_per_block: int = 64,
                       start: int = 1):
@@ -139,27 +167,9 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
     lead = order_cols[0]
 
     base = ds.materialize()
-
-    sample_ds = base.map_batches(_spaced_sample(lead, sample_per_block),
-                                 batch_format="pyarrow")
-    # second-level sample caps driver state at per_block × num_buckets
-    sample = (sample_ds.repartition(num_buckets)
-              .map_batches(_spaced_sample(lead, sample_per_block),
-                           batch_format="pyarrow")
-              .take_all())
-    keys = np.sort(np.array([r[lead] for r in sample]))
-    if len(keys):
-        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
-        bounds = np.unique(keys[(qs * (len(keys) - 1)).astype(np.int64)])
-    else:
-        bounds = np.array([], dtype=np.int64)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch[lead])
-        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
-        return batch.append_column("__rbucket", pa.array(b))
-
-    bucketed = base.map_batches(assign, batch_format="pyarrow")
+    bounds = _range_bounds(base, lead, num_buckets, sample_per_block)
+    bucketed = base.map_batches(_bucket_assigner(bounds, lead),
+                                batch_format="pyarrow")
 
     from ray.data.aggregate import Sum
 
@@ -206,19 +216,7 @@ def dense_rank(ds, *, order_col: str, rank_col: str = "dr",
     never row data; the one full shuffle is the rank pass. The input
     lineage executes once (materialized up front)."""
     base = ds.materialize()
-
-    sample = (base.map_batches(_spaced_sample(order_col, sample_per_block),
-                               batch_format="pyarrow")
-              .repartition(num_buckets)
-              .map_batches(_spaced_sample(order_col, sample_per_block),
-                           batch_format="pyarrow")
-              .take_all())
-    keys = np.sort(np.array([r[order_col] for r in sample]))
-    if len(keys):
-        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
-        bounds = np.unique(keys[(qs * (len(keys) - 1)).astype(np.int64)])
-    else:
-        bounds = np.array([], dtype=np.int64)
+    bounds = _range_bounds(base, order_col, num_buckets, sample_per_block)
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         v = np.unique(np.asarray(batch[order_col]))
@@ -246,11 +244,6 @@ def dense_rank(ds, *, order_col: str, rank_col: str = "dr",
         offsets[b] = acc
         acc += counts[b]
 
-    def assign(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch[order_col])
-        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
-        return batch.append_column("__rbucket", pa.array(b))
-
     def rank_bucket(g: pa.Table) -> pa.Table:
         b = int(g["__rbucket"][0].as_py())
         v = np.asarray(g[order_col])
@@ -259,7 +252,8 @@ def dense_rank(ds, *, order_col: str, rank_col: str = "dr",
         return g.drop_columns(["__rbucket"]).append_column(
             rank_col, pa.array(dr.astype(np.int64), pa.int64()))
 
-    return (base.map_batches(assign, batch_format="pyarrow")
+    return (base.map_batches(_bucket_assigner(bounds, order_col),
+                             batch_format="pyarrow")
             .groupby("__rbucket",
                      num_partitions=min(num_buckets, max(len(counts), 1)))
             .map_groups(rank_bucket, batch_format="pyarrow"))

@@ -73,7 +73,7 @@ def build_tf_table(ds, terms: list[str], *, id_col: str = "doc_id",
                           batch_format="pyarrow").materialize()
 
 
-def _corpus_stats(tf, nterms: int, k1: float, b: float):
+def _corpus_stats(tf, nterms: int):
     """(N, avgdl, idf[0..nterms)) from one tiny aggregate over the tf
     table: per-batch 0/1 presence partials, Sum-reduced driver-side."""
     from ray.data.aggregate import Count, Sum
@@ -103,6 +103,9 @@ def _resolve_tf(ds, terms_needed: list[str], tf, tf_terms, id_col, text_col):
         tf = build_tf_table(ds, terms_needed, id_col=id_col,
                             text_col=text_col)
         tf_terms = terms_needed
+    if tf_terms is None:
+        raise ValueError("a shared tf table needs tf_terms (the term "
+                         "list it was built over)")
     missing = [t for t in terms_needed if t not in tf_terms]
     if missing:
         raise ValueError(f"shared tf table lacks terms {missing}")
@@ -133,7 +136,7 @@ def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
     tokenize pass across queries; otherwise the pass runs here."""
     tf, col_of = _resolve_tf(ds, terms, tf, tf_terms, id_col, text_col)
     nterms = len(tf.schema().names) - 2  # id + dl
-    n, avgdl, idf = _corpus_stats(tf, nterms, k1, b)
+    n, avgdl, idf = _corpus_stats(tf, nterms)
 
     def score_block(batch: pa.Table) -> pa.Table:
         dl = np.asarray(batch["dl"], dtype=np.float64)
@@ -186,7 +189,7 @@ def bm25_topk_multi(ds, *, queries: dict, id_col: str = "doc_id",
     union_terms = sorted({t for ts in queries.values() for t in ts})
     tf, col_of = _resolve_tf(ds, union_terms, tf, tf_terms, id_col, text_col)
     nterms = len(tf.schema().names) - 2
-    n, avgdl, idf = _corpus_stats(tf, nterms, k1, b)
+    n, avgdl, idf = _corpus_stats(tf, nterms)
 
     qitems = sorted(queries.items())
 

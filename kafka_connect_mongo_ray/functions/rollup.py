@@ -98,6 +98,15 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list | None = None
                             key=lambda v: (v is None, str(v)))
     cats = list(categories)
     cat_labels = [_cat_name(c) for c in cats]
+    if len(set(cat_labels)) != len(cat_labels):
+        # e.g. a NULL category alongside the literal string "None", or
+        # int 1 alongside "1": their count columns would collide —
+        # fail loudly here instead of deep inside every partial task
+        dupes = sorted({l for l in cat_labels if cat_labels.count(l) > 1})
+        raise ValueError(
+            f"pivot categories collide after labeling: {dupes} — "
+            f"disambiguate the pivot column upstream (e.g. cast or "
+            f"fill nulls) or pass explicit distinct categories")
     col_names = [f"{prefix}{lbl}" for lbl in cat_labels]
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -119,8 +119,9 @@ def frequent_items(ds, col: str, *, min_frac: tuple[int, int],
     raise φ, pre-aggregate into fewer/larger blocks, or accept the
     one-pass approximate top-k (space-saving) instead. For the
     φ ≥ 1/1000, ≤10^4-block regime this targets, the set is ≤ a few
-    hundred thousand scalars. Returns a Dataset (value, cnt) with
-    q·cnt ≥ p·total."""
+    hundred thousand scalars. NULL counts as a value of its own (SQL
+    GROUP BY semantics: the mirror's NULL group is reported too).
+    Returns a Dataset (value, cnt) with q·cnt ≥ p·total."""
     from ray.data.aggregate import Sum
 
     p, q = min_frac
@@ -131,29 +132,39 @@ def frequent_items(ds, col: str, *, min_frac: tuple[int, int],
         c = batch[col]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        vc = pc.value_counts(c)
+        # value_counts skips nulls in some arrow versions and emits a
+        # null row in others: count nulls explicitly either way, and
+        # emit the null candidate as a null VALUE row (the value column
+        # is nullable by construction)
+        vc = pc.value_counts(c.drop_null())
         cnts = np.asarray(vc.field("counts"), dtype=np.int64)
         keep = q * cnts >= p * batch.num_rows
-        return pa.table({"value": vc.field("values").filter(pa.array(keep))})
+        vals = vc.field("values").filter(pa.array(keep))
+        if q * c.null_count >= p * batch.num_rows:
+            vals = pa.concat_arrays([vals.combine_chunks() if isinstance(
+                vals, pa.ChunkedArray) else vals, pa.nulls(1, vals.type)])
+        return pa.table({"value": vals})
 
-    # batch_size=None pins one batch per block: the pigeonhole bound
-    # is stated over a partition of the data, so batches must tile the
-    # input exactly (bundled/sliced batches would still partition it,
-    # but block-aligned batches keep the candidate sets deterministic
-    # for a given partitioning)
-    summary = (ds.select_columns([col])
-               .map_batches(local_candidates, batch_format="pyarrow",
-                            batch_size=None)
+    # one materialization of the pruned column: the candidates pass,
+    # the exact total, and the exact-counts pass are three consumers
+    # of one lineage (the multi-consumer staging rule) — and the
+    # candidate sets then describe the exact block partitioning the
+    # counting pass sees. batch_size=None pins one batch per block.
+    pruned = ds.select_columns([col]).materialize()
+    summary = (pruned.map_batches(local_candidates, batch_format="pyarrow",
+                                  batch_size=None)
                .to_pandas())
     # the exact total must count batches that emitted no candidates
-    # too, so it comes from a metadata count, not the summary
-    total = ds.count()
-    cand = (set(summary["value"].tolist())
+    # too, so it comes from the (free, metadata) count
+    total = pruned.count()
+    null_candidate = ("value" in summary.columns
+                      and bool(summary["value"].isna().any()))
+    cand = (set(summary["value"].dropna().tolist())
             if "value" in summary.columns else set())
-    if not cand:
+    if not cand and not null_candidate:
         import ray.data as rd
 
-        schema = ds.schema()
+        schema = pruned.schema()
         col_type = dict(zip(schema.names, schema.types))[col]
         if not isinstance(col_type, pa.DataType):
             col_type = pa.from_numpy_dtype(col_type)
@@ -161,25 +172,36 @@ def frequent_items(ds, col: str, *, min_frac: tuple[int, int],
             "value": pa.array([], col_type),
             "cnt": pa.array([], pa.int64())}))
 
-    cand_arr = pa.array(sorted(cand))
+    cand_arr = pa.array(sorted(cand)) if cand else None
 
     def exact_counts(batch: pa.Table) -> pa.Table:
         c = batch[col]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        vc = pc.value_counts(c)
+        vc = pc.value_counts(c.drop_null())
         vals = vc.field("values")
-        mask = pc.is_in(vals, value_set=cand_arr)
-        return pa.table({"value": vals.filter(mask),
-                         "cnt": pc.cast(vc.field("counts"), pa.int64())
-                         .filter(mask)})
+        if cand_arr is not None:
+            mask = pc.is_in(vals, value_set=cand_arr)
+            vals = vals.filter(mask)
+            cnts = pc.cast(vc.field("counts"), pa.int64()).filter(mask)
+        else:
+            vals = vals.slice(0, 0)
+            cnts = pa.array([], pa.int64())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if isinstance(cnts, pa.ChunkedArray):
+            cnts = cnts.combine_chunks()
+        if null_candidate and c.null_count:
+            vals = pa.concat_arrays([vals, pa.nulls(1, vals.type)])
+            cnts = pa.concat_arrays(
+                [cnts, pa.array([c.null_count], pa.int64())])
+        return pa.table({"value": vals, "cnt": cnts})
 
     # q·cnt ≥ p·total as an integer bound: cnt ≥ ceil(p·total / q)
     threshold = -(-(p * total) // q)
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    counts = (ds.select_columns([col])
-              .map_batches(exact_counts, batch_format="pyarrow",
-                           batch_size=None)
+    counts = (pruned.map_batches(exact_counts, batch_format="pyarrow",
+                                 batch_size=None)
               .groupby("value", **kwargs)
               .aggregate(Sum("cnt", alias_name="cnt")))
     return counts.filter(expr=f"cnt >= {threshold}")

@@ -407,6 +407,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         from ray.data.context import DataContext
 
         ratio = cfg.op_reservation_ratio
+        ctx = DataContext.get_current()
         if ratio == "auto":
             # small sessions: the reservation machinery itself is the
             # bottleneck (BASELINE.md round-4 four-quadrant: the same
@@ -417,13 +418,16 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
             cpus = (int(_r.cluster_resources().get("CPU", 8))
                     if _r.is_initialized() else 8)
             if cpus < _SMALL_CLUSTER_CPUS:
-                DataContext.get_current(
-                    ).op_resource_reservation_enabled = False
+                ctx.op_resource_reservation_enabled = False
             else:
-                DataContext.get_current(
-                    ).op_resource_reservation_ratio = 0.3
+                ctx.op_resource_reservation_enabled = True
+                ctx.op_resource_reservation_ratio = 0.3
         else:
-            DataContext.get_current().op_resource_reservation_ratio = ratio
+            # an earlier auto-small run may have disabled reservation on
+            # the process-global context: every explicit ratio re-enables
+            # it so each replay's behavior is a function of ITS config
+            ctx.op_resource_reservation_enabled = True
+            ctx.op_resource_reservation_ratio = ratio
 
     if cfg.analyze_schema:
         if cfg.analyze_mode == "tasks":

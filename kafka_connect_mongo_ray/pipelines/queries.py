@@ -1620,12 +1620,26 @@ def q_join_full_outer(sf_dir: str):
 # ONE tokenize pass serves docs_bm25 AND docs_bm25_multi: the tf table
 # is built over the union of their terms and memoized per sf_dir (same
 # rationale as the near-dup pair / ANN baseline caches — deterministic,
-# narrow result reused across gate queries)
-_BM25_TF_CACHE: dict[str, tuple] = {}
+# narrow result reused across gate queries). Unlike those caches this
+# one holds a MaterializedDataset whose blocks live in the CURRENT Ray
+# session's object store, so the key includes the session (job id): a
+# ray.shutdown()/init cycle invalidates the entry instead of serving
+# dead ObjectRefs.
+_BM25_TF_CACHE: dict[tuple, tuple] = {}
+
+
+def _ray_session_key():
+    import ray
+
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return None
 
 
 def _bm25_shared_tf(sf_dir: str):
-    cached = _BM25_TF_CACHE.get(sf_dir)
+    key = (sf_dir, _ray_session_key())
+    cached = _BM25_TF_CACHE.get(key)
     if cached is None:
         from kafka_connect_mongo_ray.functions.retrieval import build_tf_table
 
@@ -1633,8 +1647,9 @@ def _bm25_shared_tf(sf_dir: str):
                              | {t for ts in BM25_MULTI.values() for t in ts})
         tf = build_tf_table(_read(sf_dir, "documents",
                                   columns=["doc_id", "text"]), union_terms)
+        _BM25_TF_CACHE.clear()  # stale-session entries have dead refs
         cached = (tf, union_terms)
-        _BM25_TF_CACHE[sf_dir] = cached
+        _BM25_TF_CACHE[key] = cached
     return cached
 
 
