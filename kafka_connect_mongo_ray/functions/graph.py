@@ -15,7 +15,11 @@ the classic MapReduce connected-components loop (cf. Kiveris et al.,
   per round — O(log diameter) rounds instead of O(diameter);
 - labels only ever decrease, so the global label sum is a monotone
   convergence metric: a round that leaves the sum unchanged is the
-  fixed point (label = min node id of the component).
+  fixed point (label = min node id of the component). The sum is
+  computed EXACTLY (Python-int precision) from four 16-bit limb
+  partial sums, so the early exit cannot alias via int64 wrap even
+  past 2^31 nodes — each limb sum stays below 2^63 for up to 2^47
+  label rows.
 
 Execution shape (deliberate): every step is a SINGLE-shuffle plan — a
 union of two tagged map_batches branches into one ``groupby`` — and the
@@ -63,14 +67,37 @@ def _emit_jumped(g: pa.Table) -> pa.Table:
                      _COMP: pa.array(np.full(len(nodes), comp, np.int64))})
 
 
+def _exact_label_sum(labels) -> int:
+    """Exact (arbitrary-precision) sum of the label column.
+
+    Four 16-bit limb partial sums — each below 2^63 for up to 2^47
+    label rows — recombined with Python ints on the driver, so the
+    convergence early-exit in :func:`connected_components` cannot
+    alias through int64 wrap at any realistic node count. Assumes
+    non-negative node ids (enforced by the caller's contract)."""
+    from ray.data.aggregate import Sum
+
+    def limbs(batch: pa.Table) -> pa.Table:
+        comp = pc.cast(batch[_COMP], pa.int64())
+        return pa.table({
+            f"l{i}": pc.bit_wise_and(pc.shift_right(comp, 16 * i), 0xFFFF)
+            for i in range(4)
+        })
+
+    row = labels.map_batches(limbs, batch_format="pyarrow").aggregate(
+        *[Sum(f"l{i}", alias_name=f"l{i}") for i in range(4)])
+    return sum(int(row[f"l{i}"]) << (16 * i) for i in range(4))
+
+
 def connected_components(edges_ds, *, src: str = "id_a", dst: str = "id_b",
                          node_col: str = "node", comp_col: str = "component",
                          num_buckets: int = 16, max_iters: int = 50):
     """Label every node of the undirected graph ``edges_ds`` with the
     smallest node id reachable from it (= a canonical component id).
-    Node ids must be integers. Returns a Dataset (node_col, comp_col)
-    covering every node that appears in an edge."""
-    from ray.data.aggregate import Min, Sum
+    Node ids must be non-negative integers (the exact-sum convergence
+    check decomposes labels into unsigned limbs). Returns a Dataset
+    (node_col, comp_col) covering every node that appears in an edge."""
+    from ray.data.aggregate import Min
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch[src], pa.int64()).combine_chunks()
@@ -139,12 +166,10 @@ def connected_components(edges_ds, *, src: str = "id_a", dst: str = "id_b",
                   .materialize())
 
         # early exit; labels strictly decrease until fixed point, so an
-        # unchanged sum means converged. (With > 2^31 nodes the int64
-        # sum could in principle wrap to an equal value on a changed
-        # round — replace with a changed-row count there; max_iters
-        # bounds the loop regardless: pointer jumping converges in
-        # O(log n) rounds.)
-        cur_sum = labels.aggregate(Sum(_COMP, alias_name="s"))["s"]
+        # unchanged sum means converged. Computed exactly via limb
+        # partial sums (no int64-wrap aliasing); max_iters bounds the
+        # loop regardless: pointer jumping converges in O(log n) rounds.
+        cur_sum = _exact_label_sum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

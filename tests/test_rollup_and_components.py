@@ -85,6 +85,36 @@ def test_connected_components_long_chain_converges():
     assert set(got["component"]) == {0} and len(got) == n
 
 
+def test_connected_components_huge_node_ids_exact_sum():
+    """Node ids far above 2^31 exercise the limb-based exact label sum
+    (the old int64 Sum aggregate was the documented wrap risk). Two
+    components with ids near 2^62 must converge and keep exact labels."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import (
+        _exact_label_sum,
+        connected_components,
+    )
+
+    base = 1 << 62
+    edges = pa.table({
+        "id_a": pa.array([base, base + 1, base + 5, base + 6], pa.int64()),
+        "id_b": pa.array([base + 1, base + 2, base + 6, base + 7], pa.int64()),
+    })
+    got = connected_components(rd.from_arrow(edges), num_buckets=2).to_pandas()
+    comps = dict(zip(got["node"], got["component"]))
+    assert comps == {base: base, base + 1: base, base + 2: base,
+                     base + 5: base + 5, base + 6: base + 5,
+                     base + 7: base + 5}
+
+    # the exact sum must be bit-exact at magnitudes where naive int64
+    # accumulation of many rows would wrap: check against Python ints
+    labels = rd.from_arrow(pa.table({"__cc_key": pa.array(
+        [base + i for i in range(6)], pa.int64()),
+        "__cc_comp": pa.array([base + i for i in range(6)], pa.int64())}))
+    assert _exact_label_sum(labels) == sum(base + i for i in range(6))
+
+
 @pytest.mark.parametrize("explicit_cats", [None, ["a", "b", "zz_absent"]])
 def test_pivot_counts_matches_pandas(explicit_cats):
     import ray.data as rd
