@@ -153,6 +153,15 @@ class AnalyzeObjectStage:
     Malformed JSON nulls the payload for that row (skip-and-count
     semantics of ``MongoSinkTask.kt:62-70``)."""
 
+    #: patch budget per batch: beyond this many dirty rows the batch
+    #: goes wholesale to the per-row Python lattice — the sweep's parse
+    #: work is linear regardless (each validation parse aborts at the
+    #: next dirty row), but per-row splice calls and suffix re-joins
+    #: stop paying for themselves when dirt is dense
+    MAX_BAD_ROWS = 64
+    #: projected-dirty-rows-per-batch threshold for the density bail
+    DENSITY_BAIL = 16
+
     def __init__(self, json_col: str = "object", initial_schema: dict | None = None,
                  arrow_fast_path: bool = True):
         from kafka_connect_mongo_ray.stages.schema_evolve import SchemaAnalyzer
@@ -165,17 +174,215 @@ class AnalyzeObjectStage:
         self.arrow_fast_path = arrow_fast_path
         self.fast_batches = 0
         self.slow_batches = 0
+        self.split_batches = 0
+        self._last_error_row: int | None = None
+
+    def _capture_error_row(self, exc: Exception) -> None:
+        """Remember the 0-based NDJSON line the parser rejected (Arrow
+        formats parse errors as '... in row N'); drives the
+        split-retry sweep in :meth:`_split_retry`."""
+        import re as _re
+
+        m = _re.search(r"in row (\d+)", str(exc))
+        self._last_error_row = int(m.group(1)) if m else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.arrow_fast_path:
-            out = self._arrow_ndjson(batch)
-            if out is not None:
-                self.fast_batches += 1
-                return out
-        self.slow_batches += 1
-        return self._python_path(batch)
+        if not self.arrow_fast_path:
+            self.slow_batches += 1
+            return self._python_path(batch)
+        texts = batch[self.json_col].to_pylist()
+        self._last_error_row = None
+        out = self._arrow_ndjson(batch, texts=texts)
+        if out is not None:
+            self.fast_batches += 1
+            return out
+        parts = self._split_retry(batch, texts)
+        if parts is None:  # non-localizable or dense dirt
+            self.slow_batches += 1
+            return self._python_path(batch, texts=texts)
+        if len(parts) == 1:
+            return parts[0]
+        return self._concat_conformed(parts, batch)
 
-    def _arrow_ndjson(self, batch: pa.Table) -> pa.Table | None:
+    def _split_retry(self, batch: pa.Table,
+                     texts: list) -> list[pa.Table] | None:
+        """Isolate the dirt after a failed whole-batch fast path using
+        the PARSER's own error position: Arrow reports ``... in row N``
+        for malformed JSON, non-object rows, and known-field type
+        conflicts. Sweep the suffix once — each validation parse aborts
+        at the NEXT dirty row, so total parse work stays linear in the
+        batch — patching each dirty row out of the NDJSON framing:
+
+        - a row whose text is not a JSON object is replaced by ``{}``,
+          which IS the per-row Python lattice's semantics for it
+          (skip-and-count: all payload fields null), so no extra work;
+        - a row that is valid JSON but unparseable in-frame (known-
+          field type conflict, embedded-newline smear) is replaced by
+          ``{}`` for framing and its exact output spliced back from
+          the per-row Python path afterwards.
+
+        Then ONE full Arrow parse + conform runs on the patched texts.
+        Schema-evolution order (a new field's lattice type is set by
+        its first occurrence in row order) is preserved by bailing out
+        to the wholesale Python path whenever a spliced row carries a
+        field the running schema did not already know — the only case
+        where splicing could reorder first occurrences. Returns None
+        (wholesale fallback) when a failure carries no row position,
+        the patch budget is exhausted, or the final conform rejects."""
+        import json as _json
+
+        from kafka_connect_mongo_ray.stages.schema_evolve import normalize_key
+
+        if self._last_error_row is None:
+            return None
+        n = len(texts)
+        # upfront density probe, before any buffer is built: dirt
+        # appearing in the first 1/DENSITY_BAIL of the batch projects
+        # to >= DENSITY_BAIL dirty rows — go wholesale immediately
+        if self._last_error_row < n // self.DENSITY_BAIL:
+            return None
+        texts = list(texts)  # patched locally; caller keeps the original
+        schema_before = set(self.analyzer.schema)
+        # the parser numbers NDJSON *lines*; only when some text bears
+        # an embedded raw newline does line != row and the mapping
+        # needs a cumulative walk
+        has_nl = any(t is not None and "\n" in t for t in texts)
+
+        def line_to_row(pos: int, line: int) -> int | None:
+            if not has_nl:
+                j = pos + line
+                return j if j < n else None
+            acc = 0
+            for i in range(pos, n):
+                t = texts[i]
+                acc += 1 + (t.count("\n") if t is not None else 0)
+                if acc > line:
+                    return i
+            return None
+
+        # validation parses slice the ORIGINAL byte buffer at row
+        # offsets (suffixes never contain a patched row, which is
+        # always behind the cursor), so the sweep does zero re-joins
+        enc = [b"{}" if t is None else t.encode() for t in texts]
+        data0 = b"\n".join(enc)
+        byte_off = [0] * (n + 1)
+        for i, e in enumerate(enc):
+            byte_off[i + 1] = byte_off[i] + len(e) + 1
+
+        malformed_found = 0
+        splice_rows: list[int] = []
+        patched = 0
+        pos, err = 0, self._last_error_row
+        while True:
+            j = line_to_row(pos, err)
+            if j is None:
+                return None
+            t = texts[j]
+            try:
+                doc = _json.loads(t) if t is not None else None
+                parsed_ok = True
+            except (ValueError, TypeError):
+                parsed_ok, doc = False, None
+            if not parsed_ok:
+                malformed_found += 1  # {} substitution is exact here
+            elif not isinstance(doc, dict):
+                pass  # non-dict JSON maps to {} WITHOUT a malformed
+                # count on the per-row path — substitution is exact
+            else:
+                # splicing must not reorder a new field's first
+                # occurrence — bail if this row carries an unknown key
+                if any(normalize_key(k) not in schema_before for k in doc):
+                    return None
+                splice_rows.append(j)
+            texts[j] = "{}"
+            patched += 1
+            pos = j + 1
+            # budget + density bail: project total dirt from the
+            # share of the batch swept so far — each validation parse
+            # has a fixed call cost, so past ~16 projected dirty rows
+            # per batch the wholesale per-row path is cheaper
+            # (measured crossover ~0.2% dirt at 8k-row batches)
+            if (patched > self.MAX_BAD_ROWS
+                    or (patched >= 4
+                        and patched * n > self.DENSITY_BAIL * pos)):
+                return None
+            if pos >= n:
+                break
+            err = self._validate_suffix(data0, byte_off[pos])
+            if err == -1:  # suffix parses clean
+                break
+            if err is None:  # no row position in the error
+                return None
+        self._last_error_row = None
+        out = self._arrow_ndjson(batch, texts=texts)
+        if out is None:  # conform rejection on the patched batch
+            return None
+        self.analyzer.malformed += malformed_found
+        self.split_batches += 1
+        if not splice_rows:
+            return [out]
+        parts: list[pa.Table] = []
+        prev = 0
+        for j in splice_rows:
+            if j > prev:
+                parts.append(out.slice(prev, j - prev))
+            parts.append(self._python_path(batch.slice(j, 1)))
+            prev = j + 1
+        if prev < n:
+            parts.append(out.slice(prev))
+        return parts
+
+    def _validate_suffix(self, data0: bytes, off: int) -> int | None:
+        """Parse-validate the byte suffix ``data0[off:]`` (zero-copy
+        buffer slice) against the running explicit schema — no
+        conform. Returns -1 when it parses clean, the 0-based error
+        LINE relative to the suffix when the parser rejects a row, or
+        None when the error carries no position."""
+        import pyarrow.json as pj
+
+        from kafka_connect_mongo_ray.stages.schema_evolve import _ARROW
+
+        schema = self.analyzer.schema
+        explicit = pa.schema([(k, _ARROW[schema[k]]) for k in sorted(schema)])
+        buf = pa.py_buffer(data0).slice(off)
+        try:
+            pj.read_json(
+                pa.BufferReader(buf),
+                read_options=pj.ReadOptions(
+                    use_threads=False,
+                    block_size=max(1 << 20, min(buf.size + 1, (1 << 31) - 1))),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=explicit,
+                    unexpected_field_behavior="infer"),
+            )
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            self._capture_error_row(e)
+            return self._last_error_row
+        return -1
+
+    def _concat_conformed(self, parts: list[pa.Table], batch: pa.Table) -> pa.Table:
+        """Align split outputs to the final (post-batch) schema — the
+        running schema only grows, so earlier slices may simply lack
+        payload columns discovered later; absent means null, exactly
+        as the per-row path emits for rows without the field."""
+        from kafka_connect_mongo_ray.stages.schema_evolve import _ARROW
+
+        passthrough = [c for c in batch.column_names if c != self.json_col]
+        schema = self.analyzer.schema
+        final_cols = passthrough + sorted(schema)
+        aligned = []
+        for p in parts:
+            cols = []
+            for name in final_cols:
+                if name in p.column_names:
+                    cols.append(p[name])
+                else:
+                    cols.append(pa.nulls(p.num_rows, _ARROW[schema[name]]))
+            aligned.append(pa.table(dict(zip(final_cols, cols))))
+        return pa.concat_tables(aligned)
+
+    def _arrow_ndjson(self, batch: pa.Table,
+                      texts: list | None = None) -> pa.Table | None:
         """Arrow NDJSON fast path for clean uniform batches: one
         ``pyarrow.json.read_json`` with the running schema pinned as
         ``explicit_schema`` (so known fields never hit type inference —
@@ -204,7 +411,8 @@ class AnalyzeObjectStage:
             normalize_key,
         )
 
-        texts = batch[self.json_col].to_pylist()
+        if texts is None:
+            texts = batch[self.json_col].to_pylist()
         data = "\n".join("{}" if t is None else t for t in texts).encode()
         schema = self.analyzer.schema
         explicit = pa.schema([(k, _ARROW[schema[k]]) for k in sorted(schema)])
@@ -222,7 +430,8 @@ class AnalyzeObjectStage:
 
         try:
             tbl = parse(explicit)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            self._capture_error_row(e)
             return None
         # per-column conform: NEW raw fields Arrow inferred as
         # timestamp/date were ISO-looking STRINGS in the source (the
@@ -239,7 +448,8 @@ class AnalyzeObjectStage:
                 list(explicit) + [pa.field(r, _ARROW[STRING]) for r in pin])
             try:
                 tbl = parse(pinned)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                self._capture_error_row(e)
                 return None
         if tbl.num_rows != len(texts):
             return None  # an embedded raw newline smeared the row count
@@ -319,7 +529,8 @@ class AnalyzeObjectStage:
             out = out.append_column(name, arr)
         return out
 
-    def _python_path(self, batch: pa.Table) -> pa.Table:
+    def _python_path(self, batch: pa.Table,
+                     texts: list | None = None) -> pa.Table:
         import json as _json
 
         from kafka_connect_mongo_ray.stages.schema_evolve import (
@@ -329,7 +540,7 @@ class AnalyzeObjectStage:
             normalize_key,
         )
 
-        docs = batch[self.json_col].to_pylist()
+        docs = batch[self.json_col].to_pylist() if texts is None else texts
         schema = self.analyzer.schema
         # ONE pass per row: parse, normalize keys (memoized), evolve the
         # running schema in-line — the key-normalized dict is built once

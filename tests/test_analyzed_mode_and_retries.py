@@ -178,3 +178,96 @@ def test_transient_task_failure_converges(tmp_engine_dirs):
     assert got == want
     assert os.path.exists(_FLAKY_FLAG)  # the failure really fired
     os.unlink(_FLAKY_FLAG)
+
+
+# ---------------------------------------------------------------------------
+# split-retry: dirty batches stay on the Arrow path around isolated dirt
+
+
+def _clean_obj(i):
+    import json as _j
+
+    return _j.dumps({"name": f"user{i % 97}", "count": i % 50,
+                     "score": (i % 13) / 7.0, "active": bool(i % 2)})
+
+
+DIRT_MAKERS = [
+    lambda i: '{"name": "x", "count": 3, broken',          # malformed
+    lambda i: '[1, 2, 3]',                                 # non-dict JSON
+    lambda i: '5',                                         # scalar JSON
+    lambda i: '{"name": 7, "count": 1}',                   # known-field conflict
+    lambda i: '{"count": true}',                           # bool under float64
+    lambda i: None,                                        # null row image
+    lambda i: '\n{"name": "lead-newline", "count": 1}',    # frame smear
+]
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_split_retry_differential_random_dirt(seed):
+    """The split-retry path must be byte-identical to the per-row
+    Python lattice — output rows, evolved schema, AND the malformed
+    counter — across every dirt species at light density."""
+    import random
+
+    from kafka_connect_mongo_ray.pipelines.cdc import AnalyzeObjectStage
+
+    rng = random.Random(seed)
+    fast = AnalyzeObjectStage(arrow_fast_path=True)
+    slow = AnalyzeObjectStage(arrow_fast_path=False)
+    for b in range(4):
+        objects = []
+        for i in range(2000):
+            if rng.random() < 0.004:
+                objects.append(rng.choice(DIRT_MAKERS)(i))
+            else:
+                objects.append(_clean_obj(b * 2000 + i))
+        batch = pa.table({
+            "ts": pa.array(range(len(objects)), pa.int64()),
+            "object": pa.array(objects, pa.large_string()),
+        })
+        got, want = fast(batch), slow(batch)
+        assert got.schema == want.schema
+        assert got.equals(want), f"batch {b} differs"
+    assert fast.analyzer.schema == slow.analyzer.schema
+    assert fast.analyzer.malformed == slow.analyzer.malformed
+    assert fast.split_batches + fast.fast_batches + fast.slow_batches == 4
+
+
+def test_split_retry_new_field_on_dirty_row_bails_exact():
+    """A spliceable (valid-JSON) dirty row that carries a NEW field
+    must fall back wholesale — first-occurrence order decides the
+    field's lattice type, so splicing out of order would be wrong."""
+    from kafka_connect_mongo_ray.pipelines.cdc import AnalyzeObjectStage
+
+    fast = AnalyzeObjectStage(arrow_fast_path=True)
+    slow = AnalyzeObjectStage(arrow_fast_path=False)
+    for stage in (fast, slow):
+        stage.analyzer.schema.update({"name": "string"})
+    objects = (['{"name": "a"}'] * 40
+               # conflict on the known field AND a brand-new field: the
+               # new field's type must come from THIS row (float64), not
+               # from the later string occurrence
+               + ['{"name": 7, "fresh": 1}']
+               + ['{"name": "b", "fresh": "s"}'] * 40)
+    batch = pa.table({"object": pa.array(objects, pa.large_string())})
+    got, want = fast(batch), slow(batch)
+    assert got.equals(want)
+    assert fast.analyzer.schema == slow.analyzer.schema
+    assert fast.slow_batches == 1 and fast.split_batches == 0
+
+
+def test_split_retry_dense_dirt_goes_wholesale():
+    """Past the density bail the whole batch takes the per-row path —
+    and the result is still exact."""
+    from kafka_connect_mongo_ray.pipelines.cdc import AnalyzeObjectStage
+
+    fast = AnalyzeObjectStage(arrow_fast_path=True)
+    slow = AnalyzeObjectStage(arrow_fast_path=False)
+    objects = []
+    for i in range(2000):
+        objects.append('{bad' if i % 10 == 0 else _clean_obj(i))
+    batch = pa.table({"object": pa.array(objects, pa.large_string())})
+    got, want = fast(batch), slow(batch)
+    assert got.equals(want)
+    assert fast.analyzer.malformed == slow.analyzer.malformed == 200
+    assert fast.slow_batches == 1 and fast.split_batches == 0
