@@ -119,11 +119,15 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
     }
 
 
-def bench_analyzed(sf_dir: str, ncpu: int) -> dict:
+def bench_analyzed(sf_dir: str, ncpu: int, dirt_every: int = 0) -> dict:
     """Analyzed-schema mode: events carry the row image as a JSON text
     column (the reference's ``object`` field); the AnalyzeObjectStage
     actor pool parses + lattice-coerces + schema-evolves every record
-    before the normal replay. The Python-parse-bound mode."""
+    before the normal replay. The Python-parse-bound mode.
+
+    ``dirt_every`` > 0 makes every N-th row's JSON malformed — the
+    lightly-dirty regime the split-retry fast path targets (the clean
+    run measures the pure Arrow path)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -146,6 +150,9 @@ def bench_analyzed(sf_dir: str, ncpu: int) -> dict:
         size = pd.Series(batch["ts"].to_pylist()).astype(str)
         obj = ('{"Name": "' + path + '", "size": ' + size
                + ', "language": "' + lang + '", "active": true}')
+        if dirt_every:
+            ts = pd.Series(batch["ts"].to_pylist())
+            obj = obj.mask((ts % dirt_every) == 0, '{"Name": broken')
         return batch.append_column(
             "object", pa.array(obj.to_numpy(dtype=object), pa.large_string()))
 
@@ -261,6 +268,10 @@ def run_once() -> dict:
         if not headline_only:
             analyzed = bench_analyzed(SF_DIR, NCPU)
             queries["cdc_analyzed"] = round(analyzed["sec"], 3)
+            # lightly-dirty regime (1 malformed row per 2048): exercises
+            # the split-retry path instead of wholesale per-row fallback
+            queries["cdc_analyzed_dirty"] = round(
+                bench_analyzed(SF_DIR, NCPU, dirt_every=2048)["sec"], 3)
             queries.update(bench_queries(SF_DIR))
         passes.append({"replay": replay, "analyzed": analyzed,
                        "queries": queries})

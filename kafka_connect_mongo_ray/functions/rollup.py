@@ -164,7 +164,6 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
     group at every level they survive to (SQL GROUP BY semantics) and
     stay distinct from the rolled-up sentinel — cleaner than SQL's
     NULL-marker ROLLUP, which needs GROUPING() to tell them apart."""
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     sentinels = dict(sentinels or {})
@@ -179,12 +178,11 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
     sums = [Sum(c, alias_name=c) for c in measures]
 
     # ONE fact-sized exchange: batch-local pre-aggregation, then the
-    # finest-level groupby; materialized because every coarser level
-    # re-reads it (it is dimension-sized by construction)
+    # finest-level groupby; materialized because the coarser levels
+    # re-read it (it is dimension-sized by construction)
     finest = ds.map_batches(
         _partial(keys, sum_cols, count_col), batch_format="pyarrow"
     ).groupby(keys, **kwargs).aggregate(*sums).materialize()
-    agg_types = dict(zip(finest.schema().names, finest.schema().types))
 
     if mode == "rollup":
         keysets = [keys[:depth] for depth in range(len(keys) - 1, -1, -1)]
@@ -198,26 +196,31 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
         raise ValueError(f"mode must be 'rollup' or 'cube', got {mode!r}")
 
     out_cols = keys + measures
-    levels = [finest.select_columns(out_cols)]
-    for kept in keysets:
-        rolled = tuple(k for k in keys if k not in kept)
 
-        def fill(batch: pa.Table, rolled=rolled) -> pa.Table:
-            for c in rolled:
-                batch = batch.append_column(
-                    c, pa.array([sentinels[c]] * batch.num_rows, types[c]))
-            return batch.select(out_cols)
+    # ALL coarser levels in ONE dimension-sized exchange: each finest
+    # row is emitted once per keyset with its rolled-up keys already
+    # sentineled, then a single groupby over the full key tuple
+    # collapses every level at once (the sentinel pattern itself
+    # identifies the level, so levels cannot merge — sentinels are
+    # distinct from real key values by contract). This replaces one
+    # all-to-all PER level (K groupbys + a K-branch union chain whose
+    # per-operator fixed costs dominated gate-scale runs) with exactly
+    # one, at a shuffle volume of |keysets| x dimension rows.
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.select(out_cols)
+        parts = []
+        for kept in keysets:
+            t = batch
+            for c in keys:
+                if c not in kept:
+                    t = t.set_column(
+                        t.column_names.index(c), c,
+                        pa.array([sentinels[c]] * t.num_rows, types[c]))
+            parts.append(t)
+        return pa.concat_tables(parts)
 
-        if kept:
-            lvl = finest.groupby(kept).aggregate(*sums)
-        else:
-            # grand total: one driver-side row over the small aggregate
-            row = finest.aggregate(*sums)
-            lvl = rd.from_arrow(pa.table(
-                {c: pa.array([row[c]], agg_types[c]) for c in measures}))
-        levels.append(lvl.map_batches(fill, batch_format="pyarrow"))
-
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+    coarser = (finest.map_batches(explode, batch_format="pyarrow")
+               .groupby(keys, **kwargs).aggregate(*sums)
+               .map_batches(lambda t: t.select(out_cols),
+                            batch_format="pyarrow"))
+    return finest.select_columns(out_cols).union(coarser)
