@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
-           "dense_rank"]
+           "dense_rank", "group_percent_rank"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
@@ -94,6 +94,34 @@ def rolling_mean(ds, *, key: str, order_cols: list[str], val_col: str,
     return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
 
 
+def group_percent_rank(ds, *, key: str, order_col: str,
+                       pr_col: str = "pr", cd_col: str = "cd",
+                       num_partitions: int | None = None):
+    """Per-``key`` PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY
+    key ORDER BY ``order_col``) in one groupby shuffle.
+
+    In-group kernel is pure numpy over the sorted values: rank-with-
+    gaps is ``searchsorted(v, v, 'left') + 1``, cume_dist is
+    ``searchsorted(v, v, 'right') / n``, percent_rank is
+    ``(rank − 1) / (n − 1)`` (0.0 for a single-row group, matching
+    SQL). Both divisions are int-derived float64 ops, so a SQL oracle
+    over the same doubles is bit-identical. Ties share identical
+    outputs, so result determinism doesn't need a total order."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(order_col, "ascending")])
+        v = np.asarray(t[order_col])
+        n = len(v)
+        rank = np.searchsorted(v, v, side="left") + 1
+        cd = np.searchsorted(v, v, side="right") / n
+        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        out = t.append_column(pr_col, pa.array(pr, pa.float64()))
+        return out.append_column(cd_col, pa.array(cd, pa.float64()))
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+
+
 def _spaced_sample(order_col: str, per_block: int):
     """Deterministic per-batch evenly-spaced sample of the
     range-partitioning column (no RNG: resumable replays must see
@@ -139,7 +167,8 @@ def _bucket_assigner(bounds: np.ndarray, lead: str):
 
 def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
                       num_buckets: int = 32, sample_per_block: int = 64,
-                      start: int = 1):
+                      start: int = 1,
+                      ntile: tuple[int, str] | None = None):
     """Distributed ROW_NUMBER() OVER (ORDER BY ``order_cols``).
 
     Range partitioning is driven by the FIRST order column only, so all
@@ -163,7 +192,14 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
     so the boundary sample, the per-bucket counts, and the rank pass
     all start from the same cached blocks. The counts pass never
     shuffles row data either: each batch reduces to a ≤num_buckets-row
-    bincount and only those partials move."""
+    bincount and only those partials move.
+
+    ``ntile=(k, col)`` additionally emits SQL's NTILE(k) OVER (same
+    ORDER BY) in ``col`` at zero extra passes: the total row count is
+    already on the driver (the sum of the per-bucket counts), and the
+    tile is a pure integer function of (rn, total, k) computed inside
+    the same rank pass — the first ``total % k`` tiles get
+    ``total // k + 1`` rows, the rest ``total // k``."""
     lead = order_cols[0]
 
     base = ds.materialize()
@@ -191,12 +227,31 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
         offsets[b] = acc
         acc += counts[b]
 
+    total = sum(counts.values())
+
     def rank_bucket(g: pa.Table) -> pa.Table:
         t = _sort_key_arrays(g, order_cols)
         b = int(t["__rbucket"][0].as_py())
         rn = offsets[b] + np.arange(t.num_rows, dtype=np.int64)
-        return t.drop_columns(["__rbucket"]).append_column(
+        out = t.drop_columns(["__rbucket"]).append_column(
             rank_col, pa.array(rn, pa.int64()))
+        if ntile is not None:
+            k, tile_col = ntile
+            base_sz, rem = divmod(total, k)
+            # 0-based position within the global order
+            pos = rn - start
+            big_span = rem * (base_sz + 1)
+            tile = np.where(
+                pos < big_span,
+                pos // (base_sz + 1) + 1,
+                # base_sz == 0 implies total < k, so every pos is in
+                # the big-tile span and this branch never evaluates on
+                # real data — max(base_sz, 1) only silences the /0
+                rem + (pos - big_span) // max(base_sz, 1) + 1)
+            out = out.append_column(tile_col,
+                                    pa.array(tile.astype(np.int64),
+                                             pa.int64()))
+        return out
 
     return bucketed.groupby("__rbucket",
                             num_partitions=min(num_buckets, max(len(counts), 1))

@@ -1,9 +1,10 @@
-"""Distributed statistics: exact correlation components and
-recall-complete frequent-item (heavy-hitter) mining.
+"""Distributed statistics: exact correlation / regression components,
+recall-complete frequent-item (heavy-hitter) mining, grouped argmax,
+and fixed-width histograms.
 
 Reference analog: none (the reference has no aggregates at all —
 SURVEY.md §2.5); these are the corpus-analytics primitives a
-training-data pipeline needs at 100 TB. Both are single-pass shapes
+training-data pipeline needs at 100 TB. All are single-pass shapes
 whose driver state is scalars, never data-sized.
 """
 
@@ -13,7 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["corr_components", "frequent_items"]
+__all__ = ["corr_components", "frequent_items", "group_argmax",
+           "linreg_components", "fixed_width_histogram"]
 
 
 def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
@@ -34,6 +36,38 @@ def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
     Returns one row: the six components plus ``corr`` rounded to
     ``round_to``."""
     from ray.data.aggregate import Sum
+
+    partial = _int_moment_partial(x_col, y_col, x_scale, y_scale)
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
+                                         "sx2", "sy2")])
+    n, sx, sy = row["n"], row["sx"], row["sy"]
+    sxy, sx2, sy2 = row["sxy"], row["sx2"], row["sy2"]
+    # overflow guard: exact int result must round-trip through float64
+    # within the rounding the final formula can absorb
+    for v in (sxy, sx2, sy2):
+        if abs(v) > (1 << 62):
+            raise OverflowError(
+                "corr_components moment sum too large for exact int64 — "
+                "reduce x_scale/y_scale")
+    denom = float(np.sqrt(n * sx2 - sx * sx) * np.sqrt(n * sy2 - sy * sy))
+    corr = (n * sxy - sx * sy) / denom if denom else float("nan")
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "sx2": pa.array([sx2], pa.int64()),
+        "sy2": pa.array([sy2], pa.int64()),
+        "corr": pa.array([round(corr, round_to)], pa.float64()),
+    })
+
+
+def _int_moment_partial(x_col: str, y_col: str, x_scale: int, y_scale: int):
+    """Per-batch exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    over ``round(col·scale)`` — shared by :func:`corr_components` and
+    :func:`linreg_components`. int64 wrap is detected by a float64
+    shadow sum (silent corruption becomes a loud error)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         x = np.rint(np.asarray(batch[x_col], dtype=np.float64)
@@ -66,20 +100,46 @@ def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
                             pa.int64()),
         })
 
+    return partial
+
+
+def linreg_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
+                      y_scale: int = 1, round_to: int = 9) -> pa.Table:
+    """Simple (OLS) linear regression of ``y`` on ``x`` from the same
+    EXACT integer moment sums as :func:`corr_components` — slope,
+    intercept, and r² in the SCALED integer domain, each a closed-form
+    float expression over bit-exact int64 components::
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n            (slope pre-rounded)
+        r²        = (n·Σxy − Σx·Σy)² / ((n·Σx²−ΣxΣx)·(n·Σy²−ΣyΣy))
+
+    Every operand is explicitly converted int → float64 before the
+    arithmetic (matching SQL's ``CAST(... AS DOUBLE)``), so a DuckDB
+    oracle computing the same expressions over the same integers is
+    bit-identical before the final ``round(·, round_to)``. Returns one
+    row: the six components plus slope/intercept/r2."""
+    from ray.data.aggregate import Sum
+
+    partial = _int_moment_partial(x_col, y_col, x_scale, y_scale)
     row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
                                          "sx2", "sy2")])
     n, sx, sy = row["n"], row["sx"], row["sy"]
     sxy, sx2, sy2 = row["sxy"], row["sx2"], row["sy2"]
-    # overflow guard: exact int result must round-trip through float64
-    # within the rounding the final formula can absorb
     for v in (sxy, sx2, sy2):
         if abs(v) > (1 << 62):
             raise OverflowError(
-                "corr_components moment sum too large for exact int64 — "
+                "linreg_components moment sum too large for exact int64 — "
                 "reduce x_scale/y_scale")
-    denom = float(np.sqrt(n * sx2 - sx * sx) * np.sqrt(n * sy2 - sy * sy))
-    corr = (n * sxy - sx * sy) / denom if denom else float("nan")
+    num = n * sxy - sx * sy
+    denx = n * sx2 - sx * sx
+    deny = n * sy2 - sy * sy
+    slope = round(float(num) / float(denx), round_to) if denx else float("nan")
+    intercept = round((float(sy) - slope * float(sx)) / float(n),
+                      round_to) if n else float("nan")
+    r2 = round(float(num) * float(num) / (float(denx) * float(deny)),
+               round_to) if denx and deny else float("nan")
     return pa.table({
         "n": pa.array([n], pa.int64()),
         "sx": pa.array([sx], pa.int64()),
@@ -87,8 +147,76 @@ def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
         "sxy": pa.array([sxy], pa.int64()),
         "sx2": pa.array([sx2], pa.int64()),
         "sy2": pa.array([sy2], pa.int64()),
-        "corr": pa.array([round(corr, round_to)], pa.float64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64()),
+        "r2": pa.array([r2], pa.float64()),
     })
+
+
+def group_argmax(ds, *, keys: list[str], order: list[tuple[str, str]],
+                 num_partitions: int | None = None):
+    """Grouped argmax/argmin: for each ``keys`` group, the single row
+    that sorts FIRST under ``order`` (``[(col, 'ascending'|'descending'),
+    ...]`` — SQL's ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER
+    BY order) = 1``). The caller must make ``order`` total within a
+    group (include a tiebreaker column) for a deterministic result.
+
+    Scale shape: each batch first reduces LOCALLY to at most one row
+    per key present in it (argmax is associative), so the one shuffle
+    moves ≤ distinct-keys-per-block rows, never the fact table; the
+    final per-key pick repeats the same vectorized sort-and-take-first
+    on the surviving candidates. All columns pass through."""
+    sort_spec = [(c, d) for c, d in order]
+
+    def best_per_key(t: pa.Table) -> pa.Table:
+        s = t.sort_by(sort_spec)
+        # stable first-row-per-key over the sorted table: a key's first
+        # occurrence index, computed vectorially via pandas duplicated
+        import pandas as pd
+
+        kdf = pd.DataFrame({k: np.asarray(s[k]) for k in keys})
+        first = ~kdf.duplicated(keep="first")
+        return s.filter(pa.array(first.to_numpy()))
+
+    partial = ds.map_batches(best_per_key, batch_format="pyarrow")
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return partial.groupby(keys[0] if len(keys) == 1 else keys, **kwargs
+                           ).map_groups(best_per_key, batch_format="pyarrow")
+
+
+def fixed_width_histogram(ds, val_col: str, *, width: float,
+                          cents_col: str | None = None,
+                          num_partitions: int | None = None):
+    """Fixed-width histogram: ``bin = FLOOR(val / width)`` (an IEEE
+    double division + floor, mirrored verbatim in SQL) with an exact
+    row count and, optionally, an exact int64 sum of ``cents_col`` per
+    bin. Each batch pre-aggregates to ≤ bins-present rows, so the one
+    shuffle is bin-domain-sized, never data-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = np.asarray(batch[val_col], dtype=np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        cols = {"bin": b}
+        if cents_col is not None:
+            cols["cents"] = np.asarray(batch[cents_col], dtype=np.int64)
+        df = pd.DataFrame(cols)
+        df["n"] = 1
+        agg = df.groupby("bin", sort=False, dropna=False).sum().reset_index()
+        out = {"bin": pa.array(agg["bin"].to_numpy(), pa.int64()),
+               "n": pa.array(agg["n"].to_numpy(), pa.int64())}
+        if cents_col is not None:
+            out["cents"] = pa.array(agg["cents"].to_numpy(), pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n")]
+    if cents_col is not None:
+        aggs.append(Sum("cents", alias_name="cents"))
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin", **kwargs).aggregate(*aggs))
 
 
 def frequent_items(ds, col: str, *, min_frac: tuple[int, int],

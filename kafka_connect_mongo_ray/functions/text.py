@@ -158,6 +158,56 @@ def md5_fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, pa.array(fps, pa.string()))
 
 
+def repetition_stats_batch(batch: pa.Table, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style word-repetition quality signals, per document:
+
+    - ``n_words`` / ``n_distinct`` — total and distinct space-separated
+      words (SQL ``string_split(text, ' ')`` convention, NOT whitespace
+      regex, so the oracle mirror is exact);
+    - ``top_word`` / ``top_cnt`` — the modal word (ties broken by the
+      lexicographically smallest word) and its count;
+    - ``dup_frac`` = 1 − distinct/total and ``top_frac`` = top/total —
+      the fractions web-corpus filters threshold on (a boilerplate or
+      template page repeats a few words heavily).
+
+    Fully batch-local (embarrassingly parallel): one pandas
+    split→explode→groupby per batch, no Python loop over rows. Both
+    fractions are int-derived float64 divisions, bit-identical in SQL.
+    """
+    import pandas as pd
+
+    ids = np.asarray(batch[id_col])
+    texts = pd.Series(batch[text_col].to_pylist(), dtype=object).fillna("")
+    toks = texts.str.split(" ")
+    exploded = pd.DataFrame({
+        "__i": np.repeat(np.arange(len(ids)), toks.str.len().to_numpy()),
+        "tok": np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if len(ids) else np.array([], dtype=object),
+    })
+    cnt = (exploded.groupby(["__i", "tok"], sort=True)
+           .size().rename("cnt").reset_index())
+    per_doc = cnt.groupby("__i", sort=True)
+    n_words = per_doc["cnt"].sum().to_numpy(np.int64)
+    n_distinct = per_doc["cnt"].size().to_numpy(np.int64)
+    # modal word with min-word tie-break: stable sort by (-cnt) keeps
+    # the groupby's lexicographic tok order within equal counts
+    srt = cnt.sort_values(["__i", "cnt"], ascending=[True, False],
+                          kind="mergesort")
+    top = srt.drop_duplicates("__i", keep="first").set_index("__i")
+    top_word = top["tok"].to_numpy(dtype=object)
+    top_cnt = top["cnt"].to_numpy(np.int64)
+    return pa.table({
+        id_col: pa.array(ids),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "top_word": pa.array(top_word, pa.string()),
+        "top_cnt": pa.array(top_cnt, pa.int64()),
+        "dup_frac": pa.array(1.0 - n_distinct / n_words, pa.float64()),
+        "top_frac": pa.array(top_cnt / n_words, pa.float64()),
+    })
+
+
 def rolling_fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                               window: int = 16) -> pa.Table:
     """Rolling-hash (Rabin-Karp style) document fingerprint: min of the

@@ -1971,6 +1971,150 @@ def q_events_except_users(sf_dir: str):
                            num_buckets=_gate_buckets())
 
 
+def q_orders_argmax_order(sf_dir: str):
+    """Grouped argmax (functions/stats.py::group_argmax): each
+    customer's highest-value order (ties → smallest orderkey) — SQL's
+    QUALIFY ROW_NUMBER() = 1. Batch-local partial argmax bounds the
+    one shuffle at distinct-keys-per-block rows."""
+    from kafka_connect_mongo_ray.functions.stats import group_argmax
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return group_argmax(orders, keys=["o_custkey"],
+                        order=[("o_totalprice", "descending"),
+                               ("o_orderkey", "ascending")],
+                        num_partitions=_gate_buckets())
+
+
+def q_lineitem_linreg(sf_dir: str):
+    """OLS regression of extendedprice (FLOOR to whole dollars — floor
+    is unambiguous in IEEE double on both sides, unlike round-half on
+    2-decimal prices) on quantity, from exact int64 moment sums
+    (functions/stats.py::linreg_components) — slope/intercept/r² are
+    closed-form float expressions over bit-exact integers, mirrored
+    operand-for-operand in the oracle."""
+    import numpy as np
+
+    from kafka_connect_mongo_ray.functions.stats import linreg_components
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = np.floor(np.asarray(t["l_extendedprice"], dtype=np.float64))
+        return pa.table({"x": t["l_quantity"],
+                         "y": pa.array(y, pa.float64())})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    return linreg_components(ds, "x", "y", x_scale=1, y_scale=1)
+
+
+def q_events_ntile(sf_dir: str):
+    """NTILE(8) OVER (ORDER BY ts, event_id) riding the global
+    ROW_NUMBER machinery (functions/ranking.py::global_row_number
+    ``ntile=``): the tile is a pure integer function of (rn, total, k)
+    computed inside the same rank pass — zero extra passes, no extra
+    shuffle."""
+    from kafka_connect_mongo_ray.functions.ranking import global_row_number
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    ranked = global_row_number(ds, order_cols=["ts_us", "event_id"],
+                               rank_col="rn", num_buckets=_gate_buckets(),
+                               ntile=(8, "tile"))
+    return ranked.select_columns(["event_id", "rn", "tile"])
+
+
+def q_events_percent_rank(sf_dir: str):
+    """PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY user_id ORDER
+    BY value) in one groupby shuffle (functions/ranking.py::
+    group_percent_rank); both are int-derived float64 divisions so the
+    SQL mirror is bit-identical, ties share outputs."""
+    from kafka_connect_mongo_ray.functions.ranking import group_percent_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return group_percent_rank(ds, key="user_id", order_col="value",
+                              pr_col="pr", cd_col="cd",
+                              num_partitions=_gate_buckets())
+
+
+def q_lineitem_histogram(sf_dir: str):
+    """Fixed-width histogram of extendedprice (functions/stats.py::
+    fixed_width_histogram): bin = FLOOR(price/5000), exact count and
+    exact cents sum per bin; batches pre-aggregate to bin-domain-sized
+    partials before the one tiny shuffle."""
+    from kafka_connect_mongo_ray.functions.stats import fixed_width_histogram
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_extendedprice": t["l_extendedprice"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0), 0,
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    return fixed_width_histogram(ds, "l_extendedprice", width=5000.0,
+                                 cents_col="cents",
+                                 num_partitions=_gate_buckets())
+
+
+def q_events_mode_per_type(sf_dir: str):
+    """Per-group MODE: the most frequent FLOOR(value) bucket per event
+    type (ties → smallest bucket). Composition: batch-local counts →
+    one (type, v) groupby-sum → group_argmax on (cnt DESC, v ASC);
+    every shuffle is distinct-domain-sized."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.functions.stats import group_argmax
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        v = np.floor(np.asarray(batch["value"], dtype=np.float64)).astype(
+            np.int64)
+        df = pd.DataFrame({"event_type": np.asarray(batch["event_type"]),
+                           "v": v})
+        agg = df.groupby(["event_type", "v"], sort=False).size().rename(
+            "cnt").reset_index()
+        return pa.table({"event_type": pa.array(agg["event_type"],
+                                                pa.string()),
+                         "v": pa.array(agg["v"].to_numpy(), pa.int64()),
+                         "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64())})
+
+    counts = (_read(sf_dir, "events", columns=["event_type", "value"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "v"],
+                       num_partitions=_gate_buckets())
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    picked = group_argmax(counts, keys=["event_type"],
+                          order=[("cnt", "descending"), ("v", "ascending")],
+                          num_partitions=_gate_buckets())
+    return picked.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "v": t["v"],
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_docs_repetition_stats(sf_dir: str):
+    """Word-repetition quality signals (functions/text.py::
+    repetition_stats_batch): per-doc total/distinct words, modal word
+    (min-word tie-break), and the dup/top fractions corpus filters
+    threshold on. Embarrassingly parallel — no shuffle at all."""
+    from kafka_connect_mongo_ray.functions.text import repetition_stats_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2050,6 +2194,13 @@ def build_queries():
         "events_user_dense_rank": q_events_user_dense_rank,
         "events_intersect_users": q_events_intersect_users,
         "events_except_users": q_events_except_users,
+        "orders_argmax_order": q_orders_argmax_order,
+        "lineitem_linreg": q_lineitem_linreg,
+        "events_ntile": q_events_ntile,
+        "events_percent_rank": q_events_percent_rank,
+        "lineitem_histogram": q_lineitem_histogram,
+        "events_mode_per_type": q_events_mode_per_type,
+        "docs_repetition_stats": q_docs_repetition_stats,
     }
 
 
@@ -2632,5 +2783,96 @@ def build_oracle_sql():
             EXCEPT
             SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
             WHERE event_type = 'purchase'
+        """,
+        "orders_argmax_order": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+        """,
+        # identical integers, identical operand-for-operand float
+        # arithmetic (every int is CAST AS DOUBLE before any float op)
+        "lineitem_linreg": """
+            WITH m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sx2,
+                     CAST(SUM(y * y) AS BIGINT) AS sy2
+              FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                           CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+                    FROM lineitem)),
+            h AS (
+              -- HUGEINT keeps the cross-products exact (BIGINT wraps)
+              SELECT n, sx, sy, sxy, sx2, sy2,
+                     CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS num,
+                     CAST(n AS HUGEINT) * sx2
+                       - CAST(sx AS HUGEINT) * sx AS denx,
+                     CAST(n AS HUGEINT) * sy2
+                       - CAST(sy AS HUGEINT) * sy AS deny
+              FROM m),
+            s AS (
+              SELECT *, ROUND(CAST(num AS DOUBLE)
+                              / CAST(denx AS DOUBLE), 9) AS slope
+              FROM h)
+            SELECT n, sx, sy, sxy, sx2, sy2, slope,
+                   ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 9) AS intercept,
+                   ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                         / (CAST(denx AS DOUBLE)
+                            * CAST(deny AS DOUBLE)), 9) AS r2
+            FROM s
+        """,
+        "events_ntile": """
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id)
+                        AS BIGINT) AS rn,
+                   CAST(NTILE(8) OVER (ORDER BY ts, event_id)
+                        AS BIGINT) AS tile
+            FROM events
+        """,
+        "events_percent_rank": """
+            SELECT event_id, user_id, value,
+                   PERCENT_RANK() OVER (PARTITION BY user_id
+                                        ORDER BY value) AS pr,
+                   CUME_DIST() OVER (PARTITION BY user_id
+                                     ORDER BY value) AS cd
+            FROM events
+        """,
+        "lineitem_histogram": """
+            SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1
+        """,
+        "events_mode_per_type": """
+            SELECT event_type, v, CAST(cnt AS BIGINT) AS cnt
+            FROM (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v,
+                         COUNT(*) AS cnt
+                  FROM events GROUP BY 1, 2)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cnt DESC, v ASC) = 1
+        """,
+        "docs_repetition_stats": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok, COUNT(*) AS cnt
+                  FROM w GROUP BY doc_id, tok),
+            t AS (SELECT doc_id, tok AS top_word, cnt AS top_cnt FROM c
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, tok ASC) = 1),
+            a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct
+                  FROM c GROUP BY doc_id)
+            SELECT a.doc_id, a.n_words, a.n_distinct, t.top_word,
+                   CAST(t.top_cnt AS BIGINT) AS top_cnt,
+                   1.0 - CAST(a.n_distinct AS DOUBLE)
+                         / CAST(a.n_words AS DOUBLE) AS dup_frac,
+                   CAST(t.top_cnt AS DOUBLE)
+                       / CAST(a.n_words AS DOUBLE) AS top_frac
+            FROM a JOIN t USING (doc_id)
         """,
     }
