@@ -169,3 +169,115 @@ def stratified_sample_by_md5(ds, id_col: str, group_col: str, *,
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+
+def _equi_depth_summary(values: "np.ndarray", weights: "np.ndarray",
+                        cap: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Evenly-spaced weighted order statistics: compress a sorted
+    (value, weight) run to ≤ ``cap`` picks, each carrying total_weight
+    / k — the rank error this step adds is ≤ total_weight / k."""
+    order = np.argsort(values, kind="mergesort")
+    v = values[order]
+    w = weights[order]
+    total = float(w.sum())
+    k = int(min(cap, len(v)))
+    if k == 0:
+        return v, w
+    targets = (np.arange(k) + 0.5) * (total / k)
+    cum = np.cumsum(w)
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx], np.full(k, total / k, np.float64)
+
+
+def approx_quantiles(ds, col: str, qs: list[float], *,
+                     per_block_cap: int = 256, fanin: int = 16):
+    """Approximate quantiles of a CONTINUOUS / unbounded value domain
+    with bounded memory everywhere — the scale path where
+    :func:`exact_quantiles`'s value→count compaction does not apply
+    (its shuffle volume is bounded by the DISTINCT-value domain, which
+    for raw doubles is the row count).
+
+    Mergeable equi-depth summaries, two levels:
+
+    1. each block sorts locally and keeps ``per_block_cap``
+       evenly-spaced order statistics, each weighted n/k
+       (rank error ≤ n_block / cap, summing to ≤ N / cap);
+    2. summaries repartition to ``fanin`` blocks and re-compress the
+       same way (adds ≤ N / cap more), so the driver sees at most
+       ``fanin × per_block_cap`` (value, weight) pairs no matter how
+       many rows or blocks the input has.
+
+    Total rank error ≤ 2N / per_block_cap (≈0.8% at the default 256).
+    Deterministic for a given block partitioning (no RNG). Returns
+    ``{q: estimate}``."""
+    import pyarrow as _pa
+
+    def block_summary(batch: _pa.Table) -> _pa.Table:
+        c = batch[col]
+        if isinstance(c, _pa.ChunkedArray):
+            c = c.combine_chunks()
+        vals = np.asarray(c.drop_null(), dtype=np.float64)
+        v, w = _equi_depth_summary(vals, np.ones(len(vals), np.float64),
+                                   per_block_cap)
+        return _pa.table({"v": _pa.array(v, _pa.float64()),
+                          "w": _pa.array(w, _pa.float64())})
+
+    def merge_summary(batch: _pa.Table) -> _pa.Table:
+        v, w = _equi_depth_summary(np.asarray(batch["v"], dtype=np.float64),
+                                   np.asarray(batch["w"], dtype=np.float64),
+                                   per_block_cap)
+        return _pa.table({"v": _pa.array(v, _pa.float64()),
+                          "w": _pa.array(w, _pa.float64())})
+
+    rows = (ds.map_batches(block_summary, batch_format="pyarrow",
+                           batch_size=None)
+            .repartition(fanin)
+            .map_batches(merge_summary, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all())
+    v = np.array([r["v"] for r in rows], np.float64)
+    w = np.array([r["w"] for r in rows], np.float64)
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1] if len(cum) else 0.0
+    out = {}
+    for q in qs:
+        if not len(v):
+            out[q] = float("nan")
+            continue
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        out[q] = float(v[min(i, len(v) - 1)])
+    return out
+
+
+def exact_ranks(ds, col: str, cutpoints: list[float]):
+    """Exact global rank (COUNT of rows ≤ cutpoint) for each cutpoint
+    in ONE pass: each batch emits a len(cutpoints) searchsorted
+    partial, Sum-reduced — only cutpoint-sized partials move."""
+    import pyarrow as _pa
+    from ray.data.aggregate import Sum
+
+    cuts = np.asarray(cutpoints, np.float64)
+
+    def partial(batch: _pa.Table) -> _pa.Table:
+        c = batch[col]
+        if isinstance(c, _pa.ChunkedArray):
+            c = c.combine_chunks()
+        vals = np.sort(np.asarray(c.drop_null(), dtype=np.float64))
+        n = np.searchsorted(vals, cuts, side="right")
+        return _pa.table({"i": _pa.array(np.arange(len(cuts)), _pa.int64()),
+                          "le": _pa.array(n.astype(np.int64), _pa.int64()),
+                          "n": _pa.array(np.full(len(cuts), len(vals),
+                                                 np.int64), _pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("i").aggregate(Sum("le", alias_name="le"),
+                                   Sum("n", alias_name="n"))
+           .take_all())
+    by_i = {int(r["i"]): (int(r["le"]), int(r["n"])) for r in agg}
+    ranks = [by_i[i][0] for i in range(len(cuts))]
+    total = by_i[0][1] if by_i else 0
+    return ranks, total

@@ -2115,6 +2115,30 @@ def q_docs_repetition_stats(sf_dir: str):
         repetition_stats_batch, batch_format="pyarrow")
 
 
+def q_events_quantiles_approx(sf_dir: str):
+    """Approximate quantiles over the CONTINUOUS value column — the
+    scale path where exact_quantiles' value→count compaction doesn't
+    apply (raw doubles have row-count-sized distinct domains). Two-level
+    mergeable equi-depth summaries (functions/quantiles.py::
+    approx_quantiles) bound worker AND driver state at fanin×cap pairs;
+    the ≤2N/cap rank-error claim becomes a machine-checked boolean per
+    quantile against the engine's own one-pass exact ranks, with the
+    exact row count cross-checked by SQL (the HLL-query precedent)."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        approx_quantiles,
+        exact_ranks,
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    est = approx_quantiles(_read(sf_dir, "events", columns=["value"]),
+                           "value", qs, per_block_cap=256)
+    ranks, n = exact_ranks(_read(sf_dir, "events", columns=["value"]),
+                           "value", [est[q] for q in qs])
+    ok = [bool(abs(r - q * n) <= 0.03 * n) for q, r in zip(qs, ranks)]
+    return pd.DataFrame({"q": qs, "n": [int(n)] * len(qs),
+                         "within_bound": ok})
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2201,6 +2225,7 @@ def build_queries():
         "lineitem_histogram": q_lineitem_histogram,
         "events_mode_per_type": q_events_mode_per_type,
         "docs_repetition_stats": q_docs_repetition_stats,
+        "events_quantiles_approx": q_events_quantiles_approx,
     }
 
 
@@ -2874,5 +2899,14 @@ def build_oracle_sql():
                    CAST(t.top_cnt AS DOUBLE)
                        / CAST(a.n_words AS DOUBLE) AS top_frac
             FROM a JOIN t USING (doc_id)
+        """,
+        # approximate sketch: the rank-error bound is machine-checked
+        # inside the query (engine's own exact ranks); SQL cross-checks
+        # the exact non-null count and the per-quantile booleans
+        "events_quantiles_approx": """
+            SELECT CAST(q AS DOUBLE) AS q,
+                   (SELECT CAST(COUNT(value) AS BIGINT) FROM events) AS n,
+                   TRUE AS within_bound
+            FROM (VALUES (0.25), (0.50), (0.75), (0.90)) AS t(q)
         """,
     }
