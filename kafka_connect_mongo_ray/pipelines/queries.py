@@ -112,10 +112,23 @@ WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {thr}
 """
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Parquet files written by pandas carry a ``b'pandas'`` schema
+    metadata blob that makes ``pa.Schema`` UNHASHABLE in this pyarrow
+    version — every Ray block concat then misses the hash-dedup early
+    exit and falls into the expensive unify path (and logs a warning
+    per reduce task). Stripping is metadata-only (zero-copy) and the
+    stage fuses into the read."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns
+                           ).map_batches(_strip_schema_metadata,
+                                         batch_format="pyarrow",
+                                         batch_size=None)
 
 
 def _gate_buckets(cap: int = 16) -> int:
