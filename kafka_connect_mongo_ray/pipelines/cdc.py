@@ -589,6 +589,56 @@ class AnalyzeObjectStage:
 LAST_REPLAY_STATS: str | None = None
 
 
+def _apply_execution_context(cfg: EngineConfig) -> dict:
+    """Apply cfg's Ray DataContext overrides (shuffle strategy,
+    reservation ratio) and return the fields they replaced.
+
+    The DataContext is PROCESS-GLOBAL: without a paired restore, one
+    replay's HASH_SHUFFLE (tuned for the bucket exchange) leaks into
+    every later dataset in the process — measured 2-3× slower on the
+    range-partitioned rank/rollup groupbys it was never tuned for.
+    run_replay restores via try/finally (exceptions included, so
+    error-path tests don't poison later sessions)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    saved = {
+        "shuffle_strategy": ctx.shuffle_strategy,
+        "op_resource_reservation_enabled": ctx.op_resource_reservation_enabled,
+        "op_resource_reservation_ratio": ctx.op_resource_reservation_ratio,
+    }
+    if cfg.shuffle_strategy:
+        ctx.shuffle_strategy = getattr(ShuffleStrategy, cfg.shuffle_strategy)
+    if cfg.op_reservation_ratio is not None:
+        ratio = cfg.op_reservation_ratio
+        if ratio == "auto":
+            # small sessions: the reservation machinery itself is the
+            # bottleneck (BASELINE.md round-4 four-quadrant: the same
+            # 8-CPU job runs 5.8x faster with it off), large sessions:
+            # it protects big runs — size the decision to the cluster
+            import ray as _r
+
+            cpus = (int(_r.cluster_resources().get("CPU", 8))
+                    if _r.is_initialized() else 8)
+            if cpus < _SMALL_CLUSTER_CPUS:
+                ctx.op_resource_reservation_enabled = False
+            else:
+                ctx.op_resource_reservation_enabled = True
+                ctx.op_resource_reservation_ratio = 0.3
+        else:
+            ctx.op_resource_reservation_enabled = True
+            ctx.op_resource_reservation_ratio = ratio
+    return saved
+
+
+def _restore_execution_context(saved: dict) -> None:
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    for k, v in saved.items():
+        setattr(ctx, k, v)
+
+
 def run_replay(events_ds, cfg: EngineConfig) -> dict:
     """One committed replay job; resumable — events at or below the
     previous commit's per-partition resume tokens are filtered at the
@@ -608,178 +658,151 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     store.clean_stale_staging()  # crash-window hygiene: orphans of committed versions
     old_tokens = store.tokens(prev)
 
-    if cfg.shuffle_strategy:
-        from ray.data.context import DataContext, ShuffleStrategy
+    saved_ctx = _apply_execution_context(cfg)
+    try:
 
-        DataContext.get_current().shuffle_strategy = getattr(
-            ShuffleStrategy, cfg.shuffle_strategy
-        )
-    if cfg.op_reservation_ratio is not None:
-        from ray.data.context import DataContext
+        if cfg.analyze_schema:
+            if cfg.analyze_mode == "tasks":
+                # elastic tasks get full parallelism the moment input blocks
+                # exist — no pool ramp (measured 1.7-4.5 s vs 4.8-6.2 s for
+                # the (4,30) actor pool on the same 1M-event batch set; the
+                # same finding that made apply_mode="tasks" the default).
+                # A fresh analyzer per batch also makes schema decisions a
+                # function of the BATCH, not of actor arrival order.
+                def analyze_batch(batch: pa.Table) -> pa.Table:
+                    return AnalyzeObjectStage(json_col="object")(batch)
 
-        ratio = cfg.op_reservation_ratio
-        ctx = DataContext.get_current()
-        if ratio == "auto":
-            # small sessions: the reservation machinery itself is the
-            # bottleneck (BASELINE.md round-4 four-quadrant: the same
-            # 8-CPU job runs 5.8x faster with it off), large sessions:
-            # it protects big runs — size the decision to the cluster
-            import ray as _r
-
-            cpus = (int(_r.cluster_resources().get("CPU", 8))
-                    if _r.is_initialized() else 8)
-            if cpus < _SMALL_CLUSTER_CPUS:
-                ctx.op_resource_reservation_enabled = False
+                events_ds = events_ds.map_batches(
+                    analyze_batch, batch_format="pyarrow")
             else:
-                ctx.op_resource_reservation_enabled = True
-                ctx.op_resource_reservation_ratio = 0.3
-        else:
-            # an earlier auto-small run may have disabled reservation on
-            # the process-global context: every explicit ratio re-enables
-            # it so each replay's behavior is a function of ITS config
-            ctx.op_resource_reservation_enabled = True
-            ctx.op_resource_reservation_ratio = ratio
+                import ray as _r
 
-    if cfg.analyze_schema:
-        if cfg.analyze_mode == "tasks":
-            # elastic tasks get full parallelism the moment input blocks
-            # exist — no pool ramp (measured 1.7-4.5 s vs 4.8-6.2 s for
-            # the (4,30) actor pool on the same 1M-event batch set; the
-            # same finding that made apply_mode="tasks" the default).
-            # A fresh analyzer per batch also makes schema decisions a
-            # function of the BATCH, not of actor arrival order.
-            def analyze_batch(batch: pa.Table) -> pa.Table:
-                return AnalyzeObjectStage(json_col="object")(batch)
+                # the Python-parse-bound stage: give the pool most of the
+                # machine up front (autoscaling from 1 ramps too slowly on
+                # short windows — measured 177k vs 300k+ ev/s at 32 CPUs)
+                hi = max(2, int(_r.cluster_resources().get("CPU", 8)) - 2) \
+                    if _r.is_initialized() else 8
+                events_ds = events_ds.map_batches(
+                    AnalyzeObjectStage,
+                    fn_constructor_kwargs={"json_col": "object"},
+                    batch_format="pyarrow",
+                    concurrency=(min(4, hi), hi),
+                )
 
-            events_ds = events_ds.map_batches(
-                analyze_batch, batch_format="pyarrow")
-        else:
-            import ray as _r
-
-            # the Python-parse-bound stage: give the pool most of the
-            # machine up front (autoscaling from 1 ramps too slowly on
-            # short windows — measured 177k vs 300k+ ev/s at 32 CPUs)
-            hi = max(2, int(_r.cluster_resources().get("CPU", 8)) - 2) \
-                if _r.is_initialized() else 8
-            events_ds = events_ds.map_batches(
-                AnalyzeObjectStage,
-                fn_constructor_kwargs={"json_col": "object"},
-                batch_format="pyarrow",
-                concurrency=(min(4, hi), hi),
-            )
-
-    ds = events_ds.map_batches(
-        normalize_prereduce,
-        fn_kwargs={"num_buckets": cfg.num_buckets, "tokens": old_tokens or None},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        # batch_size=None → one task per upstream block. CRITICAL when
-        # this stage fuses with a generator whose input rows are
-        # partition IDS (1 row = tens of thousands of events): a row
-        # -count batch_size makes the fused operator bundle every
-        # input block into one giant serial task.
-        batch_size=cfg.batch_size,
-    )
-    # second combine round: coalesce pre-reduced blocks and LWW again —
-    # shuffle volume drops ~blocks/coalesce-fold when keys repeat across
-    # blocks (hot keys, replays). The operative variable is ROWS PER
-    # COALESCED BLOCK (~150k sweet spot, BASELINE.md). "auto" learns the
-    # block count from the PREVIOUS commit's manifest metrics (events_in
-    # = pre-reduced rows that reached the merge last window — recorded
-    # lineage, no extra pass); the first window has no history and runs
-    # a single pre-reduce round.
-    coalesce = cfg.prereduce_coalesce
-    if coalesce == "auto":
-        prev_manifest = store.manifest(prev)
-        prev_rows = sum(int(m.get("events_in") or 0)
-                        for m in (prev_manifest or {}).get("metrics", []))
-        if prev_rows > 0:
-            import ray as _ray
-
-            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-            coalesce = min(4096, max(cpus, round(prev_rows / 150_000)))
-        else:
-            coalesce = None
-    if coalesce:
-        ds = ds.repartition(coalesce)
-        ds = ds.map_batches(
-            partial_lww, batch_format="pyarrow", zero_copy_batch=True,
+        ds = events_ds.map_batches(
+            normalize_prereduce,
+            fn_kwargs={"num_buckets": cfg.num_buckets, "tokens": old_tokens or None},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            # batch_size=None → one task per upstream block. CRITICAL when
+            # this stage fuses with a generator whose input rows are
+            # partition IDS (1 row = tens of thousands of events): a row
+            # -count batch_size makes the fused operator bundle every
+            # input block into one giant serial task.
             batch_size=cfg.batch_size,
         )
-    grouped = ds.groupby("bucket", num_partitions=cfg.num_buckets)
-    if cfg.apply_mode == "actors":
-        merged = grouped.map_groups(
-            FinalMergeApplier,
-            fn_constructor_args=(cfg.snapshot_dir, prev, new, nonce),
-            batch_format="pyarrow",
-            # autoscaling pool: never demand more actors than the cluster
-            # can grant (a fixed pool larger than available CPUs stalls)
-            concurrency=cfg.apply_concurrency or (1, min(cfg.num_buckets, 16)),
-            num_cpus=1,
-        )
-    else:
-        merged = grouped.map_groups(
-            _apply_bucket_task,
-            fn_kwargs={"snapshot_root": cfg.snapshot_dir,
-                       "prev_version": prev, "new_version": new,
-                       "rows_per_file": cfg.snapshot_rows_per_file,
-                       "nonce": nonce},
-            batch_format="pyarrow",
-        )
-    metrics = merged.take_all()  # one small row per bucket
-    # per-stage ds.stats() of the whole replay plan, for profiling /
-    # BASELINE capture (string; assigning it costs nothing)
-    global LAST_REPLAY_STATS
-    LAST_REPLAY_STATS = merged.stats()
+        # second combine round: coalesce pre-reduced blocks and LWW again —
+        # shuffle volume drops ~blocks/coalesce-fold when keys repeat across
+        # blocks (hot keys, replays). The operative variable is ROWS PER
+        # COALESCED BLOCK (~150k sweet spot, BASELINE.md). "auto" learns the
+        # block count from the PREVIOUS commit's manifest metrics (events_in
+        # = pre-reduced rows that reached the merge last window — recorded
+        # lineage, no extra pass); the first window has no history and runs
+        # a single pre-reduce round.
+        coalesce = cfg.prereduce_coalesce
+        if coalesce == "auto":
+            prev_manifest = store.manifest(prev)
+            prev_rows = sum(int(m.get("events_in") or 0)
+                            for m in (prev_manifest or {}).get("metrics", []))
+            if prev_rows > 0:
+                import ray as _ray
 
-    new_tokens: dict[int, tuple[int, int]] = {}
-    for row in metrics:
-        for p, v in json.loads(row["tokens_json"]).items():
-            p = int(p)
-            v = (int(v[0]), int(v[1]))
-            if p not in new_tokens or v > new_tokens[p]:
-                new_tokens[p] = v
-    all_tokens = merge_tokens(old_tokens, new_tokens)
+                cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+                coalesce = min(4096, max(cpus, round(prev_rows / 150_000)))
+            else:
+                coalesce = None
+        if coalesce:
+            ds = ds.repartition(coalesce)
+            ds = ds.map_batches(
+                partial_lww, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.batch_size,
+            )
+        grouped = ds.groupby("bucket", num_partitions=cfg.num_buckets)
+        if cfg.apply_mode == "actors":
+            merged = grouped.map_groups(
+                FinalMergeApplier,
+                fn_constructor_args=(cfg.snapshot_dir, prev, new, nonce),
+                batch_format="pyarrow",
+                # autoscaling pool: never demand more actors than the cluster
+                # can grant (a fixed pool larger than available CPUs stalls)
+                concurrency=cfg.apply_concurrency or (1, min(cfg.num_buckets, 16)),
+                num_cpus=1,
+            )
+        else:
+            merged = grouped.map_groups(
+                _apply_bucket_task,
+                fn_kwargs={"snapshot_root": cfg.snapshot_dir,
+                           "prev_version": prev, "new_version": new,
+                           "rows_per_file": cfg.snapshot_rows_per_file,
+                           "nonce": nonce},
+                batch_format="pyarrow",
+            )
+        metrics = merged.take_all()  # one small row per bucket
+        # per-stage ds.stats() of the whole replay plan, for profiling /
+        # BASELINE capture (string; assigning it costs nothing)
+        global LAST_REPLAY_STATS
+        LAST_REPLAY_STATS = merged.stats()
 
-    # union snapshot schema (canonical + evolved payload columns): the
-    # per-bucket schemas unified with the previous commit's union —
-    # recorded in the manifest so readers can stream mixed buckets
-    import base64
+        new_tokens: dict[int, tuple[int, int]] = {}
+        for row in metrics:
+            for p, v in json.loads(row["tokens_json"]).items():
+                p = int(p)
+                v = (int(v[0]), int(v[1]))
+                if p not in new_tokens or v > new_tokens[p]:
+                    new_tokens[p] = v
+        all_tokens = merge_tokens(old_tokens, new_tokens)
 
-    from kafka_connect_mongo_ray.stages.apply import unify_payload_schemas
+        # union snapshot schema (canonical + evolved payload columns): the
+        # per-bucket schemas unified with the previous commit's union —
+        # recorded in the manifest so readers can stream mixed buckets
+        import base64
 
-    schemas = []
-    prev_union = (store.manifest(prev) or {}).get("union_schema")
-    if prev_union:
-        schemas.append(pa.ipc.read_schema(
-            pa.BufferReader(base64.b64decode(prev_union))))
-    for row in metrics:
-        schemas.append(pa.ipc.read_schema(
-            pa.BufferReader(base64.b64decode(row["schema_b64"]))))
-    union = schemas[0] if schemas else None
-    for s in schemas[1:]:
-        union = unify_payload_schemas(union, s)
-    union_b64 = (base64.b64encode(union.serialize().to_pybytes()).decode()
-                 if union is not None else None)
+        from kafka_connect_mongo_ray.stages.apply import unify_payload_schemas
 
-    clean_metrics = [
-        {k: v for k, v in row.items() if k not in ("tokens_json", "schema_b64")}
-        for row in metrics
-    ]
-    staged_files = [p for row in metrics if row["file"]
-                    for p in row["file"].split(",")]
-    store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev,
-                 union_schema=union_b64, nonce=nonce, expected_files=staged_files)
-    mirror_checkpoints(cfg.checkpoint_dir, all_tokens, version=new)
-    return {
-        "version": new,
-        "buckets": len(metrics),
-        "events_in": sum(r["events_in"] for r in metrics),
-        "state_rows": sum(r["state_rows"] for r in metrics),
-        "live_rows": sum(r["live_rows"] for r in metrics),
-        "tombstones": sum(r["tombstones"] for r in metrics),
-        "tokens": {p: list(v) for p, v in sorted(all_tokens.items())},
-    }
+        schemas = []
+        prev_union = (store.manifest(prev) or {}).get("union_schema")
+        if prev_union:
+            schemas.append(pa.ipc.read_schema(
+                pa.BufferReader(base64.b64decode(prev_union))))
+        for row in metrics:
+            schemas.append(pa.ipc.read_schema(
+                pa.BufferReader(base64.b64decode(row["schema_b64"]))))
+        union = schemas[0] if schemas else None
+        for s in schemas[1:]:
+            union = unify_payload_schemas(union, s)
+        union_b64 = (base64.b64encode(union.serialize().to_pybytes()).decode()
+                     if union is not None else None)
+
+        clean_metrics = [
+            {k: v for k, v in row.items() if k not in ("tokens_json", "schema_b64")}
+            for row in metrics
+        ]
+        staged_files = [p for row in metrics if row["file"]
+                        for p in row["file"].split(",")]
+        store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev,
+                     union_schema=union_b64, nonce=nonce, expected_files=staged_files)
+        mirror_checkpoints(cfg.checkpoint_dir, all_tokens, version=new)
+        return {
+            "version": new,
+            "buckets": len(metrics),
+            "events_in": sum(r["events_in"] for r in metrics),
+            "state_rows": sum(r["state_rows"] for r in metrics),
+            "live_rows": sum(r["live_rows"] for r in metrics),
+            "tombstones": sum(r["tombstones"] for r in metrics),
+            "tokens": {p: list(v) for p, v in sorted(all_tokens.items())},
+        }
+    finally:
+        _restore_execution_context(saved_ctx)
 
 
 def final_state_dataset(cfg: EngineConfig, version: int | None = None):

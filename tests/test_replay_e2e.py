@@ -187,3 +187,51 @@ def test_replay_hash_shuffle_strategy_matches_default(tmp_path):
 
     pd.testing.assert_frame_equal(rows_h[sorted(rows_h.columns)],
                                   rows_d[sorted(rows_d.columns)])
+
+
+def test_run_replay_restores_data_context(tmp_path):
+    """Config-driven DataContext overrides must not leak past the
+    replay (success AND failure paths): a HASH_SHUFFLE replay once
+    left the process-global context flipped, making every later
+    range-partitioned groupby in the same session 2-3x slower."""
+    from ray.data.context import DataContext
+
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    ctx = DataContext.get_current()
+    before = (ctx.shuffle_strategy, ctx.op_resource_reservation_enabled,
+              ctx.op_resource_reservation_ratio)
+
+    spec = GenSpec(num_partitions=2, events_per_partition=200, seed=31)
+    base = synth_repo_files(5, 10, seed=31)
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"),
+                       num_buckets=4, shuffle_strategy="HASH_SHUFFLE",
+                       op_reservation_ratio=0.2)
+    run_replay(change_event_dataset(spec, base), cfg)
+    after = (ctx.shuffle_strategy, ctx.op_resource_reservation_enabled,
+             ctx.op_resource_reservation_ratio)
+    assert after == before
+
+    # failure path: a version-conflict abort must restore too
+    store = SnapshotStore(cfg.snapshot_dir)
+    assert store.current_version() == 1
+    import pytest as _pt
+
+    class Boom(Exception):
+        pass
+
+    def explode(*a, **k):
+        raise Boom()
+
+    orig = SnapshotStore.commit
+    SnapshotStore.commit = explode
+    try:
+        with _pt.raises(Exception):
+            run_replay(change_event_dataset(
+                GenSpec(num_partitions=2, events_per_partition=200, seed=32),
+                base), cfg)
+    finally:
+        SnapshotStore.commit = orig
+    assert (ctx.shuffle_strategy, ctx.op_resource_reservation_enabled,
+            ctx.op_resource_reservation_ratio) == before
