@@ -223,15 +223,27 @@ def test_op_reservation_auto_small_cluster(tmp_path):
         EngineConfig(snapshot_dir="x", checkpoint_dir="y",
                      op_reservation_ratio=True).validate()
 
+    from kafka_connect_mongo_ray.pipelines.cdc import (
+        _apply_execution_context,
+        _restore_execution_context,
+    )
+
     ctx = DataContext.get_current()
     before_enabled = ctx.op_resource_reservation_enabled
     before_ratio = ctx.op_resource_reservation_ratio
+    # the applied (in-flight) setting: 4-CPU session <
+    # _SMALL_CLUSTER_CPUS -> auto disables the reservation
+    saved = _apply_execution_context(cfg)
     try:
-        spec = GenSpec(num_partitions=2, events_per_partition=500, seed=11)
-        out = run_replay(change_event_dataset(spec, synth_repo_files(5, 20, seed=11)), cfg)
-        assert out["live_rows"] > 0
-        # 4-CPU session < _SMALL_CLUSTER_CPUS -> reservation disabled
         assert ctx.op_resource_reservation_enabled is False
     finally:
-        ctx.op_resource_reservation_enabled = before_enabled
-        ctx.op_resource_reservation_ratio = before_ratio
+        _restore_execution_context(saved)
+    assert ctx.op_resource_reservation_enabled == before_enabled
+    assert ctx.op_resource_reservation_ratio == before_ratio
+
+    spec = GenSpec(num_partitions=2, events_per_partition=500, seed=11)
+    out = run_replay(change_event_dataset(spec, synth_repo_files(5, 20, seed=11)), cfg)
+    assert out["live_rows"] > 0
+    # the override must NOT leak past the replay (try/finally restore)
+    assert ctx.op_resource_reservation_enabled == before_enabled
+    assert ctx.op_resource_reservation_ratio == before_ratio
