@@ -84,7 +84,10 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
         checkpoint_dir=f"{BENCH_ROOT}/checkpoints",
         num_buckets=64,  # fixed: identical job shape at every parallelism level
         apply_mode="tasks",
-        shuffle_strategy="HASH_SHUFFLE",
+        # default (pull-based sort) exchange: the round-4 HASH_SHUFFLE
+        # switch rested on an A/B inverted by creation-time context
+        # binding; the corrected ABBA A/B has default winning at both
+        # 2M and 50M events (BASELINE.md "Shuffle strategy, corrected")
         prereduce_coalesce=32,
         op_reservation_ratio=0.3,
     )
@@ -160,7 +163,6 @@ def bench_analyzed(sf_dir: str, ncpu: int, dirt_every: int = 0) -> dict:
     cfg = EngineConfig(snapshot_dir="/tmp/kcm_bench_an/s",
                        checkpoint_dir="/tmp/kcm_bench_an/c",
                        num_buckets=64, analyze_schema=True,
-                       shuffle_strategy="HASH_SHUFFLE",
                        prereduce_coalesce=32, op_reservation_ratio=0.3)
     events = change_event_dataset(spec, base).map_batches(
         attach_json, batch_format="pyarrow")

@@ -589,19 +589,30 @@ class AnalyzeObjectStage:
 LAST_REPLAY_STATS: str | None = None
 
 
-def _apply_execution_context(cfg: EngineConfig) -> dict:
+def _apply_execution_context(cfg: EngineConfig, ds) -> dict:
     """Apply cfg's Ray DataContext overrides (shuffle strategy,
-    reservation ratio) and return the fields they replaced.
+    reservation ratio) to the INPUT DATASET's plan-bound context and
+    return the fields they replaced.
 
-    The DataContext is PROCESS-GLOBAL: without a paired restore, one
-    replay's HASH_SHUFFLE (tuned for the bucket exchange) leaks into
-    every later dataset in the process — measured 2-3× slower on the
-    range-partitioned rank/rollup groupbys it was never tuned for.
-    run_replay restores via try/finally (exceptions included, so
-    error-path tests don't poison later sessions)."""
-    from ray.data.context import DataContext, ShuffleStrategy
+    Two hard-won facts drive this shape (both verified empirically
+    against the installed Ray 2.49):
 
-    ctx = DataContext.get_current()
+    1. A Dataset binds its DataContext at SOURCE CREATION and derived
+       datasets inherit that same object — mutating the process-global
+       context after the source exists is a NO-OP for this run. The
+       overrides therefore go on ``ds.context`` (the plan-bound
+       object), which all of run_replay's derived stages share, so the
+       bucket exchange actually runs the configured strategy.
+    2. The process-global context, once mutated, leaks into every later
+       dataset in the process — measured 2-3× slower on the
+       range-partitioned rank/rollup groupbys HASH_SHUFFLE was never
+       tuned for. Scoping to the plan-bound context avoids the global
+       leak entirely; run_replay still restores the dataset's own
+       context via try/finally so a caller-held handle isn't left
+       mutated after the run (exceptions included)."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
     saved = {
         "shuffle_strategy": ctx.shuffle_strategy,
         "op_resource_reservation_enabled": ctx.op_resource_reservation_enabled,
@@ -631,10 +642,8 @@ def _apply_execution_context(cfg: EngineConfig) -> dict:
     return saved
 
 
-def _restore_execution_context(saved: dict) -> None:
-    from ray.data.context import DataContext
-
-    ctx = DataContext.get_current()
+def _restore_execution_context(saved: dict, ds) -> None:
+    ctx = ds.context
     for k, v in saved.items():
         setattr(ctx, k, v)
 
@@ -658,7 +667,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     store.clean_stale_staging()  # crash-window hygiene: orphans of committed versions
     old_tokens = store.tokens(prev)
 
-    saved_ctx = _apply_execution_context(cfg)
+    saved_ctx = _apply_execution_context(cfg, events_ds)
     try:
 
         if cfg.analyze_schema:
@@ -802,7 +811,7 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
             "tokens": {p: list(v) for p, v in sorted(all_tokens.items())},
         }
     finally:
-        _restore_execution_context(saved_ctx)
+        _restore_execution_context(saved_ctx, events_ds)
 
 
 def final_state_dataset(cfg: EngineConfig, version: int | None = None):

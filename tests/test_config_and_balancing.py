@@ -228,22 +228,33 @@ def test_op_reservation_auto_small_cluster(tmp_path):
         _restore_execution_context,
     )
 
-    ctx = DataContext.get_current()
-    before_enabled = ctx.op_resource_reservation_enabled
-    before_ratio = ctx.op_resource_reservation_ratio
-    # the applied (in-flight) setting: 4-CPU session <
-    # _SMALL_CLUSTER_CPUS -> auto disables the reservation
-    saved = _apply_execution_context(cfg)
-    try:
-        assert ctx.op_resource_reservation_enabled is False
-    finally:
-        _restore_execution_context(saved)
-    assert ctx.op_resource_reservation_enabled == before_enabled
-    assert ctx.op_resource_reservation_ratio == before_ratio
-
     spec = GenSpec(num_partitions=2, events_per_partition=500, seed=11)
-    out = run_replay(change_event_dataset(spec, synth_repo_files(5, 20, seed=11)), cfg)
+    base = synth_repo_files(5, 20, seed=11)
+
+    # the applied (in-flight) setting goes on the DATASET's plan-bound
+    # context (a global mutation would be a no-op for an
+    # already-created dataset): 4-CPU session < _SMALL_CLUSTER_CPUS ->
+    # auto disables the reservation
+    probe_ds = change_event_dataset(spec, base)
+    before_enabled = probe_ds.context.op_resource_reservation_enabled
+    before_ratio = probe_ds.context.op_resource_reservation_ratio
+    saved = _apply_execution_context(cfg, probe_ds)
+    try:
+        assert probe_ds.context.op_resource_reservation_enabled is False
+    finally:
+        _restore_execution_context(saved, probe_ds)
+    assert probe_ds.context.op_resource_reservation_enabled == before_enabled
+    assert probe_ds.context.op_resource_reservation_ratio == before_ratio
+
+    gctx = DataContext.get_current()
+    g_before = (gctx.shuffle_strategy, gctx.op_resource_reservation_enabled,
+                gctx.op_resource_reservation_ratio)
+    ev = change_event_dataset(spec, base)
+    out = run_replay(ev, cfg)
     assert out["live_rows"] > 0
-    # the override must NOT leak past the replay (try/finally restore)
-    assert ctx.op_resource_reservation_enabled == before_enabled
-    assert ctx.op_resource_reservation_ratio == before_ratio
+    # neither the global context nor the caller's dataset handle may be
+    # left mutated after the replay
+    assert (gctx.shuffle_strategy, gctx.op_resource_reservation_enabled,
+            gctx.op_resource_reservation_ratio) == g_before
+    assert ev.context.op_resource_reservation_enabled == before_enabled
+    assert ev.context.op_resource_reservation_ratio == before_ratio
