@@ -75,6 +75,28 @@ def _subsplit_oversized_groups(bucketed, bucket_col: str, id_col: str,
             [bucket_col, "__sub"])
 
 
+def _deterministic_sample(ds, *, id_col: str, sample_size: int) -> pa.Table:
+    """Order-independent bounded sample: keep rows whose integer id is
+    ≡ 0 (mod ⌊N / sample_size⌋), then sort by id and cut to
+    ``sample_size``. Membership is a pure function of the id, so the
+    sample is IDENTICAL across runs, partitionings, and executor
+    scheduling — unlike ``ds.limit(n)``, whose row set can vary with
+    block completion order under load (observed flipping an IVF recall
+    gate under concurrent sessions). Driver holds ≤ ~2·sample_size
+    rows; the count is free parquet metadata."""
+    n = ds.count()
+    stride = max(1, n // sample_size)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col])
+        return batch.filter(pa.array(ids % stride == 0))
+
+    tbl = pa.concat_tables(
+        ds.map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    return tbl.sort_by([(id_col, "ascending")]).slice(0, sample_size)
+
+
 class BruteForceTopK:
     """Per-batch scorer: emits (query_id, neighbor_id, cosine) rows for
     the batch-local top-k; the global top-k is a small final reduce."""
@@ -114,18 +136,25 @@ class BruteForceTopK:
 def brute_force_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
                      *, id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
     """Global exact top-k per query. The per-batch stage streams; only
-    Q×k×num_batches candidate rows reach the driver."""
+    Q×k×num_batches candidate rows reach the driver.
+
+    Elastic TASKS, not an actor pool: the per-task state (one
+    broadcast `ray.get` of the query matrix + its norm precompute,
+    O(Q·dim)) is trivial next to the O(Q·corpus·dim) scan, and the
+    pool's 1→N ramp dominated short jobs — measured 2.0-2.1 s actor
+    pool vs 0.5-1.6 s tasks on the sf0.1 gate input (the same finding
+    that made apply/analyze default to tasks). The broadcast refs are
+    still shared: every task reads the same plasma objects zero-copy."""
     import ray
 
     qref = ray.put(np.asarray(query_matrix))
     iref = ray.put(np.asarray(query_ids))
-    cand = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "query_ids_ref": iref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()
+
+    def score(batch: pa.Table) -> pa.Table:
+        return BruteForceTopK(queries_ref=qref, query_ids_ref=iref, k=k,
+                              id_col=id_col, vec_col=vec_col)(batch)
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True], kind="mergesort")
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -254,8 +283,8 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
     import ray
 
     # bounded driver-side sample (sample_size rows, not the corpus)
-    sample_tbl = pa.concat_tables(
-        ds.limit(sample_size).iter_batches(batch_size=None, batch_format="pyarrow"))
+    sample_tbl = _deterministic_sample(ds, id_col=id_col,
+                                       sample_size=sample_size)
     sample = embedding_matrix(sample_tbl[vec_col])
     centroids = kmeans_centroids(sample, num_cells, seed=seed)
     cref = ray.put(centroids)
@@ -369,7 +398,8 @@ def group_centroids(ds, group_col: str, *, vec_col: str = "embedding",
 
 
 def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
-                           vec_col: str = "embedding", seed: int = 42):
+                           vec_col: str = "embedding", seed: int = 42,
+                           id_col: str = "vec_id"):
     """Distributed k-means clustering pass with a machine-checkable
     summary: centroids fit on a bounded driver-side sample
     (:func:`kmeans_centroids`, same pattern as IVF), every vector
@@ -389,9 +419,18 @@ def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
     import ray
     from ray.data.aggregate import Sum
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in sample_rows])
+    if id_col in ds.schema().names:
+        sample_tbl = _deterministic_sample(ds, id_col=id_col,
+                                           sample_size=sample_size)
+    else:
+        # no stable id to key the sample on: first-rows fallback (row
+        # set may vary with scheduling, but `improved` holds by
+        # construction for ANY sample, so the summary stays valid)
+        sample_tbl = pa.concat_tables(
+            ds.limit(sample_size).iter_batches(batch_size=None,
+                                               batch_format="pyarrow"))
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in sample_tbl[vec_col].to_pylist()])
     centroids = kmeans_centroids(sample, k, seed=seed)
 
     # k=1 baseline direction: normalized mean of the sample (the
