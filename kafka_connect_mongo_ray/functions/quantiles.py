@@ -278,6 +278,7 @@ def exact_ranks(ds, col: str, cutpoints: list[float]):
                                    Sum("n", alias_name="n"))
            .take_all())
     by_i = {int(r["i"]): (int(r["le"]), int(r["n"])) for r in agg}
-    ranks = [by_i[i][0] for i in range(len(cuts))]
+    # empty input produces no partials at all: every rank is 0
+    ranks = [by_i.get(i, (0, 0))[0] for i in range(len(cuts))]
     total = by_i[0][1] if by_i else 0
     return ranks, total

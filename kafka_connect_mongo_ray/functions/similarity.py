@@ -75,17 +75,23 @@ def _subsplit_oversized_groups(bucketed, bucket_col: str, id_col: str,
             [bucket_col, "__sub"])
 
 
-def _deterministic_sample(ds, *, id_col: str, sample_size: int) -> pa.Table:
+def _deterministic_sample(ds, *, id_col: str, sample_size: int,
+                          total_rows: int | None = None) -> pa.Table:
     """Order-independent bounded sample: keep rows whose integer id is
-    ≡ 0 (mod ⌊N / sample_size⌋), then sort by id and cut to
+    ≡ 0 (mod ⌈N / sample_size⌉), then sort by id and cut to
     ``sample_size``. Membership is a pure function of the id, so the
     sample is IDENTICAL across runs, partitionings, and executor
     scheduling — unlike ``ds.limit(n)``, whose row set can vary with
     block completion order under load (observed flipping an IVF recall
-    gate under concurrent sessions). Driver holds ≤ ~2·sample_size
-    rows; the count is free parquet metadata."""
-    n = ds.count()
-    stride = max(1, n // sample_size)
+    gate under concurrent sessions). The CEILING stride makes the
+    picks span the whole id range (≤ sample_size of them), so the
+    final cut is a safeguard, not an id-prefix truncation.
+
+    Pass ``total_rows`` when the caller can count cheaply (parquet
+    footer metadata) — ``ds.count()`` on a mapped dataset executes the
+    whole upstream pipeline. Driver holds ≤ ~sample_size rows."""
+    n = total_rows if total_rows is not None else ds.count()
+    stride = max(1, -(-n // sample_size)) if sample_size > 0 else max(1, n)
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col])
@@ -269,7 +275,8 @@ class IvfAssigner:
 def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
              num_cells: int = 16, nprobe: int = 2, sample_size: int = 2000,
              seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
-             group_row_cap: int | None = 100_000):
+             group_row_cap: int | None = 100_000,
+             total_rows: int | None = None):
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_cells`` k-means cells, then each query scans only its
     ``nprobe`` nearest cells. Recall grows with nprobe; nprobe =
@@ -284,7 +291,8 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
 
     # bounded driver-side sample (sample_size rows, not the corpus)
     sample_tbl = _deterministic_sample(ds, id_col=id_col,
-                                       sample_size=sample_size)
+                                       sample_size=sample_size,
+                                       total_rows=total_rows)
     sample = embedding_matrix(sample_tbl[vec_col])
     centroids = kmeans_centroids(sample, num_cells, seed=seed)
     cref = ray.put(centroids)
@@ -399,7 +407,8 @@ def group_centroids(ds, group_col: str, *, vec_col: str = "embedding",
 
 def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
                            vec_col: str = "embedding", seed: int = 42,
-                           id_col: str = "vec_id"):
+                           id_col: str = "vec_id",
+                           total_rows: int | None = None):
     """Distributed k-means clustering pass with a machine-checkable
     summary: centroids fit on a bounded driver-side sample
     (:func:`kmeans_centroids`, same pattern as IVF), every vector
@@ -421,7 +430,8 @@ def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
 
     if id_col in ds.schema().names:
         sample_tbl = _deterministic_sample(ds, id_col=id_col,
-                                           sample_size=sample_size)
+                                           sample_size=sample_size,
+                                           total_rows=total_rows)
     else:
         # no stable id to key the sample on: first-rows fallback (row
         # set may vary with scheduling, but `improved` holds by

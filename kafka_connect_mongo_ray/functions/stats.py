@@ -35,21 +35,10 @@ def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
     wraps: numpy sums are checked against the float approximation).
     Returns one row: the six components plus ``corr`` rounded to
     ``round_to``."""
-    from ray.data.aggregate import Sum
-
-    partial = _int_moment_partial(x_col, y_col, x_scale, y_scale)
-    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
-        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
-                                         "sx2", "sy2")])
+    row = _moment_sums(ds, x_col, y_col, x_scale=x_scale, y_scale=y_scale,
+                       what="corr_components")
     n, sx, sy = row["n"], row["sx"], row["sy"]
     sxy, sx2, sy2 = row["sxy"], row["sx2"], row["sy2"]
-    # overflow guard: exact int result must round-trip through float64
-    # within the rounding the final formula can absorb
-    for v in (sxy, sx2, sy2):
-        if abs(v) > (1 << 62):
-            raise OverflowError(
-                "corr_components moment sum too large for exact int64 — "
-                "reduce x_scale/y_scale")
     denom = float(np.sqrt(n * sx2 - sx * sx) * np.sqrt(n * sy2 - sy * sy))
     corr = (n * sxy - sx * sy) / denom if denom else float("nan")
     return pa.table({
@@ -103,6 +92,28 @@ def _int_moment_partial(x_col: str, y_col: str, x_scale: int, y_scale: int):
     return partial
 
 
+def _moment_sums(ds, x_col: str, y_col: str, *, x_scale: int, y_scale: int,
+                 what: str) -> dict:
+    """Partial → Sum-reduce → overflow-guard for the six integer
+    moments — the shared trunk of :func:`corr_components` and
+    :func:`linreg_components` (each public function is then just its
+    closed-form formula). The guard: the exact int result must
+    round-trip through float64 within the rounding the final formula
+    can absorb."""
+    from ray.data.aggregate import Sum
+
+    partial = _int_moment_partial(x_col, y_col, x_scale, y_scale)
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
+                                         "sx2", "sy2")])
+    for c in ("sxy", "sx2", "sy2"):
+        if abs(row[c]) > (1 << 62):
+            raise OverflowError(
+                f"{what} moment sum too large for exact int64 — "
+                f"reduce x_scale/y_scale")
+    return row
+
+
 def linreg_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
                       y_scale: int = 1, round_to: int = 9) -> pa.Table:
     """Simple (OLS) linear regression of ``y`` on ``x`` from the same
@@ -119,19 +130,10 @@ def linreg_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
     oracle computing the same expressions over the same integers is
     bit-identical before the final ``round(·, round_to)``. Returns one
     row: the six components plus slope/intercept/r2."""
-    from ray.data.aggregate import Sum
-
-    partial = _int_moment_partial(x_col, y_col, x_scale, y_scale)
-    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
-        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
-                                         "sx2", "sy2")])
+    row = _moment_sums(ds, x_col, y_col, x_scale=x_scale, y_scale=y_scale,
+                       what="linreg_components")
     n, sx, sy = row["n"], row["sx"], row["sy"]
     sxy, sx2, sy2 = row["sxy"], row["sx2"], row["sy2"]
-    for v in (sxy, sx2, sy2):
-        if abs(v) > (1 << 62):
-            raise OverflowError(
-                "linreg_components moment sum too large for exact int64 — "
-                "reduce x_scale/y_scale")
     num = n * sxy - sx * sy
     denx = n * sx2 - sx * sx
     deny = n * sy2 - sy * sy

@@ -131,6 +131,14 @@ def _read(sf_dir: str, table: str, columns=None):
                                          batch_size=None)
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — zero decode (a `count()` on
+    the mapped `_read` dataset would execute the whole read+strip)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def _gate_buckets(cap: int = 16) -> int:
     """Join/shuffle width for gate-scale fixtures: track the session's
     CPUs so thousands-of-rows inputs don't pay 32 partitions of fixed
@@ -904,7 +912,8 @@ def q_ann_ivf_topk(sf_dir: str):
 
     q, ids = _load_query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    approx = ivf_topk(ds, q, ids, k=ANN_K, num_cells=8, nprobe=4, seed=42)
+    approx = ivf_topk(ds, q, ids, k=ANN_K, num_cells=8, nprobe=4, seed=42,
+                      total_rows=_table_rows(sf_dir, "embeddings"))
     return _recall_vs_brute_force(sf_dir, approx)
 
 
@@ -1766,7 +1775,9 @@ def q_embedding_kmeans(sf_dir: str):
     )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return kmeans_cluster_summary(ds, k=8)
+    return kmeans_cluster_summary(ds, k=8,
+                                  total_rows=_table_rows(sf_dir,
+                                                         "embeddings"))
 
 
 def q_events_pivot_types(sf_dir: str):

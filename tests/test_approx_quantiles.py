@@ -62,3 +62,11 @@ def test_exact_ranks_matches_sql_one_pass():
             f"SELECT COUNT(*) FROM df WHERE v <= {c}").fetchone()[0]
         assert r == want
     assert total == len(vals)
+
+
+def test_exact_ranks_empty_input():
+    from kafka_connect_mongo_ray.functions.quantiles import exact_ranks
+
+    t = pa.table({"v": pa.array([], pa.float64())})
+    ranks, total = exact_ranks(_rd(t, 1), "v", [0.0, 10.0])
+    assert ranks == [0, 0] and total == 0

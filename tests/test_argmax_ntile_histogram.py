@@ -199,3 +199,25 @@ def test_repetition_stats_matches_sql_and_tie_break():
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     tie_row = got[got["doc_id"] == 200].iloc[0]
     assert tie_row["top_word"] == "aa" and tie_row["top_cnt"] == 2
+
+
+def test_deterministic_sample_spans_full_id_range():
+    from kafka_connect_mongo_ray.functions.similarity import (
+        _deterministic_sample,
+    )
+    import ray.data as rd
+
+    # n just under 2x sample_size: a floor stride would keep EVERY row
+    # and the cut would truncate to the smallest ids; the ceiling
+    # stride must instead spread picks across the whole id range
+    n, size = 3999, 2000
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64())})
+    out = _deterministic_sample(rd.from_arrow(t).repartition(7),
+                                id_col="vec_id", sample_size=size)
+    ids = out["vec_id"].to_pylist()
+    assert len(ids) == size
+    assert max(ids) > n * 0.9  # tail of the corpus is represented
+    # identical under a different partitioning (order-independence)
+    out2 = _deterministic_sample(rd.from_arrow(t).repartition(3),
+                                 id_col="vec_id", sample_size=size)
+    assert out2["vec_id"].to_pylist() == ids
