@@ -44,11 +44,20 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         md5_fingerprint_batch, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
     ).select_columns([id_col, "fingerprint"])
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    # one vectorized min-id pick per HASH BUCKET of the fingerprint —
+    # a map_groups call per distinct text is a per-group fixed cost
+    # that scales with corpus size (see _expand_pairs_bucketed)
+    def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__gb")
+        return (g.sort_values([
+            "fingerprint", id_col], kind="mergesort")
+            .drop_duplicates("fingerprint", keep="first"))
 
-    return with_fp.groupby("fingerprint", num_partitions=num_partitions).map_groups(
-        first_per_group, batch_format="pandas")
+    return (with_fp.map_batches(
+        lambda df: _add_hash_bucket(df, ["fingerprint"], num_partitions),
+        batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(first_per_fp, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -232,36 +241,93 @@ def _default_partitions(requested: int | None) -> int:
     return max(8, min(64, 2 * cpus))
 
 
+def _add_hash_bucket(df: pd.DataFrame, cols: list[str],
+                     num_buckets: int) -> pd.DataFrame:
+    """Deterministic hash bucket of one or more key columns (pandas
+    siphash — stable across workers, runs, and partitionings)."""
+    df = df.copy()
+    h = pd.util.hash_array(df[cols[0]].to_numpy(), categorize=False)
+    for c in cols[1:]:
+        h = h + np.uint64(0x9E3779B9) * pd.util.hash_array(
+            df[c].to_numpy(), categorize=False)
+    df["__gb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+    return df
+
+
+def _expand_pairs_bucketed(ds, *, key_cols: list[str], id_col: str,
+                           cap: int | None, num_partitions: int,
+                           warn_context: str | None = None):
+    """In-bucket pair expansion, ONE vectorized pandas self-merge per
+    HASH BUCKET of the key instead of a ``groupby(key).map_groups``
+    call per distinct key. The per-group fixed cost (a pandas frame
+    per group) scales with distinct-key count — measured dominant at
+    the sf0.01 gate (2.3× on the AllPairs path) and it only grows with
+    corpus size. Co-location is unchanged: every row of a key shares
+    its hash bucket. Keys above ``cap`` still route through
+    :func:`_pairs_in_bucket` individually (they are rare by
+    construction) so the capped star+chain semantics are identical."""
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__gb")
+        sizes = g.groupby(key_cols)[id_col].transform("size").to_numpy()
+        small = g if cap is None else g.loc[sizes <= cap]
+        m = small.merge(small, on=key_cols)
+        a, b = f"{id_col}_x", f"{id_col}_y"
+        m = m.loc[m[a] < m[b]]
+        out = pd.DataFrame({"id_a": m[a].to_numpy(),
+                            "id_b": m[b].to_numpy()})
+        if cap is not None and (sizes > cap).any():
+            capped = [_pairs_in_bucket(gg, id_col, cap, warn_context)
+                      for _, gg in g.loc[sizes > cap].groupby(key_cols)]
+            out = pd.concat([out, *capped], ignore_index=True)
+        return out
+
+    return (ds.map_batches(
+        lambda df: _add_hash_bucket(df, key_cols, num_partitions),
+        batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(pairs_bucket, batch_format="pandas"))
+
+
+def _dedup_pairs_bucketed(pairs, *, num_partitions: int):
+    """Distinct (id_a, id_b) via one vectorized ``drop_duplicates`` per
+    hash bucket (vs a map_groups call per distinct pair)."""
+    nb = max(8, num_partitions // 2)
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__gb").drop_duplicates(["id_a", "id_b"])
+
+    return (pairs.map_batches(
+        lambda df: _add_hash_bucket(df, ["id_a", "id_b"], nb),
+        batch_format="pandas")
+        .groupby("__gb", num_partitions=nb)
+        .map_groups(dedup_bucket, batch_format="pandas"))
+
+
 def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            num_hashes: int = 64, num_bands: int = 16, seed: int = 42,
                            bucket_cap: int = BUCKET_PAIR_CAP,
                            num_partitions: int | None = None):
     """Candidate near-dup pairs via MinHash-LSH; distinct (id_a, id_b)."""
     num_partitions = _default_partitions(num_partitions)
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "seed": seed,
-                               "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-    bands = sigs.map_batches(
-        BandExploder,
-        fn_constructor_kwargs={"num_bands": num_bands, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-    pairs = bands.groupby(["band_id", "band_hash"],
-                          num_partitions=num_partitions).map_groups(
-        lambda g: _pairs_in_bucket(g, id_col, bucket_cap), batch_format="pandas"
-    )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # elastic tasks, not an actor pool: per-task setup is a seeded
+    # O(num_hashes) coefficient build, and the pool's 1→N ramp
+    # dominated short jobs (same measurement as the brute-force ANN
+    # stage — see functions/similarity.py::brute_force_topk)
+    def minhash_batch(batch: pa.Table) -> pa.Table:
+        return MinHasher(num_hashes=num_hashes, seed=seed,
+                         text_col=text_col, id_col=id_col)(batch)
 
-    return pairs.groupby(["id_a", "id_b"],
-                         num_partitions=max(8, num_partitions // 2)).map_groups(
-        dedup_pairs, batch_format="pandas")
+    def band_batch(batch: pa.Table) -> pa.Table:
+        return BandExploder(num_bands=num_bands, id_col=id_col)(batch)
+
+    sigs = ds.map_batches(minhash_batch, batch_format="pyarrow")
+    bands = sigs.map_batches(band_batch, batch_format="pyarrow")
+    pairs = _expand_pairs_bucketed(bands, key_cols=["band_id", "band_hash"],
+                                   id_col=id_col, cap=bucket_cap,
+                                   num_partitions=num_partitions)
+    return _dedup_pairs_bucketed(pairs, num_partitions=num_partitions)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -426,8 +492,6 @@ def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
     as pipelines/queries.py::verified_near_dup_pairs — measured ~10×
     on gate fixtures). Leave False for large runs so the whole chain
     streams and spills."""
-    import math
-
     num_partitions = _default_partitions(num_partitions)
     grams = ds.map_batches(
         word_ngram_explode,
@@ -435,38 +499,50 @@ def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
         batch_format="pyarrow",
     )
 
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["df"] = np.int64(len(g))
+    # Every per-KEY stage below groups by a HASH BUCKET of the key
+    # (deterministic pd.util.hash_array) and runs ONE vectorized pandas
+    # op over the whole bucket, instead of groupby(key).map_groups —
+    # a per-group pandas call for every distinct gram/doc/pair was the
+    # dominant cost (14 s → ~3 s at the sf0.01 gate) and the per-group
+    # fixed overhead scales with distinct keys, so this matters at
+    # 10^9 grams exactly as it does here. Same co-location guarantee:
+    # all rows of a key share its bucket.
+
+    def attach_df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__gb").copy()
+        g["df"] = g.groupby("gram")["gram"].transform("size").astype(
+            np.int64)
         return g
 
-    with_df = grams.groupby("gram", num_partitions=num_partitions).map_groups(
-        attach_df, batch_format="pandas")
+    with_df = (grams.map_batches(
+        lambda df: _add_hash_bucket(df, ["gram"], num_partitions),
+        batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(attach_df_bucket, batch_format="pandas"))
     if staged:
         with_df = with_df.materialize()
 
-    def prefix(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["df", "gram"], kind="mergesort")
-        s = len(g)
-        p = s - int(math.ceil(threshold * s)) + 1
-        return g.head(p)[["gram", id_col]]
+    def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__gb").sort_values([id_col, "df", "gram"],
+                                               kind="mergesort")
+        s = g.groupby(id_col)[id_col].transform("size").to_numpy()
+        rank = g.groupby(id_col).cumcount().to_numpy()
+        p = s - np.ceil(threshold * s).astype(np.int64) + 1
+        return g.loc[rank < p, ["gram", id_col]]
 
-    pref = with_df.groupby(id_col, num_partitions=num_partitions).map_groups(
-        prefix, batch_format="pandas")
+    pref = (with_df.map_batches(
+        lambda df: _add_hash_bucket(df, [id_col], num_partitions),
+        batch_format="pandas")
+        .groupby("__gb", num_partitions=num_partitions)
+        .map_groups(prefix_bucket, batch_format="pandas"))
     if staged:
         pref = pref.materialize()
 
-    pairs = pref.groupby("gram", num_partitions=num_partitions).map_groups(
-        lambda g: _pairs_in_bucket(g, id_col, bucket_cap,
-                                   warn_context="ngram_allpairs_candidates"),
-        batch_format="pandas")
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"],
-                         num_partitions=max(8, num_partitions // 2)).map_groups(
-        dedup_pairs, batch_format="pandas")
+    pairs = _expand_pairs_bucketed(pref, key_cols=["gram"], id_col=id_col,
+                                   cap=bucket_cap,
+                                   num_partitions=num_partitions,
+                                   warn_context="ngram_allpairs_candidates")
+    return _dedup_pairs_bucketed(pairs, num_partitions=num_partitions)
 
 
 def verify_pairs_word_ngram(cands_ds, docs_ds, *, id_col: str = "doc_id",
@@ -676,8 +752,8 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.4, num_planes: int = 4,
     if probe_bits == 0:
         return pairs
     # multiprobe rediscovers a pair once per shared probe bucket — dedup
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return _dedup_pairs_bucketed(pairs,
+                                 num_partitions=_default_partitions(None))
 
 
 def embedding_near_dup_exact(ds, *, threshold: float = 0.4,
