@@ -48,10 +48,11 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # a map_groups call per distinct text is a per-group fixed cost
     # that scales with corpus size (see _expand_pairs_bucketed)
     def first_per_fp(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__gb")
-        return (g.sort_values([
-            "fingerprint", id_col], kind="mergesort")
-            .drop_duplicates("fingerprint", keep="first"))
+        # single integer-key sort: first occurrence per fingerprint in
+        # id order IS the min-id row (no string-primary multi-key sort)
+        return (g.drop(columns="__gb")
+                .sort_values(id_col, kind="mergesort")
+                .drop_duplicates("fingerprint", keep="first"))
 
     return (with_fp.map_batches(
         lambda df: _add_hash_bucket(df, ["fingerprint"], num_partitions),
@@ -244,14 +245,21 @@ def _default_partitions(requested: int | None) -> int:
 def _add_hash_bucket(df: pd.DataFrame, cols: list[str],
                      num_buckets: int) -> pd.DataFrame:
     """Deterministic hash bucket of one or more key columns (pandas
-    siphash — stable across workers, runs, and partitionings)."""
-    df = df.copy()
+    siphash — stable across workers, runs, and partitionings).
+    ``assign`` shares the existing column buffers (no deep copy of the
+    batch just to append one int32 column)."""
     h = pd.util.hash_array(df[cols[0]].to_numpy(), categorize=False)
     for c in cols[1:]:
         h = h + np.uint64(0x9E3779B9) * pd.util.hash_array(
             df[c].to_numpy(), categorize=False)
-    df["__gb"] = (h % np.uint64(num_buckets)).astype(np.int32)
-    return df
+    return df.assign(__gb=(h % np.uint64(num_buckets)).astype(np.int32))
+
+
+#: keys larger than this use the per-key triu expansion instead of the
+#: bucket-wide self-merge: the merge materializes the full n² cross
+#: product (both orders + diagonal + key columns) before the a<b
+#: filter, ~2-3× the peak memory of a triu over the same key
+_MERGE_GROUP_BOUND = 2048
 
 
 def _expand_pairs_bucketed(ds, *, key_cols: list[str], id_col: str,
@@ -267,19 +275,30 @@ def _expand_pairs_bucketed(ds, *, key_cols: list[str], id_col: str,
     :func:`_pairs_in_bucket` individually (they are rare by
     construction) so the capped star+chain semantics are identical."""
 
+    # the self-merge covers keys up to this bound; bigger keys fall
+    # back to the per-key triu/star+chain path (rare by construction:
+    # DF-ordered prefixes / band hashes keep buckets small), bounding
+    # the merge's n² cross-product memory
+    merge_bound = _MERGE_GROUP_BOUND if cap is None else min(
+        cap, _MERGE_GROUP_BOUND)
+
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__gb")
-        sizes = g.groupby(key_cols)[id_col].transform("size").to_numpy()
-        small = g if cap is None else g.loc[sizes <= cap]
+        # dropna=False: a null key is a group like any other (matching
+        # Ray's groupby semantics — pandas merge also matches NaN==NaN)
+        sizes = g.groupby(key_cols, dropna=False)[id_col].transform(
+            "size").to_numpy()
+        small = g.loc[sizes <= merge_bound]
         m = small.merge(small, on=key_cols)
         a, b = f"{id_col}_x", f"{id_col}_y"
         m = m.loc[m[a] < m[b]]
         out = pd.DataFrame({"id_a": m[a].to_numpy(),
                             "id_b": m[b].to_numpy()})
-        if cap is not None and (sizes > cap).any():
-            capped = [_pairs_in_bucket(gg, id_col, cap, warn_context)
-                      for _, gg in g.loc[sizes > cap].groupby(key_cols)]
-            out = pd.concat([out, *capped], ignore_index=True)
+        if (sizes > merge_bound).any():
+            big = [_pairs_in_bucket(gg, id_col, cap, warn_context)
+                   for _, gg in g.loc[sizes > merge_bound].groupby(
+                       key_cols, dropna=False)]
+            out = pd.concat([out, *big], ignore_index=True)
         return out
 
     return (ds.map_batches(
@@ -322,7 +341,14 @@ def minhash_lsh_candidates(ds, *, id_col: str = "doc_id", text_col: str = "text"
     def band_batch(batch: pa.Table) -> pa.Table:
         return BandExploder(num_bands=num_bands, id_col=id_col)(batch)
 
-    sigs = ds.map_batches(minhash_batch, batch_format="pyarrow")
+    # batch_size bounds per-task transient shingle memory (up to ~64Ki
+    # chars/doc → ~0.5 MB of shingle hashes per row): with elastic
+    # tasks the concurrent-task count tracks cluster CPUs, so the
+    # per-TASK bound is what keeps node memory flat as nodes grow
+    # (the old (1,8) actor pool bounded concurrency instead — and paid
+    # the pool ramp on every short job)
+    sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
+                          batch_size=512)
     bands = sigs.map_batches(band_batch, batch_format="pyarrow")
     pairs = _expand_pairs_bucketed(bands, key_cols=["band_id", "band_hash"],
                                    id_col=id_col, cap=bucket_cap,
@@ -509,7 +535,7 @@ def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
     # all rows of a key share its bucket.
 
     def attach_df_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__gb").copy()
+        g = g.drop(columns="__gb")
         g["df"] = g.groupby("gram")["gram"].transform("size").astype(
             np.int64)
         return g
@@ -523,8 +549,7 @@ def ngram_allpairs_candidates(ds, *, id_col: str = "doc_id",
         with_df = with_df.materialize()
 
     def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__gb").sort_values([id_col, "df", "gram"],
-                                               kind="mergesort")
+        g = g.sort_values([id_col, "df", "gram"], kind="mergesort")
         s = g.groupby(id_col)[id_col].transform("size").to_numpy()
         rank = g.groupby(id_col).cumcount().to_numpy()
         p = s - np.ceil(threshold * s).astype(np.int64) + 1
