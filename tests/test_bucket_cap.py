@@ -103,3 +103,33 @@ def test_embedding_lsh_bucket_cap_bounds_pairs_and_keeps_removals():
     # precision stays 1: every capped pair is a real cosine hit
     assert set(map(tuple, capped[["id_a", "id_b"]].to_numpy())) <= set(
         map(tuple, uncapped[["id_a", "id_b"]].to_numpy()))
+
+
+def test_expand_pairs_merge_bound_fallback_recall_complete():
+    """A key above _MERGE_GROUP_BOUND on the UNCAPPED path must fall
+    back to the per-key triu expansion (bounding the self-merge's n^2
+    cross-product memory) and still emit every pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.dedup import (
+        _MERGE_GROUP_BOUND,
+        _expand_pairs_bucketed,
+    )
+
+    n_big = _MERGE_GROUP_BOUND + 60
+    t = pa.table({
+        "key": pa.array(["hot"] * n_big + ["cold"] * 3),
+        "doc_id": pa.array(list(range(n_big)) + [9001, 9002, 9003],
+                           pa.int64()),
+    })
+    out = _expand_pairs_bucketed(rd.from_arrow(t).repartition(5),
+                                 key_cols=["key"], id_col="doc_id",
+                                 cap=None, num_partitions=4).to_pandas()
+    want = n_big * (n_big - 1) // 2 + 3
+    assert len(out) == want
+    assert (out["id_a"] < out["id_b"]).all()
+    # spot-check extremes of the big key's triu
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, n_big - 1) in pairs and (9001, 9003) in pairs
