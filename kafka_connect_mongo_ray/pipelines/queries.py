@@ -53,7 +53,9 @@ EMB_LSH_RECALL_BOUND = 0.85
 JACCARD_THRESHOLD = 0.6
 NGRAM_N = 3  # word n-grams for the exact AllPairs similarity join
 NGRAM_JACCARD_THRESHOLD = 0.5
-SIMHASH_HAMMING_BOUND = 8  # true J>=0.6 pairs measure hamming <= 8; random pairs >= 9
+SIMHASH_HAMMING_BOUND = 8  # most true J>=0.6 pairs land <= 8 bits; random pairs >= 9
+SIMHASH_AGREEMENT_RATE = 0.9  # per-pair bounds are probabilistic; the RATE is the claim
+#   (measured: 25/25 within bound at sf0.01, 246/256 = 0.96 at sf0.1)
 HLL_ERROR_BOUND = 0.05  # measured 0.2%-2.9% at p=12 across sfs
 QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
 SAMPLE_THRESHOLD_HEX = "33333333"  # md5 prefix < this ≈ 20% of keys
@@ -827,10 +829,14 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash agreement check: every true Jaccard-near-dup pair must
-    land within SIMHASH_HAMMING_BOUND bits (measured: true pairs ≤ 8,
-    random pairs ≥ 9). Output = the verified pair set + the per-pair
-    hamming bound flag; oracle = the SQL pair set + TRUE.
+    """SimHash agreement check: the verified Jaccard-near-dup pair set
+    (SQL-cross-checked exactly) plus a machine-checked AGREEMENT RATE —
+    ≥ SIMHASH_AGREEMENT_RATE of true pairs within SIMHASH_HAMMING_BOUND
+    bits. A per-PAIR bound would be statistically wrong: SimHash is a
+    probabilistic sketch, and at sf0.1 ten of 256 true pairs measure
+    9-15 bits (the sf0.01 set passing per-pair was small-sample luck),
+    while the rate holds with margin (0.96 ≥ 0.9). The flag is emitted
+    as a constant column so the oracle stays row-aligned.
 
     Texts for the hamming check are fetched by id with a pushed-down
     parquet filter — the read is bounded by the PAIR count, never the
@@ -853,10 +859,12 @@ def q_dedup_simhash(sf_dir: str):
     hb = hasher.simhash_batch(tb)
     ham = np.asarray([hamming64(int(x), int(y)) for x, y in zip(ha, hb)],
                      dtype=np.int64) if len(ta) else np.array([], dtype=np.int64)
+    rate_ok = (bool((ham <= SIMHASH_HAMMING_BOUND).mean()
+                    >= SIMHASH_AGREEMENT_RATE) if len(ham) else True)
     return pa.table({
         "id_a": pairs["id_a"],
         "id_b": pairs["id_b"],
-        "hamming_ok": pa.array(ham <= SIMHASH_HAMMING_BOUND),
+        "agreement_ok": pa.array([rate_ok] * len(pairs)),
     })
 
 
@@ -2518,7 +2526,7 @@ def build_oracle_sql():
         "dedup_ngram_jaccard": WORD_NGRAM_PAIR_SQL.format(
             n=NGRAM_N, thr=NGRAM_JACCARD_THRESHOLD),
         "dedup_simhash": (
-            "SELECT id_a, id_b, TRUE AS hamming_ok FROM ("
+            "SELECT id_a, id_b, TRUE AS agreement_ok FROM ("
             + SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD) + ") t"
         ),
         "dedup_embedding_lsh": f"""
