@@ -3,12 +3,16 @@ distributed global ROW_NUMBER.
 
 The reference engine exposes only per-namespace `$natural` ordering
 (``database/OplogReader.kt:55``); a lake-side engine needs the full
-ordered-analytics family over that ordered stream. All three operators
-here avoid any driver-side iteration:
+ordered-analytics family over that ordered stream. All operators here
+avoid any driver-side iteration:
 
-- per-key window functions (:func:`lag_delta`, :func:`running_sum`)
-  are one ``groupby(key).map_groups`` — the shuffle moves each key's
-  rows once and the in-group kernel is vectorized numpy;
+- per-key window functions (:func:`lag_delta`, :func:`running_sum`,
+  :func:`rolling_mean`, :func:`group_percent_rank`) shuffle by a HASH
+  BUCKET of the key and run ONE segment-vectorized numpy kernel per
+  bucket: a ``groupby(key).map_groups`` call per distinct key is a
+  fixed cost that scales with key count (millions of users at corpus
+  scale), while the bucketed kernel costs one sort + O(n) boundary
+  arithmetic regardless of how many keys share the bucket;
 - :func:`global_row_number` is the classic distributed rank: sample
   order-key boundaries (bounded driver sample), range-bucket every row
   by broadcast ``searchsorted``, count rows per bucket (a tiny
@@ -31,6 +35,39 @@ def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
     return t.sort_by([(c, "ascending") for c in order_cols])
 
 
+def _key_bucketed(ds, key: str, num_partitions: int | None):
+    """Append a deterministic hash bucket of ``key`` and group by it —
+    all rows of a key share its bucket, so per-key windows stay intact
+    while the per-group fixed cost is paid per BUCKET, not per key."""
+    import pandas as pd
+
+    nb = num_partitions or 32
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(batch[key]), categorize=False)
+        return batch.append_column(
+            "__gb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("__gb", num_partitions=nb))
+
+
+def _segments(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Boundary arithmetic over a KEY-SORTED array: returns
+    (first-row-of-key mask, per-row segment-start index, per-row
+    segment length)."""
+    n = len(k)
+    first = np.zeros(n, dtype=bool)
+    if n:
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+    idx_first = np.flatnonzero(first)
+    counts = np.diff(np.append(idx_first, n))
+    seg_start = np.repeat(idx_first, counts)
+    seg_len = np.repeat(counts, counts)
+    return first, seg_start, seg_len
+
+
 def lag_delta(ds, *, key: str, order_cols: list[str], ts_col: str,
               out_col: str = "delta", num_partitions: int | None = None):
     """Per-``key`` difference between each row's ``ts_col`` and the
@@ -40,18 +77,21 @@ def lag_delta(ds, *, key: str, order_cols: list[str], ts_col: str,
     ``ts_col`` must be an integer column (e.g. epoch microseconds);
     the delta is emitted as int64 so the result is bit-stable."""
 
-    def per_key(g: pa.Table) -> pa.Table:
-        t = _sort_key_arrays(g, order_cols)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        k = np.asarray(t[key])
         ts = np.asarray(t[ts_col], dtype=np.int64)
+        first, _, _ = _segments(k)
         delta = np.zeros(len(ts), dtype=np.int64)
         if len(ts) > 1:
             delta[1:] = ts[1:] - ts[:-1]
-        mask = np.zeros(len(ts), dtype=bool)
-        mask[0] = True  # LAG of the first row per key is NULL
-        return t.append_column(out_col, pa.array(delta, pa.int64(), mask=mask))
+        delta[first] = 0  # LAG of the first row per key is NULL
+        return t.append_column(out_col,
+                               pa.array(delta, pa.int64(), mask=first))
 
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
@@ -62,13 +102,19 @@ def running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
     UNBOUNDED PRECEDING). Integer-only on purpose: a float cumsum's
     value depends on addition order, an int64 one does not."""
 
-    def per_key(g: pa.Table) -> pa.Table:
-        t = _sort_key_arrays(g, order_cols)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        k = np.asarray(t[key])
         vals = np.asarray(t[val_col], dtype=np.int64)
-        return t.append_column(out_col, pa.array(np.cumsum(vals), pa.int64()))
+        _, seg_start, _ = _segments(k)
+        cs = np.cumsum(vals)
+        # subtract the cumsum just BEFORE each row's segment start
+        run = cs - (cs[seg_start] - vals[seg_start])
+        return t.append_column(out_col, pa.array(run, pa.int64()))
 
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def rolling_mean(ds, *, key: str, order_cols: list[str], val_col: str,
@@ -81,17 +127,21 @@ def rolling_mean(ds, *, key: str, order_cols: list[str], val_col: str,
     final division is float, so the result is bit-stable for any
     partitioning."""
 
-    def per_key(g: pa.Table) -> pa.Table:
-        t = _sort_key_arrays(g, order_cols)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        k = np.asarray(t[key])
         vals = np.asarray(t[val_col], dtype=np.int64)
+        _, seg_start, _ = _segments(k)
+        pos = np.arange(len(vals))
         cs = np.concatenate(([0], np.cumsum(vals)))
-        lo = np.maximum(np.arange(len(vals)) - window + 1, 0)
-        wsum = cs[1:] - cs[lo]
-        cnt = np.arange(1, len(vals) + 1) - lo
+        lo = np.maximum(pos - window + 1, seg_start)
+        wsum = cs[pos + 1] - cs[lo]
+        cnt = pos + 1 - lo
         return t.append_column(out_col, pa.array(wsum / cnt, pa.float64()))
 
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def group_percent_rank(ds, *, key: str, order_col: str,
@@ -100,26 +150,40 @@ def group_percent_rank(ds, *, key: str, order_col: str,
     """Per-``key`` PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY
     key ORDER BY ``order_col``) in one groupby shuffle.
 
-    In-group kernel is pure numpy over the sorted values: rank-with-
-    gaps is ``searchsorted(v, v, 'left') + 1``, cume_dist is
-    ``searchsorted(v, v, 'right') / n``, percent_rank is
-    ``(rank − 1) / (n − 1)`` (0.0 for a single-row group, matching
-    SQL). Both divisions are int-derived float64 ops, so a SQL oracle
-    over the same doubles is bit-identical. Ties share identical
-    outputs, so result determinism doesn't need a total order."""
+    The kernel is segment-vectorized numpy over the (key, value)-sorted
+    bucket: rank-with-gaps is the first index of each equal-value run
+    within its key segment + 1, cume_dist is the run's last index + 1
+    over the segment length, percent_rank is ``(rank − 1) / (n − 1)``
+    (0.0 for a single-row group, matching SQL). Both divisions are
+    int-derived float64 ops, so a SQL oracle over the same doubles is
+    bit-identical. Ties share identical outputs, so result determinism
+    doesn't need a total order."""
 
-    def per_key(g: pa.Table) -> pa.Table:
-        t = g.sort_by([(order_col, "ascending")])
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending")])
+        k = np.asarray(t[key])
         v = np.asarray(t[order_col])
         n = len(v)
-        rank = np.searchsorted(v, v, side="left") + 1
-        cd = np.searchsorted(v, v, side="right") / n
-        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        first, seg_start, seg_len = _segments(k)
+        # start of each equal-(key, value) run
+        new_run = first.copy()
+        if n > 1:
+            new_run[1:] |= v[1:] != v[:-1]
+        pos = np.arange(n)
+        run_first = np.maximum.accumulate(np.where(new_run, pos, 0))
+        run_starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.append(run_starts, n))
+        run_last = np.repeat(run_starts + run_counts - 1, run_counts)
+        rank = run_first - seg_start + 1
+        cd = (run_last - seg_start + 1) / seg_len
+        pr = np.where(seg_len > 1, (rank - 1) / np.maximum(seg_len - 1, 1),
+                      0.0)
         out = t.append_column(pr_col, pa.array(pr, pa.float64()))
         return out.append_column(cd_col, pa.array(cd, pa.float64()))
 
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    return ds.groupby(key, **kwargs).map_groups(per_key, batch_format="pyarrow")
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def _spaced_sample(order_col: str, per_block: int):
