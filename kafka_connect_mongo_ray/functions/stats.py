@@ -166,24 +166,38 @@ def group_argmax(ds, *, keys: list[str], order: list[tuple[str, str]],
     Scale shape: each batch first reduces LOCALLY to at most one row
     per key present in it (argmax is associative), so the one shuffle
     moves ≤ distinct-keys-per-block rows, never the fact table; the
-    final per-key pick repeats the same vectorized sort-and-take-first
-    on the surviving candidates. All columns pass through."""
+    final pick groups by a HASH BUCKET of the key (one vectorized
+    sort-and-take-first per bucket — a map_groups call per distinct
+    key would cost linearly in key count) and the kernel handles any
+    number of keys per table. All columns pass through."""
+    import pandas as pd
+
     sort_spec = [(c, d) for c, d in order]
 
     def best_per_key(t: pa.Table) -> pa.Table:
+        if "__gb" in t.column_names:
+            t = t.drop_columns(["__gb"])
         s = t.sort_by(sort_spec)
         # stable first-row-per-key over the sorted table: a key's first
         # occurrence index, computed vectorially via pandas duplicated
-        import pandas as pd
-
         kdf = pd.DataFrame({k: np.asarray(s[k]) for k in keys})
         first = ~kdf.duplicated(keep="first")
         return s.filter(pa.array(first.to_numpy()))
 
+    nb = num_partitions or 32
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t[keys[0]]), categorize=False)
+        for k in keys[1:]:
+            h = h + np.uint64(0x9E3779B9) * pd.util.hash_array(
+                np.asarray(t[k]), categorize=False)
+        return t.append_column(
+            "__gb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
     partial = ds.map_batches(best_per_key, batch_format="pyarrow")
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    return partial.groupby(keys[0] if len(keys) == 1 else keys, **kwargs
-                           ).map_groups(best_per_key, batch_format="pyarrow")
+    return (partial.map_batches(assign, batch_format="pyarrow")
+            .groupby("__gb", num_partitions=nb)
+            .map_groups(best_per_key, batch_format="pyarrow"))
 
 
 def fixed_width_histogram(ds, val_col: str, *, width: float,

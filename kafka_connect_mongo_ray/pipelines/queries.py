@@ -719,26 +719,42 @@ def q_events_top_values(sf_dir: str):
 
 def q_events_session_windows(sf_dir: str):
     """Session windows (gap-based), the classic streaming aggregate Ray
-    Data lacks natively: per-user sort within ``map_groups``, gap
-    cumulative-sum sessionization (ray_guide streaming-shaped pattern).
-    Ordering assumption: all of a key's events reach its group; order
-    restored by the in-group sort."""
+    Data lacks natively. Shuffles by a HASH BUCKET of the user (all of
+    a user's events reach one bucket) and sessionizes the whole bucket
+    in one segment-vectorized pass: a session starts at each user
+    boundary or gap > SESSION_GAP_US, and sessions reduce via a sid-run
+    groupby — one pandas call per bucket, not per user (per-distinct-
+    key map_groups cost scales with user count)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
         tsu = pc.cast(pa.Array.from_pandas(g["ts"]), pa.int64()).to_numpy()
         new_session = np.ones(len(tsu), dtype=np.int64)
-        new_session[1:] = (np.diff(tsu) > SESSION_GAP_US).astype(np.int64)
+        if len(tsu) > 1:
+            new_session[1:] = ((uid[1:] != uid[:-1])
+                               | (np.diff(tsu) > SESSION_GAP_US)
+                               ).astype(np.int64)
         sid = np.cumsum(new_session)
-        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "tsu": tsu, "sid": sid})
-        out = df.groupby("sid").agg(
-            user_id=("user_id", "first"), session_start=("tsu", "min"), n=("tsu", "size")
-        ).reset_index(drop=True)
+        df = pd.DataFrame({"user_id": uid, "tsu": tsu, "sid": sid})
+        out = df.groupby("sid", sort=False).agg(
+            user_id=("user_id", "first"), session_start=("tsu", "min"),
+            n=("tsu", "size")).reset_index(drop=True)
         out["n"] = out["n"].astype("int64")
         return out[["user_id", "session_start", "n"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        return df.assign(
+            __gb=(h % np.uint64(_gate_buckets())).astype(np.int32))
+
+    def drop_gb(g: pd.DataFrame) -> pd.DataFrame:
+        return sessionize_bucket(g.drop(columns="__gb"))
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("__gb", num_partitions=_gate_buckets())
+            .map_groups(drop_gb, batch_format="pandas"))
 
 
 # -- formerly rows-only: now each carries a machine-checked oracle ----------
