@@ -13,6 +13,24 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _hash_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: idx = top p bits, rank =
+    leading zeros of the remaining bits + 1 — vectorized over rows."""
+    h = h.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    lz = np.zeros(len(h), dtype=np.uint8)
+    cur = rest
+    mask = np.uint64(1 << 63)
+    done = np.zeros(len(h), dtype=bool)
+    for r in range(64 - p + 1):
+        hit = (~done) & ((cur & mask) != 0)
+        lz[hit] = r
+        done |= hit
+        cur = cur << np.uint64(1)
+    return idx, lz + 1
+
+
 class HyperLogLog:
     """Classic HLL (Flajolet et al.) with numpy-vectorized add."""
 
@@ -22,20 +40,7 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_hashes(self, h: np.ndarray) -> None:
-        h = h.astype(np.uint64)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rank = leading zeros of the remaining 64-p bits + 1
-        lz = np.zeros(len(h), dtype=np.uint8)
-        cur = rest
-        mask = np.uint64(1 << 63)
-        done = np.zeros(len(h), dtype=bool)
-        for r in range(64 - self.p + 1):
-            hit = (~done) & ((cur & mask) != 0)
-            lz[hit] = r
-            done |= hit
-            cur = cur << np.uint64(1)
-        rank = lz + 1
+        idx, rank = _hash_ranks(h, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def add_values(self, values) -> None:
@@ -97,21 +102,53 @@ def approx_distinct_by(ds, column: str, by: str, *, p: int = 12):
         codes, uniq = pd.factorize(keys)
         h = pd.util.hash_array(
             np.asarray(batch[column]).astype(object), categorize=False)
-        sketches = []
-        for gi in range(len(uniq)):
-            hll = HyperLogLog(p)
-            hll.add_hashes(h[codes == gi])
-            sketches.append(hll.serialize())
+        # all keys' registers in ONE flat maximum.at (no Python loop
+        # over the batch's distinct keys)
+        m = 1 << p
+        idx, rank = _hash_ranks(h, p)
+        flat = np.zeros(len(uniq) * m, dtype=np.uint8)
+        np.maximum.at(flat, codes.astype(np.int64) * m + idx, rank)
+        regs = flat.reshape(len(uniq), m)
+        pb = bytes([p])
+        sketches = [pb + row.tobytes() for row in regs]
         return pa.table({by: pa.array(list(uniq)),
                          "sketch": pa.array(sketches, pa.binary())})
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        merged = None
-        for b in g["sketch"]:
-            s = HyperLogLog.deserialize(b)
-            merged = s if merged is None else merged.merge(s)
-        return pd.DataFrame({by: [g[by].iloc[0]],
-                             "approx_distinct": [merged.estimate()]})
+    # merge per HASH BUCKET of the key, not per key: one
+    # maximum.reduceat over the stacked register matrix merges every
+    # key's sketches in a single vectorized pass (a map_groups call
+    # per distinct key scales with the key domain). The estimate
+    # arithmetic below reduces each merged row along the same axis
+    # length as HyperLogLog.estimate()'s 1-D sum, so the two paths are
+    # bit-identical.
+    nb = 32
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(by).map_groups(
-        merge_group, batch_format="pandas")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__gb").sort_values(by, kind="mergesort")
+        m = 1 << p
+        raw = np.frombuffer(b"".join(g["sketch"]), dtype=np.uint8
+                            ).reshape(len(g), m + 1)
+        regs = raw[:, 1:]  # strip the leading p byte
+        keys = g[by].to_numpy()
+        first = np.zeros(len(keys), dtype=bool)
+        first[0] = True
+        first[1:] = keys[1:] != keys[:-1]
+        idx = np.flatnonzero(first)
+        merged = np.maximum.reduceat(regs, idx, axis=0)
+        mf = float(m)
+        alpha = 0.7213 / (1 + 1.079 / mf)
+        est = alpha * mf * mf / np.sum(2.0 ** -merged.astype(np.float64),
+                                       axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * mf) & (zeros > 0)
+        est = np.where(small, mf * np.log(mf / np.maximum(zeros, 1)), est)
+        return pd.DataFrame({by: keys[idx], "approx_distinct": est})
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[by].to_numpy(), categorize=False)
+        return df.assign(__gb=(h % np.uint64(nb)).astype(np.int32))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(assign, batch_format="pandas")
+            .groupby("__gb", num_partitions=nb)
+            .map_groups(merge_bucket, batch_format="pandas"))

@@ -316,3 +316,35 @@ def test_randomized_dense_rank_and_frequent_items_match_duckdb(seed):
         "GROUP BY v HAVING 20 * COUNT(*) >= (SELECT COUNT(*) FROM t)").df()
     pd.testing.assert_frame_equal(_canon(fi), _canon(want_fi),
                                   check_dtype=False)
+
+
+def test_grouped_hll_bucket_merge_matches_per_key_estimate():
+    """The vectorized reduceat merge must be bit-identical to merging
+    and estimating each key's sketches with the HyperLogLog class."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.sketch import (
+        HyperLogLog,
+        approx_distinct_by,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 20_000
+    keys = rng.integers(0, 37, n)
+    vals = rng.integers(0, 5_000, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    got = (approx_distinct_by(rd.from_arrow(t).repartition(9), "v", "k",
+                              p=10).to_pandas()
+           .set_index("k")["approx_distinct"].to_dict())
+
+    want = {}
+    for k in np.unique(keys):
+        hll = HyperLogLog(10)
+        hll.add_values(vals[keys == k])
+        want[k] = hll.estimate()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
