@@ -36,20 +36,15 @@ def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
 
 
 def _key_bucketed(ds, key: str, num_partitions: int | None):
-    """Append a deterministic hash bucket of ``key`` and group by it —
+    """Append a dtype-stable hash bucket of ``key`` and group by it —
     all rows of a key share its bucket, so per-key windows stay intact
-    while the per-group fixed cost is paid per BUCKET, not per key."""
-    import pandas as pd
+    while the per-group fixed cost is paid per BUCKET, not per key.
+    Delegates to utils.key_bucketed (the string-cast hash: a raw numpy
+    hash flips int64→float64 on null-bearing batches and would split
+    keys across buckets)."""
+    from kafka_connect_mongo_ray.utils import key_bucketed
 
-    nb = num_partitions or 32
-
-    def assign(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(batch[key]), categorize=False)
-        return batch.append_column(
-            "__gb", pa.array((h % np.uint64(nb)).astype(np.int32)))
-
-    return (ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("__gb", num_partitions=nb))
+    return key_bucketed(ds, [key], num_partitions or 32)
 
 
 def _segments(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -98,6 +98,14 @@ def approx_distinct_by(ds, column: str, by: str, *, p: int = 12):
     ``(by, approx_distinct)``."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null group keys are EXCLUDED (factorize's -1 sentinel would
+        # otherwise negative-index into the last key's registers;
+        # COALESCE upstream to count a NULL group)
+        col = batch[by]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            batch = batch.filter(col.is_valid())
         keys = np.asarray(batch[by]).astype(object)
         codes, uniq = pd.factorize(keys)
         h = pd.util.hash_array(
@@ -144,11 +152,8 @@ def approx_distinct_by(ds, column: str, by: str, *, p: int = 12):
         est = np.where(small, mf * np.log(mf / np.maximum(zeros, 1)), est)
         return pd.DataFrame({by: keys[idx], "approx_distinct": est})
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df[by].to_numpy(), categorize=False)
-        return df.assign(__gb=(h % np.uint64(nb)).astype(np.int32))
+    from kafka_connect_mongo_ray.utils import key_bucketed
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .map_batches(assign, batch_format="pandas")
-            .groupby("__gb", num_partitions=nb)
-            .map_groups(merge_bucket, batch_format="pandas"))
+    return key_bucketed(ds.map_batches(partial, batch_format="pyarrow"),
+                        [by], nb).map_groups(merge_bucket,
+                                             batch_format="pandas")

@@ -184,20 +184,11 @@ def group_argmax(ds, *, keys: list[str], order: list[tuple[str, str]],
         first = ~kdf.duplicated(keep="first")
         return s.filter(pa.array(first.to_numpy()))
 
-    nb = num_partitions or 32
-
-    def assign(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(t[keys[0]]), categorize=False)
-        for k in keys[1:]:
-            h = h + np.uint64(0x9E3779B9) * pd.util.hash_array(
-                np.asarray(t[k]), categorize=False)
-        return t.append_column(
-            "__gb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+    from kafka_connect_mongo_ray.utils import key_bucketed
 
     partial = ds.map_batches(best_per_key, batch_format="pyarrow")
-    return (partial.map_batches(assign, batch_format="pyarrow")
-            .groupby("__gb", num_partitions=nb)
-            .map_groups(best_per_key, batch_format="pyarrow"))
+    return key_bucketed(partial, keys, num_partitions or 32).map_groups(
+        best_per_key, batch_format="pyarrow")
 
 
 def fixed_width_histogram(ds, val_col: str, *, width: float,

@@ -744,17 +744,15 @@ def q_events_session_windows(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out[["user_id", "session_start", "n"]]
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-        return df.assign(
-            __gb=(h % np.uint64(_gate_buckets())).astype(np.int32))
+    from kafka_connect_mongo_ray.utils import key_bucketed
 
     def drop_gb(g: pd.DataFrame) -> pd.DataFrame:
         return sessionize_bucket(g.drop(columns="__gb"))
 
-    return (ds.map_batches(assign, batch_format="pandas")
-            .groupby("__gb", num_partitions=_gate_buckets())
-            .map_groups(drop_gb, batch_format="pandas"))
+    # bucket count captured ONCE at plan-build time (a per-batch
+    # _gate_buckets() call could change the modulus mid-stage)
+    return key_bucketed(ds, ["user_id"], _gate_buckets()).map_groups(
+        drop_gb, batch_format="pandas")
 
 
 # -- formerly rows-only: now each carries a machine-checked oracle ----------

@@ -37,6 +37,50 @@ def hash_buckets(table: pa.Table, key_cols: list[str], num_buckets: int) -> np.n
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def stable_hash_buckets(table: pa.Table, key_cols: list[str],
+                        num_buckets: int) -> np.ndarray:
+    """Dtype-STABLE bucket ids for per-key co-location: every key
+    column is cast to STRING in Arrow BEFORE the numpy conversion.
+
+    Rationale: ``np.asarray`` materializes an int64 Arrow column as
+    int64 for null-free batches but float64 (NaN) for batches with any
+    null, and ``pd.util.hash_array`` hashes 5 and 5.0 differently — so
+    hashing the raw numpy values can route the SAME key to DIFFERENT
+    buckets in different batches, silently splitting a key's window /
+    group. The Arrow-side string cast is independent of the batch's
+    null pattern. Null keys hash as a consistent null bucket. (This is
+    deliberately a separate function from :func:`hash_buckets`, whose
+    hash feeds the committed snapshot layout and must stay stable
+    across versions.)"""
+    cols = [pc.cast(table[c] if not isinstance(table[c], pa.ChunkedArray)
+                    else table[c].combine_chunks(), pa.string())
+            for c in key_cols]
+    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(
+        *cols, KEY_SEP)
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    h = pd.util.hash_array(np.asarray(joined, dtype=object),
+                           categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def key_bucketed(ds, key_cols: list[str], num_partitions: int):
+    """Append a dtype-stable ``__gb`` hash bucket of ``key_cols`` and
+    group by it: all rows of a key share one bucket, so per-key kernels
+    stay intact while the per-group fixed cost is paid per BUCKET, not
+    per distinct key. ``num_partitions`` is captured ONCE at plan-build
+    time — deriving it inside the per-batch closure (e.g. from live
+    cluster resources) can change the modulus mid-stage and split
+    keys."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__gb", pa.array(
+            stable_hash_buckets(batch, key_cols, num_partitions)))
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("__gb", num_partitions=num_partitions))
+
+
 _threads_limited = False
 
 

@@ -348,3 +348,46 @@ def test_grouped_hll_bucket_merge_matches_per_key_estimate():
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_stable_hash_buckets_immune_to_null_dtype_flip():
+    """np.asarray turns an int64 Arrow column into float64 when the
+    batch has any null; the stable hash must give the SAME bucket for
+    a key either way (a split key silently breaks per-key windows)."""
+    import pyarrow as pa
+
+    from kafka_connect_mongo_ray.utils import stable_hash_buckets
+
+    clean = pa.table({"k": pa.array([5, 7, 9], pa.int64())})
+    dirty = pa.table({"k": pa.array([5, None, 9], pa.int64())})
+    b_clean = stable_hash_buckets(clean, ["k"], 32)
+    b_dirty = stable_hash_buckets(dirty, ["k"], 32)
+    assert b_clean[0] == b_dirty[0]  # key 5
+    assert b_clean[2] == b_dirty[2]  # key 9
+
+
+def test_grouped_hll_null_keys_excluded_not_corrupting():
+    """A null group key must neither crash (all-null batch) nor
+    max-merge its rows into another key's registers."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.sketch import (
+        HyperLogLog,
+        approx_distinct_by,
+    )
+
+    t = pa.table({"k": pa.array(["a", None, "a", None], pa.string()),
+                  "v": pa.array([1, 999, 2, 998], pa.int64())})
+    out = approx_distinct_by(rd.from_arrow(t), "v", "k",
+                             p=10).to_pandas()
+    assert out["k"].tolist() == ["a"]
+    want = HyperLogLog(10)
+    want.add_values(np.array([1, 2], dtype=np.int64))
+    assert out["approx_distinct"].iloc[0] == want.estimate()
+
+    # all-null batch: no crash, empty result
+    t2 = pa.table({"k": pa.array([None, None], pa.string()),
+                   "v": pa.array([1, 2], pa.int64())})
+    assert approx_distinct_by(rd.from_arrow(t2), "v", "k", p=10).count() == 0
