@@ -898,3 +898,153 @@ class EmbeddingNearDup:
                 "cosine": pa.array(out_sims, pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# exact edit-distance (Levenshtein) similarity join
+
+
+def myers_distance(a: str, b: str) -> int:
+    """Exact Levenshtein distance via Myers' bit-parallel algorithm
+    (Myers 1999, "A fast bit-vector algorithm for approximate string
+    matching based on dynamic programming", JACM 46(3)): the DP matrix
+    column is encoded as plus/minus delta bit-vectors, one arbitrary-
+    precision Python int each, so the inner loop is O(len(b)) big-int
+    bit operations instead of an O(len(a)·len(b)) cell sweep — ~100×
+    faster than a Python DP for the few-hundred-char documents this
+    verifies."""
+    m = len(a)
+    if m == 0:
+        return len(b)
+    if len(b) == 0:
+        return m
+    peq: dict = {}
+    for i, ch in enumerate(a):
+        peq[ch] = peq.get(ch, 0) | (1 << i)
+    mask = (1 << m) - 1
+    last = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for ch in b:
+        eq = peq.get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & last:
+            score += 1
+        if mh & last:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+def _char_histograms(texts: list, alphabet_bits: int = 7) -> np.ndarray:
+    """(rows × 2^alphabet_bits) char-frequency matrix — codepoints
+    folded into 2^bits bins (folding only WEAKENS the L1 lower bound,
+    never breaks it). Vectorized: one pass over the concatenation."""
+    n_bins = 1 << alphabet_bits
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    if lens.sum() == 0:
+        return np.zeros((len(texts), n_bins), dtype=np.int64)
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                         dtype=np.uint32).astype(np.int64) % n_bins
+    row = np.repeat(np.arange(len(texts)), lens)
+    h = np.zeros((len(texts), n_bins), dtype=np.int64)
+    np.add.at(h, (row, flat), 1)
+    return h
+
+
+def edit_distance_pairs(ds, docs_ds, *, max_dist: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        len_col: str = "n_chars",
+                        num_partitions: int | None = None):
+    """EXACT edit-distance similarity join: every unordered document
+    pair with Levenshtein distance ≤ ``max_dist`` — the character-level
+    member of the dedup family (catches small in-place edits that
+    word-level Jaccard dilutes and MinHash misses at low shingle
+    overlap).
+
+    Three stages, each recall-COMPLETE for the threshold:
+
+    1. *Length blocking* (complete: ``ed(a,b) ≥ |len a − len b|``).
+       Each doc lands in block ``len // max_dist`` (home) and is also
+       sent to block+1 (guest); any pair within ``max_dist`` lengths
+       shares a block — same-block pairs meet in the home block,
+       adjacent-block pairs meet where the longer doc is home — so
+       every qualifying pair is generated EXACTLY once. Per-block
+       pair enumeration is vectorized (triu / cross indices) with the
+       |Δlen| filter applied before any text moves.
+    2. *Histogram prefilter* (complete: every edit op changes the char
+       frequency L1 distance by ≤ 2, so ``ed ≥ L1/2``). One vectorized
+       bincount pass per batch; pairs failing ``L1 ≤ 2·max_dist`` drop
+       before the DP.
+    3. *Verify*: texts attach via two bucketed hash joins
+       (:func:`attach_pair_texts` — no driver-side corpus) and
+       :func:`myers_distance` confirms ``dist ≤ max_dist``.
+
+    Scale contract: a length block holds all docs within a
+    ``max_dist``-char length window — at corpus scale that block is
+    large and the O(block²) enumeration is the bottleneck; production
+    layers a content blocker (MinHash bands / q-gram prefix) UPSTREAM
+    and uses this as the exact verifier, or caps block fan-out the way
+    ``_pairs_in_bucket`` does (documented trade: caps forfeit
+    recall-completeness). ``ds`` needs (id, len) only; ``docs_ds``
+    supplies texts to the verify joins. Returns (id_a, id_b, dist)
+    with id_a < id_b."""
+    parts = _default_partitions(num_partitions)
+
+    def block_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        lens = np.asarray(batch[len_col], dtype=np.int64)
+        blk = lens // max(max_dist, 1)
+        return pa.table({
+            "__blk": pa.array(np.concatenate([blk, blk + 1]), pa.int64()),
+            "home": pa.array(np.concatenate([np.ones(len(ids), bool),
+                                             np.zeros(len(ids), bool)])),
+            id_col: pa.array(np.concatenate([ids, ids]), pa.int64()),
+            len_col: pa.array(np.concatenate([lens, lens]), pa.int64()),
+        })
+
+    def pairs_in_block(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        lens = np.asarray(g[len_col], dtype=np.int64)
+        home = np.asarray(g["home"])
+        hi = np.flatnonzero(home)
+        gi = np.flatnonzero(~home)
+        ia, ib = np.triu_indices(len(hi), 1)
+        a = np.concatenate([hi[ia], np.repeat(gi, len(hi))])
+        b = np.concatenate([hi[ib], np.tile(hi, len(gi))])
+        keep = np.abs(lens[a] - lens[b]) <= max_dist
+        a, b = a[keep], b[keep]
+        id_a = np.minimum(ids[a], ids[b])
+        id_b = np.maximum(ids[a], ids[b])
+        return pa.table({"id_a": pa.array(id_a, pa.int64()),
+                         "id_b": pa.array(id_b, pa.int64())})
+
+    cands = (ds.map_batches(block_rows, batch_format="pyarrow")
+             .groupby("__blk", num_partitions=parts)
+             .map_groups(pairs_in_block, batch_format="pyarrow"))
+
+    with_texts = attach_pair_texts(cands, docs_ds, id_col=id_col,
+                                   text_col=text_col, num_buckets=parts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        h = _char_histograms(ta + tb)
+        l1 = np.abs(h[:len(ta)] - h[len(ta):]).sum(axis=1)
+        maybe = np.flatnonzero(l1 <= 2 * max_dist)
+        dist = np.full(len(ta), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in maybe:
+            dist[i] = myers_distance(ta[i], tb[i])
+        keep = dist <= max_dist
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "dist": pa.array(dist, pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return with_texts.map_batches(verify, batch_format="pyarrow")

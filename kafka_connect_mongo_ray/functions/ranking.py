@@ -28,7 +28,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
-           "dense_rank", "group_percent_rank"]
+           "dense_rank", "group_percent_rank", "rank_with_ties",
+           "group_string_agg", "funnel_counts"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
@@ -315,6 +316,133 @@ def global_row_number(ds, *, order_cols: list[str], rank_col: str = "rn",
     return bucketed.groupby("__rbucket",
                             num_partitions=min(num_buckets, max(len(counts), 1))
                             ).map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def rank_with_ties(ds, *, order_col: str, rank_col: str = "rnk",
+                   num_buckets: int = 32, sample_per_block: int = 64):
+    """Distributed RANK() OVER (ORDER BY ``order_col`` ASC): equal
+    values share a rank and the next distinct value's rank jumps by
+    the tie count (SQL RANK, completing the family next to
+    :func:`global_row_number` and :func:`dense_rank`).
+
+    ``rank(v) = 1 + #rows with value < v``, so the shape is the
+    row-count variant of :func:`dense_rank`: sampled range boundaries
+    (bounded driver state), per-bucket ROW counts from per-batch
+    bincount partials (no row data shuffles in the counts pass), then
+    one rank-pass shuffle where each bucket sorts its values once and
+    ranks every row via ``searchsorted(side='left')`` plus the
+    exclusive prefix-sum offset of earlier buckets. Ties never split
+    across buckets — every equal value lands in exactly one bucket by
+    the same ``side='right'`` boundary rule in both passes."""
+    base = ds.materialize()
+    bounds = _range_bounds(base, order_col, num_buckets, sample_per_block)
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[order_col])
+        b = np.searchsorted(bounds, v, side="right")
+        c = np.bincount(b, minlength=len(bounds) + 1)
+        nz = np.flatnonzero(c)
+        return pa.table({"__rbucket": pa.array(nz.astype(np.int32)),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    counts = {int(r["__rbucket"]): int(r["n"])
+              for r in base.map_batches(partial_counts,
+                                        batch_format="pyarrow")
+              .groupby("__rbucket").aggregate(Sum("n", alias_name="n"))
+              .take_all()}
+    offsets = {}
+    acc = 1
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__rbucket"][0].as_py())
+        v = np.asarray(g[order_col])
+        sv = np.sort(v)
+        rnk = offsets[b] + np.searchsorted(sv, v, side="left")
+        return g.drop_columns(["__rbucket"]).append_column(
+            rank_col, pa.array(rnk.astype(np.int64), pa.int64()))
+
+    return (base.map_batches(_bucket_assigner(bounds, order_col),
+                             batch_format="pyarrow")
+            .groupby("__rbucket",
+                     num_partitions=min(num_buckets, max(len(counts), 1)))
+            .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+def group_string_agg(ds, *, key: str, order_cols: list[str], val_col: str,
+                     sep: str, out_col: str = "agg",
+                     num_partitions: int | None = None):
+    """Per-``key`` ordered string aggregation — SQL's
+    ``STRING_AGG(val, sep ORDER BY order_cols)`` — one row per key.
+
+    Same hash-bucketed shape as the window family: one shuffle by a
+    bucket of the key, then a per-bucket kernel that sorts once by
+    (key, order) and joins each key's run (the join itself is
+    inherently per-key string work; everything around it is
+    vectorized). Contract: a single giant key produces a single giant
+    string — the output row IS the concatenation, so per-key output
+    size equals per-key input size (same straggler contract as any
+    SQL STRING_AGG)."""
+    import pandas as pd
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        df = pd.DataFrame({key: np.asarray(t[key]),
+                           "v": np.asarray(t[val_col]).astype(object)})
+        agg = df.groupby(key, sort=True)["v"].agg(sep.join).reset_index()
+        return pa.table({key: pa.array(agg[key].to_numpy()),
+                         out_col: pa.array(agg["v"].tolist(), pa.string())})
+
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def funnel_counts(ds, *, key: str, ts_col: str, type_col: str,
+                  steps: list[str], num_partitions: int | None = None):
+    """Ordered funnel analysis: how many ``key`` entities performed
+    ``steps[0]``, then ``steps[1]`` STRICTLY after it, then
+    ``steps[2]`` strictly after that, … — each step anchored at the
+    EARLIEST qualifying time (the standard product-analytics funnel:
+    step_i time = min ts of type_i with ts > step_{i-1} time).
+
+    One shuffle: rows bucket by a hash of the key (a key's events stay
+    together), then a per-bucket vectorized pass computes each step's
+    per-key anchor via masked pandas groupby-mins and emits a
+    ≤len(steps)-row partial (step, users); a Sum-reduce produces the
+    final counts. Driver state is len(steps) scalars. Returns a
+    Dataset (step int64 1-based, users int64)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": np.asarray(g[key]),
+            "ts": np.asarray(g[ts_col], dtype=np.int64),
+            "ty": np.asarray(g[type_col]).astype(object),
+        })
+        reached = []
+        prev = None  # per-key anchor Series, indexed by key
+        for s in steps:
+            rows = df[df["ty"] == s]
+            if prev is not None:
+                anchor = rows["k"].map(prev)
+                rows = rows[anchor.notna() & (rows["ts"] > anchor)]
+            cur = rows.groupby("k")["ts"].min()
+            reached.append(len(cur))
+            prev = cur
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "users": pa.array(reached, pa.int64()),
+        })
+
+    return (_key_bucketed(ds, key, num_partitions)
+            .map_groups(per_bucket, batch_format="pyarrow")
+            .groupby("step").aggregate(Sum("users", alias_name="users")))
 
 
 def dense_rank(ds, *, order_col: str, rank_col: str = "dr",

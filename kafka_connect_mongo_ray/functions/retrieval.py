@@ -38,7 +38,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["build_tf_table", "bm25_topk", "bm25_topk_multi"]
+__all__ = ["build_tf_table", "bm25_topk", "bm25_topk_multi",
+           "tfidf_top_terms"]
 
 #: two-level reduce: above this many candidate blocks, prune through an
 #: intermediate coalesce so the final pick task sees ≤ _FANIN·k rows
@@ -162,6 +163,96 @@ def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
     out = _two_level_pick(
         tf.map_batches(score_block, batch_format="pyarrow"),
         pick, tf.num_blocks())
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pc.round(t["score"], round_to,
+                     round_mode="half_towards_infinity")),
+        batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    round_to: int = 6,
+                    num_partitions: int | None = None):
+    """FULL-VOCABULARY TF-IDF: each document's top-``k`` terms by
+    ``tf · ln(N / df)`` (raw term count × inverse document frequency),
+    score descending, ties by term ascending.
+
+    Unlike the BM25 path (tf columns for a FIXED query-term list),
+    this materializes the classic sparse matrix as a narrow
+    (doc, term, tf) token table — the whole-corpus product:
+
+    1. *tf pass*: per batch, whitespace-split (the SQL-reproducible
+       ``string_split(text, ' ')``) and count (doc, term) occurrences
+       via one vectorized pandas groupby over the flattened token
+       values — output is distinct-pair rows, never the token stream.
+       The table is materialized once and consumed by both the df
+       aggregate and the scoring join (the multi-consumer staging
+       rule).
+    2. *df pass*: (doc, term) rows are distinct by construction, so
+       per-batch term counts Sum-reduce to the vocabulary-sized
+       (term, df) table — no distinct pass needed.
+    3. *score + top-k*: a bucketed hash join tf ⋈ df on term (the
+       vocabulary can exceed broadcast size at corpus scale — Heaps'
+       law sublinear but unbounded), then per-doc top-k via one
+       shuffle by a hash bucket of the doc id and a vectorized
+       sort + head(k) per bucket.
+
+    ``n_docs`` is the corpus document count (parquet footer metadata —
+    don't pay a count() pass). Returns (id_col, term, score) with
+    ``score`` rounded to ``round_to``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ").combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        df = pd.DataFrame({
+            id_col: np.repeat(ids, np.diff(offs)),
+            "term": np.asarray(toks.values).astype(object),
+        })
+        agg = df.groupby([id_col, "term"], sort=False).size().reset_index(
+            name="tf")
+        return pa.table({id_col: pa.array(agg[id_col].to_numpy(), pa.int64()),
+                         "term": pa.array(agg["term"].to_numpy(), pa.string()),
+                         "tf": pa.array(agg["tf"].to_numpy(), pa.int64())})
+
+    tf = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["term"]).group_by("term").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    dfreq = (tf.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+
+    joined = hash_join(tf, dfreq, on=["term"],
+                       num_buckets=num_partitions or 32)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = np.asarray(batch["tf"], dtype=np.float64)
+        dfv = np.asarray(batch["df"], dtype=np.float64)
+        s = tfv * np.log(float(n_docs) / dfv)
+        return pa.table({id_col: batch[id_col], "term": batch["term"],
+                         "score": pa.array(s, pa.float64())})
+
+    def topk_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"])
+        df = t.to_pandas().sort_values(
+            [id_col, "score", "term"], ascending=[True, False, True],
+            kind="mergesort")
+        out = df.groupby(id_col, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(t.schema)
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    out = key_bucketed(scored, [id_col], num_partitions or 32).map_groups(
+        topk_bucket, batch_format="pyarrow")
     return out.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index("score"), "score",

@@ -15,7 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["corr_components", "frequent_items", "group_argmax",
-           "linreg_components", "fixed_width_histogram"]
+           "linreg_components", "fixed_width_histogram",
+           "group_count_distinct", "group_zscore_outliers"]
 
 
 def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
@@ -224,6 +225,113 @@ def fixed_width_histogram(ds, val_col: str, *, width: float,
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("bin", **kwargs).aggregate(*aggs))
+
+
+def group_count_distinct(ds, *, group_col: str, val_col: str,
+                         out_col: str = "nd",
+                         num_partitions: int | None = None):
+    """EXACT ``COUNT(DISTINCT val) GROUP BY group`` — the precise
+    complement of the mergeable-HLL estimate in ``functions/sketch``.
+
+    Shape: each batch first drops to its LOCAL distinct (group, val)
+    pairs (bounded by distinct-pairs-per-batch, never batch rows),
+    then ONE shuffle co-locates pairs by a hash bucket of the pair so
+    cross-batch duplicates meet; the per-bucket kernel deduplicates
+    and emits per-group partial counts (a pair's bucket is a function
+    of the pair, so no distinct pair is counted twice across buckets),
+    and a final group-domain-sized Sum closes it. The all-to-all moves
+    the distinct-pair domain — the information-theoretic minimum for
+    an exact answer."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, val_col]).group_by(
+            [group_col, val_col]).aggregate([])
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: np.asarray(g[group_col]),
+                           "v": np.asarray(g[val_col])})
+        nd = (df.drop_duplicates()
+              .groupby(group_col, sort=False, dropna=False)
+              .size().reset_index(name="n"))
+        return pa.table({group_col: pa.array(nd[group_col].to_numpy()),
+                         "n": pa.array(nd["n"].to_numpy(), pa.int64())})
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
+    partials = key_bucketed(pairs, [group_col, val_col],
+                            num_partitions or 32).map_groups(
+        bucket_counts, batch_format="pyarrow")
+    return partials.groupby(group_col).aggregate(
+        Sum("n", alias_name=out_col))
+
+
+def group_zscore_outliers(ds, *, group_col: str, int_col: str,
+                          id_cols: list[str], z_thresh: float = 2.0,
+                          z_col: str = "z", round_to: int = 9):
+    """Per-group z-score outlier filter: rows whose integer ``int_col``
+    sits more than ``z_thresh`` population standard deviations from
+    its group's mean (|v − μ_g| / σ_g > z_thresh).
+
+    Two passes over one materialized lineage: (1) per-batch int64
+    moment partials (n, Σv, Σv²) per group — bit-exact under any
+    partitioning — Sum-reduce to a GROUP-DOMAIN-sized driver table
+    that broadcasts back as closure scalars (the caller owns the
+    bounded-group-domain contract, same as any broadcast dimension);
+    (2) a streaming filter pass computes z with a fixed float operand
+    order (μ = Σv/n, σ² = Σv²/n − μ·μ, z = (v − μ)/σ — each operand
+    explicitly int→float64, reproducible verbatim in SQL) and keeps
+    |z| > z_thresh rows. The filter compares RAW z; ``z_col`` is then
+    rounded to ``round_to`` for hash-stable output."""
+    from ray.data.aggregate import Sum
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = np.asarray(batch[int_col], dtype=np.int64)
+        df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
+                           "n": 1, "s1": v, "s2": v * v})
+        agg = df.groupby(group_col, sort=False, dropna=False).sum().reset_index()
+        return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
+                         "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+                         "s1": pa.array(agg["s1"].to_numpy(), pa.int64()),
+                         "s2": pa.array(agg["s2"].to_numpy(), pa.int64())})
+
+    base = ds.materialize()
+    stats = {}
+    for r in (base.map_batches(moment_partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("s1", alias_name="s1"),
+                         Sum("s2", alias_name="s2"))
+              .take_all()):
+        n, s1, s2 = float(r["n"]), float(r["s1"]), float(r["s2"])
+        if abs(r["s2"]) > (1 << 62):
+            raise OverflowError("group_zscore_outliers moment sum too "
+                                "large for exact int64 — pre-scale down")
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        stats[r[group_col]] = (mean, np.sqrt(var))
+
+    def zfilter(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = np.asarray(batch[int_col], dtype=np.int64).astype(np.float64)
+        # factorize: the Python-level stats lookup runs once per
+        # DISTINCT group in the batch, never per row
+        codes, uniques = pd.factorize(np.asarray(batch[group_col]))
+        mean_u = np.array([stats[u][0] for u in uniques], dtype=np.float64)
+        std_u = np.array([stats[u][1] for u in uniques], dtype=np.float64)
+        z = (v - mean_u[codes]) / std_u[codes]
+        keep = np.abs(z) > z_thresh
+        out = batch.select(id_cols + [group_col]).filter(pa.array(keep))
+        return out.append_column(
+            z_col, pc.round(pa.array(z[keep], pa.float64()), round_to,
+                            round_mode="half_towards_infinity"))
+
+    return base.map_batches(zfilter, batch_format="pyarrow")
 
 
 def frequent_items(ds, col: str, *, min_frac: tuple[int, int],

@@ -2185,6 +2185,142 @@ def q_events_quantiles_approx(sf_dir: str):
                          "within_bound": ok})
 
 
+def q_events_rank_ties(sf_dir: str):
+    """Distributed SQL RANK() with ties (functions/ranking.py::
+    rank_with_ties) over FLOOR(value) — a deliberately tie-heavy
+    integer domain. Counts pass moves only bincount partials; the one
+    row shuffle is the rank pass."""
+    from kafka_connect_mongo_ray.functions.ranking import rank_with_ties
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(t["value"], dtype=np.float64))
+        return pa.table({"event_id": t["event_id"],
+                         "v": pa.array(v.astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = rank_with_ties(ds, order_col="v", rank_col="rnk",
+                         num_buckets=_gate_buckets())
+    return out.select_columns(["event_id", "rnk"])
+
+
+def q_orders_monthly_revenue(sf_dir: str):
+    """Calendar-month rollup of order revenue — the date-family
+    aggregate (dates extracted with Arrow's year()/month() kernels,
+    revenue as exact int64 cents). Batch-local pure-Arrow pre-agg
+    bounds the one shuffle at months-per-block rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(batch["o_orderdate"]),
+                                        pa.int64()), 100),
+                    pc.cast(pc.month(batch["o_orderdate"]), pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                                 0, round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = pa.table({"ym": ym, "revenue_cents": cents}).group_by(
+            "ym").aggregate([("revenue_cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["ym", "revenue_cents", "n"])
+
+    return (_read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("ym")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                       Sum("n", alias_name="n")))
+
+
+def q_events_distinct_users_exact(sf_dir: str):
+    """EXACT COUNT(DISTINCT user) per event type (functions/stats.py::
+    group_count_distinct) — the exact complement of the
+    events_user_hll_by_type estimate: batch-local pair dedup, one
+    pair-domain shuffle, group-domain Sum."""
+    from kafka_connect_mongo_ray.functions.stats import group_count_distinct
+
+    return group_count_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        group_col="event_type", val_col="user_id", out_col="nd",
+        num_partitions=_gate_buckets())
+
+
+def q_events_user_paths(sf_dir: str):
+    """Per-user ordered event-type path (functions/ranking.py::
+    group_string_agg) — SQL STRING_AGG(type, '>' ORDER BY ts, id):
+    one bucketed shuffle, per-bucket sort + join."""
+    from kafka_connect_mongo_ray.functions.ranking import group_string_agg
+
+    return group_string_agg(
+        _events_ts_us(sf_dir, extra_cols=["event_type"]),
+        key="user_id", order_cols=["ts_us", "event_id"],
+        val_col="event_type", sep=">", out_col="path",
+        num_partitions=_gate_buckets())
+
+
+def q_lineitem_zscore(sf_dir: str):
+    """Per-returnflag z-score outliers (functions/stats.py::
+    group_zscore_outliers) over FLOOR(extendedprice) dollars: exact
+    int64 moments per group broadcast back as closure scalars, filter
+    on RAW z (|z| > 1.5 — the price domain is near-uniform, max |z|
+    ~1.73), output z rounded to 9 — the float formula is
+    mirrored operand-for-operand in the oracle."""
+    from kafka_connect_mongo_ray.functions.stats import group_zscore_outliers
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(t["l_extendedprice"], dtype=np.float64))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "l_returnflag": t["l_returnflag"],
+                         "v": pa.array(v.astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    return group_zscore_outliers(ds, group_col="l_returnflag", int_col="v",
+                                 id_cols=["l_orderkey", "l_linenumber"],
+                                 z_thresh=1.5, z_col="z")
+
+
+def q_events_funnel(sf_dir: str):
+    """signup → click → purchase funnel (functions/ranking.py::
+    funnel_counts): per-user earliest-anchor chain with strict time
+    ordering; one bucketed shuffle, per-bucket masked groupby-mins,
+    scalar partials."""
+    from kafka_connect_mongo_ray.functions.ranking import funnel_counts
+
+    return funnel_counts(
+        _events_ts_us(sf_dir, extra_cols=["event_type"]),
+        key="user_id", ts_col="ts_us", type_col="event_type",
+        steps=["signup", "click", "purchase"],
+        num_partitions=_gate_buckets())
+
+
+def q_docs_tfidf_top(sf_dir: str):
+    """Full-vocabulary TF-IDF top-3 terms per document
+    (functions/retrieval.py::tfidf_top_terms): narrow (doc, term, tf)
+    token table → vocabulary-sized df aggregate → bucketed tf ⋈ df
+    join → per-doc top-k. N comes from the parquet footer."""
+    from kafka_connect_mongo_ray.functions.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_docs=_table_rows(sf_dir, "documents"), k=3,
+        num_partitions=_gate_buckets())
+
+
+def q_dedup_edit_distance(sf_dir: str):
+    """Exact Levenshtein similarity join at distance ≤ 10
+    (functions/dedup.py::edit_distance_pairs): complete length
+    blocking → complete char-histogram L1 prefilter → Myers
+    bit-parallel verify on join-attached texts — the character-level
+    dedup family member."""
+    from kafka_connect_mongo_ray.functions.dedup import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return edit_distance_pairs(
+        docs.select_columns(["doc_id", "n_chars"]), docs, max_dist=10,
+        num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2272,6 +2408,14 @@ def build_queries():
         "events_mode_per_type": q_events_mode_per_type,
         "docs_repetition_stats": q_docs_repetition_stats,
         "events_quantiles_approx": q_events_quantiles_approx,
+        "events_rank_ties": q_events_rank_ties,
+        "orders_monthly_revenue": q_orders_monthly_revenue,
+        "events_distinct_users_exact": q_events_distinct_users_exact,
+        "events_user_paths": q_events_user_paths,
+        "lineitem_zscore": q_lineitem_zscore,
+        "events_funnel": q_events_funnel,
+        "docs_tfidf_top": q_docs_tfidf_top,
+        "dedup_edit_distance": q_dedup_edit_distance,
     }
 
 
@@ -2954,5 +3098,103 @@ def build_oracle_sql():
                    (SELECT CAST(COUNT(value) AS BIGINT) FROM events) AS n,
                    TRUE AS within_bound
             FROM (VALUES (0.25), (0.50), (0.75), (0.90)) AS t(q)
+        """,
+        "events_rank_ties": """
+            SELECT event_id,
+                   RANK() OVER (ORDER BY CAST(FLOOR(value) AS BIGINT)) AS rnk
+            FROM events
+        """,
+        "orders_monthly_revenue": """
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                        AS BIGINT) AS ym,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY ym
+        """,
+        "events_distinct_users_exact": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd
+            FROM events GROUP BY event_type
+        """,
+        "events_user_paths": """
+            SELECT user_id,
+                   STRING_AGG(event_type, '>'
+                              ORDER BY epoch_us(ts), event_id) AS path
+            FROM events GROUP BY user_id
+        """,
+        # the float formula mirrors group_zscore_outliers operand for
+        # operand: mean = s1/n, var = s2/n - mean*mean, z = (v-mean)/sqrt(var)
+        "lineitem_zscore": """
+            WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                              CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+                       FROM lineitem),
+            s AS (SELECT l_returnflag,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(v) AS BIGINT) AS s1,
+                         CAST(SUM(v * v) AS BIGINT) AS s2
+                  FROM v GROUP BY l_returnflag),
+            z AS (SELECT l_orderkey, l_linenumber, v.l_returnflag,
+                         (CAST(v AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         / SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         AS zr
+                  FROM v JOIN s USING (l_returnflag))
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   ROUND(zr, 9) AS z
+            FROM z WHERE ABS(zr) > 1.5
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+            UNION ALL SELECT 2, (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 3, (SELECT COUNT(*) FROM s3)
+        """,
+        # rank by RAW score (ties by term), round only in the output —
+        # mirrors tfidf_top_terms exactly
+        "docs_tfidf_top": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            scored AS (SELECT tf.doc_id, tf.term,
+                              CAST(tf AS DOUBLE)
+                              * LN(CAST(nn.n AS DOUBLE)
+                                   / CAST(df AS DOUBLE)) AS s
+                       FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+            SELECT doc_id, term, ROUND(s, 6) AS score FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, term) <= 3
+        """,
+        # length prefilter in the join condition is exact
+        # (levenshtein >= |len difference|), so the CTE only shrinks
+        # the pair set the verifier scans — the answer is the full
+        # <= 10 pair set
+        "dedup_edit_distance": """
+            WITH cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.text AS ta, b.text AS tb
+              FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id
+               AND b.n_chars BETWEEN a.n_chars - 10 AND a.n_chars + 10)
+            SELECT id_a, id_b,
+                   CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(ta, tb) <= 10
         """,
     }
