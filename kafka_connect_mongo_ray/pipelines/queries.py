@@ -2327,58 +2327,11 @@ def q_dedup_edit_distance(sf_dir: str):
 
 def build_queries():
     return {
-        "cdc_final_state": q_cdc_final_state,
-        "cdc_event_counts": q_cdc_event_counts,
-        "cdc_tombstone_keys": q_cdc_tombstone_keys,
-        "cdc_lww_user_state": q_cdc_lww_user_state,
-        "cdc_resume_tokens": q_cdc_resume_tokens,
-        "cdc_backfill_union_tail": q_cdc_backfill_union_tail,
-        "cdc_wal_tail": q_cdc_wal_tail,
-        "cdc_change_feed": q_cdc_change_feed,
-        "cdc_update_enrichment": q_cdc_update_enrichment,
-        "join_orders_customer": q_join_orders_customer,
-        "analyze_props": q_analyze_props,
-        "text_stats": q_text_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_group_sizes": q_dedup_group_sizes,
-        "ann_topk": q_ann_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "events_per_type": q_events_per_type,
-        "events_tumbling_window": q_events_tumbling_window,
-        "events_session_windows": q_events_session_windows,
-        "events_top_values": q_events_top_values,
-        "events_distinct_types": q_events_distinct_types,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "join_lineitem_part_supplier": q_join_lineitem_part_supplier,
-        "events_hopping_window": q_events_hopping_window,
-        "events_topk_per_group": q_events_topk_per_group,
-        "events_asof_join": q_events_asof_join,
-        "docs_quality_filter": q_docs_quality_filter,
-        "corpus_prep": q_corpus_prep,
-        # approximate / trained operators — each returns machine-checked
-        # rows (measured recall / error-bound flags) with a SQL oracle
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "events_distinct_users_hll": q_events_distinct_users_hll,
-        "docs_langid": q_docs_langid,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "multimodal_frames": q_multimodal_frames,
-        "lineitem_quantiles": q_lineitem_quantiles,
-        "orders_sample_md5": q_orders_sample_md5,
-        "lineitem_price_brackets": q_lineitem_price_brackets,
-        "events_user_hll_by_type": q_events_user_hll_by_type,
-        "events_lag_delta": q_events_lag_delta,
-        "events_running_sum": q_events_running_sum,
-        "events_global_rank": q_events_global_rank,
-        "join_anti_customers": q_join_anti_customers,
-        "join_semi_parts": q_join_semi_parts,
+    # Ordering contract: queries WITHOUT a CORRECTNESS_r03 row come
+    # FIRST (r03 recorded exactly the registry's first 50 entries, so
+    # a prefix-budgeted gate would otherwise never reach them); the 50
+    # r03-verified queries follow, CDC flagship family first. Their
+    # implementations are unchanged since the r03-green commit.
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2416,6 +2369,56 @@ def build_queries():
         "events_funnel": q_events_funnel,
         "docs_tfidf_top": q_docs_tfidf_top,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_event_counts": q_cdc_event_counts,
+        "cdc_tombstone_keys": q_cdc_tombstone_keys,
+        "cdc_lww_user_state": q_cdc_lww_user_state,
+        "cdc_resume_tokens": q_cdc_resume_tokens,
+        "cdc_backfill_union_tail": q_cdc_backfill_union_tail,
+        "cdc_wal_tail": q_cdc_wal_tail,
+        "cdc_change_feed": q_cdc_change_feed,
+        "cdc_update_enrichment": q_cdc_update_enrichment,
+        "join_orders_customer": q_join_orders_customer,
+        "analyze_props": q_analyze_props,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_group_sizes": q_dedup_group_sizes,
+        "ann_topk": q_ann_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "events_per_type": q_events_per_type,
+        "events_tumbling_window": q_events_tumbling_window,
+        "events_session_windows": q_events_session_windows,
+        "events_top_values": q_events_top_values,
+        "events_distinct_types": q_events_distinct_types,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "join_lineitem_part_supplier": q_join_lineitem_part_supplier,
+        "events_hopping_window": q_events_hopping_window,
+        "events_topk_per_group": q_events_topk_per_group,
+        "events_asof_join": q_events_asof_join,
+        "docs_quality_filter": q_docs_quality_filter,
+        "corpus_prep": q_corpus_prep,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
+        "docs_langid": q_docs_langid,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "multimodal_frames": q_multimodal_frames,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "orders_sample_md5": q_orders_sample_md5,
+        "lineitem_price_brackets": q_lineitem_price_brackets,
+        "events_user_hll_by_type": q_events_user_hll_by_type,
+        "events_lag_delta": q_events_lag_delta,
+        "events_running_sum": q_events_running_sum,
+        "events_global_rank": q_events_global_rank,
+        "join_anti_customers": q_join_anti_customers,
+        "join_semi_parts": q_join_semi_parts,
     }
 
 
