@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["build_tf_table", "bm25_topk", "bm25_topk_multi",
-           "tfidf_top_terms"]
+           "tfidf_top_terms", "unigram_logprob"]
 
 #: two-level reduce: above this many candidate blocks, prune through an
 #: intermediate coalesce so the final pick task sees ≤ _FANIN·k rows
@@ -174,7 +174,7 @@ def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
 def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
                     round_to: int = 6,
-                    num_partitions: int | None = None):
+                    num_partitions: int | None = None, tf=None):
     """FULL-VOCABULARY TF-IDF: each document's top-``k`` terms by
     ``tf · ln(N / df)`` (raw term count × inverse document frequency),
     score descending, ties by term ascending.
@@ -200,29 +200,17 @@ def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
        sort + head(k) per bucket.
 
     ``n_docs`` is the corpus document count (parquet footer metadata —
-    don't pay a count() pass). Returns (id_col, term, score) with
-    ``score`` rounded to ``round_to``."""
-    import pandas as pd
+    don't pay a count() pass); ``tf`` shares a
+    :func:`_token_tf_table` pass with :func:`unigram_logprob`.
+    Returns (id_col, term, score) with ``score`` rounded to
+    ``round_to``."""
     from ray.data.aggregate import Sum
 
     from kafka_connect_mongo_ray.stages.join import hash_join
     from kafka_connect_mongo_ray.utils import key_bucketed
 
-    def tf_pairs(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch[text_col], " ").combine_chunks()
-        offs = np.asarray(toks.offsets, dtype=np.int64)
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        df = pd.DataFrame({
-            id_col: np.repeat(ids, np.diff(offs)),
-            "term": np.asarray(toks.values).astype(object),
-        })
-        agg = df.groupby([id_col, "term"], sort=False).size().reset_index(
-            name="tf")
-        return pa.table({id_col: pa.array(agg[id_col].to_numpy(), pa.int64()),
-                         "term": pa.array(agg["term"].to_numpy(), pa.string()),
-                         "tf": pa.array(agg["tf"].to_numpy(), pa.int64())})
-
-    tf = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
+    if tf is None:
+        tf = _token_tf_table(ds, id_col, text_col)
 
     def df_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["term"]).group_by("term").aggregate(
@@ -259,6 +247,85 @@ def tfidf_top_terms(ds, *, n_docs: int, id_col: str = "doc_id",
             pc.round(t["score"], round_to,
                      round_mode="half_towards_infinity")),
         batch_format="pyarrow")
+
+
+def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    round_to: int = 6, num_partitions: int | None = None,
+                    tf=None):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram language model — the classic cheap LM quality score
+    (documents full of globally-rare tokens score low; boilerplate
+    scores high): ``score(d) = Σ_t tf_dt · ln(cnt_t / T) / dl_d`` where
+    ``cnt_t`` is the corpus count of token t and ``T`` the total token
+    count.
+
+    Shares the narrow (doc, term, tf) token-table shape with
+    :func:`tfidf_top_terms` (pass ``tf`` to share one materialized
+    pass): corpus counts are a vocabulary-sized Sum of tf, the total is
+    a scalar, scoring is a bucketed tf ⋈ counts join plus one per-doc
+    Sum pair (Σ tf·lp and Σ tf reduce together; the division happens on
+    the group row). Returns (id_col, logprob) rounded to
+    ``round_to``."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    if tf is None:
+        tf = _token_tf_table(ds, id_col, text_col)
+
+    cnts = (tf.map_batches(
+        lambda b: pa.table({"term": b["term"], "cnt": b["tf"]}),
+        batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")))
+    total = float(tf.aggregate(Sum("tf", alias_name="t"))["t"])
+
+    joined = hash_join(tf, cnts, on=["term"],
+                       num_buckets=num_partitions or 32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tfv = np.asarray(batch["tf"], dtype=np.float64)
+        lp = np.log(np.asarray(batch["cnt"], dtype=np.float64) / total)
+        return pa.table({id_col: batch[id_col],
+                         "slp": pa.array(tfv * lp, pa.float64()),
+                         "dl": pa.array(tfv, pa.float64())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["slp"], dtype=np.float64)
+        d = np.asarray(batch["dl"], dtype=np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "logprob": pc.round(pa.array(s / d, pa.float64()), round_to,
+                                round_mode="half_towards_infinity")})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("slp", alias_name="slp"),
+                       Sum("dl", alias_name="dl"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def _token_tf_table(ds, id_col: str, text_col: str):
+    """The narrow (doc, term, tf) token table shared by
+    :func:`tfidf_top_terms` and :func:`unigram_logprob` — one
+    vectorized pandas groupby over the flattened whitespace split per
+    batch, materialized for its multiple consumers."""
+    import pandas as pd
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ").combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        df = pd.DataFrame({
+            id_col: np.repeat(ids, np.diff(offs)),
+            "term": np.asarray(toks.values).astype(object),
+        })
+        agg = df.groupby([id_col, "term"], sort=False).size().reset_index(
+            name="tf")
+        return pa.table({id_col: pa.array(agg[id_col].to_numpy(), pa.int64()),
+                         "term": pa.array(agg["term"].to_numpy(), pa.string()),
+                         "tf": pa.array(agg["tf"].to_numpy(), pa.int64())})
+
+    return ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
 
 
 def bm25_topk_multi(ds, *, queries: dict, id_col: str = "doc_id",

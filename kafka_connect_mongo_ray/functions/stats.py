@@ -16,7 +16,8 @@ import pyarrow.compute as pc
 
 __all__ = ["corr_components", "frequent_items", "group_argmax",
            "linreg_components", "fixed_width_histogram",
-           "group_count_distinct", "group_zscore_outliers"]
+           "group_count_distinct", "group_zscore_outliers",
+           "grouped_corr"]
 
 
 def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
@@ -225,6 +226,68 @@ def fixed_width_histogram(ds, val_col: str, *, width: float,
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("bin", **kwargs).aggregate(*aggs))
+
+
+def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
+                 x_scale: int = 1, y_scale: int = 1, round_to: int = 9):
+    """Per-group Pearson correlation — :func:`corr_components`
+    generalized to ``GROUP BY group_col``: each batch reduces to ≤
+    groups-present rows of exact int64 moment partials (same float
+    shadow-sum overflow guard), one group-domain-sized Sum exchange,
+    then the closed-form float per group computed batch-side (the
+    group table is already dimension-sized). Returns one row per
+    group: (group, n, corr)."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(np.asarray(batch[x_col], dtype=np.float64)
+                    * x_scale).astype(np.int64)
+        y = np.rint(np.asarray(batch[y_col], dtype=np.float64)
+                    * y_scale).astype(np.int64)
+        df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                           "sx2": x * x, "sy2": y * y})
+        shadow = pd.DataFrame({group_col: df[group_col],
+                               "fxy": x.astype(np.float64) * y,
+                               "fx2": x.astype(np.float64) * x,
+                               "fy2": y.astype(np.float64) * y})
+        agg = df.groupby(group_col, sort=False, dropna=False).sum()
+        sagg = shadow.groupby(group_col, sort=False, dropna=False).sum()
+        for ic, fc in (("sxy", "fxy"), ("sx2", "fx2"), ("sy2", "fy2")):
+            bad = (agg[ic] - sagg[fc]).abs() > 1e-6 * sagg[fc].abs() + 16
+            if bool(bad.any()):
+                raise OverflowError(
+                    f"grouped_corr {ic} overflowed int64 — reduce scales")
+        agg = agg.reset_index()
+        return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
+                         **{c: pa.array(agg[c].to_numpy(), pa.int64())
+                            for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.float64)
+        sx = np.asarray(batch["sx"], dtype=np.float64)
+        sy = np.asarray(batch["sy"], dtype=np.float64)
+        sxy = np.asarray(batch["sxy"], dtype=np.float64)
+        sx2 = np.asarray(batch["sx2"], dtype=np.float64)
+        sy2 = np.asarray(batch["sy2"], dtype=np.float64)
+        denom = np.sqrt(n * sx2 - sx * sx) * np.sqrt(n * sy2 - sy * sy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(denom != 0.0, (n * sxy - sx * sy) / denom,
+                            np.nan)
+        return pa.table({
+            group_col: batch[group_col],
+            "n": batch["n"],
+            "corr": pc.round(pa.array(corr, pa.float64()), round_to,
+                             round_mode="half_towards_infinity"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
+            .map_batches(finish, batch_format="pyarrow"))
 
 
 def group_count_distinct(ds, *, group_col: str, val_col: str,

@@ -1681,6 +1681,34 @@ def _ray_session_key():
         return None
 
 
+def _prune_stale_tf_entries():
+    """Drop cache entries from other Ray sessions (their materialized
+    blocks are dead ObjectRefs) — keep the current session's: the BM25
+    tf table and the full-vocabulary token table coexist."""
+    cur = _ray_session_key()
+    for k in [k for k in _BM25_TF_CACHE if k[-1] != cur]:
+        del _BM25_TF_CACHE[k]
+
+
+def _token_shared_tf(sf_dir: str):
+    """The FULL-vocabulary (doc, term, tf) token table shared by
+    docs_tfidf_top and docs_unigram_logprob — same session-keyed memo
+    discipline as the BM25 tf cache."""
+    key = ("token_tf", sf_dir, _ray_session_key())
+    cached = _BM25_TF_CACHE.get(key)
+    if cached is None:
+        from kafka_connect_mongo_ray.functions.retrieval import (
+            _token_tf_table,
+        )
+
+        _prune_stale_tf_entries()
+        cached = _token_tf_table(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            "doc_id", "text")
+        _BM25_TF_CACHE[key] = cached
+    return cached
+
+
 def _bm25_shared_tf(sf_dir: str):
     key = (sf_dir, _ray_session_key())
     cached = _BM25_TF_CACHE.get(key)
@@ -1691,7 +1719,7 @@ def _bm25_shared_tf(sf_dir: str):
                              | {t for ts in BM25_MULTI.values() for t in ts})
         tf = build_tf_table(_read(sf_dir, "documents",
                                   columns=["doc_id", "text"]), union_terms)
-        _BM25_TF_CACHE.clear()  # stale-session entries have dead refs
+        _prune_stale_tf_entries()  # stale-session entries have dead refs
         cached = (tf, union_terms)
         _BM25_TF_CACHE[key] = cached
     return cached
@@ -2302,9 +2330,34 @@ def q_docs_tfidf_top(sf_dir: str):
     from kafka_connect_mongo_ray.functions.retrieval import tfidf_top_terms
 
     return tfidf_top_terms(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        None, tf=_token_shared_tf(sf_dir),
         n_docs=_table_rows(sf_dir, "documents"), k=3,
         num_partitions=_gate_buckets())
+
+
+def q_docs_unigram_logprob(sf_dir: str):
+    """Per-document mean unigram LM log-probability
+    (functions/retrieval.py::unigram_logprob) — the cheap corpus-LM
+    quality score; shares the materialized token table with
+    docs_tfidf_top (one tokenize pass for both gate queries)."""
+    from kafka_connect_mongo_ray.functions.retrieval import unigram_logprob
+
+    return unigram_logprob(None, tf=_token_shared_tf(sf_dir),
+                           num_partitions=_gate_buckets())
+
+
+def q_lineitem_corr_by_flag(sf_dir: str):
+    """Per-group Pearson correlation (functions/stats.py::grouped_corr)
+    of quantity vs discount per returnflag — grouped exact int64 moment
+    partials, one group-domain exchange, closed-form float per group
+    mirrored operand-for-operand in SQL."""
+    from kafka_connect_mongo_ray.functions.stats import grouped_corr
+
+    return grouped_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_discount"]),
+        group_col="l_returnflag", x_col="l_quantity", y_col="l_discount",
+        x_scale=1, y_scale=100)
 
 
 def q_dedup_edit_distance(sf_dir: str):
@@ -2369,6 +2422,8 @@ def build_queries():
         "events_funnel": q_events_funnel,
         "docs_tfidf_top": q_docs_tfidf_top,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "lineitem_corr_by_flag": q_lineitem_corr_by_flag,
         "cdc_final_state": q_cdc_final_state,
         "cdc_event_counts": q_cdc_event_counts,
         "cdc_tombstone_keys": q_cdc_tombstone_keys,
@@ -3199,5 +3254,48 @@ def build_oracle_sql():
             SELECT id_a, id_b,
                    CAST(levenshtein(ta, tb) AS BIGINT) AS dist
             FROM cand WHERE levenshtein(ta, tb) <= 10
+        """,
+        # SUM over doubles: both sides sum ~dozens of per-term values
+        # and round to 6 — addition-order noise is ~1e-12 relative,
+        # far inside the rounding (same precedent as docs_bm25)
+        "docs_unigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            cnts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt
+                     FROM tf GROUP BY term),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnts),
+            j AS (SELECT tf.doc_id, CAST(tf.tf AS DOUBLE) AS tfv,
+                         LN(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) AS lp
+                  FROM tf JOIN cnts USING (term) CROSS JOIN tot)
+            SELECT doc_id,
+                   ROUND(SUM(tfv * lp) / SUM(tfv), 6) AS logprob
+            FROM j GROUP BY doc_id
+        """,
+        "lineitem_corr_by_flag": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sx2,
+                     CAST(SUM(y * y) AS BIGINT) AS sy2
+              FROM (SELECT l_returnflag,
+                           CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                           CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+                    FROM lineitem)
+              GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                         9) AS corr
+            FROM m
         """,
     }

@@ -282,3 +282,88 @@ def test_tfidf_top_terms_matches_sql():
         ORDER BY doc_id, score DESC, term
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation
+
+
+def test_grouped_corr_matches_sql():
+    rng = np.random.default_rng(41)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = x * 2 + rng.integers(0, 30, n)  # correlated
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y.astype(np.float64), pa.float64())})
+    from kafka_connect_mongo_ray.functions.stats import grouped_corr
+
+    got = (grouped_corr(_ds(t, 8), group_col="g", x_col="x", y_col="y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH m AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+                          CAST(SUM(xi) AS BIGINT) sx, CAST(SUM(yi) AS BIGINT) sy,
+                          CAST(SUM(xi*yi) AS BIGINT) sxy,
+                          CAST(SUM(xi*xi) AS BIGINT) sx2,
+                          CAST(SUM(yi*yi) AS BIGINT) sy2
+                   FROM (SELECT g, CAST(ROUND(x) AS BIGINT) xi,
+                                CAST(ROUND(y) AS BIGINT) yi FROM t)
+                   GROUP BY g)
+        SELECT g, n,
+               ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 9)
+               AS corr
+        FROM m ORDER BY g""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_corr_constant_column_is_nan():
+    t = pa.table({"g": pa.array(["a"] * 20, pa.string()),
+                  "x": pa.array([5.0] * 20, pa.float64()),
+                  "y": pa.array(np.arange(20, dtype=np.float64),
+                                pa.float64())})
+    from kafka_connect_mongo_ray.functions.stats import grouped_corr
+
+    got = grouped_corr(_ds(t, 2), group_col="g", x_col="x",
+                       y_col="y").to_pandas()
+    assert np.isnan(got["corr"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# unigram logprob
+
+
+def test_unigram_logprob_matches_local_reference():
+    docs = ["a a b", "b c", "a d d d"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    from kafka_connect_mongo_ray.functions.retrieval import unigram_logprob
+
+    got = (unigram_logprob(_ds(t, 2)).to_pandas()
+           .set_index("doc_id")["logprob"])
+    from collections import Counter
+
+    cnt = Counter(w for d in docs for w in d.split(" "))
+    total = float(sum(cnt.values()))
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        want = sum(np.log(cnt[w] / total) for w in toks) / len(toks)
+        assert abs(got[i] - round(want, 6)) < 1e-9, (i, got[i], want)
+
+
+def test_tf_cache_prune_keeps_current_session():
+    from kafka_connect_mongo_ray.pipelines import queries as q
+
+    cur = q._ray_session_key()
+    q._BM25_TF_CACHE[("sfX", "dead-session")] = "stale"
+    q._BM25_TF_CACHE[("token_tf", "sfX", "dead-session")] = "stale"
+    q._BM25_TF_CACHE[("sfY", cur)] = "live"
+    q._prune_stale_tf_entries()
+    assert ("sfY", cur) in q._BM25_TF_CACHE
+    assert all(k[-1] == cur for k in q._BM25_TF_CACHE)
+    del q._BM25_TF_CACHE[("sfY", cur)]
