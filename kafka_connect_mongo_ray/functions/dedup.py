@@ -962,7 +962,8 @@ def _char_histograms(texts: list, alphabet_bits: int = 7) -> np.ndarray:
 def edit_distance_pairs(ds, docs_ds, *, max_dist: int,
                         id_col: str = "doc_id", text_col: str = "text",
                         len_col: str = "n_chars",
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        block_row_cap: int = 20_000):
     """EXACT edit-distance similarity join: every unordered document
     pair with Levenshtein distance ≤ ``max_dist`` — the character-level
     member of the dedup family (catches small in-place edits that
@@ -988,14 +989,24 @@ def edit_distance_pairs(ds, docs_ds, *, max_dist: int,
        :func:`myers_distance` confirms ``dist ≤ max_dist``.
 
     Scale contract: a length block holds all docs within a
-    ``max_dist``-char length window — at corpus scale that block is
-    large and the O(block²) enumeration is the bottleneck; production
-    layers a content blocker (MinHash bands / q-gram prefix) UPSTREAM
-    and uses this as the exact verifier, or caps block fan-out the way
-    ``_pairs_in_bucket`` does (documented trade: caps forfeit
-    recall-completeness). ``ds`` needs (id, len) only; ``docs_ds``
-    supplies texts to the verify joins. Returns (id_a, id_b, dist)
-    with id_a < id_b."""
+    ``max_dist``-char length window, so the O(block²) pair enumeration
+    is inherent to the exact join — but no single task ever
+    materializes an unbounded block: blocks above ``block_row_cap``
+    rows sub-split into ``s = ceil(rows / cap)`` id-hash sub-buckets
+    and every sub-bucket PAIR (i ≤ j) becomes its own task (the
+    triangle self-join — the ANN ``_subsplit_oversized_groups``
+    precedent applied to a self-join, so completeness needs the
+    off-diagonal tasks too). Per-task rows stay ≤ 2·cap at any skew;
+    an unordered doc pair lands in exactly one (i, j) task by its
+    unordered sub-bucket pair, so the pair set is IDENTICAL to the
+    uncapped run. Total pair work is unchanged — at corpus scale
+    production layers a content blocker (MinHash bands / q-gram
+    prefix) upstream and uses this as the exact verifier. Driver
+    state: one row count per length block (length-domain-bounded).
+    ``ds`` needs (id, len) only; ``docs_ds`` supplies texts to the
+    verify joins. Returns (id_a, id_b, dist) with id_a < id_b."""
+    from ray.data.aggregate import Sum
+
     parts = _default_partitions(num_partitions)
 
     def block_rows(batch: pa.Table) -> pa.Table:
@@ -1010,15 +1021,73 @@ def edit_distance_pairs(ds, docs_ds, *, max_dist: int,
             len_col: pa.array(np.concatenate([lens, lens]), pa.int64()),
         })
 
-    def pairs_in_block(g: pa.Table) -> pa.Table:
+    # materialized: the count pass and the fan-out both read it
+    rows = ds.map_batches(block_rows, batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        blk, cnt = np.unique(np.asarray(batch["__blk"], dtype=np.int64),
+                             return_counts=True)
+        return pa.table({"__blk": pa.array(blk, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    subs = {int(r["__blk"]): -(-int(r["n"]) // block_row_cap)
+            for r in rows.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("__blk").aggregate(Sum("n", alias_name="n"))
+            .take_all()}
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        blk = np.asarray(batch["__blk"], dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        uniq, codes = np.unique(blk, return_inverse=True)
+        s_u = np.array([max(subs.get(int(b), 1), 1) for b in uniq],
+                       dtype=np.int64)
+        s = s_u[codes]
+        u = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % s.astype(np.uint64)).astype(np.int64)
+        # each row joins every task whose sub-bucket pair contains u:
+        # emit s copies with partner k = 0..s-1, key (min(u,k), max(u,k))
+        rep = np.repeat(np.arange(len(blk)), s)
+        ends = np.cumsum(s)
+        k = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(
+            ends - s, s)
+        ur = u[rep]
+        return pa.table({
+            "__blk": pa.array(blk[rep], pa.int64()),
+            "__si": pa.array(np.minimum(ur, k), pa.int64()),
+            "__sj": pa.array(np.maximum(ur, k), pa.int64()),
+            "__sub": pa.array(ur, pa.int64()),
+            "home": batch["home"].take(pa.array(rep)),
+            id_col: pa.array(ids[rep], pa.int64()),
+            len_col: batch[len_col].take(pa.array(rep)),
+        })
+
+    def pairs_in_task(g: pa.Table) -> pa.Table:
         ids = np.asarray(g[id_col], dtype=np.int64)
         lens = np.asarray(g[len_col], dtype=np.int64)
         home = np.asarray(g["home"])
-        hi = np.flatnonzero(home)
-        gi = np.flatnonzero(~home)
-        ia, ib = np.triu_indices(len(hi), 1)
-        a = np.concatenate([hi[ia], np.repeat(gi, len(hi))])
-        b = np.concatenate([hi[ib], np.tile(hi, len(gi))])
+        sub = np.asarray(g["__sub"], dtype=np.int64)
+        i = int(g["__si"][0].as_py())
+        j = int(g["__sj"][0].as_py())
+        if i == j:
+            # diagonal task: the original in-block rule over this
+            # sub-bucket's members
+            hi = np.flatnonzero(home)
+            gi = np.flatnonzero(~home)
+            ia, ib = np.triu_indices(len(hi), 1)
+            a = np.concatenate([hi[ia], np.repeat(gi, len(hi))])
+            b = np.concatenate([hi[ib], np.tile(hi, len(gi))])
+        else:
+            # off-diagonal: only pairs that CROSS the two sub-buckets
+            hi_i = np.flatnonzero(home & (sub == i))
+            hi_j = np.flatnonzero(home & (sub == j))
+            gi_i = np.flatnonzero(~home & (sub == i))
+            gi_j = np.flatnonzero(~home & (sub == j))
+            a = np.concatenate([np.repeat(hi_i, len(hi_j)),
+                                np.repeat(gi_i, len(hi_j)),
+                                np.repeat(gi_j, len(hi_i))])
+            b = np.concatenate([np.tile(hi_j, len(hi_i)),
+                                np.tile(hi_j, len(gi_i)),
+                                np.tile(hi_i, len(gi_j))])
         keep = np.abs(lens[a] - lens[b]) <= max_dist
         a, b = a[keep], b[keep]
         id_a = np.minimum(ids[a], ids[b])
@@ -1026,9 +1095,9 @@ def edit_distance_pairs(ds, docs_ds, *, max_dist: int,
         return pa.table({"id_a": pa.array(id_a, pa.int64()),
                          "id_b": pa.array(id_b, pa.int64())})
 
-    cands = (ds.map_batches(block_rows, batch_format="pyarrow")
-             .groupby("__blk", num_partitions=parts)
-             .map_groups(pairs_in_block, batch_format="pyarrow"))
+    cands = (rows.map_batches(fan_out, batch_format="pyarrow")
+             .groupby(["__blk", "__si", "__sj"], num_partitions=parts)
+             .map_groups(pairs_in_task, batch_format="pyarrow"))
 
     with_texts = attach_pair_texts(cands, docs_ds, id_col=id_col,
                                    text_col=text_col, num_buckets=parts)

@@ -367,3 +367,35 @@ def test_tf_cache_prune_keeps_current_session():
     assert ("sfY", cur) in q._BM25_TF_CACHE
     assert all(k[-1] == cur for k in q._BM25_TF_CACHE)
     del q._BM25_TF_CACHE[("sfY", cur)]
+
+
+def test_edit_distance_subsplit_identical_pairs_under_skew():
+    # adversarial skew: EVERY doc has the same length -> one block
+    # holds the whole corpus; a tiny cap forces multi-way sub-splits.
+    # The pair set must be identical to the uncapped run.
+    rng = np.random.default_rng(47)
+    base = "".join(rng.choice(list("abcdefgh"), 40))
+    texts = []
+    for i in range(60):
+        t = list(base)
+        for _ in range(int(rng.integers(0, 8))):  # 0-7 substitutions
+            t[int(rng.integers(0, 40))] = str(rng.choice(list("abcdefgh")))
+        texts.append("".join(t))
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "n_chars": pa.array([40] * 60, pa.int64())})
+    from kafka_connect_mongo_ray.functions.dedup import edit_distance_pairs
+
+    docs = _ds(t, 4)
+
+    def run(cap):
+        got = edit_distance_pairs(
+            docs.select_columns(["doc_id", "n_chars"]), docs, max_dist=6,
+            block_row_cap=cap).to_pandas()
+        return {(a, b): d for a, b, d in
+                zip(got["id_a"], got["id_b"], got["dist"])}
+
+    uncapped = run(10_000)
+    capped = run(16)  # 120 blocking rows / 16 -> s >= 8 sub-buckets
+    assert uncapped == capped
+    assert len(uncapped) > 0
