@@ -157,3 +157,125 @@ def approx_distinct_by(ds, column: str, by: str, *, p: int = 12):
     return key_bucketed(ds.map_batches(partial, batch_format="pyarrow"),
                         [by], nb).map_groups(merge_bucket,
                                              batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: shuffle-volume prefilter for big-big existence joins
+
+
+def _bloom_indexes(keys: np.ndarray, num_bits: int,
+                   num_hashes: int) -> np.ndarray:
+    """(rows × num_hashes) bit positions via double hashing
+    (Kirsch–Mitzenmacher: h_i = h1 + i·h2 — two 64-bit hashes simulate
+    any k with no per-hash rehash). Keys hash through pandas'
+    vectorized 64-bit hasher on their string form (dtype-stable, same
+    rationale as utils.stable_hash_buckets)."""
+    s = pd.Series(keys).astype(str).to_numpy(dtype=object)
+    h1 = pd.util.hash_array(s, categorize=False)
+    h2 = pd.util.hash_array(s, hash_key="bloom2ndhashkey0",
+                            categorize=False)  # 16-byte key required
+    i = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(num_bits)).astype(np.int64)
+
+
+def build_bloom(ds, key_col: str, *, num_bits: int = 1 << 22,
+                num_hashes: int = 4, fanin: int = 64) -> np.ndarray:
+    """Bloom filter of every value of ``key_col`` as a packed uint64
+    bitmap (``num_bits / 8`` bytes — 512 KiB at the default 4M bits).
+
+    Mergeable-sketch shape: each batch builds its local bitmap
+    vectorized (np.bitwise_or.at over the hash positions), a two-level
+    OR-reduce collapses block bitmaps (≤ ``fanin`` bitmaps per task,
+    so no task nor the driver ever holds blocks × bitmap), and the
+    driver receives exactly one bitmap. False-positive rate for n keys:
+    (1 − e^(−k·n/m))^k — size ``num_bits`` ≥ ~10 bits/key for ~1%."""
+    words = (num_bits + 63) // 64
+
+    def local(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        keys = np.asarray(batch[key_col])
+        if len(keys):
+            pos = _bloom_indexes(keys, num_bits, num_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def orfold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for b in batch["bits"].to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    # unconditional two-level fold: the intermediate coalesce caps any
+    # task at ~blocks/fanin bitmaps and costs one near-no-op
+    # repartition when there are fewer (bitmap rows are tiny)
+    out = (ds.select_columns([key_col])
+           .map_batches(local, batch_format="pyarrow", batch_size=None)
+           .repartition(fanin)
+           .map_batches(orfold, batch_format="pyarrow", batch_size=None)
+           .repartition(1)
+           .map_batches(orfold, batch_format="pyarrow", batch_size=None)
+           .take_all())
+    if not out:
+        return np.zeros(words, dtype=np.uint64)
+    return np.frombuffer(out[0]["bits"], dtype=np.uint64).copy()
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray, *,
+                   num_hashes: int = 4) -> np.ndarray:
+    """Vectorized membership probe (no false negatives): True where
+    ALL ``num_hashes`` positions are set."""
+    num_bits = len(bits) * 64
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_indexes(keys, num_bits, num_hashes)
+    hit = (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return (hit != 0).all(axis=1)
+
+
+def bloom_semi_join(left_ds, right_ds, *, on: str, how: str = "semi",
+                    num_bits: int = 1 << 22, num_hashes: int = 4,
+                    num_buckets: int = 32):
+    """Existence join with a Bloom prefilter — the scale path for
+    BIG-BIG semi joins where neither side broadcasts: the right side's
+    keys collapse to one ``num_bits``-bit bitmap (a two-level
+    OR-reduce, never a shuffle), the bitmap broadcasts once via
+    ``ray.put``, and the left side drops every non-matching row
+    BEFORE the join shuffle. False positives pass the prefilter but
+    are removed by the exact bucketed hash join behind it, so the
+    result is EXACTLY the semi join at any filter size; false
+    negatives cannot occur. Shuffle volume: matched rows + the FP rate
+    × non-matching rows, instead of the whole left side.
+
+    ``how='semi'`` only (an anti join cannot prune with a Bloom of the
+    right side: a negative probe proves absence, but a positive one
+    doesn't prove presence — pruning would need the exact join for
+    every row anyway)."""
+    import ray
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    if how != "semi":
+        raise ValueError("bloom_semi_join supports how='semi' only")
+    bits = build_bloom(right_ds, on, num_bits=num_bits,
+                       num_hashes=num_hashes)
+    if not bits.any():
+        # empty right side: the semi join is empty by definition (and
+        # an empty right Dataset has no schema for the join to infer)
+        return left_ds.limit(0)
+    bits_ref = ray.put(bits)
+
+    class Prefilter:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = bloom_contains(self.bits, np.asarray(batch[on]),
+                                  num_hashes=num_hashes)
+            return batch.filter(pa.array(keep))
+
+    pruned = left_ds.map_batches(Prefilter, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    return hash_join(pruned, right_ds, on=[on], how="semi",
+                     num_buckets=num_buckets)

@@ -1943,6 +1943,28 @@ def q_join_semi_parts(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+def q_join_parts_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered semi join (functions/sketch.py::
+    bloom_semi_join): parts appearing in a high-quantity lineitem —
+    the right side's keys collapse to one broadcast bitmap and the
+    left side drops non-matching rows BEFORE the join shuffle; false
+    positives are removed by the exact bucketed join, so the result
+    equals the plain semi join at any filter size."""
+    import pyarrow.compute as _pc
+
+    from kafka_connect_mongo_ray.functions.sketch import bloom_semi_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity"]).map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t.filter(
+                _pc.greater_equal(t["l_quantity"], 45.0))["l_partkey"]}),
+        batch_format="pyarrow")
+    return bloom_semi_join(part, li, on="p_partkey", num_bits=1 << 18,
+                           num_buckets=_gate_buckets())
+
+
 def q_lineitem_corr(sf_dir: str):
     """Pearson correlation from exact integer moment sums
     (functions/stats.py::corr_components): six int64 components are
@@ -2424,6 +2446,7 @@ def build_queries():
         "dedup_edit_distance": q_dedup_edit_distance,
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "lineitem_corr_by_flag": q_lineitem_corr_by_flag,
+        "join_parts_bloom_semi": q_join_parts_bloom_semi,
         "cdc_final_state": q_cdc_final_state,
         "cdc_event_counts": q_cdc_event_counts,
         "cdc_tombstone_keys": q_cdc_tombstone_keys,
@@ -3273,6 +3296,13 @@ def build_oracle_sql():
             SELECT doc_id,
                    ROUND(SUM(tfv * lp) / SUM(tfv), 6) AS logprob
             FROM j GROUP BY doc_id
+        """,
+        "join_parts_bloom_semi": """
+            SELECT p_partkey, p_brand
+            FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND l.l_quantity >= 45)
         """,
         "lineitem_corr_by_flag": """
             WITH m AS (

@@ -399,3 +399,53 @@ def test_edit_distance_subsplit_identical_pairs_under_skew():
     capped = run(16)  # 120 blocking rows / 16 -> s >= 8 sub-buckets
     assert uncapped == capped
     assert len(uncapped) > 0
+
+
+# ---------------------------------------------------------------------------
+# bloom semi join
+
+
+def test_bloom_semi_join_exact_even_with_tiny_filter():
+    # a deliberately undersized filter (256 bits for 400 keys) floods
+    # the prefilter with false positives — the exact join behind it
+    # must still produce exactly the semi join
+    rng = np.random.default_rng(53)
+    left = pa.table({"k": pa.array(np.arange(1000), pa.int64()),
+                     "payload": pa.array(np.arange(1000) * 2, pa.int64())})
+    right_keys = rng.choice(1000, 400, replace=False)
+    right = pa.table({"k": pa.array(right_keys, pa.int64())})
+    from kafka_connect_mongo_ray.functions.sketch import bloom_semi_join
+
+    got = (bloom_semi_join(_ds(left, 4), _ds(right, 2), on="k",
+                           num_bits=256, num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": np.sort(right_keys)})
+    want["payload"] = want["k"] * 2
+    pd.testing.assert_frame_equal(got[["k", "payload"]], want,
+                                  check_dtype=False)
+
+
+def test_bloom_prefilter_actually_prunes():
+    # with a well-sized filter, non-matching left rows drop before the
+    # join: verify via bloom_contains directly (no false negatives,
+    # low fp)
+    from kafka_connect_mongo_ray.functions.sketch import (
+        bloom_contains,
+        build_bloom,
+    )
+
+    right = pa.table({"k": pa.array(np.arange(0, 500), pa.int64())})
+    bits = build_bloom(_ds(right, 2), "k", num_bits=1 << 16)
+    assert bloom_contains(bits, np.arange(0, 500)).all()
+    fp = bloom_contains(bits, np.arange(10_000, 30_000)).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_semi_join_empty_right():
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([], pa.int64())})
+    from kafka_connect_mongo_ray.functions.sketch import bloom_semi_join
+
+    got = bloom_semi_join(_ds(left, 1), _ds(right, 1), on="k",
+                          num_buckets=2).to_pandas()
+    assert len(got) == 0
