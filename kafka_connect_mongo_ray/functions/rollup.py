@@ -152,11 +152,18 @@ def _partial(keys: list[str], sum_cols: list[str], count_col: str):
 def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
                      count_col: str = "n", sentinels: dict | None = None,
                      num_partitions: int | None = None,
-                     mode: str = "rollup"):
+                     mode: str = "rollup",
+                     grouping_sets: list[list[str]] | None = None):
     """COUNT(*) + SUM(sum_cols) at every ROLLUP level of ``keys``
-    (finest → grand total), or at every subset with ``mode="cube"``.
-    Sum columns must be integers or otherwise order-independent under
-    addition — levels are sums of partial sums.
+    (finest → grand total), at every subset with ``mode="cube"``, or
+    at exactly the listed subsets with ``grouping_sets`` (SQL GROUP BY
+    GROUPING SETS — e.g. two marginals without the cross product; each
+    set must be a subset of ``keys``; the full key set is included
+    only if listed). Sum columns must be integers or otherwise
+    order-independent under addition — levels are sums of partial
+    sums. Whatever the level list, the plan shape is the same: ONE
+    fact-sized exchange at the finest level, then one dimension-sized
+    exchange for all other levels together.
 
     ``sentinels`` maps key column → fill value for levels where that
     key is rolled up (defaults: ``"ALL"`` for strings, ``-1`` for
@@ -184,7 +191,18 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
         _partial(keys, sum_cols, count_col), batch_format="pyarrow"
     ).groupby(keys, **kwargs).aggregate(*sums).materialize()
 
-    if mode == "rollup":
+    include_finest = True
+    if grouping_sets is not None:
+        norm = []
+        for s in grouping_sets:
+            extra = set(s) - set(keys)
+            if extra:
+                raise ValueError(f"grouping set {s} has non-key columns "
+                                 f"{sorted(extra)}")
+            norm.append([k for k in keys if k in set(s)])
+        include_finest = any(set(s) == set(keys) for s in norm)
+        keysets = [s for s in norm if set(s) != set(keys)]
+    elif mode == "rollup":
         keysets = [keys[:depth] for depth in range(len(keys) - 1, -1, -1)]
     elif mode == "cube":
         from itertools import combinations
@@ -219,8 +237,12 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
             parts.append(t)
         return pa.concat_tables(parts)
 
+    if not keysets:
+        return finest.select_columns(out_cols)
     coarser = (finest.map_batches(explode, batch_format="pyarrow")
                .groupby(keys, **kwargs).aggregate(*sums)
                .map_batches(lambda t: t.select(out_cols),
                             batch_format="pyarrow"))
+    if not include_finest:
+        return coarser
     return finest.select_columns(out_cols).union(coarser)

@@ -1965,6 +1965,33 @@ def q_join_parts_bloom_semi(sf_dir: str):
                            num_buckets=_gate_buckets())
 
 
+def q_events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type), (day)) — two marginal
+    aggregations in one plan without the cross product
+    (functions/rollup.py::rollup_aggregate(grouping_sets=...)): the
+    finest (type, day) level pays the one fact-sized exchange, both
+    marginals re-aggregate its dimension-sized result in a single
+    second exchange."""
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(ts_us, 86_400_000_000),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0), 0,
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    return rollup_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                            keys=["event_type", "day"], sum_cols=["cents"],
+                            grouping_sets=[["event_type"], ["day"]],
+                            num_partitions=_gate_buckets())
+
+
 def q_lineitem_corr(sf_dir: str):
     """Pearson correlation from exact integer moment sums
     (functions/stats.py::corr_components): six int64 components are
@@ -2447,6 +2474,7 @@ def build_queries():
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "lineitem_corr_by_flag": q_lineitem_corr_by_flag,
         "join_parts_bloom_semi": q_join_parts_bloom_semi,
+        "events_grouping_sets": q_events_grouping_sets,
         "cdc_final_state": q_cdc_final_state,
         "cdc_event_counts": q_cdc_event_counts,
         "cdc_tombstone_keys": q_cdc_tombstone_keys,
@@ -3303,6 +3331,17 @@ def build_oracle_sql():
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey
                             AND l.l_quantity >= 45)
+        """,
+        "events_grouping_sets": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, -1) AS day,
+                   COUNT(*) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type), (day))
         """,
         "lineitem_corr_by_flag": """
             WITH m AS (

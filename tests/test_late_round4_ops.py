@@ -449,3 +449,53 @@ def test_bloom_semi_join_empty_right():
     got = bloom_semi_join(_ds(left, 1), _ds(right, 1), on="k",
                           num_buckets=2).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# grouping sets
+
+
+def test_grouping_sets_matches_sql_marginals():
+    rng = np.random.default_rng(61)
+    n = 2000
+    t = pa.table({
+        "a": pa.array([f"a{int(x)}" for x in rng.integers(0, 4, n)],
+                      pa.string()),
+        "b": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+    })
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    got = (rollup_aggregate(_ds(t, 8), keys=["a", "b"], sum_cols=["v"],
+                            grouping_sets=[["a"], ["b"]])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, -1) AS b,
+               COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v
+        FROM t GROUP BY GROUPING SETS ((a), (b))
+        ORDER BY a, b""").df()
+    pd.testing.assert_frame_equal(got[["a", "b", "n", "v"]], want,
+                                  check_dtype=False)
+
+
+def test_grouping_sets_includes_finest_when_listed():
+    t = pa.table({"a": pa.array(["x", "x", "y"], pa.string()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    got = (rollup_aggregate(_ds(t, 1), keys=["a"], sum_cols=["v"],
+                            grouping_sets=[["a"], []])
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    # (a) level: x->3, y->3; () level: ALL->6
+    assert got[got["a"] == "ALL"]["v"].tolist() == [6]
+    assert got[got["a"] == "x"]["v"].tolist() == [3]
+
+
+def test_grouping_sets_rejects_unknown_columns():
+    t = pa.table({"a": pa.array(["x"], pa.string()),
+                  "v": pa.array([1], pa.int64())})
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    with pytest.raises(ValueError, match="non-key"):
+        rollup_aggregate(_ds(t, 1), keys=["a"], sum_cols=["v"],
+                         grouping_sets=[["zz"]])
