@@ -394,8 +394,14 @@ def group_string_agg(ds, *, key: str, order_cols: list[str], val_col: str,
             [(key, "ascending")] + [(c, "ascending") for c in order_cols])
         df = pd.DataFrame({key: np.asarray(t[key]),
                            "v": np.asarray(t[val_col]).astype(object)})
-        agg = df.groupby(key, sort=True)["v"].agg(sep.join).reset_index()
-        return pa.table({key: pa.array(agg[key].to_numpy()),
+        # dropna=False: SQL STRING_AGG ... GROUP BY keeps the NULL-key
+        # group (key_bucketed already routes null keys to one bucket)
+        agg = df.groupby(key, sort=True, dropna=False)["v"].agg(
+            sep.join).reset_index()
+        key_type = t.schema.field(key).type
+        keys_out = [None if pd.isna(v) else v
+                    for v in agg[key].to_numpy(dtype=object)]
+        return pa.table({key: pa.array(keys_out, key_type),
                          out_col: pa.array(agg["v"].tolist(), pa.string())})
 
     return _key_bucketed(ds, key, num_partitions).map_groups(
@@ -412,16 +418,28 @@ def funnel_counts(ds, *, key: str, ts_col: str, type_col: str,
 
     One shuffle: rows bucket by a hash of the key (a key's events stay
     together), then a per-bucket vectorized pass computes each step's
-    per-key anchor via masked pandas groupby-mins and emits a
-    ≤len(steps)-row partial (step, users); a Sum-reduce produces the
-    final counts. Driver state is len(steps) scalars. Returns a
-    Dataset (step int64 1-based, users int64)."""
+    per-key anchor via INNER MERGES against the previous step's anchor
+    table (int64 end-to-end: a ``map``/reindex would promote the
+    anchor to float64 whenever any key missed the prior step and lose
+    the strict ``ts > anchor`` comparison past 2^53 — epoch-ns scale)
+    and emits a ≤len(steps)-row partial (step, users); a Sum-reduce
+    produces the final counts. NULL keys count in step 1 (SQL GROUP BY
+    keeps the null group) and can never advance past it (SQL equality
+    joins never match NULL). Driver state is len(steps) scalars.
+    Returns a Dataset (step int64 1-based, users int64)."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        karr = g[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        # null-free batches stay int64; null-bearing ones take pandas'
+        # nullable path so the null group survives step 1
+        k = (karr.to_pandas() if karr.null_count
+             else pd.Series(np.asarray(karr)))
         df = pd.DataFrame({
-            "k": np.asarray(g[key]),
+            "k": k.to_numpy() if karr.null_count else k,
             "ts": np.asarray(g[ts_col], dtype=np.int64),
             "ty": np.asarray(g[type_col]).astype(object),
         })
@@ -429,10 +447,14 @@ def funnel_counts(ds, *, key: str, ts_col: str, type_col: str,
         prev = None  # per-key anchor Series, indexed by key
         for s in steps:
             rows = df[df["ty"] == s]
-            if prev is not None:
-                anchor = rows["k"].map(prev)
-                rows = rows[anchor.notna() & (rows["ts"] > anchor)]
-            cur = rows.groupby("k")["ts"].min()
+            if prev is None:
+                cur = rows.groupby("k", dropna=False)["ts"].min()
+            else:
+                rows = rows[rows["k"].notna()]
+                pf = prev.reset_index()
+                pf.columns = ["k", "t0"]
+                m = rows.merge(pf, on="k", how="inner")
+                cur = m[m["ts"] > m["t0"]].groupby("k")["ts"].min()
             reached.append(len(cur))
             prev = cur
         return pa.table({

@@ -192,6 +192,7 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
     ).groupby(keys, **kwargs).aggregate(*sums).materialize()
 
     include_finest = True
+    empty_result = False
     if grouping_sets is not None:
         norm = []
         for s in grouping_sets:
@@ -200,8 +201,22 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
                 raise ValueError(f"grouping set {s} has non-key columns "
                                  f"{sorted(extra)}")
             norm.append([k for k in keys if k in set(s)])
+        # SQL emits a duplicated set as a second copy of the level; the
+        # explode-then-one-groupby plan would instead MERGE the copies
+        # and double every measure — refuse loudly rather than be
+        # silently wrong (order variants normalize to the same set)
+        seen = set()
+        for s in norm:
+            t = tuple(s)
+            if t in seen:
+                raise ValueError(
+                    f"duplicate grouping set {list(s)}: this plan "
+                    f"collapses levels by sentinel pattern and cannot "
+                    f"emit a level twice — deduplicate the sets")
+            seen.add(t)
         include_finest = any(set(s) == set(keys) for s in norm)
         keysets = [s for s in norm if set(s) != set(keys)]
+        empty_result = not norm
     elif mode == "rollup":
         keysets = [keys[:depth] for depth in range(len(keys) - 1, -1, -1)]
     elif mode == "cube":
@@ -237,6 +252,9 @@ def rollup_aggregate(ds, *, keys: list[str], sum_cols: list[str],
             parts.append(t)
         return pa.concat_tables(parts)
 
+    if empty_result:
+        # GROUPING SETS () of nothing: zero rows, stable schema
+        return finest.select_columns(out_cols).limit(0)
     if not keysets:
         return finest.select_columns(out_cols)
     coarser = (finest.map_batches(explode, batch_format="pyarrow")

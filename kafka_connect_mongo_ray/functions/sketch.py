@@ -163,14 +163,28 @@ def approx_distinct_by(ds, column: str, by: str, *, p: int = 12):
 # Bloom filter: shuffle-volume prefilter for big-big existence joins
 
 
-def _bloom_indexes(keys: np.ndarray, num_bits: int,
-                   num_hashes: int) -> np.ndarray:
+def _bloom_indexes(keys, num_bits: int, num_hashes: int) -> np.ndarray:
     """(rows × num_hashes) bit positions via double hashing
     (Kirsch–Mitzenmacher: h_i = h1 + i·h2 — two 64-bit hashes simulate
-    any k with no per-hash rehash). Keys hash through pandas'
-    vectorized 64-bit hasher on their string form (dtype-stable, same
-    rationale as utils.stable_hash_buckets)."""
-    s = pd.Series(keys).astype(str).to_numpy(dtype=object)
+    any k with no per-hash rehash).
+
+    Keys are cast to string IN ARROW before hashing — the same
+    dtype-stability rule as utils.stable_hash_buckets: converting an
+    int64 Arrow column through numpy first materializes null-bearing
+    batches as float64 ('5.0') and null-free ones as int64 ('5'),
+    which would put the SAME key at DIFFERENT bit positions per batch
+    and turn the no-false-negatives guarantee into silent row loss.
+    Null keys hash as a fixed sentinel (they cannot match in SQL
+    existence semantics; the exact join behind the filter drops
+    them)."""
+    arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(keys)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    s = np.asarray(
+        pc.fill_null(pc.cast(arr, pa.string()), "\x00null")).astype(object)
     h1 = pd.util.hash_array(s, categorize=False)
     h2 = pd.util.hash_array(s, hash_key="bloom2ndhashkey0",
                             categorize=False)  # 16-byte key required
@@ -194,7 +208,7 @@ def build_bloom(ds, key_col: str, *, num_bits: int = 1 << 22,
 
     def local(batch: pa.Table) -> pa.Table:
         bits = np.zeros(words, dtype=np.uint64)
-        keys = np.asarray(batch[key_col])
+        keys = batch[key_col]
         if len(keys):
             pos = _bloom_indexes(keys, num_bits, num_hashes).ravel()
             np.bitwise_or.at(bits, pos >> 6,
@@ -222,7 +236,7 @@ def build_bloom(ds, key_col: str, *, num_bits: int = 1 << 22,
     return np.frombuffer(out[0]["bits"], dtype=np.uint64).copy()
 
 
-def bloom_contains(bits: np.ndarray, keys: np.ndarray, *,
+def bloom_contains(bits: np.ndarray, keys, *,
                    num_hashes: int = 4) -> np.ndarray:
     """Vectorized membership probe (no false negatives): True where
     ALL ``num_hashes`` positions are set."""
@@ -271,7 +285,7 @@ def bloom_semi_join(left_ds, right_ds, *, on: str, how: str = "semi",
             self.bits = ray.get(bits_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = bloom_contains(self.bits, np.asarray(batch[on]),
+            keep = bloom_contains(self.bits, batch[on],
                                   num_hashes=num_hashes)
             return batch.filter(pa.array(keep))
 

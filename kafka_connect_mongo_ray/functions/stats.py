@@ -228,6 +228,20 @@ def fixed_width_histogram(ds, val_col: str, *, width: float,
             .groupby("bin", **kwargs).aggregate(*aggs))
 
 
+def _shadow_check(int_vals, float_vals, what: str) -> None:
+    """The repo-wide int64-wrap guard (see ``_int_moment_partial``):
+    numpy int64 products/sums wrap silently; a float64 shadow diverges
+    wildly on any wrap, so a loose relative comparison turns silent
+    corruption into a loud error. Accepts scalars or arrays/Series —
+    one shared implementation so the grouped moment kernels cannot
+    drift from the global ones."""
+    iv = np.asarray(int_vals, dtype=np.float64)
+    fv = np.asarray(float_vals, dtype=np.float64)
+    if bool(np.any(np.abs(iv - fv) > 1e-6 * np.abs(fv) + 16)):
+        raise OverflowError(f"{what} overflowed int64 — reduce the "
+                            f"integer scale")
+
+
 def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
                  x_scale: int = 1, y_scale: int = 1, round_to: int = 9):
     """Per-group Pearson correlation — :func:`corr_components`
@@ -256,10 +270,7 @@ def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
         agg = df.groupby(group_col, sort=False, dropna=False).sum()
         sagg = shadow.groupby(group_col, sort=False, dropna=False).sum()
         for ic, fc in (("sxy", "fxy"), ("sx2", "fx2"), ("sy2", "fy2")):
-            bad = (agg[ic] - sagg[fc]).abs() > 1e-6 * sagg[fc].abs() + 16
-            if bool(bad.any()):
-                raise OverflowError(
-                    f"grouped_corr {ic} overflowed int64 — reduce scales")
+            _shadow_check(agg[ic], sagg[fc], f"grouped_corr {ic}")
         agg = agg.reset_index()
         return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
                          **{c: pa.array(agg[c].to_numpy(), pa.int64())
@@ -355,8 +366,12 @@ def group_zscore_outliers(ds, *, group_col: str, int_col: str,
 
         v = np.asarray(batch[int_col], dtype=np.int64)
         df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
-                           "n": 1, "s1": v, "s2": v * v})
+                           "n": 1, "s1": v, "s2": v * v,
+                           "f2": v.astype(np.float64) ** 2})
         agg = df.groupby(group_col, sort=False, dropna=False).sum().reset_index()
+        # per-batch wrap guard: v*v wraps silently in int64; the final
+        # |s2| < 2^62 check alone can alias back under the bound
+        _shadow_check(agg["s2"], agg["f2"], "group_zscore_outliers s2")
         return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
                          "n": pa.array(agg["n"].to_numpy(), pa.int64()),
                          "s1": pa.array(agg["s1"].to_numpy(), pa.int64()),

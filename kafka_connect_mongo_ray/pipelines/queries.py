@@ -1681,12 +1681,19 @@ def _ray_session_key():
         return None
 
 
-def _prune_stale_tf_entries():
+def _prune_stale_tf_entries(max_per_session: int = 2):
     """Drop cache entries from other Ray sessions (their materialized
-    blocks are dead ObjectRefs) — keep the current session's: the BM25
-    tf table and the full-vocabulary token table coexist."""
+    blocks are dead ObjectRefs) and bound the CURRENT session to the
+    ``max_per_session`` most recent entries — the BM25 tf table and
+    the full-vocabulary token table coexist, but a long session that
+    walks many sf_dirs must not pin one materialized Dataset per dir
+    in the object store forever (dict order is insertion order, so the
+    oldest evict first)."""
     cur = _ray_session_key()
     for k in [k for k in _BM25_TF_CACHE if k[-1] != cur]:
+        del _BM25_TF_CACHE[k]
+    live = [k for k in _BM25_TF_CACHE]
+    for k in live[:-max_per_session] if len(live) > max_per_session else []:
         del _BM25_TF_CACHE[k]
 
 

@@ -499,3 +499,76 @@ def test_grouping_sets_rejects_unknown_columns():
     with pytest.raises(ValueError, match="non-key"):
         rollup_aggregate(_ds(t, 1), keys=["a"], sum_cols=["v"],
                          grouping_sets=[["zz"]])
+
+
+# ---------------------------------------------------------------------------
+# code-review regression fixes
+
+
+def test_bloom_no_false_negatives_with_null_bearing_batches():
+    # a null key in the same batch as real keys must not shift the
+    # real keys' bit positions (dtype-stability of the key hash)
+    left = pa.table({"k": pa.array([5, 7, 9], pa.int64())})
+    right = pa.table({"k": pa.array([5, None, 7], pa.int64())})
+    from kafka_connect_mongo_ray.functions.sketch import bloom_semi_join
+
+    got = bloom_semi_join(_ds(left, 1), _ds(right, 1), on="k",
+                          num_buckets=2).to_pandas()
+    assert sorted(got["k"]) == [5, 7]
+
+
+def test_funnel_int64_precision_past_2_53():
+    # ts magnitudes where float64 cannot represent adjacent integers:
+    # the strict ts > anchor comparison must stay exact
+    big = 2 ** 60
+    t = pa.table({"u": pa.array([1, 1, 2, 2], pa.int64()),
+                  "ts": pa.array([big, big + 1, big, big], pa.int64()),
+                  "ty": pa.array(["a", "b", "a", "b"], pa.string())})
+    from kafka_connect_mongo_ray.functions.ranking import funnel_counts
+
+    got = funnel_counts(_ds(t, 2), key="u", ts_col="ts", type_col="ty",
+                        steps=["a", "b"]).to_pandas().sort_values("step")
+    # user 1: b at big+1 > big -> advances; user 2: b at SAME ts -> no
+    assert got["users"].tolist() == [2, 1]
+
+
+def test_string_agg_keeps_null_key_group():
+    t = pa.table({"k": pa.array(["x", None, "x", None], pa.string()),
+                  "o": pa.array([1, 2, 3, 4], pa.int64()),
+                  "s": pa.array(["a", "b", "c", "d"], pa.string())})
+    from kafka_connect_mongo_ray.functions.ranking import group_string_agg
+
+    got = group_string_agg(_ds(t, 2), key="k", order_cols=["o"],
+                           val_col="s", sep="|").to_pandas()
+    assert len(got) == 2
+    null_row = got[got["k"].isna()]
+    assert null_row["agg"].tolist() == ["b|d"]
+
+
+def test_grouping_sets_rejects_duplicates_and_order_variants():
+    t = pa.table({"a": pa.array(["x"], pa.string()),
+                  "b": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    from kafka_connect_mongo_ray.functions.rollup import rollup_aggregate
+
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        rollup_aggregate(_ds(t, 1), keys=["a", "b"], sum_cols=["v"],
+                         grouping_sets=[["a"], ["a"]])
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        rollup_aggregate(_ds(t, 1), keys=["a", "b"], sum_cols=["v"],
+                         grouping_sets=[["a", "b"], ["b", "a"]])
+
+
+def test_zscore_overflow_raises_loudly():
+    # values ~2^32: v*v wraps int64 within a modest batch — must raise,
+    # not silently compute garbage
+    v = np.full(100, 2 ** 32, dtype=np.int64)
+    t = pa.table({"id": pa.array(range(100), pa.int64()),
+                  "g": pa.array(["x"] * 100, pa.string()),
+                  "v": pa.array(v, pa.int64())})
+    from kafka_connect_mongo_ray.functions.stats import group_zscore_outliers
+
+    with pytest.raises(Exception) as ei:
+        group_zscore_outliers(_ds(t, 1), group_col="g", int_col="v",
+                              id_cols=["id"]).to_pandas()
+    assert "overflow" in str(ei.value).lower()
