@@ -158,6 +158,67 @@ def export(args) -> int:
     return 0
 
 
+def query(args) -> int:
+    """Run one registry pipeline by name over a parquet table dir —
+    the switch-over surface for reference users: every operator the
+    engine implements is reachable headlessly, with resumable
+    partitioned-parquet output via ``--out``."""
+    import ray
+
+    started = not ray.is_initialized()
+    if started:
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.pipelines.queries import build_queries
+
+    registry = build_queries()
+    if args.name not in registry:
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "available": sorted(registry)}, sort_keys=True))
+        return 1
+    result = registry[args.name](args.sf)
+    if isinstance(result, pa.Table):
+        result = rd.from_arrow(result)
+    elif isinstance(result, pd.DataFrame):
+        result = rd.from_pandas(result)
+    if args.out:
+        # partitioned parquet (one file per block): a failed run can
+        # re-run into a fresh dir and skip finished partitions
+        result.write_parquet(args.out)
+        n = sum(1 for _ in __import__("os").listdir(args.out))
+        print(json.dumps({"query": args.name, "out_dir": args.out,
+                          "files": n}, sort_keys=True))
+    else:
+        head = result.take(args.limit)
+        print(json.dumps({"query": args.name, "rows_shown": len(head),
+                          "sample": [{k: str(v) for k, v in r.items()}
+                                     for r in head]}, sort_keys=True))
+    if started:  # an embedding caller (tests) keeps its session
+        ray.shutdown()
+    return 0
+
+
+def list_queries(_args) -> int:
+    from kafka_connect_mongo_ray.pipelines.queries import (
+        build_oracle_sql,
+        build_queries,
+    )
+
+    q, o = build_queries(), build_oracle_sql()
+    print(json.dumps({"count": len(q),
+                      "queries": {n: ("oracle" if n in o else "rows-only")
+                                  for n in q}}, sort_keys=True))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -183,6 +244,12 @@ def main(argv=None) -> int:
     ex.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
     ex.add_argument("--out", required=True)
     ex.add_argument("--version", type=int, default=0)
+    q = sub.add_parser("query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None)
+    q.add_argument("--limit", type=int, default=20)
+    sub.add_parser("queries")
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -195,6 +262,10 @@ def main(argv=None) -> int:
         return gc(args)
     if args.cmd == "export":
         return export(args)
+    if args.cmd == "query":
+        return query(args)
+    if args.cmd == "queries":
+        return list_queries(args)
     p.print_help()
     return 0
 

@@ -572,3 +572,27 @@ def test_zscore_overflow_raises_loudly():
         group_zscore_outliers(_ds(t, 1), group_col="g", int_col="v",
                               id_cols=["id"]).to_pandas()
     assert "overflow" in str(ei.value).lower()
+
+
+# ---------------------------------------------------------------------------
+# CLI query surface
+
+
+def test_cli_query_runs_registry_pipeline(capsys, tmp_path):
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import main
+
+    rc = main(["queries"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["count"] >= 91
+    assert out["queries"]["events_per_type"] == "oracle"
+
+    rc = main(["query", "--name", "events_per_type",
+               "--sf", "/root/testdata/sf0.001", "--limit", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows_shown"] == 3
+
+    rc = main(["query", "--name", "nope"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "unknown query" in out["error"]
