@@ -67,6 +67,49 @@ def exact_quantiles(ds, col: str, qs: list[float], *, scale: int = 100):
                      "value_scaled": pa.array(picked, pa.int64())})
 
 
+def exact_quantiles_cont(ds, col: str, qs: list[float], *,
+                         scale: int = 100, round_to: int = 9):
+    """EXACT interpolated quantiles (SQL ``quantile_cont`` /
+    PERCENTILE_CONT) of ``round(col · scale)``: the two straddling
+    order statistics at ``h = q·(n−1)`` come from the same
+    value→count compaction as :func:`exact_quantiles` (driver state is
+    value-domain-bounded, never row-count-bounded), and the one float
+    operation is the standard linear interpolation
+    ``v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`` — verified bit-identical to
+    DuckDB's quantile_cont so a SQL oracle matches exactly (rounded to
+    ``round_to`` for hash stability). Returns (q, value_cont)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        v = np.asarray(batch[col], dtype=np.float64)
+        s = np.rint(v * scale).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("c", alias_name="c"))
+              .to_pandas().sort_values("v"))
+    n = int(counts["c"].sum())
+    cum = counts["c"].cumsum().to_numpy()
+    vals = counts["v"].to_numpy().astype(np.float64)
+
+    def order_stat(i: int) -> float:
+        return float(vals[int(np.searchsorted(cum, i + 1))])
+
+    out = []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        hi = int(np.ceil(h))
+        v_lo = order_stat(lo)
+        v_hi = v_lo if hi == lo else order_stat(hi)
+        out.append(round(v_lo + (h - lo) * (v_hi - v_lo), round_to))
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value_cont": pa.array(out, pa.float64())})
+
+
 def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
                             *, scale: int = 100,
                             num_partitions: int | None = None):

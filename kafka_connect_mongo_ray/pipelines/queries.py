@@ -1400,6 +1400,21 @@ def q_lineitem_quantiles(sf_dir: str):
     return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS, scale=100)
 
 
+def q_lineitem_quantiles_cont(sf_dir: str):
+    """Exact interpolated quantiles — SQL PERCENTILE_CONT
+    (functions/quantiles.py::exact_quantiles_cont): same value→count
+    compaction as the discrete variant; the straddling order
+    statistics interpolate with the formula verified bit-identical to
+    DuckDB's quantile_cont."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        exact_quantiles_cont,
+    )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles_cont(ds, "l_extendedprice", QUANTILE_QS,
+                                scale=100)
+
+
 def q_embedding_group_centroids(sf_dir: str):
     """Per-language embedding centroids (functions/similarity.py::
     group_centroids): vectors joined to their documents' lang via the
@@ -2482,6 +2497,7 @@ def build_queries():
         "lineitem_corr_by_flag": q_lineitem_corr_by_flag,
         "join_parts_bloom_semi": q_join_parts_bloom_semi,
         "events_grouping_sets": q_events_grouping_sets,
+        "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
         "cdc_final_state": q_cdc_final_state,
         "cdc_event_counts": q_cdc_event_counts,
         "cdc_tombstone_keys": q_cdc_tombstone_keys,
@@ -2896,6 +2912,13 @@ def build_oracle_sql():
             f"""SELECT CAST({q} AS DOUBLE) AS q,
                        quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),
                                      {q}) AS value_scaled
+                FROM lineitem"""
+            for q in QUANTILE_QS),
+        "lineitem_quantiles_cont": " UNION ALL ".join(
+            f"""SELECT CAST({q} AS DOUBLE) AS q,
+                       ROUND(quantile_cont(
+                           CAST(round(l_extendedprice*100) AS BIGINT),
+                           {q}), 9) AS value_cont
                 FROM lineitem"""
             for q in QUANTILE_QS),
         "embedding_group_centroids": """

@@ -596,3 +596,21 @@ def test_cli_query_runs_registry_pipeline(capsys, tmp_path):
     rc = main(["query", "--name", "nope"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and "unknown query" in out["error"]
+
+
+def test_exact_quantiles_cont_matches_duckdb():
+    rng = np.random.default_rng(71)
+    v = rng.normal(100, 30, 5000)
+    t = pa.table({"x": pa.array(v, pa.float64())})
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        exact_quantiles_cont,
+    )
+    import ray.data as rd
+
+    got = exact_quantiles_cont(rd.from_arrow(t).repartition(8), "x",
+                               [0.25, 0.5, 0.9, 0.33], scale=100).to_pandas()
+    want = duckdb.sql(" UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) q, ROUND(quantile_cont("
+        f"CAST(round(x*100) AS BIGINT), {q}), 9) value_cont FROM t"
+        for q in (0.25, 0.5, 0.9, 0.33))).df()
+    pd.testing.assert_frame_equal(got, want)
