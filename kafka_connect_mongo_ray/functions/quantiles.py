@@ -325,3 +325,91 @@ def exact_ranks(ds, col: str, cutpoints: list[float]):
     ranks = [by_i.get(i, (0, 0))[0] for i in range(len(cuts))]
     total = by_i[0][1] if by_i else 0
     return ranks, total
+
+
+def _group_value_map(bounds_pdf, group_col: str, q: float) -> dict:
+    sel = bounds_pdf[bounds_pdf["q"] == q]
+    return dict(zip(sel[group_col], sel["value_scaled"]))
+
+
+def quantile_band_filter(ds, group_col: str, col: str, *, lo_q: float,
+                         hi_q: float, scale: int = 1,
+                         num_partitions: int | None = None):
+    """Keep rows whose ``round(col*scale)`` lies inside the row's
+    group's ``[quantile_disc(lo_q), quantile_disc(hi_q)]`` band — the
+    per-source length-trim shape of corpus curation (drop each source's
+    outlier-short and outlier-long documents rather than applying one
+    global threshold to heterogeneous sources).
+
+    Two passes over a column-pruned read: the grouped exact-quantile
+    pass (shuffle volume bounded by groups × distinct scaled values),
+    whose group-domain-sized result lands on the driver and broadcasts
+    into the filter pass as a plain closure dict. Assumes the group
+    domain is dimension-sized (sources, languages, shards — not keys).
+    Returns ``ds`` filtered, original columns/order preserved."""
+    bounds = grouped_exact_quantiles(
+        ds.select_columns([group_col, col]), group_col, col,
+        [lo_q, hi_q], scale=scale,
+        num_partitions=num_partitions).to_pandas()
+    lo = _group_value_map(bounds, group_col, lo_q)
+    hi = _group_value_map(bounds, group_col, hi_q)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        v = np.rint(np.asarray(batch[col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        g = batch[group_col].to_pandas()
+        lo_a = g.map(lo).to_numpy(dtype=np.int64)
+        hi_a = g.map(hi).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array((v >= lo_a) & (v <= hi_a)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_mad(ds, group_col: str, col: str, *, scale: int = 100,
+                num_partitions: int | None = None):
+    """Per-group median absolute deviation (robust spread) of
+    ``round(col*scale)`` — both medians are EXACT quantile_disc picks,
+    so the result is integer-exact and SQL-mirrorable:
+
+        med = quantile_disc(x, 0.5) GROUP BY g
+        mad = quantile_disc(abs(x - med), 0.5) GROUP BY g
+
+    Returns a Dataset ``(group_col, med_scaled, mad_scaled)``. Two
+    value→count-compacted grouped-quantile passes (each exchange is
+    bounded by groups × distinct scaled values, never rows) with the
+    group-domain-sized median table broadcast between them."""
+    med_pdf = grouped_exact_quantiles(
+        ds.select_columns([group_col, col]), group_col, col, [0.5],
+        scale=scale, num_partitions=num_partitions).to_pandas()
+    med = _group_value_map(med_pdf, group_col, 0.5)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        v = np.rint(np.asarray(batch[col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        g = batch[group_col].to_pandas()
+        m = g.map(med).to_numpy(dtype=np.int64)
+        return pa.table({group_col: batch[group_col],
+                         "d": pa.array(np.abs(v - m), pa.int64())})
+
+    mad_ds = grouped_exact_quantiles(
+        ds.map_batches(dev, batch_format="pyarrow"), group_col, "d",
+        [0.5], scale=1, num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = t[group_col].to_pandas()
+        return pa.table({
+            group_col: t[group_col],
+            "med_scaled": pa.array(g.map(med).to_numpy(dtype=np.int64),
+                                   pa.int64()),
+            "mad_scaled": t["value_scaled"],
+        })
+
+    return mad_ds.map_batches(finish, batch_format="pyarrow")

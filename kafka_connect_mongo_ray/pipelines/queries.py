@@ -2445,6 +2445,61 @@ def q_dedup_edit_distance(sf_dir: str):
         num_partitions=_gate_buckets())
 
 
+def q_docs_bigram_top(sf_dir: str):
+    """Global top-50 adjacent word pairs (functions/vocab.py::
+    bigram_topk) — the BPE-merge pair-count step: batch-local
+    value_counts partials, one vocabulary-bounded groupby-sum, two-level
+    candidate top-k (no global sort)."""
+    from kafka_connect_mongo_ray.functions.vocab import bigram_topk
+
+    return bigram_topk(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]),
+                       k=50, num_partitions=_gate_buckets())
+
+
+def q_docs_contamination(sf_dir: str):
+    """Train/test decontamination (functions/vocab.py::
+    ngram_contamination): odd-doc_id test docs sharing ≥1 word 5-gram
+    with any even-doc_id train doc, with the distinct contaminated-gram
+    count. One bucketed semi join on the gram key is the only
+    all-to-all (gate keeps gram strings; hash_grams=True is the 100-TB
+    fingerprint configuration, asserted output-identical in tests)."""
+    from kafka_connect_mongo_ray.functions.vocab import ngram_contamination
+
+    return ngram_contamination(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               n=5, num_partitions=_gate_buckets())
+
+
+def q_docs_length_trim(sf_dir: str):
+    """Per-source length-percentile trim (functions/quantiles.py::
+    quantile_band_filter): keep documents inside their source's exact
+    [p10, p90] n_chars band — grouped value→count quantile pass, then a
+    broadcast-band filter pass."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        quantile_band_filter,
+    )
+
+    return quantile_band_filter(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars", lo_q=0.1, hi_q=0.9, scale=1,
+        num_partitions=_gate_buckets())
+
+
+def q_lineitem_mad(sf_dir: str):
+    """Per-group median absolute deviation (functions/quantiles.py::
+    grouped_mad) of extendedprice cents by returnflag — two exact
+    grouped-median passes, integer-exact."""
+    from kafka_connect_mongo_ray.functions.quantiles import grouped_mad
+
+    return grouped_mad(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice"]),
+        "l_returnflag", "l_extendedprice", scale=100,
+        num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2456,6 +2511,10 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "docs_bigram_top": q_docs_bigram_top,
+        "docs_contamination": q_docs_contamination,
+        "docs_length_trim": q_docs_length_trim,
+        "lineitem_mad": q_lineitem_mad,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2553,6 +2612,60 @@ def build_queries():
 
 def build_oracle_sql():
     return {
+        # exact whitespace tokens (the retrieval.py contract); ties at
+        # the k boundary break by ascending bigram on both sides
+        "docs_bigram_top": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+            pairs AS (SELECT ws[g.i] || ' ' || ws[g.i+1] AS bigram
+                      FROM toks,
+                           LATERAL (SELECT unnest(range(1, len(ws)))
+                                    AS i) g)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 50
+        """,
+        # DuckDB list slicing is 1-based inclusive: ws[i:i+4] is the
+        # 5-token window starting at i; range(1, len-3) stops the last
+        # window exactly at the text's end
+        "docs_contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+            grams AS (SELECT doc_id,
+                             array_to_string(ws[g.i:g.i+4], ' ') AS g
+                      FROM toks,
+                           LATERAL (SELECT unnest(range(1, len(ws)-3))
+                                    AS i) g),
+            tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+            te AS (SELECT DISTINCT doc_id, g FROM grams
+                   WHERE doc_id % 2 = 1)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+            FROM te JOIN tr USING (g) GROUP BY doc_id
+        """,
+        "docs_length_trim": """
+            WITH b AS (SELECT source,
+                              quantile_disc(n_chars, 0.1) AS lo,
+                              quantile_disc(n_chars, 0.9) AS hi
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN b USING (source)
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+        """,
+        # same cents-scaling idiom as lineitem_quantiles (prices are
+        # exact cents, so round == rint on every value)
+        "lineitem_mad": """
+            WITH x AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice*100) AS BIGINT)
+                              AS c
+                       FROM lineitem),
+            m AS (SELECT l_returnflag, quantile_disc(c, 0.5) AS med
+                  FROM x GROUP BY l_returnflag)
+            SELECT x.l_returnflag, CAST(m.med AS BIGINT) AS med_scaled,
+                   CAST(quantile_disc(ABS(x.c - m.med), 0.5) AS BIGINT)
+                   AS mad_scaled
+            FROM x JOIN m USING (l_returnflag)
+            GROUP BY x.l_returnflag, m.med
+        """,
         "cdc_final_state": f"""
             SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, lang,
                    text || ':v' || CAST(doc_id % 5 AS VARCHAR) AS content

@@ -1,0 +1,138 @@
+"""Edge cases for functions/vocab.py and the quantile-band/MAD ops —
+the oracle-parity gate covers the happy path at sf0.001; these pin the
+degenerate shapes (empty/1-token docs, all-clean splits, hashed-gram
+equivalence, constant columns)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from kafka_connect_mongo_ray.functions.vocab import (
+    bigram_topk,
+    ngram_contamination,
+)
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_bigram_topk_counts_and_ties():
+    ds = _docs([(1, "a b a b"), (2, "a b c"), (3, "z"), (4, "")])
+    out = bigram_topk(ds, k=10).to_pandas()
+    got = dict(zip(out.bigram, out.n))
+    # "a b" appears twice in doc1 ("a b", then "a b" after "b a") + once
+    # in doc2; single-token and empty docs contribute nothing
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    # deterministic tie order: count desc, bigram asc
+    assert list(out.bigram) == ["a b", "b a", "b c"]
+
+
+def test_bigram_topk_k_cuts_with_deterministic_boundary():
+    ds = _docs([(1, "x y"), (2, "x z"), (3, "x y")])
+    out = bigram_topk(ds, k=1).to_pandas()
+    assert list(out.bigram) == ["x y"] and list(out.n) == [2]
+
+
+def test_contamination_flags_only_shared_grams():
+    # doc 2 (train) and doc 1 (test) share exactly one 3-gram
+    # ("quick brown fox"); doc 3 (test) is clean; short docs
+    # (<n tokens) produce no grams at all
+    ds = _docs([
+        (1, "the quick brown fox jumps"),
+        (2, "a quick brown fox sat"),
+        (3, "completely different text entirely here"),
+        (5, "tiny"),
+    ])
+    out = ngram_contamination(ds, n=3).to_pandas()
+    assert dict(zip(out.doc_id, out.n_contaminated)) == {1: 1}
+
+
+def test_contamination_counts_distinct_grams_once():
+    # the shared gram repeats inside the test doc — counted once
+    ds = _docs([(0, "p q r"), (1, "p q r x p q r")])
+    out = ngram_contamination(ds, n=3).to_pandas()
+    assert dict(zip(out.doc_id, out.n_contaminated)) == {1: 1}
+
+
+def test_contamination_hashed_matches_exact():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    # random tails rarely collide at 4 grams; guarantee overlap by
+    # planting a shared phrase in a third of the docs (both parities)
+    rows = [(i, ("shared contamination phrase here " if i % 3 == 0
+                 else "") + " ".join(rng.choice(vocab, size=12)))
+            for i in range(60)]
+    ds = _docs(rows)
+    exact = ngram_contamination(ds, n=4).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    hashed = ngram_contamination(ds, n=4, hash_grams=True).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, hashed, check_dtype=False)
+    assert len(exact) > 0  # the fixture actually exercises overlap
+
+
+def test_contamination_all_clean_is_empty():
+    ds = _docs([(0, "a b c d"), (1, "e f g h")])
+    assert ngram_contamination(ds, n=3).count() == 0
+
+
+def test_quantile_band_filter_constant_group_keeps_all():
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        quantile_band_filter,
+    )
+
+    t = pa.table({"id": pa.array(range(10), pa.int64()),
+                  "g": pa.array(["s"] * 10, pa.string()),
+                  "v": pa.array([5.0] * 10, pa.float64())})
+    out = quantile_band_filter(ray.data.from_arrow(t), "g", "v",
+                               lo_q=0.1, hi_q=0.9, scale=1)
+    assert out.count() == 10
+
+
+def test_quantile_band_filter_trims_tails_per_group():
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        quantile_band_filter,
+    )
+
+    vals_a = list(range(1, 11))          # p10=1, p90=9 (disc picks)
+    vals_b = [100 * v for v in range(1, 11)]
+    t = pa.table({
+        "id": pa.array(range(20), pa.int64()),
+        "g": pa.array(["a"] * 10 + ["b"] * 10, pa.string()),
+        "v": pa.array([float(v) for v in vals_a + vals_b], pa.float64()),
+    })
+    out = quantile_band_filter(ray.data.from_arrow(t), "g", "v",
+                               lo_q=0.1, hi_q=0.9, scale=1).to_pandas()
+    by_g = out.groupby("g")["v"].agg(["min", "max", "count"])
+    # quantile_disc(0.1) of 10 ascending values picks the 1st element,
+    # quantile_disc(0.9) the 9th — only the max is trimmed
+    assert by_g.loc["a"].tolist() == [1.0, 9.0, 9]
+    assert by_g.loc["b"].tolist() == [100.0, 900.0, 9]
+
+
+def test_grouped_mad_matches_numpy():
+    from kafka_connect_mongo_ray.functions.quantiles import grouped_mad
+
+    rng = np.random.default_rng(3)
+    g = rng.choice(["x", "y"], size=400)
+    v = np.round(rng.normal(50, 10, size=400), 2)
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "v": pa.array(v, pa.float64())})
+    out = grouped_mad(ray.data.from_arrow(t), "g", "v",
+                      scale=100).to_pandas().set_index("g")
+
+    def disc_median(a):
+        a = np.sort(a)
+        return int(a[max(0, int(np.ceil(0.5 * len(a))) - 1)])
+
+    for grp in ["x", "y"]:
+        c = np.rint(v[g == grp] * 100).astype(np.int64)
+        med = disc_median(c)
+        assert out.loc[grp, "med_scaled"] == med
+        assert out.loc[grp, "mad_scaled"] == disc_median(np.abs(c - med))
