@@ -413,3 +413,50 @@ def grouped_mad(ds, group_col: str, col: str, *, scale: int = 100,
         })
 
     return mad_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def winsorized_sum(ds, group_col: str, col: str, *, lo_q: float = 0.05,
+                   hi_q: float = 0.95, scale: int = 100,
+                   num_partitions: int | None = None):
+    """Per-group winsorized sum: clamp ``round(col*scale)`` into the
+    group's exact ``[quantile_disc(lo_q), quantile_disc(hi_q)]`` band
+    (outliers saturate instead of dropping — the robust-aggregation
+    complement of :func:`quantile_band_filter`), then COUNT and SUM.
+
+    Returns a Dataset ``(group_col, n, winsorized)``; integer-exact.
+    Same two-pass shape as the band filter: one grouped quantile pass
+    (value→count compacted), bounds broadcast as closure scalars, then
+    a clamp+pre-aggregate pass whose exchange is group-domain-sized."""
+    from ray.data.aggregate import Sum
+
+    bounds = grouped_exact_quantiles(
+        ds.select_columns([group_col, col]), group_col, col,
+        [lo_q, hi_q], scale=scale,
+        num_partitions=num_partitions).to_pandas()
+    lo = _group_value_map(bounds, group_col, lo_q)
+    hi = _group_value_map(bounds, group_col, hi_q)
+
+    def clamp_partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        v = np.rint(np.asarray(batch[col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        g = batch[group_col].to_pandas()
+        w = np.clip(v, g.map(lo).to_numpy(dtype=np.int64),
+                    g.map(hi).to_numpy(dtype=np.int64))
+        agg = (pd.DataFrame({group_col: g, "w": w})
+               .groupby(group_col, dropna=False)["w"]
+               .agg(["count", "sum"]).reset_index())
+        return pa.table({
+            group_col: pa.array(agg[group_col],
+                                batch.schema.field(group_col).type),
+            "n": pa.array(agg["count"].to_numpy(np.int64), pa.int64()),
+            "winsorized": pa.array(agg["sum"].to_numpy(np.int64),
+                                   pa.int64())})
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return (ds.map_batches(clamp_partial, batch_format="pyarrow")
+            .groupby(group_col, **kwargs)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("winsorized", alias_name="winsorized")))

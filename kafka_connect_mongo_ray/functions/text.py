@@ -225,3 +225,40 @@ def rolling_fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
         h = (strided * pw).sum(axis=1)
         out.append(int(h.min()))
     return batch.append_column("rolling_fp", pa.array(out, pa.uint64()))
+
+
+def char_entropy_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       round_to: int = 6) -> pa.Table:
+    """Per-document Shannon entropy (base 2) of the CHARACTER unigram
+    distribution — the classic gibberish/boilerplate quality signal
+    (low entropy ⇒ repeated filler, high ⇒ random noise). Shuffle-free
+    batch-local map; mirrors DuckDB's ``entropy()`` aggregate over
+    per-char unnested rows, so it is SQL-oracle-checkable.
+
+    Vectorized per batch: one ``str.join`` + UTF-32 encode flattens the
+    batch's codepoints (no per-row Python), then a single ``np.unique``
+    over ``(doc_index << 32) | codepoint`` keys yields per-(doc, char)
+    counts and ``np.add.reduceat`` the per-doc Σ c·log₂c. Empty/null
+    texts produce NO output row (SQL GROUP BY over zero char rows)."""
+    texts = pc.fill_null(batch[text_col], "").to_pylist()
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    flat = "".join(texts)
+    codes = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.asarray(pc.utf8_length(pc.fill_null(batch[text_col], "")),
+                      dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.uint64), lens)
+    if len(codes) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "ent": pa.array([], pa.float64())})
+    key = (doc_of << np.uint64(32)) | codes.astype(np.uint64)
+    uk, cnt = np.unique(key, return_counts=True)
+    docidx = (uk >> np.uint64(32)).astype(np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(docidx)) + 1))
+    clogc = cnt * np.log2(cnt)
+    sums = np.add.reduceat(clogc, starts)
+    present = docidx[starts]
+    n = lens[present].astype(np.float64)
+    ent = np.round(np.log2(n) - sums / n, round_to)
+    return pa.table({id_col: pa.array(ids[present], pa.int64()),
+                     "ent": pa.array(ent, pa.float64())})

@@ -2500,6 +2500,63 @@ def q_lineitem_mad(sf_dir: str):
         num_partitions=_gate_buckets())
 
 
+def q_docs_char_entropy(sf_dir: str):
+    """Per-document character-unigram Shannon entropy
+    (functions/text.py::char_entropy_batch) — gibberish/boilerplate
+    quality signal; shuffle-free vectorized batch map (one np.unique
+    over packed (doc, codepoint) keys per batch)."""
+    from kafka_connect_mongo_ray.functions.text import char_entropy_batch
+
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).map_batches(
+        char_entropy_batch, batch_format="pyarrow")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Canonical representative per near-dup cluster: verified pair set
+    (shared memo) → connected components → join n_chars → per-cluster
+    argmax (longest doc, ties to smallest id). The keep/drop decision
+    LLM dedup actually needs, end to end; the oracle recomputes the
+    transitive closure and the QUALIFY pick in SQL."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import connected_components
+    from kafka_connect_mongo_ray.functions.stats import group_argmax
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    pairs = verified_near_dup_pairs(sf_dir).select(["id_a", "id_b"])
+    comps = connected_components(
+        rd.from_arrow(pairs), num_buckets=_gate_buckets(),
+    ).map_batches(lambda t: t.rename_columns(["doc_id", "component"]),
+                  batch_format="pyarrow")
+    joined = hash_join(comps,
+                       _read(sf_dir, "documents",
+                             columns=["doc_id", "n_chars"]),
+                       on=["doc_id"], num_buckets=_gate_buckets())
+    best = group_argmax(joined, keys=["component"],
+                        order=[("n_chars", "descending"),
+                               ("doc_id", "ascending")],
+                        num_partitions=_gate_buckets())
+    return best.map_batches(
+        lambda t: pa.table({"component": t["component"],
+                            "keep_id": t["doc_id"],
+                            "keep_chars": t["n_chars"]}),
+        batch_format="pyarrow")
+
+
+def q_events_winsorized(sf_dir: str):
+    """Per-type winsorized cents sum (functions/quantiles.py::
+    winsorized_sum): exact per-group [p5, p95] clamp then COUNT/SUM —
+    robust aggregation that saturates outliers instead of dropping
+    rows."""
+    from kafka_connect_mongo_ray.functions.quantiles import winsorized_sum
+
+    return winsorized_sum(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", lo_q=0.05, hi_q=0.95, scale=100,
+        num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2515,6 +2572,9 @@ def build_queries():
         "docs_contamination": q_docs_contamination,
         "docs_length_trim": q_docs_length_trim,
         "lineitem_mad": q_lineitem_mad,
+        "docs_char_entropy": q_docs_char_entropy,
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_winsorized": q_events_winsorized,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2650,6 +2710,51 @@ def build_oracle_sql():
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN b USING (source)
             WHERE d.n_chars BETWEEN b.lo AND b.hi
+        """,
+        # DuckDB entropy() is base-2 Shannon over value frequencies —
+        # exactly log2(n) - Σ c·log2(c) / n; both sides round to 6
+        # (sum-order float noise ~1e-15, the unigram_logprob precedent)
+        "docs_char_entropy": """
+            WITH ch AS (SELECT doc_id, substr(text, g.i, 1) AS c
+                        FROM documents,
+                             LATERAL (SELECT
+                                      unnest(range(1, len(text)+1))
+                                      AS i) g)
+            SELECT doc_id, ROUND(entropy(c), 6) AS ent
+            FROM ch GROUP BY doc_id
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({{shingle_pairs}}),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+            ),
+            comps AS (SELECT node AS doc_id, MIN(comp) AS component
+                      FROM reach GROUP BY node)
+            SELECT component, d.doc_id AS keep_id,
+                   d.n_chars AS keep_chars
+            FROM comps JOIN documents d USING (doc_id)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+                                       ORDER BY d.n_chars DESC,
+                                                d.doc_id) = 1
+        """.replace("{shingle_pairs}",
+                    SHINGLE_PAIR_SQL.format(thr=JACCARD_THRESHOLD)),
+        "events_winsorized": """
+            WITH x AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS c
+                       FROM events),
+            b AS (SELECT event_type,
+                         quantile_disc(c, 0.05) AS lo,
+                         quantile_disc(c, 0.95) AS hi
+                  FROM x GROUP BY event_type)
+            SELECT x.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(LEAST(GREATEST(x.c, b.lo), b.hi)) AS BIGINT)
+                   AS winsorized
+            FROM x JOIN b USING (event_type)
+            GROUP BY x.event_type
         """,
         # same cents-scaling idiom as lineitem_quantiles (prices are
         # exact cents, so round == rint on every value)

@@ -136,3 +136,49 @@ def test_grouped_mad_matches_numpy():
         med = disc_median(c)
         assert out.loc[grp, "med_scaled"] == med
         assert out.loc[grp, "mad_scaled"] == disc_median(np.abs(c - med))
+
+
+def test_char_entropy_vectorized_matches_reference():
+    from collections import Counter
+
+    from kafka_connect_mongo_ray.functions.text import char_entropy_batch
+
+    texts = ["aab", "aaaa", "ábçá 漢字", "x", ""]
+    batch = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = char_entropy_batch(batch).to_pandas()
+    got = dict(zip(out.doc_id, out.ent))
+
+    def ref(s):
+        n = len(s)
+        return round(-sum((c / n) * np.log2(c / n)
+                          for c in Counter(s).values()), 6)
+
+    # empty text yields no row (SQL GROUP BY over zero char rows)
+    assert set(got) == {0, 1, 2, 3}
+    for i in [0, 1, 2, 3]:
+        assert got[i] == pytest.approx(ref(texts[i]), abs=1e-6)
+    assert got[1] == 0.0  # constant text has zero entropy
+
+
+def test_char_entropy_null_text_behaves_like_empty():
+    from kafka_connect_mongo_ray.functions.text import char_entropy_batch
+
+    batch = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                      "text": pa.array(["ok", None], pa.string())})
+    out = char_entropy_batch(batch).to_pandas()
+    assert list(out.doc_id) == [7]
+
+
+def test_winsorized_sum_clamps_tails():
+    from kafka_connect_mongo_ray.functions.quantiles import winsorized_sum
+
+    # 20 values 1..20 in one group: disc p5 picks the 1st element,
+    # disc p95 the 19th — only the max saturates (20 -> 19)
+    t = pa.table({"g": pa.array(["a"] * 20, pa.string()),
+                  "v": pa.array([float(v) for v in range(1, 21)],
+                                pa.float64())})
+    out = winsorized_sum(ray.data.from_arrow(t), "g", "v",
+                         lo_q=0.05, hi_q=0.95, scale=1).to_pandas()
+    assert out.n.tolist() == [20]
+    assert out.winsorized.tolist() == [sum(range(1, 20)) + 19]
