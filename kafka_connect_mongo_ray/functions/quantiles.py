@@ -377,42 +377,57 @@ def grouped_mad(ds, group_col: str, col: str, *, scale: int = 100,
         med = quantile_disc(x, 0.5) GROUP BY g
         mad = quantile_disc(abs(x - med), 0.5) GROUP BY g
 
-    Returns a Dataset ``(group_col, med_scaled, mad_scaled)``. Two
-    value→count-compacted grouped-quantile passes (each exchange is
-    bounded by groups × distinct scaled values, never rows) with the
-    group-domain-sized median table broadcast between them."""
-    med_pdf = grouped_exact_quantiles(
-        ds.select_columns([group_col, col]), group_col, col, [0.5],
-        scale=scale, num_partitions=num_partitions).to_pandas()
-    med = _group_value_map(med_pdf, group_col, 0.5)
+    Returns a Dataset ``(group_col, med_scaled, mad_scaled)``.
 
-    def dev(batch: pa.Table) -> pa.Table:
+    ONE pass over the fact table: both medians are order statistics of
+    the same per-group value→count histogram (|v - med| is a
+    reweighting of the histogram, not of the rows), so the med AND the
+    mad come out of a single per-group pick over the one compacted
+    exchange — bounded by groups × distinct scaled values, never rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
         limit_worker_threads()
         import pandas as pd
 
-        v = np.rint(np.asarray(batch[col], dtype=np.float64)
-                    * scale).astype(np.int64)
-        g = batch[group_col].to_pandas()
-        m = g.map(med).to_numpy(dtype=np.int64)
-        return pa.table({group_col: batch[group_col],
-                         "d": pa.array(np.abs(v - m), pa.int64())})
+        v = np.asarray(batch[col], dtype=np.float64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "v": np.rint(v * scale).astype(np.int64)})
+        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    mad_ds = grouped_exact_quantiles(
-        ds.map_batches(dev, batch_format="pyarrow"), group_col, "d",
-        [0.5], scale=1, num_partitions=num_partitions)
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "v"], **kwargs)
+              .aggregate(Sum("c", alias_name="c")))
 
-    def finish(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    def weighted_disc_median(vals: np.ndarray, c: np.ndarray) -> int:
+        # vals ascending; duplicate vals are fine — searchsorted lands
+        # inside the duplicate run at the correct value
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        return int(vals[int(np.searchsorted(
+            cum, quantile_disc_index(0.5, n) + 1))])
 
-        g = t[group_col].to_pandas()
+    def pick(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
+        t = t.take(order)
+        vals = np.asarray(t["v"], dtype=np.int64)
+        c = np.asarray(t["c"], dtype=np.int64)
+        med = weighted_disc_median(vals, c)
+        d = np.abs(vals - med)
+        d_order = np.argsort(d, kind="stable")
+        mad = weighted_disc_median(d[d_order], c[d_order])
         return pa.table({
-            group_col: t[group_col],
-            "med_scaled": pa.array(g.map(med).to_numpy(dtype=np.int64),
-                                   pa.int64()),
-            "mad_scaled": t["value_scaled"],
+            group_col: pa.array([t[group_col][0].as_py()],
+                                t.schema.field(group_col).type),
+            "med_scaled": pa.array([med], pa.int64()),
+            "mad_scaled": pa.array([mad], pa.int64()),
         })
 
-    return mad_ds.map_batches(finish, batch_format="pyarrow")
+    return counts.groupby(group_col).map_groups(pick,
+                                                batch_format="pyarrow")
 
 
 def winsorized_sum(ds, group_col: str, col: str, *, lo_q: float = 0.05,
@@ -424,39 +439,47 @@ def winsorized_sum(ds, group_col: str, col: str, *, lo_q: float = 0.05,
     complement of :func:`quantile_band_filter`), then COUNT and SUM.
 
     Returns a Dataset ``(group_col, n, winsorized)``; integer-exact.
-    Same two-pass shape as the band filter: one grouped quantile pass
-    (value→count compacted), bounds broadcast as closure scalars, then
-    a clamp+pre-aggregate pass whose exchange is group-domain-sized."""
+
+    ONE pass: bounds and the clamped sum are both functions of the
+    per-group value→count histogram (Σ c·clip(v, lo, hi)), so a single
+    compacted exchange feeds a single per-group pick — no second scan
+    of the fact table."""
     from ray.data.aggregate import Sum
 
-    bounds = grouped_exact_quantiles(
-        ds.select_columns([group_col, col]), group_col, col,
-        [lo_q, hi_q], scale=scale,
-        num_partitions=num_partitions).to_pandas()
-    lo = _group_value_map(bounds, group_col, lo_q)
-    hi = _group_value_map(bounds, group_col, hi_q)
-
-    def clamp_partial(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         limit_worker_threads()
         import pandas as pd
 
-        v = np.rint(np.asarray(batch[col], dtype=np.float64)
-                    * scale).astype(np.int64)
-        g = batch[group_col].to_pandas()
-        w = np.clip(v, g.map(lo).to_numpy(dtype=np.int64),
-                    g.map(hi).to_numpy(dtype=np.int64))
-        agg = (pd.DataFrame({group_col: g, "w": w})
-               .groupby(group_col, dropna=False)["w"]
-               .agg(["count", "sum"]).reset_index())
-        return pa.table({
-            group_col: pa.array(agg[group_col],
-                                batch.schema.field(group_col).type),
-            "n": pa.array(agg["count"].to_numpy(np.int64), pa.int64()),
-            "winsorized": pa.array(agg["sum"].to_numpy(np.int64),
-                                   pa.int64())})
+        v = np.asarray(batch[col], dtype=np.float64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "v": np.rint(v * scale).astype(np.int64)})
+        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    return (ds.map_batches(clamp_partial, batch_format="pyarrow")
-            .groupby(group_col, **kwargs)
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("winsorized", alias_name="winsorized")))
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "v"], **kwargs)
+              .aggregate(Sum("c", alias_name="c")))
+
+    def pick(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
+        t = t.take(order)
+        vals = np.asarray(t["v"], dtype=np.int64)
+        c = np.asarray(t["c"], dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(vals[int(np.searchsorted(
+            cum, quantile_disc_index(lo_q, n) + 1))])
+        hi = int(vals[int(np.searchsorted(
+            cum, quantile_disc_index(hi_q, n) + 1))])
+        w = int(np.dot(np.clip(vals, lo, hi), c))
+        return pa.table({
+            group_col: pa.array([t[group_col][0].as_py()],
+                                t.schema.field(group_col).type),
+            "n": pa.array([n], pa.int64()),
+            "winsorized": pa.array([w], pa.int64()),
+        })
+
+    return counts.groupby(group_col).map_groups(pick,
+                                                batch_format="pyarrow")
