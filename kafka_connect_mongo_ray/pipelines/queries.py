@@ -2557,6 +2557,46 @@ def q_events_winsorized(sf_dir: str):
         num_partitions=_gate_buckets())
 
 
+def q_orders_pareto(sf_dir: str):
+    """Pareto cut: the smallest prefix of customers (by revenue desc)
+    reaching 80% of total revenue. Fact-sized work is one pre-aggregated
+    groupby-sum to the customer domain; the cumulative-share scan runs
+    in a single task over that dimension-sized table (materialized once
+    — multi-consumer staging rule), keeping rows whose PRIOR cumulative
+    revenue is below 0.8·total (ties broken rev desc, custkey asc,
+    mirrored in the SQL window ORDER BY)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "o_custkey": np.asarray(batch["o_custkey"], dtype=np.int64),
+            "rev": np.rint(np.asarray(batch["o_totalprice"],
+                                      dtype=np.float64)
+                           * 100).astype(np.int64)})
+        g = df.groupby("o_custkey", as_index=False)["rev"].sum()
+        return pa.table({"o_custkey": pa.array(g["o_custkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    agg = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey", num_partitions=_gate_buckets())
+           .aggregate(Sum("rev", alias_name="rev"))
+           .materialize())
+    tot = agg.sum("rev")
+
+    def cut(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("rev", "descending"),
+                                              ("o_custkey", "ascending")])
+        t = t.take(order)
+        rev = np.asarray(t["rev"], dtype=np.int64)
+        prior = np.cumsum(rev) - rev
+        return t.filter(pa.array(prior < 0.8 * tot))
+
+    return agg.repartition(1).map_batches(cut, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2575,6 +2615,7 @@ def build_queries():
         "docs_char_entropy": q_docs_char_entropy,
         "dedup_keep_best": q_dedup_keep_best,
         "events_winsorized": q_events_winsorized,
+        "orders_pareto": q_orders_pareto,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2755,6 +2796,21 @@ def build_oracle_sql():
                    AS winsorized
             FROM x JOIN b USING (event_type)
             GROUP BY x.event_type
+        """,
+        # prior cumulative (cum - rev) < 0.8*tot: identical float
+        # operands both sides, so the boundary comparison is bit-equal
+        "orders_pareto": """
+            WITH r AS (SELECT o_custkey,
+                              CAST(SUM(CAST(ROUND(o_totalprice*100)
+                                            AS BIGINT)) AS BIGINT) AS rev
+                       FROM orders GROUP BY o_custkey),
+            t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM r),
+            c AS (SELECT o_custkey, rev,
+                         SUM(rev) OVER (ORDER BY rev DESC, o_custkey)
+                         AS cum
+                  FROM r)
+            SELECT o_custkey, rev FROM c, t
+            WHERE cum - rev < 0.8 * tot
         """,
         # same cents-scaling idiom as lineitem_quantiles (prices are
         # exact cents, so round == rint on every value)
