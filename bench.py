@@ -315,9 +315,18 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     """Sandbox substitute for the N vs 4N cluster-size criterion:
-    identical job in fresh processes at num_cpus=8 and 32."""
-    out = {}
-    for ncpu in (8, 32):
+    identical job in fresh processes at num_cpus=8 and 32.
+
+    ABBA ordering (8, 32, 32, 8) with per-level medians: the box's
+    regime drifts run-over-run (measured 1.6× swings on the 32-CPU leg
+    between adjacent runs — BASELINE.md), so a single 8-then-32 pair
+    confounds the level with the position; alternating and taking the
+    median of two runs per level cancels monotone drift, and the
+    per-level min/max lands in the artifact as its own noise bound."""
+    import statistics
+
+    samples: dict[int, list[float]] = {8: [], 32: []}
+    for ncpu in (8, 32, 32, 8):
         # 5x the workload for the scaling measurement: at the plain bench
         # size the 32-CPU run finishes in ~3 s and fixed costs (commit,
         # driver coordination) dominate, understating scalability
@@ -327,9 +336,10 @@ def run_scaling() -> dict:
             [sys.executable, __file__, "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
         )
-        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    tp8 = out[8]["value"]
-    tp32 = out[32]["value"]
+        val = json.loads(proc.stdout.strip().splitlines()[-1])["value"]
+        samples[ncpu].append(val)
+    tp8 = statistics.median(samples[8])
+    tp32 = statistics.median(samples[32])
     eff = (tp32 / tp8) / 4.0
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
@@ -337,6 +347,9 @@ def run_scaling() -> dict:
         "events_per_sec_32": tp32,
         "speedup": round(tp32 / tp8, 3),
         "scaling_efficiency": round(eff, 3),
+        "runs_8": samples[8],
+        "runs_32": samples[32],
+        "order": "ABBA (8,32,32,8)",
         "sf": SF_DIR,
     }
 

@@ -2597,6 +2597,36 @@ def q_orders_pareto(sf_dir: str):
     return agg.repartition(1).map_batches(cut, batch_format="pyarrow")
 
 
+def q_corpus_decontam_prep(sf_dir: str):
+    """Curation composition over the session's new operators: per-source
+    [p10, p90] length trim → drop contaminated test docs (odd doc_id
+    sharing a word-5-gram with the even train split) via a bucketed
+    ANTI join → per-source corpus stats. Three exchanges total (gram
+    semi join inside contamination, keys-only anti join, group-domain
+    final aggregate); the trim filter and both gram passes stream."""
+    from ray.data.aggregate import Count, Sum
+
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        quantile_band_filter,
+    )
+    from kafka_connect_mongo_ray.functions.vocab import ngram_contamination
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    trimmed = quantile_band_filter(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars", lo_q=0.1, hi_q=0.9, scale=1,
+        num_partitions=_gate_buckets())
+    contaminated = ngram_contamination(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=5, num_partitions=_gate_buckets()).select_columns(["doc_id"])
+    clean = hash_join(trimmed, contaminated, on=["doc_id"], how="anti",
+                      num_buckets=_gate_buckets())
+    return (clean.groupby("source", num_partitions=_gate_buckets())
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2616,6 +2646,7 @@ def build_queries():
         "dedup_keep_best": q_dedup_keep_best,
         "events_winsorized": q_events_winsorized,
         "orders_pareto": q_orders_pareto,
+        "corpus_decontam_prep": q_corpus_decontam_prep,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2796,6 +2827,33 @@ def build_oracle_sql():
                    AS winsorized
             FROM x JOIN b USING (event_type)
             GROUP BY x.event_type
+        """,
+        # composition of docs_length_trim + docs_contamination + an
+        # anti join; SUM over int64 n_chars is exact
+        "corpus_decontam_prep": """
+            WITH b AS (SELECT source,
+                              quantile_disc(n_chars, 0.1) AS lo,
+                              quantile_disc(n_chars, 0.9) AS hi
+                       FROM documents GROUP BY source),
+            trimmed AS (SELECT d.doc_id, d.source, d.n_chars
+                        FROM documents d JOIN b USING (source)
+                        WHERE d.n_chars BETWEEN b.lo AND b.hi),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+            grams AS (SELECT doc_id,
+                             array_to_string(ws[g.i:g.i+4], ' ') AS g
+                      FROM toks,
+                           LATERAL (SELECT unnest(range(1, len(ws)-3))
+                                    AS i) g),
+            tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+            contam AS (SELECT DISTINCT doc_id FROM grams
+                       WHERE doc_id % 2 = 1
+                         AND g IN (SELECT g FROM tr))
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM trimmed
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            GROUP BY source
         """,
         # prior cumulative (cum - rev) < 0.8*tot: identical float
         # operands both sides, so the boundary comparison is bit-equal
