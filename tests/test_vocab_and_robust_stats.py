@@ -182,3 +182,40 @@ def test_winsorized_sum_clamps_tails():
                          lo_q=0.05, hi_q=0.95, scale=1).to_pandas()
     assert out.n.tolist() == [20]
     assert out.winsorized.tolist() == [sum(range(1, 20)) + 19]
+
+
+def test_bigram_total_mass_invariant():
+    # Σ counts over ALL bigrams == Σ max(0, tokens(doc) - 1): checks the
+    # boundary mask drops exactly the cross-document pairs, on a corpus
+    # with short/empty/multi-token docs mixed across multiple blocks
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(200):
+        ntok = int(rng.integers(0, 6))
+        texts.append(" ".join(f"t{int(rng.integers(0, 8))}"
+                              for _ in range(ntok)))
+    ds = _docs(list(enumerate(texts))).repartition(8)
+    out = bigram_topk(ds, k=10_000).to_pandas()
+    expect = sum(max(0, len(t.split(" ")) - 1) for t in texts)
+    assert out.n.sum() == expect
+
+
+def test_contamination_matches_pure_python_reference():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 10)))))
+            for i in range(120)]
+    n = 3
+    got = ngram_contamination(_docs(rows).repartition(6), n=n).to_pandas()
+
+    def grams(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    train = set()
+    for i, t in rows:
+        if i % 2 == 0:
+            train |= grams(t)
+    want = {i: len(grams(t) & train)
+            for i, t in rows if i % 2 == 1 and grams(t) & train}
+    assert dict(zip(got.doc_id, got.n_contaminated)) == want
