@@ -172,7 +172,8 @@ def _gram_rows(id_col: str, text_col: str, n: int, keep_parity: int,
 def ngram_contamination(ds, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         num_partitions: int | None = None,
-                        hash_grams: bool = False):
+                        hash_grams: bool = False,
+                        count_grams: bool = True):
     """Test-split docs sharing ≥1 word ``n``-gram with the train split.
 
     Split rule: even ``id`` → train, odd ``id`` → test (a deterministic
@@ -186,7 +187,10 @@ def ngram_contamination(ds, *, id_col: str = "doc_id",
     all-to-all is the bucketed semi join on the gram key (train side
     ships keys only, per-batch-deduplicated inside ``hash_join``).
     ``hash_grams=True`` swaps gram strings for md5-derived uint64
-    fingerprints in the exchange — the 100-TB configuration."""
+    fingerprints in the exchange — the 100-TB configuration.
+    ``count_grams=False`` skips the final count exchange and returns
+    just the flagged ``id_col`` rows (ids may repeat across gram
+    buckets) — for consumers that only anti-join the id set away."""
     from ray.data.aggregate import Count
 
     from kafka_connect_mongo_ray.stages.join import hash_join
@@ -200,6 +204,11 @@ def ngram_contamination(ds, *, id_col: str = "doc_id",
 
     kwargs = {"num_buckets": num_partitions} if num_partitions else {}
     hits = hash_join(test, train, on=["g"], how="semi", **kwargs)
+    if not count_grams:
+        # id set only (duplicate ids across gram buckets remain; the
+        # consumer's join/dedup collapses them — cheaper than a global
+        # count exchange when the count isn't wanted)
+        return hits.select_columns([id_col])
     agg_kwargs = {"num_partitions": num_partitions} if num_partitions else {}
     return (hits.groupby(id_col, **agg_kwargs)
             .aggregate(Count(alias_name="n_contaminated")))

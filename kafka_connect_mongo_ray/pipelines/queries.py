@@ -2617,9 +2617,15 @@ def q_corpus_decontam_prep(sf_dir: str):
               columns=["doc_id", "source", "n_chars"]),
         "source", "n_chars", lo_q=0.1, hi_q=0.9, scale=1,
         num_partitions=_gate_buckets())
+    # count_grams=False: the anti join only needs the id SET, so the
+    # contamination count exchange is skipped; materializing the
+    # flagged-id table (flagged-docs-sized) stages the plan between
+    # the gram semi join and the anti join (lazy multi-all-to-all
+    # chains starve the executor — NEXT.md #2)
     contaminated = ngram_contamination(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        n=5, num_partitions=_gate_buckets()).select_columns(["doc_id"])
+        n=5, num_partitions=_gate_buckets(),
+        count_grams=False).materialize()
     clean = hash_join(trimmed, contaminated, on=["doc_id"], how="anti",
                       num_buckets=_gate_buckets())
     return (clean.groupby("source", num_partitions=_gate_buckets())
