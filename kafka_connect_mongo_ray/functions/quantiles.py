@@ -110,6 +110,57 @@ def exact_quantiles_cont(ds, col: str, qs: list[float], *,
                      "value_cont": pa.array(out, pa.float64())})
 
 
+def _grouped_value_counts(ds, group_col: str, col: str, *, scale: int,
+                          num_partitions: int | None,
+                          drop_null_groups: bool = False):
+    """The shared per-group value→count histogram: batch-local
+    compaction to DISTINCT (group, scaled value) pairs, then ONE
+    groupby-sum whose volume is bounded by groups × distinct scaled
+    values, never by row count. Every grouped order-statistic operator
+    (quantiles, MAD, winsorize) builds on this one exchange.
+
+    ``drop_null_groups=True`` excludes NULL-group rows up front — the
+    SQL equi-join semantics the join-mirrored consumers (MAD,
+    winsorize, band filter) need; the default keeps NULL groups as
+    their own group (SQL GROUP BY semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        if drop_null_groups:
+            batch = batch.filter(pc.is_valid(batch[group_col]))
+        v = np.asarray(batch[col], dtype=np.float64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "v": np.rint(v * scale).astype(np.int64)})
+        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "v"], **kwargs)
+            .aggregate(Sum("c", alias_name="c")))
+
+
+def _sorted_hist(t: pa.Table):
+    """(vals ascending, counts) int64 arrays from one group's
+    histogram table."""
+    order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
+    t = t.take(order)
+    return (t, np.asarray(t["v"], dtype=np.int64),
+            np.asarray(t["c"], dtype=np.int64))
+
+
+def _disc_pick(vals: np.ndarray, cum: np.ndarray, q: float) -> int:
+    """quantile_disc pick from a sorted histogram (duplicate values in
+    ``vals`` are fine — searchsorted lands inside the run at the
+    correct value)."""
+    n = int(cum[-1])
+    return int(vals[int(np.searchsorted(cum, quantile_disc_index(q, n) + 1))])
+
+
 def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
                             *, scale: int = 100,
                             num_partitions: int | None = None):
@@ -120,37 +171,16 @@ def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
     cumulative pick runs INSIDE a per-group ``map_groups`` instead of
     on the driver: the one shuffle moves (group, value, count) rows —
     bounded by groups × distinct scaled values, never by row count —
-    and nothing is materialized driver-side. Returns a Dataset
+    and nothing is materialized driver-side. NULL-group rows keep
+    their own quantile row (SQL GROUP BY semantics). Returns a Dataset
     ``(group_col, q, value_scaled)``."""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        limit_worker_threads()
-        import pandas as pd
-
-        v = np.asarray(batch[col], dtype=np.float64)
-        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
-                           "v": np.rint(v * scale).astype(np.int64)})
-        # dropna=False: NULL-group rows keep their own quantile row
-        # (SQL GROUP BY keeps NULL groups; Ray's groupby does too)
-        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
-        g = g.rename(columns={"size": "c"})
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby([group_col, "v"], **kwargs)
-              .aggregate(Sum("c", alias_name="c")))
+    counts = _grouped_value_counts(ds, group_col, col, scale=scale,
+                                   num_partitions=num_partitions)
 
     def pick(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("v", "ascending")])
-        t = g.take(order)
-        c = np.asarray(t["c"], dtype=np.int64)
-        vals = np.asarray(t["v"], dtype=np.int64)
+        t, vals, c = _sorted_hist(g)
         cum = np.cumsum(c)
-        n = int(cum[-1])
-        picked = [int(vals[int(np.searchsorted(cum, quantile_disc_index(q, n) + 1))])
-                  for q in qs]
+        picked = [_disc_pick(vals, cum, q) for q in qs]
         return pa.table({
             group_col: pa.array([t[group_col][0].as_py()] * len(qs),
                                 t.schema.field(group_col).type),
@@ -346,7 +376,9 @@ def quantile_band_filter(ds, group_col: str, col: str, *, lo_q: float,
     whose group-domain-sized result lands on the driver and broadcasts
     into the filter pass as a plain closure dict. Assumes the group
     domain is dimension-sized (sources, languages, shards — not keys).
-    Returns ``ds`` filtered, original columns/order preserved."""
+    NULL-group rows are DROPPED (the SQL mirror joins the bounds table
+    back with an equi-join, which never matches NULL keys). Returns
+    ``ds`` filtered, original columns/order preserved."""
     bounds = grouped_exact_quantiles(
         ds.select_columns([group_col, col]), group_col, col,
         [lo_q, hi_q], scale=scale,
@@ -358,6 +390,7 @@ def quantile_band_filter(ds, group_col: str, col: str, *, lo_q: float,
         limit_worker_threads()
         import pandas as pd
 
+        batch = batch.filter(pc.is_valid(batch[group_col]))
         v = np.rint(np.asarray(batch[col], dtype=np.float64)
                     * scale).astype(np.int64)
         g = batch[group_col].to_pandas()
@@ -383,42 +416,19 @@ def grouped_mad(ds, group_col: str, col: str, *, scale: int = 100,
     the same per-group value→count histogram (|v - med| is a
     reweighting of the histogram, not of the rows), so the med AND the
     mad come out of a single per-group pick over the one compacted
-    exchange — bounded by groups × distinct scaled values, never rows."""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        limit_worker_threads()
-        import pandas as pd
-
-        v = np.asarray(batch[col], dtype=np.float64)
-        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
-                           "v": np.rint(v * scale).astype(np.int64)})
-        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
-        g = g.rename(columns={"size": "c"})
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby([group_col, "v"], **kwargs)
-              .aggregate(Sum("c", alias_name="c")))
-
-    def weighted_disc_median(vals: np.ndarray, c: np.ndarray) -> int:
-        # vals ascending; duplicate vals are fine — searchsorted lands
-        # inside the duplicate run at the correct value
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        return int(vals[int(np.searchsorted(
-            cum, quantile_disc_index(0.5, n) + 1))])
+    exchange — bounded by groups × distinct scaled values, never rows.
+    NULL-group rows are EXCLUDED (the SQL mirror joins the median
+    table back with an equi-join, which never matches NULL keys)."""
+    counts = _grouped_value_counts(ds, group_col, col, scale=scale,
+                                   num_partitions=num_partitions,
+                                   drop_null_groups=True)
 
     def pick(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
-        t = t.take(order)
-        vals = np.asarray(t["v"], dtype=np.int64)
-        c = np.asarray(t["c"], dtype=np.int64)
-        med = weighted_disc_median(vals, c)
+        t, vals, c = _sorted_hist(t)
+        med = _disc_pick(vals, np.cumsum(c), 0.5)
         d = np.abs(vals - med)
         d_order = np.argsort(d, kind="stable")
-        mad = weighted_disc_median(d[d_order], c[d_order])
+        mad = _disc_pick(d[d_order], np.cumsum(c[d_order]), 0.5)
         return pa.table({
             group_col: pa.array([t[group_col][0].as_py()],
                                 t.schema.field(group_col).type),
@@ -443,42 +453,23 @@ def winsorized_sum(ds, group_col: str, col: str, *, lo_q: float = 0.05,
     ONE pass: bounds and the clamped sum are both functions of the
     per-group value→count histogram (Σ c·clip(v, lo, hi)), so a single
     compacted exchange feeds a single per-group pick — no second scan
-    of the fact table."""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        limit_worker_threads()
-        import pandas as pd
-
-        v = np.asarray(batch[col], dtype=np.float64)
-        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
-                           "v": np.rint(v * scale).astype(np.int64)})
-        g = df.groupby([group_col, "v"], as_index=False, dropna=False).size()
-        g = g.rename(columns={"size": "c"})
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby([group_col, "v"], **kwargs)
-              .aggregate(Sum("c", alias_name="c")))
+    of the fact table. NULL-group rows are EXCLUDED (equi-join
+    semantics, matching the SQL mirror)."""
+    counts = _grouped_value_counts(ds, group_col, col, scale=scale,
+                                   num_partitions=num_partitions,
+                                   drop_null_groups=True)
 
     def pick(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
-        t = t.take(order)
-        vals = np.asarray(t["v"], dtype=np.int64)
-        c = np.asarray(t["c"], dtype=np.int64)
+        t, vals, c = _sorted_hist(t)
         cum = np.cumsum(c)
-        n = int(cum[-1])
-        lo = int(vals[int(np.searchsorted(
-            cum, quantile_disc_index(lo_q, n) + 1))])
-        hi = int(vals[int(np.searchsorted(
-            cum, quantile_disc_index(hi_q, n) + 1))])
-        w = int(np.dot(np.clip(vals, lo, hi), c))
+        lo = _disc_pick(vals, cum, lo_q)
+        hi = _disc_pick(vals, cum, hi_q)
         return pa.table({
             group_col: pa.array([t[group_col][0].as_py()],
                                 t.schema.field(group_col).type),
-            "n": pa.array([n], pa.int64()),
-            "winsorized": pa.array([w], pa.int64()),
+            "n": pa.array([int(cum[-1])], pa.int64()),
+            "winsorized": pa.array([int(np.dot(np.clip(vals, lo, hi), c))],
+                                   pa.int64()),
         })
 
     return counts.groupby(group_col).map_groups(pick,

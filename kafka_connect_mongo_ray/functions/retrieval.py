@@ -41,10 +41,8 @@ import pyarrow.compute as pc
 __all__ = ["build_tf_table", "bm25_topk", "bm25_topk_multi",
            "tfidf_top_terms", "unigram_logprob"]
 
-#: two-level reduce: above this many candidate blocks, prune through an
-#: intermediate coalesce so the final pick task sees ≤ _FANIN·k rows
-#: per query no matter how many blocks the corpus has
-_FANIN = 64
+from kafka_connect_mongo_ray.utils import TOPK_FANIN as _FANIN
+from kafka_connect_mongo_ray.utils import two_level_pick as _shared_pick
 
 
 def _tf_table(terms: list[str], id_col: str, text_col: str):
@@ -114,14 +112,8 @@ def _resolve_tf(ds, terms_needed: list[str], tf, tf_terms, id_col, text_col):
 
 
 def _two_level_pick(cand, pick_fn, num_blocks: int):
-    """Collapse per-block top-k candidates to the final answer without
-    the Sort operator: optional intermediate coalesce (prunes to
-    _FANIN · per-task-top-k rows), then one final single-task pick."""
-    if num_blocks > _FANIN:
-        cand = (cand.repartition(_FANIN)
-                .map_batches(pick_fn, batch_format="pyarrow"))
-    return (cand.repartition(1)
-            .map_batches(pick_fn, batch_format="pyarrow"))
+    """Shared two-level candidate reduce (utils.two_level_pick)."""
+    return _shared_pick(cand, pick_fn, num_blocks)
 
 
 def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",

@@ -35,12 +35,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from kafka_connect_mongo_ray.utils import limit_worker_threads
+from kafka_connect_mongo_ray.utils import limit_worker_threads, two_level_pick
 
 __all__ = ["bigram_topk", "ngram_contamination"]
-
-#: two-level reduce fan-in (same rationale as functions/retrieval.py)
-_FANIN = 64
 
 
 def _tokens_with_doc_index(batch: pa.Table, text_col: str):
@@ -112,13 +109,10 @@ def bigram_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return t.take(order[:k]).select(["bigram", "n"])
 
     # candidate rows after the per-block pick ≤ output-partitions · k;
-    # when the groupby fans out wider than _FANIN, prune through an
-    # intermediate coalesce so the final task sees ≤ _FANIN · k rows
+    # the shared two-level reduce prunes through a coalesce when the
+    # groupby fans out wider than the fan-in
     cand = counts.map_batches(pick, batch_format="pyarrow")
-    if num_partitions and num_partitions > _FANIN:
-        cand = (cand.repartition(_FANIN)
-                .map_batches(pick, batch_format="pyarrow"))
-    return cand.repartition(1).map_batches(pick, batch_format="pyarrow")
+    return two_level_pick(cand, pick, num_partitions)
 
 
 def _gram_rows(id_col: str, text_col: str, n: int, keep_parity: int,
@@ -190,7 +184,15 @@ def ngram_contamination(ds, *, id_col: str = "doc_id",
     fingerprints in the exchange — the 100-TB configuration.
     ``count_grams=False`` skips the final count exchange and returns
     just the flagged ``id_col`` rows (ids may repeat across gram
-    buckets) — for consumers that only anti-join the id set away."""
+    buckets) — for consumers that only anti-join the id set away.
+
+    The text column is READ twice (once per split side) by design:
+    the parity filter runs BEFORE tokenization, so tokenize work is
+    not doubled — only the column-pruned Parquet read is, and
+    re-reading a pruned projection is cheaper at every scale than
+    materializing a corpus-sized gram table between passes (the
+    multi-consumer staging rule applies to dimension-sized shares,
+    not fact-sized ones)."""
     from ray.data.aggregate import Count
 
     from kafka_connect_mongo_ray.stages.join import hash_join

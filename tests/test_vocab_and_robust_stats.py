@@ -219,3 +219,38 @@ def test_contamination_matches_pure_python_reference():
     want = {i: len(grams(t) & train)
             for i, t in rows if i % 2 == 1 and grams(t) & train}
     assert dict(zip(got.doc_id, got.n_contaminated)) == want
+
+
+def test_null_group_rows_follow_equi_join_semantics():
+    # the SQL mirrors of band filter / MAD / winsorize all JOIN the
+    # bounds table back USING (group) — NULL groups never match, so
+    # the engine must EXCLUDE them (grouped_exact_quantiles, which
+    # mirrors plain GROUP BY, keeps them — asserted as the contrast)
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_exact_quantiles,
+        grouped_mad,
+        quantile_band_filter,
+        winsorized_sum,
+    )
+
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + [None] * 3, pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 7.0, 8.0, 9.0],
+                      pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+
+    trimmed = quantile_band_filter(ds, "g", "v", lo_q=0.0, hi_q=1.0,
+                                   scale=1).to_pandas()
+    assert len(trimmed) == 5 and trimmed.g.notna().all()
+
+    mad = grouped_mad(ds, "g", "v", scale=1).to_pandas()
+    assert list(mad.g) == ["a"]
+
+    win = winsorized_sum(ds, "g", "v", lo_q=0.0, hi_q=1.0,
+                         scale=1).to_pandas()
+    assert list(win.g) == ["a"] and win.n.tolist() == [5]
+
+    # GROUP BY semantics contrast: the quantile table keeps the NULL group
+    qt = grouped_exact_quantiles(ds, "g", "v", [0.5], scale=1).to_pandas()
+    assert len(qt) == 2
