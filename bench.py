@@ -260,6 +260,7 @@ def run_once() -> dict:
         from kafka_connect_mongo_ray.pipelines import queries as _q
 
         _q._NEAR_DUP_PAIR_CACHE.clear()
+        _q._DEDUP_CC_CACHE.clear()
         _q._BRUTE_FORCE_CACHE.clear()
         _q._BM25_TF_CACHE.clear()
 

@@ -808,6 +808,39 @@ def verified_near_dup_pairs(sf_dir: str) -> pa.Table:
     return t
 
 
+#: components of the verified near-dup graph — cluster-docs-bounded
+#: (one row per doc that appears in any pair), shared by
+#: dedup_components and dedup_keep_best the way the pair set is
+_DEDUP_CC_CACHE: dict[str, pa.Table] = {}
+
+
+def dedup_component_labels(sf_dir: str) -> pa.Table:
+    """(doc_id, component) labels from connected components over the
+    verified near-dup pair set — memoized per sf_dir per process (the
+    propagation is deterministic, so the bounded result table is
+    shareable exactly like the pair memo above)."""
+    t = _DEDUP_CC_CACHE.get(sf_dir)
+    if t is None:
+        import ray.data as rd
+
+        from kafka_connect_mongo_ray.functions.graph import (
+            connected_components,
+        )
+
+        pairs = verified_near_dup_pairs(sf_dir).select(["id_a", "id_b"])
+        labels = connected_components(rd.from_arrow(pairs),
+                                      num_buckets=_gate_buckets())
+        batches = list(labels.iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+        t = (pa.concat_tables(batches).rename_columns(
+                 ["doc_id", "component"])
+             if batches else pa.table(
+                 {"doc_id": pa.array([], pa.int64()),
+                  "component": pa.array([], pa.int64())}))
+        _DEDUP_CC_CACHE[sf_dir] = t
+    return t
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Exact word-n-gram Jaccard similarity join via AllPairs
     DF-ordered prefix filtering (functions/dedup.py::
@@ -1918,15 +1951,7 @@ def q_dedup_components(sf_dir: str):
     where component = min doc_id reachable through near-dup edges. The
     oracle recomputes the true pair set AND the transitive closure in
     SQL (recursive CTE), so the hash match checks the whole clustering."""
-    import ray.data as rd
-
-    from kafka_connect_mongo_ray.functions.graph import connected_components
-
-    pairs = verified_near_dup_pairs(sf_dir).select(["id_a", "id_b"])
-    return connected_components(
-        rd.from_arrow(pairs), num_buckets=_gate_buckets(),
-    ).map_batches(lambda t: t.rename_columns(["doc_id", "component"]),
-                  batch_format="pyarrow")
+    return dedup_component_labels(sf_dir)
 
 
 def q_events_rollup(sf_dir: str):
@@ -2517,18 +2542,15 @@ def q_dedup_keep_best(sf_dir: str):
     (shared memo) → connected components → join n_chars → per-cluster
     argmax (longest doc, ties to smallest id). The keep/drop decision
     LLM dedup actually needs, end to end; the oracle recomputes the
-    transitive closure and the QUALIFY pick in SQL."""
+    transitive closure and the QUALIFY pick in SQL. The component
+    labels are the shared memo (one propagation per process for this
+    query and dedup_components)."""
     import ray.data as rd
 
-    from kafka_connect_mongo_ray.functions.graph import connected_components
     from kafka_connect_mongo_ray.functions.stats import group_argmax
     from kafka_connect_mongo_ray.stages.join import hash_join
 
-    pairs = verified_near_dup_pairs(sf_dir).select(["id_a", "id_b"])
-    comps = connected_components(
-        rd.from_arrow(pairs), num_buckets=_gate_buckets(),
-    ).map_batches(lambda t: t.rename_columns(["doc_id", "component"]),
-                  batch_format="pyarrow")
+    comps = rd.from_arrow(dedup_component_labels(sf_dir))
     joined = hash_join(comps,
                        _read(sf_dir, "documents",
                              columns=["doc_id", "n_chars"]),
