@@ -32,6 +32,8 @@ Event-derivation rule (mirrored in SQL):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2655,6 +2657,42 @@ def q_corpus_decontam_prep(sf_dir: str):
                        Sum("n_chars", alias_name="total_chars")))
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against a persisted fingerprint index
+    (state/dedup_index.py): window 1 (even doc_ids) builds the bucketed
+    index on disk, window 2 (odd doc_ids) is deduped against it AND
+    within itself (first id wins). The streaming-ingest dedup contract:
+    a fingerprint ever seen is dropped forever, one bucketed anti join
+    per window."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_mongo_ray.state.dedup_index import (
+        incremental_exact_dedup,
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"kcm_dedup_idx_{abs(hash((sf_dir, _ray_session_key()))) % 10**8}")
+    shutil.rmtree(idx, ignore_errors=True)  # self-contained re-runs
+
+    def parity(keep: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            return batch.filter(pa.array(ids % 2 == keep))
+
+        return fn
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    incremental_exact_dedup(
+        docs.map_batches(parity(0), batch_format="pyarrow"), idx,
+        num_buckets=_gate_buckets())
+    survivors = incremental_exact_dedup(
+        docs.map_batches(parity(1), batch_format="pyarrow"), idx,
+        num_buckets=_gate_buckets())
+    return survivors.select_columns(["doc_id", "fp"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2675,6 +2713,7 @@ def build_queries():
         "events_winsorized": q_events_winsorized,
         "orders_pareto": q_orders_pareto,
         "corpus_decontam_prep": q_corpus_decontam_prep,
+        "dedup_incremental": q_dedup_incremental,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2855,6 +2894,19 @@ def build_oracle_sql():
                    AS winsorized
             FROM x JOIN b USING (event_type)
             GROUP BY x.event_type
+        """,
+        # window 1 = even ids (index build), window 2 = odd ids;
+        # survivor = first odd id per fingerprint never seen in w1
+        "dedup_incremental": """
+            WITH w1 AS (SELECT DISTINCT md5(text) AS fp
+                        FROM documents WHERE doc_id % 2 = 0),
+            w2 AS (SELECT doc_id, md5(text) AS fp
+                   FROM documents WHERE doc_id % 2 = 1),
+            firsts AS (SELECT doc_id, fp FROM w2
+                       QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+                                                  ORDER BY doc_id) = 1)
+            SELECT doc_id, fp FROM firsts
+            WHERE fp NOT IN (SELECT fp FROM w1)
         """,
         # composition of docs_length_trim + docs_contamination + an
         # anti join; SUM over int64 n_chars is exact

@@ -1,0 +1,103 @@
+"""Incremental exact dedup against a persisted fingerprint index.
+
+The CDC × dedup integration a streaming corpus pipeline needs: each
+arriving WINDOW of documents is checked against the fingerprints of
+every previously ingested window, survivors are emitted downstream,
+and their fingerprints are appended to the index — so re-ingested or
+cross-window duplicate documents are dropped exactly once, forever.
+(Reference analog: none — the reference ships records without content
+dedup; this extends its at-least-once delivery contract — SURVEY.md
+§2.7 — from key-idempotence to content-idempotence.)
+
+Shapes, at any scale:
+- fingerprint = md5 hex of the text (SQL-mirrorable: DuckDB ``md5()``),
+  computed batch-locally.
+- the index is fingerprint-hash-BUCKETED Parquet, one directory per
+  bucket, each window appending one file per touched bucket — the COW
+  snapshot layout (``state/snapshot.py``) without versions: appends
+  are the only mutation, so no manifest is needed and a re-run of a
+  failed window just re-appends (duplicate fingerprints INSIDE the
+  index are harmless — the anti join drops a new doc on any match).
+- the one all-to-all per window is the bucketed ANTI join of the
+  window's fingerprints against the index read (column-pruned to the
+  fingerprint; Parquet bucket directories let a matching window bucket
+  read only its own bucket's files).
+- in-window duplicates collapse via grouped argmin on doc id (first
+  occurrence wins — the deterministic tie-break a replayable pipeline
+  needs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from kafka_connect_mongo_ray.utils import limit_worker_threads
+
+__all__ = ["fingerprint_batch", "incremental_exact_dedup"]
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                      out_col: str = "fp") -> pa.Table:
+    """md5-hex fingerprint column (mirrors SQL ``md5(text)``); null
+    text fingerprints as the empty string's md5, matching
+    ``md5(coalesce(text, ''))``."""
+    limit_worker_threads()
+    texts = batch[text_col].to_pylist()
+    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(fps, pa.string()))
+
+
+def _bucket_of(fp_array, num_buckets: int) -> np.ndarray:
+    """Index bucket = first 8 hex chars of the (uniform) md5, mod
+    buckets — no extra hashing needed."""
+    return np.array([int(f[:8], 16) % num_buckets
+                     for f in fp_array.to_pylist()], dtype=np.int64)
+
+
+def incremental_exact_dedup(new_ds, index_dir: str, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_buckets: int = 32):
+    """Dedup one window of documents against ``index_dir`` and append
+    the survivors' fingerprints to it.
+
+    Returns the surviving rows of ``new_ds`` (original columns plus
+    ``fp``) as a pyarrow Table-backed Dataset, AFTER the index append
+    commits — callers chain windows by calling again with the next
+    window. Survivor = first occurrence (min ``id_col``) of a
+    fingerprint never seen in any earlier window."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.stats import group_argmax
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    fp_ds = new_ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col=text_col),
+        batch_format="pyarrow")
+
+    have_index = os.path.isdir(index_dir) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(index_dir) for f in fs)
+    if have_index:
+        idx = rd.read_parquet(index_dir, columns=["fp"])
+        fp_ds = hash_join(fp_ds, idx, on=["fp"], how="anti",
+                          num_buckets=num_buckets)
+    survivors = group_argmax(fp_ds, keys=["fp"],
+                             order=[(id_col, "ascending")],
+                             num_partitions=num_buckets)
+    # materialize BEFORE the index append: the append consumes the same
+    # lineage, and the survivor set is new-uniques-bounded per window
+    survivors = survivors.materialize()
+
+    def bucket_col(batch: pa.Table) -> pa.Table:
+        return batch.select(["fp"]).append_column(
+            "bucket", pa.array(_bucket_of(batch["fp"], num_buckets),
+                               pa.int64()))
+
+    (survivors.map_batches(bucket_col, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    return survivors

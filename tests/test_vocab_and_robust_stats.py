@@ -254,3 +254,25 @@ def test_null_group_rows_follow_equi_join_semantics():
     # GROUP BY semantics contrast: the quantile table keeps the NULL group
     qt = grouped_exact_quantiles(ds, "g", "v", [0.5], scale=1).to_pandas()
     assert len(qt) == 2
+
+
+def test_incremental_dedup_three_windows(tmp_path):
+    # cross-window dups drop forever; in-window dups keep the first id;
+    # a window of all-seen content emits nothing; re-appended index
+    # files accumulate without a manifest
+    from kafka_connect_mongo_ray.state.dedup_index import (
+        incremental_exact_dedup,
+    )
+
+    idx = str(tmp_path / "idx")
+    w1 = incremental_exact_dedup(
+        _docs([(2, "b"), (5, "b"), (3, "c")]), idx, num_buckets=4)
+    assert sorted(w1.to_pandas().doc_id) == [2, 3]
+    w2 = incremental_exact_dedup(
+        _docs([(10, "b"), (11, "d"), (12, "d"), (13, "e")]), idx,
+        num_buckets=4)
+    assert sorted(w2.to_pandas().doc_id) == [11, 13]
+    w3 = incremental_exact_dedup(
+        _docs([(20, "b"), (21, "d"), (22, "e"), (23, "c")]), idx,
+        num_buckets=4)
+    assert w3.count() == 0
