@@ -18,10 +18,13 @@ Shapes, at any scale:
   are the only mutation, so no manifest is needed and a re-run of a
   failed window just re-appends (duplicate fingerprints INSIDE the
   index are harmless — the anti join drops a new doc on any match).
-- the one all-to-all per window is the bucketed ANTI join of the
-  window's fingerprints against the index read (column-pruned to the
-  fingerprint; Parquet bucket directories let a matching window bucket
-  read only its own bucket's files).
+- the one all-to-all per window is BUCKET-ALIGNED: only the WINDOW's
+  fingerprints shuffle (by the same fp-prefix rule the index is stored
+  under), and each bucket's task reads just its own ``bucket=N`` index
+  directory for the membership check — the index itself never moves
+  through the object store, no matter how large it grows. Per-task
+  state is one index bucket's fingerprints; ``num_buckets`` is the
+  knob that keeps it worker-sized (the snapshot-bucket contract).
 - in-window duplicates collapse via grouped argmin on doc id (first
   occurrence wins — the deterministic tie-break a replayable pipeline
   needs).
@@ -66,38 +69,49 @@ def incremental_exact_dedup(new_ds, index_dir: str, *,
     the survivors' fingerprints to it.
 
     Returns the surviving rows of ``new_ds`` (original columns plus
-    ``fp``) as a pyarrow Table-backed Dataset, AFTER the index append
-    commits — callers chain windows by calling again with the next
-    window. Survivor = first occurrence (min ``id_col``) of a
+    ``fp`` and ``bucket``) as a materialized Dataset, AFTER the index
+    append commits — callers chain windows by calling again with the
+    next window. Survivor = first occurrence (min ``id_col``) of a
     fingerprint never seen in any earlier window."""
-    import ray.data as rd
-
     from kafka_connect_mongo_ray.functions.stats import group_argmax
-    from kafka_connect_mongo_ray.stages.join import hash_join
 
-    fp_ds = new_ds.map_batches(
-        lambda b: fingerprint_batch(b, text_col=text_col),
-        batch_format="pyarrow")
+    def fp_and_bucket(batch: pa.Table) -> pa.Table:
+        batch = fingerprint_batch(batch, text_col=text_col)
+        return batch.append_column(
+            "bucket", pa.array(_bucket_of(batch["fp"], num_buckets),
+                               pa.int64()))
 
-    have_index = os.path.isdir(index_dir) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(index_dir) for f in fs)
-    if have_index:
-        idx = rd.read_parquet(index_dir, columns=["fp"])
-        fp_ds = hash_join(fp_ds, idx, on=["fp"], how="anti",
-                          num_buckets=num_buckets)
-    survivors = group_argmax(fp_ds, keys=["fp"],
+    fp_ds = new_ds.map_batches(fp_and_bucket, batch_format="pyarrow")
+
+    def anti_vs_index_bucket(g: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        bdir = os.path.join(index_dir,
+                            f"bucket={int(g['bucket'][0].as_py())}")
+        if os.path.isdir(bdir):
+            seen = pa.concat_tables([
+                pq.read_table(os.path.join(bdir, f), columns=["fp"])
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")])
+            mask = ~pd.Series(g["fp"].to_pandas()).isin(
+                seen["fp"].to_pandas())
+            g = g.filter(pa.array(mask.to_numpy()))
+        return g
+
+    filtered = fp_ds.groupby("bucket").map_groups(
+        anti_vs_index_bucket, batch_format="pyarrow")
+    # in-window first-occurrence pick; fp hash-partitions align with
+    # the bucket grouping so this is a cheap second exchange of the
+    # already-filtered rows
+    survivors = group_argmax(filtered, keys=["fp"],
                              order=[(id_col, "ascending")],
                              num_partitions=num_buckets)
     # materialize BEFORE the index append: the append consumes the same
     # lineage, and the survivor set is new-uniques-bounded per window
     survivors = survivors.materialize()
-
-    def bucket_col(batch: pa.Table) -> pa.Table:
-        return batch.select(["fp"]).append_column(
-            "bucket", pa.array(_bucket_of(batch["fp"], num_buckets),
-                               pa.int64()))
-
-    (survivors.map_batches(bucket_col, batch_format="pyarrow")
+    (survivors.map_batches(lambda b: b.select(["fp", "bucket"]),
+                           batch_format="pyarrow")
      .write_parquet(index_dir, partition_cols=["bucket"]))
     return survivors
