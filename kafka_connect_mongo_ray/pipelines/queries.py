@@ -2693,6 +2693,110 @@ def q_dedup_incremental(sf_dir: str):
     return survivors.select_columns(["doc_id", "fp"])
 
 
+def q_events_anomaly_mad(sf_dir: str):
+    """Robust per-type outlier counting: |cents − med| > 5·MAD (the
+    median/MAD analog of the z-score filter — insensitive to the very
+    outliers it hunts). The med/MAD table comes from the one-histogram
+    grouped_mad pass, broadcast as closure scalars into a count
+    pre-aggregation; NULL groups excluded (equi-join mirror)."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.functions.quantiles import grouped_mad
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    mads = grouped_mad(ds, "event_type", "value", scale=100,
+                       num_partitions=_gate_buckets()).to_pandas()
+    med = dict(zip(mads.event_type, mads.med_scaled))
+    mad = dict(zip(mads.event_type, mads.mad_scaled))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
+        v = np.rint(np.asarray(batch["value"], dtype=np.float64)
+                    * 100).astype(np.int64)
+        g = batch["event_type"].to_pandas()
+        dev = np.abs(v - g.map(med).to_numpy(dtype=np.int64))
+        out = dev > 5 * g.map(mad).to_numpy(dtype=np.int64)
+        agg = (pd.DataFrame({"event_type": g, "o": out.astype(np.int64)})
+               .groupby("event_type", dropna=False)["o"]
+               .agg(["count", "sum"]).reset_index())
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "n": pa.array(agg["count"].to_numpy(np.int64), pa.int64()),
+            "outliers": pa.array(agg["sum"].to_numpy(np.int64),
+                                 pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type", num_partitions=_gate_buckets())
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("outliers", alias_name="outliers")))
+
+
+def q_orders_rfm(sf_dir: str):
+    """RFM segmentation: per customer (recency = latest order day,
+    frequency = order count, monetary = cents sum) → NTILE(4) on each
+    dimension. The fact-sized work is ONE pre-aggregated groupby to
+    the customer domain; the three NTILEs run in a single task over
+    the materialized dimension-sized table (the Pareto-cut shape)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = (np.asarray(batch["o_orderdate"].cast(pa.int64()))
+               // 86_400_000_000).astype(np.int64)
+        cents = np.rint(np.asarray(batch["o_totalprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        df = (pd.DataFrame({"o_custkey": np.asarray(batch["o_custkey"],
+                                                    dtype=np.int64),
+                            "day": day, "cents": cents})
+              .groupby("o_custkey", as_index=False)
+              .agg(last_day=("day", "max"), n_orders=("day", "size"),
+                   cents=("cents", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (_read(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey", num_partitions=_gate_buckets())
+           .aggregate(Max("last_day", alias_name="last_day"),
+                      Sum("n_orders", alias_name="n_orders"),
+                      Sum("cents", alias_name="cents"))
+           .materialize())
+
+    def ntiles(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values("o_custkey").reset_index(drop=True)
+        n = len(df)
+
+        def ntile(order_cols, ascending):
+            # NTILE(4) over ORDER BY ...: rank each row, then the SQL
+            # bucket formula (uneven remainders go to the first tiles)
+            idx = df.sort_values(order_cols, ascending=ascending,
+                                 kind="mergesort").index.to_numpy()
+            rn = np.empty(n, dtype=np.int64)
+            rn[idx] = np.arange(n)
+            big = n % 4
+            size = n // 4 + 1
+            return np.where(rn < big * size, rn // size,
+                            big + (rn - big * size) // max(1, n // 4)) + 1
+
+        return pa.table({
+            "o_custkey": pa.array(df["o_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "r": pa.array(ntile(["last_day", "o_custkey"],
+                                [False, True]), pa.int64()),
+            "f": pa.array(ntile(["n_orders", "o_custkey"],
+                                [False, True]), pa.int64()),
+            "m": pa.array(ntile(["cents", "o_custkey"],
+                                [False, True]), pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(ntiles, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2714,6 +2818,8 @@ def build_queries():
         "orders_pareto": q_orders_pareto,
         "corpus_decontam_prep": q_corpus_decontam_prep,
         "dedup_incremental": q_dedup_incremental,
+        "events_anomaly_mad": q_events_anomaly_mad,
+        "orders_rfm": q_orders_rfm,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -2894,6 +3000,41 @@ def build_oracle_sql():
                    AS winsorized
             FROM x JOIN b USING (event_type)
             GROUP BY x.event_type
+        """,
+        # med/MAD from the quantile_disc CTEs; 5*mad is int-exact
+        "events_anomaly_mad": """
+            WITH x AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS c
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(c, 0.5) AS med
+                  FROM x GROUP BY event_type),
+            d AS (SELECT x.event_type, x.c, m.med,
+                         quantile_disc(ABS(x.c - m.med), 0.5)
+                         OVER (PARTITION BY x.event_type) AS mad
+                  FROM x JOIN m USING (event_type))
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ABS(c - med) > 5 * mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+            FROM d GROUP BY event_type
+        """,
+        # NTILE(4) ties broken by custkey so both sides are total
+        "orders_rfm": """
+            WITH a AS (SELECT o_custkey,
+                              MAX(epoch_us(o_orderdate) // 86400000000)
+                              AS last_day,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders,
+                              CAST(SUM(CAST(ROUND(o_totalprice*100)
+                                            AS BIGINT)) AS BIGINT)
+                              AS cents
+                       FROM orders GROUP BY o_custkey)
+            SELECT o_custkey,
+                   CAST(NTILE(4) OVER (ORDER BY last_day DESC,
+                                       o_custkey) AS BIGINT) AS r,
+                   CAST(NTILE(4) OVER (ORDER BY n_orders DESC,
+                                       o_custkey) AS BIGINT) AS f,
+                   CAST(NTILE(4) OVER (ORDER BY cents DESC,
+                                       o_custkey) AS BIGINT) AS m
+            FROM a
         """,
         # window 1 = even ids (index build), window 2 = odd ids;
         # survivor = first odd id per fingerprint never seen in w1
