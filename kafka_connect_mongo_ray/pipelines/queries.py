@@ -2797,6 +2797,62 @@ def q_orders_rfm(sf_dir: str):
     return agg.repartition(1).map_batches(ntiles, batch_format="pyarrow")
 
 
+def q_dedup_incremental_minhash(sf_dir: str):
+    """Incremental NEAR-dup screening vs the persisted LSH band index
+    (state/dedup_index.py::incremental_minhash_dedup), two-window
+    simulation (even ids build, odd ids screen). LSH drops are
+    probabilistic, so the gate uses the HLL checked-boolean pattern:
+    the engine computes invariants that are TRUE by construction —
+    every exact cross-window duplicate drops (identical text ⇒
+    identical signature ⇒ every band collides), and admitted ∪ dropped
+    partitions the window — and the oracle asserts the literals plus
+    the deterministic window size."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_mongo_ray.state.dedup_index import (
+        incremental_minhash_dedup,
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"kcm_mh_idx_{abs(hash((sf_dir, _ray_session_key()))) % 10**8}")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def parity(keep: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            return batch.filter(pa.array(ids % 2 == keep))
+
+        return fn
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    w1 = docs.map_batches(parity(0), batch_format="pyarrow")
+    w2 = docs.map_batches(parity(1), batch_format="pyarrow")
+    incremental_minhash_dedup(w1, idx, num_buckets=_gate_buckets())
+    admitted = incremental_minhash_dedup(w2, idx,
+                                         num_buckets=_gate_buckets())
+
+    # gate-scale validators (driver-side over the small fixture — the
+    # operator above is the distributed artifact being checked)
+    import hashlib as _hl
+
+    adm = set(admitted.select_columns(["doc_id"]).to_pandas().doc_id)
+    w2_pdf = w2.select_columns(["doc_id", "text"]).to_pandas()
+    w1_md5 = {_hl.md5((t or "").encode()).hexdigest()
+              for t in w1.select_columns(["text"]).to_pandas().text}
+    exact_dropped = all(
+        r.doc_id not in adm
+        for r in w2_pdf.itertuples()
+        if _hl.md5((r.text or "").encode()).hexdigest() in w1_md5)
+    partition_ok = adm <= set(w2_pdf.doc_id)
+    return pa.table({
+        "n_w2": pa.array([len(w2_pdf)], pa.int64()),
+        "exact_dups_dropped": pa.array([bool(exact_dropped)], pa.bool_()),
+        "partition_ok": pa.array([bool(partition_ok)], pa.bool_()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2820,6 +2876,7 @@ def build_queries():
         "dedup_incremental": q_dedup_incremental,
         "events_anomaly_mad": q_events_anomaly_mad,
         "orders_rfm": q_orders_rfm,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "events_rollup": q_events_rollup,
         "dedup_components": q_dedup_components,
         "docs_bm25": q_docs_bm25,
@@ -3000,6 +3057,15 @@ def build_oracle_sql():
                    AS winsorized
             FROM x JOIN b USING (event_type)
             GROUP BY x.event_type
+        """,
+        # HLL checked-boolean pattern: the engine computes invariants
+        # guaranteed by construction; SQL asserts the literals plus the
+        # deterministic window size
+        "dedup_incremental_minhash": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_w2,
+                   TRUE AS exact_dups_dropped,
+                   TRUE AS partition_ok
+            FROM documents WHERE doc_id % 2 = 1
         """,
         # med/MAD from the quantile_disc CTEs; 5*mad is int-exact
         "events_anomaly_mad": """

@@ -40,7 +40,8 @@ import pyarrow as pa
 
 from kafka_connect_mongo_ray.utils import limit_worker_threads
 
-__all__ = ["fingerprint_batch", "incremental_exact_dedup"]
+__all__ = ["fingerprint_batch", "incremental_exact_dedup",
+           "incremental_minhash_dedup"]
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
@@ -115,3 +116,96 @@ def incremental_exact_dedup(new_ds, index_dir: str, *,
                            batch_format="pyarrow")
      .write_parquet(index_dir, partition_cols=["bucket"]))
     return survivors
+
+
+def incremental_minhash_dedup(new_ds, index_dir: str, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_buckets: int = 32,
+                              num_hashes: int = 64, num_bands: int = 16,
+                              seed: int = 42):
+    """Near-dup screening of one window against a persisted LSH band
+    index — the MinHash sibling of :func:`incremental_exact_dedup` with
+    PROBABLY-SEEN semantics: a window doc sharing ≥1 (band_id,
+    band_hash) with any previously admitted doc is dropped, the rest
+    are admitted and their band rows appended.
+
+    The probabilistic contract is the standard LSH S-curve: a doc with
+    true shingle Jaccard s to an admitted doc is dropped with
+    probability 1 − (1 − s^r)^b (r = num_hashes/num_bands rows per
+    band, b = num_bands) — near-1 above the curve's threshold; false
+    drops require a full 64-bit band-hash collision (~b·|index|/2⁶⁴).
+    Use the exact variant when bit-exact semantics are required; this
+    one never stores or re-reads TEXT, only band fingerprints, so the
+    index is signature-sized at any corpus size.
+
+    Same scale shape as the exact variant: bucket-aligned — only the
+    window's band rows shuffle (bucket = band_hash % num_buckets);
+    each task reads its own ``bucket=N`` directory; the one extra
+    exchange is the keys-only anti join removing flagged ids.
+    In-window near-dups are NOT collapsed (both admit): run a batch
+    dedup (functions/dedup.py) inside the window first if needed."""
+    from kafka_connect_mongo_ray.functions.dedup import (
+        BandExploder,
+        MinHasher,
+    )
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        sigs = MinHasher(num_hashes=num_hashes, seed=seed,
+                         text_col=text_col, id_col=id_col)(batch)
+        bands = BandExploder(num_bands=num_bands, id_col=id_col)(sigs)
+        bucket = (np.asarray(bands["band_hash"], dtype=np.uint64)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return bands.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    bands = new_ds.map_batches(band_rows, batch_format="pyarrow",
+                               batch_size=512)
+
+    def flagged_in_bucket(g: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        bdir = os.path.join(index_dir,
+                            f"bucket={int(g['bucket'][0].as_py())}")
+        if not os.path.isdir(bdir):
+            return pa.table({id_col: pa.array([], pa.int64())})
+        seen = pa.concat_tables([
+            pq.read_table(os.path.join(bdir, f),
+                          columns=["band_id", "band_hash"])
+            for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")])
+        gdf = pd.DataFrame({
+            "band_id": np.asarray(g["band_id"], dtype=np.int32),
+            "band_hash": np.asarray(g["band_hash"], dtype=np.uint64),
+            id_col: np.asarray(g[id_col], dtype=np.int64)})
+        sdf = pd.DataFrame({
+            "band_id": np.asarray(seen["band_id"], dtype=np.int32),
+            "band_hash": np.asarray(seen["band_hash"], dtype=np.uint64),
+        }).drop_duplicates()
+        hit = gdf.merge(sdf, on=["band_id", "band_hash"], how="inner")
+        return pa.table({id_col: pa.array(
+            hit[id_col].drop_duplicates().to_numpy(np.int64), pa.int64())})
+
+    # band rows are consumed by BOTH the flag pass and the append —
+    # window-bounded, so staging it is the multi-consumer rule
+    # band rows are consumed by BOTH the flag pass and the append —
+    # window-bounded, so staging them is the multi-consumer rule; the
+    # flagged id set likewise feeds two anti joins
+    bands = bands.materialize()
+    flagged = bands.groupby("bucket").map_groups(
+        flagged_in_bucket, batch_format="pyarrow").materialize()
+    if flagged.count() > 0:
+        admitted = hash_join(new_ds, flagged, on=[id_col], how="anti",
+                             num_buckets=num_buckets).materialize()
+        keep_bands = hash_join(bands, flagged, on=[id_col], how="anti",
+                               num_buckets=num_buckets)
+    else:  # nothing flagged (e.g. the first window): admit everything
+        admitted = new_ds.materialize()
+        keep_bands = bands
+    (keep_bands.map_batches(
+        lambda t: t.select(["band_id", "band_hash", "bucket"]),
+        batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    return admitted

@@ -276,3 +276,32 @@ def test_incremental_dedup_three_windows(tmp_path):
         _docs([(20, "b"), (21, "d"), (22, "e"), (23, "c")]), idx,
         num_buckets=4)
     assert w3.count() == 0
+
+
+def test_incremental_minhash_dedup_windows(tmp_path):
+    # near-dup and exact re-ingests drop against the persisted band
+    # index; unrelated docs admit; first window admits everything
+    from kafka_connect_mongo_ray.state.dedup_index import (
+        incremental_minhash_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(200)]
+
+    def mk(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    base = mk(120)
+    near = base[: len(base) - 8] + " extraz"
+    idx = str(tmp_path / "mh_idx")
+    w1 = incremental_minhash_dedup(
+        _docs([(1, base), (2, mk(120))]), idx, num_buckets=4)
+    assert sorted(w1.to_pandas().doc_id) == [1, 2]
+    w2 = incremental_minhash_dedup(
+        _docs([(10, near), (11, mk(120))]), idx, num_buckets=4)
+    assert sorted(w2.to_pandas().doc_id) == [11]
+    # exact re-ingest: identical text -> identical signature -> every
+    # band collides -> guaranteed drop
+    w3 = incremental_minhash_dedup(_docs([(20, base)]), idx,
+                                   num_buckets=4)
+    assert w3.count() == 0
