@@ -163,7 +163,8 @@ def _disc_pick(vals: np.ndarray, cum: np.ndarray, q: float) -> int:
 
 def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
                             *, scale: int = 100,
-                            num_partitions: int | None = None):
+                            num_partitions: int | None = None,
+                            drop_null_groups: bool = False):
     """EXACT per-group discrete quantiles of ``round(col * scale)`` —
     quantile_disc(...) GROUP BY ``group_col``, fully distributed.
 
@@ -172,10 +173,13 @@ def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
     on the driver: the one shuffle moves (group, value, count) rows —
     bounded by groups × distinct scaled values, never by row count —
     and nothing is materialized driver-side. NULL-group rows keep
-    their own quantile row (SQL GROUP BY semantics). Returns a Dataset
+    their own quantile row (SQL GROUP BY semantics) unless
+    ``drop_null_groups=True`` (an optimization for consumers that
+    discard the null band anyway). Returns a Dataset
     ``(group_col, q, value_scaled)``."""
     counts = _grouped_value_counts(ds, group_col, col, scale=scale,
-                                   num_partitions=num_partitions)
+                                   num_partitions=num_partitions,
+                                   drop_null_groups=drop_null_groups)
 
     def pick(g: pa.Table) -> pa.Table:
         t, vals, c = _sorted_hist(g)
@@ -379,10 +383,12 @@ def quantile_band_filter(ds, group_col: str, col: str, *, lo_q: float,
     NULL-group rows are DROPPED (the SQL mirror joins the bounds table
     back with an equi-join, which never matches NULL keys). Returns
     ``ds`` filtered, original columns/order preserved."""
+    # drop_null_groups: the keep pass excludes NULL-group rows, so
+    # computing the null band's bounds would be wasted exchange volume
     bounds = grouped_exact_quantiles(
         ds.select_columns([group_col, col]), group_col, col,
-        [lo_q, hi_q], scale=scale,
-        num_partitions=num_partitions).to_pandas()
+        [lo_q, hi_q], scale=scale, num_partitions=num_partitions,
+        drop_null_groups=True).to_pandas()
     lo = _group_value_map(bounds, group_col, lo_q)
     hi = _group_value_map(bounds, group_col, hi_q)
 

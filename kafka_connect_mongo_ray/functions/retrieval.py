@@ -111,11 +111,6 @@ def _resolve_tf(ds, terms_needed: list[str], tf, tf_terms, id_col, text_col):
     return tf, {t: tf_terms.index(t) for t in tf_terms}
 
 
-def _two_level_pick(cand, pick_fn, num_blocks: int):
-    """Shared two-level candidate reduce (utils.two_level_pick)."""
-    return _shared_pick(cand, pick_fn, num_blocks)
-
-
 def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
               text_col: str = "text", k: int = 10, k1: float = 1.2,
               b: float = 0.75, round_to: int = 6,
@@ -152,7 +147,7 @@ def bm25_topk(ds, *, terms: list[str], id_col: str = "doc_id",
                                            (id_col, "ascending")])
         return batch.take(order[:k])
 
-    out = _two_level_pick(
+    out = _shared_pick(
         tf.map_batches(score_block, batch_format="pyarrow"),
         pick, tf.num_blocks())
     return out.map_batches(
@@ -379,7 +374,7 @@ def bm25_topk_multi(ds, *, queries: dict, id_col: str = "doc_id",
         return pa.Table.from_pandas(out, preserve_index=False).cast(
             batch.schema)
 
-    out = _two_level_pick(
+    out = _shared_pick(
         tf.map_batches(score_block, batch_format="pyarrow"),
         pick, tf.num_blocks())
     return out.map_batches(

@@ -2657,6 +2657,30 @@ def q_corpus_decontam_prep(sf_dir: str):
                        Sum("n_chars", alias_name="total_chars")))
 
 
+def _parity_filter(keep: int):
+    """Batch filter keeping rows with doc_id % 2 == keep (the
+    deterministic window split the incremental-dedup gates use)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(ids % 2 == keep))
+
+    return fn
+
+
+def _fresh_tmp_index(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(prefix, sf_dir) scratch index path, cleared on
+    every call: re-runs reuse ONE directory instead of leaking a new
+    randomized-hash path per process (hash() is seed-randomized)."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    digest = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup against a persisted fingerprint index
     (state/dedup_index.py): window 1 (even doc_ids) builds the bucketed
@@ -2664,31 +2688,17 @@ def q_dedup_incremental(sf_dir: str):
     within itself (first id wins). The streaming-ingest dedup contract:
     a fingerprint ever seen is dropped forever, one bucketed anti join
     per window."""
-    import shutil
-    import tempfile
-
     from kafka_connect_mongo_ray.state.dedup_index import (
         incremental_exact_dedup,
     )
 
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"kcm_dedup_idx_{abs(hash((sf_dir, _ray_session_key()))) % 10**8}")
-    shutil.rmtree(idx, ignore_errors=True)  # self-contained re-runs
-
-    def parity(keep: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["doc_id"], dtype=np.int64)
-            return batch.filter(pa.array(ids % 2 == keep))
-
-        return fn
-
+    idx = _fresh_tmp_index("kcm_dedup_idx", sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     incremental_exact_dedup(
-        docs.map_batches(parity(0), batch_format="pyarrow"), idx,
+        docs.map_batches(_parity_filter(0), batch_format="pyarrow"), idx,
         num_buckets=_gate_buckets())
     survivors = incremental_exact_dedup(
-        docs.map_batches(parity(1), batch_format="pyarrow"), idx,
+        docs.map_batches(_parity_filter(1), batch_format="pyarrow"), idx,
         num_buckets=_gate_buckets())
     return survivors.select_columns(["doc_id", "fp"])
 
@@ -2807,28 +2817,14 @@ def q_dedup_incremental_minhash(sf_dir: str):
     identical signature ⇒ every band collides), and admitted ∪ dropped
     partitions the window — and the oracle asserts the literals plus
     the deterministic window size."""
-    import shutil
-    import tempfile
-
     from kafka_connect_mongo_ray.state.dedup_index import (
         incremental_minhash_dedup,
     )
 
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"kcm_mh_idx_{abs(hash((sf_dir, _ray_session_key()))) % 10**8}")
-    shutil.rmtree(idx, ignore_errors=True)
-
-    def parity(keep: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["doc_id"], dtype=np.int64)
-            return batch.filter(pa.array(ids % 2 == keep))
-
-        return fn
-
+    idx = _fresh_tmp_index("kcm_mh_idx", sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    w1 = docs.map_batches(parity(0), batch_format="pyarrow")
-    w2 = docs.map_batches(parity(1), batch_format="pyarrow")
+    w1 = docs.map_batches(_parity_filter(0), batch_format="pyarrow")
+    w2 = docs.map_batches(_parity_filter(1), batch_format="pyarrow")
     incremental_minhash_dedup(w1, idx, num_buckets=_gate_buckets())
     admitted = incremental_minhash_dedup(w2, idx,
                                          num_buckets=_gate_buckets())
@@ -3105,9 +3101,9 @@ def build_oracle_sql():
         # window 1 = even ids (index build), window 2 = odd ids;
         # survivor = first odd id per fingerprint never seen in w1
         "dedup_incremental": """
-            WITH w1 AS (SELECT DISTINCT md5(text) AS fp
+            WITH w1 AS (SELECT DISTINCT md5(coalesce(text, '')) AS fp
                         FROM documents WHERE doc_id % 2 = 0),
-            w2 AS (SELECT doc_id, md5(text) AS fp
+            w2 AS (SELECT doc_id, md5(coalesce(text, '')) AS fp
                    FROM documents WHERE doc_id % 2 = 1),
             firsts AS (SELECT doc_id, fp FROM w2
                        QUALIFY ROW_NUMBER() OVER (PARTITION BY fp

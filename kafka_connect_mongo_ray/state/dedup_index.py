@@ -32,7 +32,6 @@ Shapes, at any scale:
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -46,13 +45,15 @@ __all__ = ["fingerprint_batch", "incremental_exact_dedup",
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                       out_col: str = "fp") -> pa.Table:
-    """md5-hex fingerprint column (mirrors SQL ``md5(text)``); null
-    text fingerprints as the empty string's md5, matching
-    ``md5(coalesce(text, ''))``."""
+    """md5-hex fingerprint column; null text fingerprints as the empty
+    string's md5, matching SQL ``md5(coalesce(text, ''))``. Delegates
+    to the batch-dedup family's helper so the index and the batch
+    queries can never diverge on fingerprinting."""
     limit_worker_threads()
-    texts = batch[text_col].to_pylist()
-    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-    return batch.append_column(out_col, pa.array(fps, pa.string()))
+    from kafka_connect_mongo_ray.functions.text import md5_fingerprint_batch
+
+    return md5_fingerprint_batch(batch, text_col=text_col,
+                                 out_col=out_col)
 
 
 def _bucket_of(fp_array, num_buckets: int) -> np.ndarray:
@@ -103,9 +104,10 @@ def incremental_exact_dedup(new_ds, index_dir: str, *,
 
     filtered = fp_ds.groupby("bucket").map_groups(
         anti_vs_index_bucket, batch_format="pyarrow")
-    # in-window first-occurrence pick; fp hash-partitions align with
-    # the bucket grouping so this is a cheap second exchange of the
-    # already-filtered rows
+    # in-window first-occurrence pick: a second exchange of the
+    # ALREADY-FILTERED rows (new-uniques-bounded, not window-bounded);
+    # group_argmax hashes fp with its own bucketing, so this is a
+    # genuine reshuffle — cheap because the anti filter ran first
     survivors = group_argmax(filtered, keys=["fp"],
                              order=[(id_col, "ascending")],
                              num_partitions=num_buckets)
@@ -188,8 +190,6 @@ def incremental_minhash_dedup(new_ds, index_dir: str, *,
         return pa.table({id_col: pa.array(
             hit[id_col].drop_duplicates().to_numpy(np.int64), pa.int64())})
 
-    # band rows are consumed by BOTH the flag pass and the append —
-    # window-bounded, so staging it is the multi-consumer rule
     # band rows are consumed by BOTH the flag pass and the append —
     # window-bounded, so staging them is the multi-consumer rule; the
     # flagged id set likewise feeds two anti joins
