@@ -1,0 +1,175 @@
+"""Streaming curation: CDC micro-batches drive a persisted dedup index.
+
+The full streaming-curation story in one pipeline: each micro-batch
+window is (1) committed as a normal replay (LWW state + resume tokens,
+``pipelines/cdc.py::run_replay``), (2) read back as the CHANGE FEED
+between the two commits (``state/diff.py::changes_between`` — COW skips
+untouched buckets without reading a byte), and (3) the window's
+upserted documents are screened against the persisted fingerprint
+index (``state/dedup_index.py``): content never seen in ANY earlier
+window is admitted to the curated corpus under
+``curated_dir/window={version}/``, everything else is dropped forever.
+
+Reference analog: none — the reference ships records at-least-once
+(SURVEY.md §2.7, ``MongoSourceTask.kt``); this composes its
+key-idempotent apply with content-idempotent curation, the operation a
+training-data ingest actually needs.
+
+Scale shape per window (nothing here is window-count dependent):
+- the replay is the audited one-exchange pipeline (VERDICT r3);
+- the change feed is bucket-parallel and bounded by CHANGED buckets;
+- the screen's one all-to-all moves only the WINDOW's fingerprints,
+  bucket-aligned with the on-disk index (the index never moves).
+
+Crash recovery contract (:func:`curate_version` is idempotent per
+version, in every crash window):
+- the curated directory + a ``_CURATED`` marker are written BEFORE the
+  index append, and admission is a pure function of (window, index
+  state) — the index cannot hold any of the window's fps until after
+  the marker exists;
+- no marker yet ⇒ a re-run recomputes the IDENTICAL survivor set
+  (screen against the unchanged index state) and overwrites the
+  directory;
+- marker present ⇒ the admissions are authoritative; the re-run skips
+  the screen and RE-APPENDS the directory's own fingerprints to the
+  index (bucket is derivable from the fp, and duplicate fps inside the
+  index never change the anti join's verdict) — covering a crash
+  between marker and append without ever re-screening against an
+  index that already contains the window's fps (which would admit
+  nothing and truncate the window).
+
+Tombstones are NOT retracted from the curated corpus: curation is an
+append-only admission log (window = snapshot version), and the change
+feed itself is the retraction channel for consumers that need one
+(read ``op = 'd'`` keys from ``changes_between``). Their count is
+reported per window in the summary.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable, Iterable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kafka_connect_mongo_ray.config import EngineConfig
+
+__all__ = ["upserts_to_candidates", "curate_version", "run_curated_stream"]
+
+
+def upserts_to_candidates(batch: pa.Table) -> pa.Table:
+    """Default change-feed → candidate-document mapping: keep upserts
+    (``op != 'd'``; null content fingerprints as '' downstream, same
+    coalesce as the SQL mirror), derive the integer ``doc_id`` the
+    in-window first-occurrence tie-break orders by from the numeric
+    ``path`` (the repo's event streams use ``path = str(doc_id)`` —
+    callers with non-numeric paths pass their own ``candidates_fn``)."""
+    b = batch.filter(pc.invert(pc.equal(batch["op"], pa.scalar("d"))))
+    return pa.table({
+        "doc_id": pc.cast(b["path"], pa.int64()),
+        "repo": pc.cast(b["repo"], pa.string()),
+        "path": pc.cast(b["path"], pa.string()),
+        "text": pc.cast(b["content"], pa.string()),
+    })
+
+
+def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
+                   curated_dir: str, index_buckets: int = 32,
+                   candidates_fn: Callable[[pa.Table], pa.Table] | None = None,
+                   ) -> dict:
+    """Curate ONE committed window: change feed (version-1 → version) →
+    screen against the index → write ``curated_dir/window={version}/``
+    → append the survivors' fingerprints. Idempotent per version (see
+    module docstring); returns the window summary."""
+    from kafka_connect_mongo_ray.state.dedup_index import (
+        _bucket_of,
+        append_fingerprints,
+        screen_window,
+    )
+    from kafka_connect_mongo_ray.state.diff import changes_between
+
+    wdir = os.path.join(curated_dir, f"window={version}")
+    marker = os.path.join(wdir, "_CURATED")
+    if os.path.exists(marker):
+        # already curated: the directory is authoritative — re-append
+        # its fps (idempotent) to cover a crash between marker and
+        # append, and never re-screen (see module docstring)
+        import ray.data as rd
+
+        files = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        admitted = 0
+        if files:
+            fps = rd.read_parquet(wdir, columns=["fp"])
+
+            def with_bucket(t: pa.Table) -> pa.Table:
+                return t.append_column("bucket", pa.array(
+                    _bucket_of(t["fp"], index_buckets), pa.int64()))
+
+            fps = fps.map_batches(with_bucket,
+                                  batch_format="pyarrow").materialize()
+            admitted = fps.count()
+            append_fingerprints(fps, index_dir)
+        return {"version": version, "changes": None, "tombstones": None,
+                "admitted": admitted, "recovered": True}
+
+    # the diff feeds the tombstone count AND the candidate screen —
+    # window-bounded, so staging it is the multi-consumer rule
+    diff = changes_between(cfg.snapshot_dir, version - 1, version).materialize()
+    n_changes = diff.count()
+
+    def tomb_count(batch: pa.Table) -> pa.Table:
+        n = pc.sum(pc.equal(batch["op"], pa.scalar("d"))).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    tombstones = sum(r["n"] for r in
+                     diff.map_batches(tomb_count, batch_format="pyarrow")
+                     .take_all())
+    cand = diff.map_batches(candidates_fn or upserts_to_candidates,
+                            batch_format="pyarrow")
+    survivors = screen_window(cand, index_dir, id_col="doc_id",
+                              text_col="text", num_buckets=index_buckets)
+    admitted = survivors.count()
+    shutil.rmtree(wdir, ignore_errors=True)  # overwrite = re-run idempotence
+    if admitted:
+        (survivors
+         .map_batches(lambda t: t.select(["doc_id", "repo", "path", "fp"]),
+                      batch_format="pyarrow")
+         .write_parquet(wdir))
+    else:
+        os.makedirs(wdir, exist_ok=True)  # an empty window is still a window
+    # marker BEFORE append: once it exists the directory is
+    # authoritative and re-runs take the re-append path above
+    with open(marker, "w"):
+        pass
+    append_fingerprints(survivors, index_dir)
+    return {"version": version, "changes": n_changes,
+            "tombstones": tombstones, "admitted": admitted}
+
+
+def run_curated_stream(
+    window_factories: Iterable[Callable[[], "ray.data.Dataset"]],
+    cfg: EngineConfig,
+    *,
+    index_dir: str,
+    curated_dir: str,
+    index_buckets: int = 32,
+    candidates_fn: Callable[[pa.Table], pa.Table] | None = None,
+) -> list[dict]:
+    """Run each bounded event Dataset as one committed replay AND curate
+    its change feed against the persisted fingerprint index. Returns
+    per-window summaries (the replay summary plus the curation counts);
+    ``summary['tokens']`` advances monotonically across windows exactly
+    as in :func:`pipelines.stream.run_micro_batches`."""
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+
+    summaries = []
+    for factory in window_factories:
+        rep = run_replay(factory(), cfg)
+        cur = curate_version(cfg, rep["version"], index_dir=index_dir,
+                             curated_dir=curated_dir,
+                             index_buckets=index_buckets,
+                             candidates_fn=candidates_fn)
+        summaries.append({**rep, "curation": cur})
+    return summaries

@@ -2849,6 +2849,89 @@ def q_dedup_incremental_minhash(sf_dir: str):
     })
 
 
+def _curated_events_batch(batch: pa.Table, window: int) -> pa.Table:
+    """Three deterministic CDC windows over documents for the
+    streaming-curation gate: window w inserts docs with doc_id%3==w at
+    ts=w; window 1 additionally UPDATES the doc_id%6==0 docs (inserted
+    in window 0) to text||':u' at ts=1 — so the change feed carries
+    both new keys and changed content through the curation screen."""
+    doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+    text = np.asarray(batch["text"]).astype(object)
+    lang = np.asarray(batch["lang"]).astype(object)
+    source = np.asarray(batch["source"]).astype(object)
+    ins = (doc_id % 3) == window
+    ids, ops = [doc_id[ins]], [np.full(ins.sum(), "i", dtype=object)]
+    content = [text[ins]]
+    rows = [ins]
+    if window == 1:
+        upd = (doc_id % 6) == 0
+        ids.append(doc_id[upd])
+        ops.append(np.full(upd.sum(), "u", dtype=object))
+        content.append((pd.Series(text[upd]) + ":u").to_numpy(dtype=object))
+        rows.append(upd)
+    all_ids = np.concatenate(ids)
+    n = len(all_ids)
+    row_mask = np.concatenate([np.flatnonzero(m) for m in rows])
+    return pa.table(
+        {
+            "ts": pa.array(np.full(n, window, dtype=np.int64)),
+            "inc": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(np.concatenate(ops), pa.string()),
+            "repo": pa.array(source[row_mask], pa.string()),
+            "path": pa.array(all_ids.astype(str), pa.string()),
+            "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
+            "lang": pa.array(lang[row_mask], pa.string()),
+            "content": pa.array(np.concatenate(content), pa.large_string()),
+            "partition_id": pa.array((all_ids % NUM_PARTITIONS).astype(np.int32)),
+        },
+        schema=CHANGE_EVENT_SCHEMA,
+    )
+
+
+def q_cdc_curated_stream(sf_dir: str):
+    """Streaming curation end-to-end (pipelines/curate.py): three CDC
+    windows are committed as replays, each window's CHANGE FEED is
+    screened against the persisted fingerprint index, and admissions
+    land under curated_dir/window={version}. Returns the full admission
+    log (window, doc_id, fp) — first window to ever carry a fingerprint
+    wins; in-window ties break on min doc_id."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.curate import run_curated_stream
+
+    root = f"/tmp/kcm_curq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+
+    def factory(w):
+        def make():
+            docs = _read(sf_dir, "documents",
+                         columns=["doc_id", "text", "lang", "source"])
+            return docs.map_batches(_curated_events_batch,
+                                    fn_kwargs={"window": w},
+                                    batch_format="pyarrow")
+        return make
+
+    run_curated_stream([factory(w) for w in range(3)], cfg,
+                       index_dir=f"{root}/idx", curated_dir=f"{root}/cur",
+                       index_buckets=_gate_buckets())
+    parts = []
+    for w in sorted(os.listdir(f"{root}/cur")):
+        v = int(w.split("=")[1])
+        d = rd.read_parquet(f"{root}/cur/{w}", columns=["doc_id", "fp"])
+        parts.append(d.map_batches(
+            lambda t, v=v: t.append_column(
+                "win", pa.array(np.full(t.num_rows, v, np.int64))),
+            batch_format="pyarrow"))
+    out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2860,6 +2943,7 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "cdc_curated_stream": q_cdc_curated_stream,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
         "docs_length_trim": q_docs_length_trim,
@@ -2970,6 +3054,23 @@ def build_queries():
 
 def build_oracle_sql():
     return {
+        # windows = snapshot versions 1..3 (w inserts doc_id%3==w at
+        # ts=w; window 1 / version 2 also updates doc_id%6==0 docs to
+        # text||':u'). Admission = first (window, doc_id) ever to carry
+        # a fingerprint — exactly ROW_NUMBER over the change relation.
+        "cdc_curated_stream": """
+            WITH changes AS (
+                SELECT CAST(doc_id % 3 + 1 AS BIGINT) AS win, doc_id,
+                       md5(coalesce(text, '')) AS fp
+                FROM documents
+                UNION ALL
+                SELECT 2, doc_id, md5(coalesce(text, '') || ':u')
+                FROM documents WHERE doc_id % 6 = 0
+            )
+            SELECT win, doc_id, fp FROM changes
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+                                       ORDER BY win, doc_id) = 1
+        """,
         # exact whitespace tokens (the retrieval.py contract); ties at
         # the k boundary break by ascending bigram on both sides
         "docs_bigram_top": """

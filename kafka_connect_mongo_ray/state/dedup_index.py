@@ -39,8 +39,8 @@ import pyarrow as pa
 
 from kafka_connect_mongo_ray.utils import limit_worker_threads
 
-__all__ = ["fingerprint_batch", "incremental_exact_dedup",
-           "incremental_minhash_dedup"]
+__all__ = ["fingerprint_batch", "screen_window", "append_fingerprints",
+           "incremental_exact_dedup", "incremental_minhash_dedup"]
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
@@ -63,18 +63,19 @@ def _bucket_of(fp_array, num_buckets: int) -> np.ndarray:
                      for f in fp_array.to_pylist()], dtype=np.int64)
 
 
-def incremental_exact_dedup(new_ds, index_dir: str, *,
-                            id_col: str = "doc_id",
-                            text_col: str = "text",
-                            num_buckets: int = 32):
-    """Dedup one window of documents against ``index_dir`` and append
-    the survivors' fingerprints to it.
-
-    Returns the surviving rows of ``new_ds`` (original columns plus
-    ``fp`` and ``bucket``) as a materialized Dataset, AFTER the index
-    append commits — callers chain windows by calling again with the
-    next window. Survivor = first occurrence (min ``id_col``) of a
-    fingerprint never seen in any earlier window."""
+def screen_window(new_ds, index_dir: str, *,
+                  id_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_buckets: int = 32):
+    """Screening half of :func:`incremental_exact_dedup`: the window's
+    survivors against the CURRENT index state, WITHOUT appending their
+    fingerprints. Admission is a pure function of (window, index
+    state), so callers that persist the survivors elsewhere (the
+    curated-stream pipeline) can write their output FIRST and call
+    :func:`append_fingerprints` after — a crash between the two is
+    recovered by re-running the same window: the screen recomputes the
+    identical survivor set. Returns a MATERIALIZED Dataset (original
+    columns plus ``fp`` and ``bucket``)."""
     from kafka_connect_mongo_ray.functions.stats import group_argmax
 
     def fp_and_bucket(batch: pa.Table) -> pa.Table:
@@ -111,12 +112,36 @@ def incremental_exact_dedup(new_ds, index_dir: str, *,
     survivors = group_argmax(filtered, keys=["fp"],
                              order=[(id_col, "ascending")],
                              num_partitions=num_buckets)
-    # materialize BEFORE the index append: the append consumes the same
+    # materialize BEFORE any index append: appends consume the same
     # lineage, and the survivor set is new-uniques-bounded per window
-    survivors = survivors.materialize()
+    return survivors.materialize()
+
+
+def append_fingerprints(survivors, index_dir: str) -> None:
+    """Append a screened window's (fp, bucket) rows to the index — the
+    commit half of :func:`incremental_exact_dedup`. Re-appending the
+    same window is harmless (duplicate fps inside the index never
+    change the anti join's verdict)."""
     (survivors.map_batches(lambda b: b.select(["fp", "bucket"]),
                            batch_format="pyarrow")
      .write_parquet(index_dir, partition_cols=["bucket"]))
+
+
+def incremental_exact_dedup(new_ds, index_dir: str, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_buckets: int = 32):
+    """Dedup one window of documents against ``index_dir`` and append
+    the survivors' fingerprints to it.
+
+    Returns the surviving rows of ``new_ds`` (original columns plus
+    ``fp`` and ``bucket``) as a materialized Dataset, AFTER the index
+    append commits — callers chain windows by calling again with the
+    next window. Survivor = first occurrence (min ``id_col``) of a
+    fingerprint never seen in any earlier window."""
+    survivors = screen_window(new_ds, index_dir, id_col=id_col,
+                              text_col=text_col, num_buckets=num_buckets)
+    append_fingerprints(survivors, index_dir)
     return survivors
 
 
