@@ -21,8 +21,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def memory_derived_row_cap(bytes_per_row: float, *,
+                           heap_fraction: float = 0.25,
+                           working_set_factor: float = 6.0,
+                           default: int = 100_000,
+                           floor: int = 10_000,
+                           ceiling: int = 2_000_000) -> int:
+    """Rows one ``map_groups`` task may materialize, derived from the
+    cluster's per-CPU memory share instead of a guessed constant: the
+    knob NEXT.md flagged after BUCKET_PAIR_CAP landed. A group task
+    gets ~(cluster memory / cluster CPUs); of that it may spend
+    ``heap_fraction`` on the group, and each Arrow row expands by
+    ``working_set_factor`` while scoring (float64 cast of a float32
+    embedding is 2x, the normalized copy 2x more, scores + top-k
+    scratch the rest). Falls back to ``default`` when Ray is not
+    initialized or the estimate degenerates; clamped to
+    [``floor``, ``ceiling``] so a mis-measured bytes/row can neither
+    serialize the scan into thousands of sub-groups nor un-bound it."""
+    import ray
+
+    if bytes_per_row <= 0 or not ray.is_initialized():
+        return default
+    res = ray.cluster_resources()
+    mem, cpus = res.get("memory"), res.get("CPU")
+    if not mem or not cpus:
+        return default
+    per_task = mem / cpus * heap_fraction
+    cap = int(per_task / (bytes_per_row * working_set_factor))
+    return max(floor, min(cap, ceiling))
+
+
 def _subsplit_oversized_groups(bucketed, bucket_col: str, id_col: str,
-                               cap: int | None):
+                               cap: int | str | None):
     """Bound the rows any ``groupby(bucket).map_groups`` task must
     materialize: a hot LSH bucket (corpus/2^planes on average, far more
     under skew) or a fat IVF cell would otherwise land WHOLE in one
@@ -46,6 +76,12 @@ def _subsplit_oversized_groups(bucketed, bucket_col: str, id_col: str,
     if cap is None:
         return bucketed, [bucket_col]
     bucketed = bucketed.materialize()
+    if cap == "auto":
+        # bytes/row measured from the materialized blocks' metadata —
+        # free, and reflects the ACTUAL embedding width in flight
+        n = bucketed.count()
+        cap = memory_derived_row_cap(
+            bucketed.size_bytes() / n if n else 0.0)
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -171,7 +207,8 @@ def brute_force_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int
 def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
              dim: int, num_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             probe_bits: int = 1, group_row_cap: int | None = 100_000):
+             probe_bits: int = 1,
+             group_row_cap: int | str | None = "auto"):
     """Approximate top-k: bucket the corpus by LSH hyperplane signs,
     then each bucket group scans ONLY the queries that probe it —
     per-query work drops from O(corpus) to O(corpus · probes / 2^planes).
@@ -182,8 +219,10 @@ def lsh_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
     (query_id, rank, neighbor_id) with a global final reduce (only
     Q × k × probed-buckets candidate rows reach the driver).
 
-    ``group_row_cap`` bounds per-task memory: buckets larger than the
-    cap are hash-split into sub-groups before the per-bucket scan
+    ``group_row_cap`` bounds per-task memory ("auto" derives the cap
+    from the cluster's per-CPU memory share and the measured bytes/row,
+    :func:`memory_derived_row_cap`): buckets larger than the cap are
+    hash-split into sub-groups before the per-bucket scan
     (:func:`_subsplit_oversized_groups`) — output-identical, since each
     sub-group's local top-k feeds the same final reduce."""
     import pandas as pd
@@ -275,7 +314,7 @@ class IvfAssigner:
 def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, *, k: int,
              num_cells: int = 16, nprobe: int = 2, sample_size: int = 2000,
              seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
-             group_row_cap: int | None = 100_000,
+             group_row_cap: int | str | None = "auto",
              total_rows: int | None = None):
     """IVF approximate top-k: coarse-quantize the corpus into
     ``num_cells`` k-means cells, then each query scans only its

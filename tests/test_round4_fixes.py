@@ -391,3 +391,29 @@ def test_grouped_hll_null_keys_excluded_not_corrupting():
     t2 = pa.table({"k": pa.array([None, None], pa.string()),
                    "v": pa.array([1, 2], pa.int64())})
     assert approx_distinct_by(rd.from_arrow(t2), "v", "k", p=10).count() == 0
+
+
+def test_memory_derived_row_cap_auto():
+    """The 'auto' group_row_cap (NEXT.md #2): derived from cluster
+    memory / CPUs and measured bytes-per-row, clamped, and the default
+    'auto' path produces output identical to an explicit cap."""
+    from kafka_connect_mongo_ray.functions.similarity import (
+        lsh_topk,
+        memory_derived_row_cap,
+    )
+
+    # monotone in available memory, inverse in row width, clamped
+    cap_wide = memory_derived_row_cap(1_000_000.0)   # 1 MB rows
+    cap_narrow = memory_derived_row_cap(100.0)       # 100 B rows
+    assert 10_000 <= cap_wide <= cap_narrow <= 2_000_000
+    assert memory_derived_row_cap(0.0) == 100_000    # degenerate fallback
+    assert memory_derived_row_cap(1e18) == 10_000    # floor clamp
+
+    t, v = _skewed_embeddings()
+    q = v[:3] + 0.001
+    qids = np.array([900, 901, 902])
+    a = lsh_topk(_rd(t), q, qids, k=5, dim=8, num_planes=4,
+                 group_row_cap=None)
+    b = lsh_topk(_rd(t), q, qids, k=5, dim=8, num_planes=4)  # "auto"
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
