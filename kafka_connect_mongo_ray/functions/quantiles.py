@@ -195,6 +195,134 @@ def grouped_exact_quantiles(ds, group_col: str, col: str, qs: list[float],
     return counts.groupby(group_col).map_groups(pick, batch_format="pyarrow")
 
 
+def grouped_quantiles_2pass(ds, group_col: str, col: str, qs: list[float],
+                            *, scale: int = 100, coarse_bin: int = 1024,
+                            num_partitions: int | None = None,
+                            drop_null_groups: bool = False):
+    """EXACT per-group discrete quantiles via coarse-then-refine — the
+    scale path for NEAR-CONTINUOUS columns, where the one-pass
+    :func:`grouped_exact_quantiles` histogram has ~one distinct value
+    per row and its "compacted" exchange is row-sized.
+
+    Pass 1 exchanges the histogram of ``v // coarse_bin`` (volume cut
+    ~coarse_bin×), and per group derives each quantile's WINNING coarse
+    bin plus the exact 0-based rank offset inside it — a groups × qs
+    table collected to the driver and shipped in the refine task spec.
+    Pass 2 re-scans the fact table keeping ONLY rows in winning
+    (group, bin) pairs (≈ rows/coarse_bin per quantile), builds exact
+    per-(group, bin) value histograms, and picks the value at the
+    offset. Identical result to the one-pass operator (same
+    ``quantile_disc`` semantics, bit-exact), traded as: two fact
+    scans + two small exchanges instead of one fact scan + one
+    row-sized exchange — the right trade whenever the exchange, not
+    the scan, is the bound (NEXT.md #3; lineitem price columns at
+    sf0.1 measured exchange-bound).
+
+    ``ds`` is deliberately NOT materialized: at 100 TB the second
+    lineage execution (a pruned re-read) is cheaper than caching the
+    fact table in the object store. Returns
+    ``(group_col, q, value_scaled)``."""
+    from ray.data.aggregate import Sum
+
+    def coarse_partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        if drop_null_groups:
+            batch = batch.filter(pc.is_valid(batch[group_col]))
+        v = np.rint(np.asarray(batch[col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "b": v // coarse_bin})
+        g = df.groupby([group_col, "b"], as_index=False,
+                       dropna=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    coarse = (ds.map_batches(coarse_partial, batch_format="pyarrow")
+              .groupby([group_col, "b"], **kwargs)
+              .aggregate(Sum("c", alias_name="c")))
+
+    def pick_bins(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("b", "ascending")])
+        g = g.take(order)
+        bins = np.asarray(g["b"], dtype=np.int64)
+        cum = np.cumsum(np.asarray(g["c"], dtype=np.int64))
+        n = int(cum[-1])
+        out_q, out_b, out_off = [], [], []
+        for q in qs:
+            idx = quantile_disc_index(q, n)  # 0-based global rank
+            j = int(np.searchsorted(cum, idx + 1))
+            below = int(cum[j - 1]) if j > 0 else 0
+            out_q.append(float(q))
+            out_b.append(int(bins[j]))
+            out_off.append(idx - below)  # 0-based rank inside the bin
+        return pa.table({
+            group_col: pa.array([g[group_col][0].as_py()] * len(qs),
+                                g.schema.field(group_col).type),
+            "q": pa.array(out_q, pa.float64()),
+            "b": pa.array(out_b, pa.int64()),
+            "off": pa.array(out_off, pa.int64()),
+        })
+
+    targets = (coarse.groupby(group_col)
+               .map_groups(pick_bins, batch_format="pyarrow").to_pandas())
+
+    def _k(g):
+        # normalize a group value for dict keys: pandas NaN / Arrow
+        # None both land on None so the two sides always agree
+        return None if (g is None or (isinstance(g, float)
+                                      and np.isnan(g))) else g
+
+    # groups × qs rows — closure-sized; (group, bin) -> [(q, off), ...]
+    want: dict = {}
+    for r in targets.itertuples():
+        want.setdefault((_k(getattr(r, group_col)), int(r.b)),
+                        []).append((float(r.q), int(r.off)))
+    winners = targets[[group_col, "b"]].drop_duplicates()
+
+    def refine_partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pandas as pd
+
+        if drop_null_groups:
+            batch = batch.filter(pc.is_valid(batch[group_col]))
+        v = np.rint(np.asarray(batch[col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "b": v // coarse_bin, "v": v})
+        # vectorized winning-(group, bin) filter; pandas merge matches
+        # NaN==NaN on keys, which here is exactly GROUP BY null
+        # semantics (null groups keep their quantile rows)
+        df = df.merge(winners, on=[group_col, "b"], how="inner")
+        g = df.groupby([group_col, "b", "v"], as_index=False,
+                       dropna=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (ds.map_batches(refine_partial, batch_format="pyarrow")
+            .groupby([group_col, "b", "v"], **kwargs)
+            .aggregate(Sum("c", alias_name="c")))
+
+    def pick_value(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("v", "ascending")])
+        g = g.take(order)
+        key = (_k(g[group_col][0].as_py()), int(g["b"][0].as_py()))
+        vals = np.asarray(g["v"], dtype=np.int64)
+        cum = np.cumsum(np.asarray(g["c"], dtype=np.int64))
+        pairs = want.get(key, [])
+        picked = [int(vals[int(np.searchsorted(cum, off + 1))])
+                  for _, off in pairs]
+        return pa.table({
+            group_col: pa.array([key[0]] * len(pairs),
+                                g.schema.field(group_col).type),
+            "q": pa.array([q for q, _ in pairs], pa.float64()),
+            "value_scaled": pa.array(picked, pa.int64()),
+        })
+
+    return fine.groupby([group_col, "b"]).map_groups(
+        pick_value, batch_format="pyarrow")
+
+
 def md5_hex(value) -> str:
     return hashlib.md5(str(value).encode()).hexdigest()
 

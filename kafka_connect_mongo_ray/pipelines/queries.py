@@ -1480,6 +1480,22 @@ def q_lineitem_quantiles_by_flag(sf_dir: str):
                                    num_partitions=_gate_buckets())
 
 
+def q_lineitem_quantiles_refine(sf_dir: str):
+    """The coarse-then-refine grouped quantile (functions/quantiles.py::
+    grouped_quantiles_2pass): exchanges a coarse-binned histogram
+    (~coarse_bin× smaller than the near-continuous one-pass compaction)
+    then re-scans only winning-bin rows — bit-exact quantile_disc, the
+    exchange-bound scale path (NEXT.md #3)."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_quantiles_2pass,
+    )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_linestatus", "l_extendedprice"])
+    return grouped_quantiles_2pass(ds, "l_linestatus", "l_extendedprice",
+                                   QUANTILE_QS, scale=100, coarse_bin=4096,
+                                   num_partitions=_gate_buckets())
+
+
 def q_orders_sample_md5(sf_dir: str):
     """Deterministic ~20% sample: membership = md5(str(key)) hex prefix
     below a threshold — a pure function of the key, so every engine,
@@ -2944,6 +2960,7 @@ def build_queries():
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
         "cdc_curated_stream": q_cdc_curated_stream,
+        "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
         "docs_length_trim": q_docs_length_trim,
@@ -3645,6 +3662,12 @@ def build_oracle_sql():
                   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id) t
             GROUP BY lang, dim
         """,
+        "lineitem_quantiles_refine": " UNION ALL ".join(
+            f"""SELECT l_linestatus, CAST({q} AS DOUBLE) AS q,
+                       quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),
+                                     {q}) AS value_scaled
+                FROM lineitem GROUP BY l_linestatus"""
+            for q in QUANTILE_QS),
         "lineitem_quantiles_by_flag": " UNION ALL ".join(
             f"""SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
                        quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT),

@@ -197,3 +197,43 @@ def test_grouped_exact_quantiles_matches_per_group_reference():
             want = int(vals[quantile_disc_index(q, len(vals))])
             got = out[(out["g"] == g) & (out["q"] == q)]["value_scaled"]
             assert len(got) == 1 and int(got.iloc[0]) == want, (g, q)
+
+
+def test_grouped_quantiles_2pass_matches_one_pass():
+    """Coarse-then-refine (NEXT.md #3) is bit-exact vs the one-pass
+    operator — including null groups (kept, GROUP BY semantics),
+    negative values (floor-division binning), and a coarse_bin small
+    enough that every quantile refines through a real second pass."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_exact_quantiles,
+        grouped_quantiles_2pass,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    g = rng.choice(["a", "b", None], size=n, p=[0.6, 0.3, 0.1]).astype(object)
+    v = rng.normal(0, 500, size=n)
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "x": pa.array(v, pa.float64())})
+    qs = [0.1, 0.5, 0.99]
+    one = grouped_exact_quantiles(rd.from_arrow(t), "g", "x", qs).to_pandas()
+    two = grouped_quantiles_2pass(rd.from_arrow(t), "g", "x", qs,
+                                  coarse_bin=32).to_pandas()
+    c = lambda d: (d.sort_values(["g", "q"], na_position="first")
+                   .reset_index(drop=True))
+    pd.testing.assert_frame_equal(c(one), c(two)[c(one).columns],
+                                  check_dtype=False)
+    # drop_null_groups excludes the null band on both paths
+    one_nn = grouped_exact_quantiles(rd.from_arrow(t), "g", "x", qs,
+                                     drop_null_groups=True).to_pandas()
+    two_nn = grouped_quantiles_2pass(rd.from_arrow(t), "g", "x", qs,
+                                     coarse_bin=32,
+                                     drop_null_groups=True).to_pandas()
+    assert set(two_nn.g) == {"a", "b"}
+    pd.testing.assert_frame_equal(c(one_nn), c(two_nn)[c(one_nn).columns],
+                                  check_dtype=False)
