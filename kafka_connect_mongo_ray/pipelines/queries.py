@@ -2543,6 +2543,22 @@ def q_lineitem_mad(sf_dir: str):
         num_partitions=_gate_buckets())
 
 
+def q_lineitem_mad_refine(sf_dir: str):
+    """grouped_mad on the coarse-then-refine plan (quantiles.py::
+    grouped_mad_2pass) — bit-exact vs the one-pass MAD; the
+    exchange-bounded scale path, gated here for a hard correctness
+    signal on a different group column than lineitem_mad."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_mad_2pass,
+    )
+
+    return grouped_mad_2pass(
+        _read(sf_dir, "lineitem",
+              columns=["l_linestatus", "l_extendedprice"]),
+        "l_linestatus", "l_extendedprice", scale=100, coarse_bin=4096,
+        num_partitions=_gate_buckets())
+
+
 def q_docs_char_entropy(sf_dir: str):
     """Per-document character-unigram Shannon entropy
     (functions/text.py::char_entropy_batch) — gibberish/boilerplate
@@ -2961,6 +2977,7 @@ def build_queries():
     # implementations are unchanged since the r03-green commit.
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
+        "lineitem_mad_refine": q_lineitem_mad_refine,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
         "docs_length_trim": q_docs_length_trim,
@@ -3273,6 +3290,19 @@ def build_oracle_sql():
         """,
         # same cents-scaling idiom as lineitem_quantiles (prices are
         # exact cents, so round == rint on every value)
+        "lineitem_mad_refine": """
+            WITH x AS (SELECT l_linestatus,
+                              CAST(round(l_extendedprice*100) AS BIGINT)
+                              AS c
+                       FROM lineitem),
+            m AS (SELECT l_linestatus, quantile_disc(c, 0.5) AS med
+                  FROM x GROUP BY l_linestatus)
+            SELECT x.l_linestatus, CAST(m.med AS BIGINT) AS med_scaled,
+                   CAST(quantile_disc(ABS(x.c - m.med), 0.5) AS BIGINT)
+                   AS mad_scaled
+            FROM x JOIN m USING (l_linestatus)
+            GROUP BY x.l_linestatus, m.med
+        """,
         "lineitem_mad": """
             WITH x AS (SELECT l_returnflag,
                               CAST(round(l_extendedprice*100) AS BIGINT)

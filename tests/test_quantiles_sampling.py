@@ -237,3 +237,29 @@ def test_grouped_quantiles_2pass_matches_one_pass():
     assert set(two_nn.g) == {"a", "b"}
     pd.testing.assert_frame_equal(c(one_nn), c(two_nn)[c(one_nn).columns],
                                   check_dtype=False)
+
+
+def test_grouped_mad_2pass_matches_one_pass():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        grouped_mad,
+        grouped_mad_2pass,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 8000
+    g = rng.choice(["x", "y", None], size=n, p=[0.5, 0.4, 0.1]).astype(object)
+    v = rng.normal(100, 300, size=n)
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "x": pa.array(v, pa.float64())})
+    a = grouped_mad(rd.from_arrow(t), "g", "x").to_pandas()
+    b = grouped_mad_2pass(rd.from_arrow(t), "g", "x",
+                          coarse_bin=64).to_pandas()
+    assert set(b.g) == {"x", "y"}  # NULL groups excluded on both paths
+    c = lambda d: d.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c(a), c(b)[c(a).columns],
+                                  check_dtype=False)
