@@ -262,3 +262,41 @@ def char_entropy_batch(batch: pa.Table, *, id_col: str = "doc_id",
     ent = np.round(np.log2(n) - sums / n, round_to)
     return pa.table({id_col: pa.array(ids[present], pa.int64()),
                      "ent": pa.array(ent, pa.float64())})
+
+
+# Curation PII screen: RE2 patterns evaluated by Arrow's C++ kernels,
+# count-identical to DuckDB regexp_extract_all (both engines are RE2 —
+# verified in tests) so the operator is SQL-oracle-checkable.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?\d[\d\s().-]{7,}\d",
+    "ssns": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts_batch(batch: pa.Table, *, text_col: str = "text",
+                     patterns: dict[str, str] | None = None) -> pa.Table:
+    """Per-document PII-pattern match counts — one
+    ``pc.count_substring_regex`` kernel per pattern (vectorized RE2 in
+    C++, no Python per row; null text counts 0, the ``coalesce``
+    mirror). Appends one int64 column per pattern name."""
+    for name, pat in (patterns or PII_PATTERNS).items():
+        n = pc.fill_null(
+            pc.count_substring_regex(batch[text_col], pat), 0)
+        batch = batch.append_column(name, pc.cast(n, pa.int64()))
+    return batch
+
+
+def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
+                         out_col: str = "norm") -> pa.Table:
+    """Canonical text normalization for fuzzy-exact dedup: lowercase,
+    collapse every non-alphanumeric run to a single space, trim. All
+    three are Arrow C++ kernels; the SQL mirror is
+    ``trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ',
+    'g'))`` (RE2 on both sides). Null text normalizes to ''."""
+    t = pc.fill_null(batch[text_col], "")
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, pattern="[^a-z0-9]+",
+                                   replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)

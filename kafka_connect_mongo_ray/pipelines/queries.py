@@ -2559,6 +2559,59 @@ def q_lineitem_mad_refine(sf_dir: str):
         num_partitions=_gate_buckets())
 
 
+def q_docs_pii_scan(sf_dir: str):
+    """Curation PII screen (functions/text.py::pii_counts_batch):
+    per-source totals of email/phone/SSN-shaped matches plus the count
+    of flagged documents. Vectorized RE2 kernels + batch-local
+    pre-aggregation; one source-domain groupby."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.functions.text import (
+        PII_PATTERNS,
+        pii_counts_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    names = list(PII_PATTERNS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = pii_counts_batch(batch)
+        df = pd.DataFrame({"source": t["source"].to_pandas()})
+        any_hit = np.zeros(len(df), dtype=bool)
+        for n in names:
+            df[n] = np.asarray(t[n], dtype=np.int64)
+            any_hit |= df[n].to_numpy() > 0
+        df["flagged_docs"] = any_hit.astype(np.int64)
+        df["n_docs"] = 1
+        agg = df.groupby("source", as_index=False, dropna=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source", num_partitions=_gate_buckets())
+            .aggregate(*[Sum(n, alias_name=n) for n in names],
+                       Sum("flagged_docs", alias_name="flagged_docs"),
+                       Sum("n_docs", alias_name="n_docs")))
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Fuzzy-exact dedup: duplicates under the canonical normalization
+    (lowercase, non-alphanumeric runs → one space, trim) collapse to
+    the min-id survivor — catches re-punctuated/re-cased copies raw
+    md5 misses. Normalization is batch-local Arrow kernels; the dedup
+    is the standard (id, hash)-only shuffle."""
+    from kafka_connect_mongo_ray.functions.dedup import exact_dedup
+    from kafka_connect_mongo_ray.functions.text import (
+        normalize_text_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    norm = ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+    return exact_dedup(norm, text_col="norm",
+                       num_partitions=_gate_buckets())
+
+
 def q_docs_char_entropy(sf_dir: str):
     """Per-document character-unigram Shannon entropy
     (functions/text.py::char_entropy_batch) — gibberish/boilerplate
@@ -2978,6 +3031,8 @@ def build_queries():
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
+        "docs_pii_scan": q_docs_pii_scan,
+        "dedup_normalized": q_dedup_normalized,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
         "docs_length_trim": q_docs_length_trim,
@@ -3087,7 +3142,33 @@ def build_queries():
 
 
 def build_oracle_sql():
+    from kafka_connect_mongo_ray.functions.text import PII_PATTERNS as _PII
+
+    # composed from the SAME pattern constants the engine compiles, so
+    # the two sides cannot drift (both are RE2)
+    _pii_cols = ",\n                   ".join(
+        f"CAST(SUM(len(regexp_extract_all(coalesce(text, ''), "
+        f"'{p}'))) AS BIGINT) AS {n}" for n, p in _PII.items())
+    _pii_flag = " OR ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
+        for p in _PII.values())
     return {
+        "docs_pii_scan": f"""
+            SELECT source, {_pii_cols},
+                   CAST(SUM(CASE WHEN {_pii_flag} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS flagged_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "dedup_normalized": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+', ' ', 'g')))
+                   AS fingerprint
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                       ORDER BY doc_id) = 1
+        """,
         # windows = snapshot versions 1..3 (w inserts doc_id%3==w at
         # ts=w; window 1 / version 2 also updates doc_id%6==0 docs to
         # text||':u'). Admission = first (window, doc_id) ever to carry

@@ -438,3 +438,40 @@ def test_kmeans_cluster_summary_improves_on_single_cluster():
                                  k=3, sample_size=60).to_pandas()
     assert out["k"].iloc[0] == 3 and out["n"].iloc[0] == len(vecs)
     assert bool(out["improved"].iloc[0])
+
+
+def test_pii_and_normalization_parity_with_duckdb():
+    """Pin the RE2 parity the oracles rely on: Arrow kernels and DuckDB
+    count/normalize identically on adversarial strings (nulls, unicode
+    case, nested punctuation, boundary-length phones)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_mongo_ray.functions.text import (
+        PII_PATTERNS,
+        normalize_text_batch,
+        pii_counts_batch,
+    )
+
+    texts = ["a.b@x-corp.co.uk and +1 (555) 123-4567", None, "",
+             "ssn 123-45-6789; mail: A@B.IO", "555-1234 too short",
+             "MIXED Case,,,  punct!!— ünïcode ÉÉ", "020 7946 0958",
+             "two@mails.org one@more.net 999-99-0000"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = pii_counts_batch(t)
+    for name, pat in PII_PATTERNS.items():
+        want = con.sql(
+            "SELECT len(regexp_extract_all(coalesce(text, ''), ?)) AS n "
+            "FROM t", params=[pat]).df().n.tolist()
+        assert np.asarray(got[name]).tolist() == want, name
+
+    norm = normalize_text_batch(t)["norm"].to_pylist()
+    want_norm = con.sql(
+        "SELECT trim(regexp_replace(lower(coalesce(text, '')), "
+        "'[^a-z0-9]+', ' ', 'g')) AS s FROM t").df().s.tolist()
+    assert norm == want_norm
