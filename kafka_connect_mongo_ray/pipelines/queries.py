@@ -2559,6 +2559,85 @@ def q_lineitem_mad_refine(sf_dir: str):
         num_partitions=_gate_buckets())
 
 
+def q_orders_revenue_top(sf_dir: str):
+    """TPC-H Q3-shaped composition: BUILDING-segment customers' orders
+    placed before the cutoff, joined to lineitems shipped after it,
+    top 10 orders by revenue. The scale shape: the customer side
+    reduces to KEYS ONLY through a semi join, lineitem pre-aggregates
+    revenue per orderkey inside each batch BEFORE its one bucketed
+    exchange, and revenue is integer cents×(100−disc) so the oracle
+    match is exact. Final top-k is a dimension-sized sort."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    CUT = np.datetime64("1998-07-01")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def building_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["c_mktsegment"], pa.scalar("BUILDING"))
+        return pa.table({"o_custkey": batch.filter(keep)["c_custkey"]})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def early_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["o_orderdate"],
+                       pa.scalar(CUT.astype("datetime64[us]").item()))
+        return batch.filter(keep)
+
+    o_side = hash_join(
+        orders.map_batches(early_orders, batch_format="pyarrow"),
+        cust.map_batches(building_keys, batch_format="pyarrow"),
+        on=["o_custkey"], how="semi", num_buckets=_gate_buckets(),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = pc.greater(batch["l_shipdate"],
+                          pa.scalar(CUT.astype("datetime64[us]").item()))
+        b = batch.filter(keep)
+        cents = np.rint(np.asarray(b["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(b["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": np.asarray(b["l_orderkey"],
+                                                    dtype=np.int64),
+                           "rev": cents * (100 - disc)})
+        agg = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rev = (li.map_batches(li_partial, batch_format="pyarrow")
+           .groupby("o_orderkey", num_partitions=_gate_buckets())
+           .aggregate(Sum("rev", alias_name="revenue_cents")))
+    joined = hash_join(rev, o_side, on=["o_orderkey"],
+                       num_buckets=_gate_buckets())
+
+    def topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True],
+            kind="mergesort")
+        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+
+    # batch-local top-10 then a single dimension-sized final cut
+    out = (joined.map_batches(topk, batch_format="pyarrow")
+           .repartition(1).map_batches(topk, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority",
+                            "revenue_cents"]),
+        batch_format="pyarrow")
+
+
 def q_docs_pii_scan(sf_dir: str):
     """Curation PII screen (functions/text.py::pii_counts_batch):
     per-source totals of email/phone/SSN-shaped matches plus the count
@@ -3033,6 +3112,7 @@ def build_queries():
         "lineitem_mad_refine": q_lineitem_mad_refine,
         "docs_pii_scan": q_docs_pii_scan,
         "dedup_normalized": q_dedup_normalized,
+        "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
         "docs_length_trim": q_docs_length_trim,
@@ -3159,6 +3239,23 @@ def build_oracle_sql():
                         AS BIGINT) AS flagged_docs,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY source
+        """,
+        # TPC-H Q3 shape; revenue in exact integer cents×(100-disc)
+        "orders_revenue_top": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100)
+                                          AS BIGINT))) AS BIGINT)
+                   AS revenue_cents
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-07-01'
+              AND l.l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_cents DESC, o.o_orderkey
+            LIMIT 10
         """,
         "dedup_normalized": """
             SELECT doc_id,
