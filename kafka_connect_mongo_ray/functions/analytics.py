@@ -1,0 +1,353 @@
+"""Product-analytics operators: cohort retention, Pareto-frontier
+skyline, weighted priority sampling, co-occurrence counts, OHLC bars.
+
+Reference analog: none (the reference has no aggregates at all —
+SURVEY.md §2.5); these are the analytics shapes a curation/BI layer on
+the same change-stream tables needs, each expressed Ray-Data-first.
+
+Scale shapes (one line each; details on the functions):
+- ``cohort_retention``: batch-local (user, day) dedup → ONE user-keyed
+  bucket shuffle (vectorized per-bucket kernel, volume bounded by
+  distinct (user, day) per block) → cohort×offset-domain final sum.
+- ``skyline_2d``: per-batch local skyline (associative: the global
+  skyline is the skyline of local-skyline unions) → one single-task
+  final pass over the tiny candidate set. Zero all-to-all.
+- ``weighted_priority_sample``: Duffield–Lund–Thorup priority sampling
+  (q_i = w_i / u_i), embarrassingly parallel per-block top-k + the
+  shared two-level reduce. Priorities use ONLY IEEE-exact ops
+  (dyadic-rational u, one multiply, one divide) so the SQL mirror is
+  bit-identical — no libm transcendentals.
+- ``cooccurrence_counts``: batch-local (user, item) dedup → one
+  user-keyed bucket shuffle → per-bucket BITMASK kernel (per-user OR
+  of item bits, pair counts via vectorized bit tests) → item²-domain
+  final sum. Requires ≤ 64 distinct items per bucket by design (it is
+  an operator for small categorical domains, e.g. event types).
+- ``ohlc_bars``: per-batch partial {argmin/argmax ts carrier, min,
+  max, count} per (key, bar) → one bar-domain-sized bucket shuffle →
+  same kernel as the merge (the partial is associative). open/close/
+  high/low are SELECTIONS of raw float64 values (never arithmetic),
+  so the oracle mirror is bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kafka_connect_mongo_ray.utils import (
+    key_bucketed,
+    limit_worker_threads,
+    two_level_pick,
+)
+
+__all__ = [
+    "cohort_retention",
+    "skyline_2d",
+    "weighted_priority_sample",
+    "cooccurrence_counts",
+    "ohlc_bars",
+]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _day_str(days: np.ndarray) -> pa.Array:
+    """Epoch-day int64 → 'YYYY-MM-DD' strings, vectorized through
+    numpy datetime64 (no per-row strftime)."""
+    d = days.astype("datetime64[D]")
+    return pa.array(np.datetime_as_string(d, unit="D"), pa.string())
+
+
+def cohort_retention(ds, *, user_col: str, ts_col: str,
+                     num_partitions: int | None = None):
+    """Daily cohort retention: cohort = the user's FIRST active day,
+    one output row per (cohort_day, day_offset) with the count of
+    distinct users from that cohort active at that offset — the
+    standard retention-triangle query.
+
+    SQL mirror: first-day per user via GROUP BY, DISTINCT (user, day)
+    activity, join, COUNT(*) per (cohort, offset).
+
+    Scale shape: each batch first dedups to its distinct (user, day)
+    pairs (activity is heavily repeated within a block), so the ONE
+    user-keyed bucket shuffle moves ≤ distinct-(user, day)-per-block
+    rows, never events. The per-bucket kernel is one vectorized pandas
+    pass (min-day transform + offset + local (cohort, offset) count),
+    and the final exchange is cohort×offset-domain-sized."""
+    from ray.data.aggregate import Sum
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        limit_worker_threads()
+        u = np.asarray(batch[user_col], dtype=np.int64)
+        day = (np.asarray(batch[ts_col]).astype("datetime64[us]")
+               .astype(np.int64) // _US_PER_DAY)
+        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
+                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"u": np.asarray(t["u"], dtype=np.int64),
+                           "day": np.asarray(t["day"], dtype=np.int64)})
+        # cross-batch duplicates of the same (user, day) meet here
+        df = df.drop_duplicates(["u", "day"])
+        d0 = df.groupby("u")["day"].transform("min")
+        out = pd.DataFrame({"cohort": d0.to_numpy(),
+                            "off": (df["day"] - d0).to_numpy()})
+        g = out.groupby(["cohort", "off"], as_index=False).size()
+        return pa.table({
+            "cohort": pa.array(g["cohort"].to_numpy(), pa.int64()),
+            "day_offset": pa.array(g["off"].to_numpy(), pa.int64()),
+            "n": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    nparts = num_partitions or 32
+    pairs = ds.map_batches(dedup_partial, batch_format="pyarrow")
+    partial = key_bucketed(pairs, ["u"], nparts).map_groups(
+        lambda t: bucket_kernel(t.drop_columns(["__gb"])),
+        batch_format="pyarrow")
+    summed = (partial.groupby(["cohort", "day_offset"],
+                              num_partitions=min(nparts, 8))
+              .aggregate(Sum("n", alias_name="n_users")))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": _day_str(np.asarray(t["cohort"], dtype=np.int64)),
+            "day_offset": t["day_offset"],
+            "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return summed.map_batches(fmt, batch_format="pyarrow")
+
+
+def _local_skyline(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Rows not dominated within ``t``: minimize x, maximize y; q
+    dominates p iff q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR
+    q.y > p.y). Vectorized: sort by (x asc, y desc); within an equal-x
+    run only the max-y rows can survive; across runs a row survives
+    iff its y strictly exceeds the best y at any strictly smaller x."""
+    if t.num_rows == 0:
+        return t
+    if "__gb" in t.column_names:
+        t = t.drop_columns(["__gb"])
+    order = pc.sort_indices(t, sort_keys=[(x_col, "ascending"),
+                                          (y_col, "descending")])
+    t = t.take(order)
+    x = np.asarray(t[x_col], dtype=np.float64)
+    y = np.asarray(t[y_col], dtype=np.float64)
+    # run starts of equal-x groups
+    starts = np.flatnonzero(np.concatenate([[True], x[1:] != x[:-1]]))
+    run_id = np.cumsum(np.concatenate([[False], x[1:] != x[:-1]]))
+    gmax = y[starts]          # max y per run (sorted y desc within run)
+    # best y over all runs with strictly smaller x
+    prev_best = np.concatenate([[-np.inf],
+                                np.maximum.accumulate(gmax)[:-1]])
+    run_alive = gmax > prev_best
+    keep = run_alive[run_id] & (y == gmax[run_id])
+    return t.filter(pa.array(keep))
+
+
+def skyline_2d(ds, *, x_col: str, y_col: str):
+    """2-D skyline (Pareto frontier): rows where no other row is ≤ on
+    ``x_col`` AND ≥ on ``y_col`` with at least one strict — SQL's
+    NOT EXISTS dominance anti-join. Duplicate (x, y) points on the
+    frontier all survive (none strictly dominates its twin).
+
+    Scale shape: the skyline operator is ASSOCIATIVE — the global
+    skyline is the skyline of the union of per-block skylines — so
+    each block reduces locally first (the survivors of an n-row block
+    are typically O(log n) under any smooth distribution) and the
+    single-task final pass sees only candidates. No shuffle at all."""
+    cand = ds.map_batches(lambda t: _local_skyline(t, x_col, y_col),
+                          batch_format="pyarrow")
+    return two_level_pick(
+        cand, lambda t: _local_skyline(t, x_col, y_col), None)
+
+
+def weighted_priority_sample(ds, *, id_col: str, weight_cents_col: str,
+                             k: int, num_partitions: int | None = None):
+    """Deterministic weighted priority sample (Duffield–Lund–Thorup,
+    "Priority sampling for estimation of arbitrary subset sums", JACM
+    2007): each row gets priority q = w / u with u a uniform hash of
+    its id, and the k highest-priority rows are the sample — inclusion
+    probability rises with weight, membership is a pure function of
+    the row key (reproducible across engines and re-runs).
+
+    Bit-exactness contract: u = (2·h + 1) / 2^33 with h the first 8
+    md5 hex digits of str(id) (a dyadic rational, exact in float64),
+    so q = (w · 2^33) / (2h+1) is ONE IEEE multiply + ONE IEEE divide
+    of exactly-representable integers — correctly rounded and
+    therefore bit-identical in any IEEE engine; the SQL mirror
+    computes the same two ops on the same operands. No ln/pow.
+
+    Scale shape: priorities are embarrassingly parallel (the per-row
+    Python md5 is the documented portable-hash cost shared with
+    ``sample_by_md5``); selection is per-block top-k + the shared
+    two-level reduce — never a global sort."""
+    from kafka_connect_mongo_ray.functions.quantiles import md5_hex
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.array([int(md5_hex(i)[:8], 16) for i in ids],
+                     dtype=np.int64)
+        w = np.asarray(batch[weight_cents_col], dtype=np.int64)
+        q = (w.astype(np.float64) * 8589934592.0) / (2.0 * h + 1.0)
+        return pa.table({id_col: batch[id_col],
+                         "cents": pa.array(w, pa.int64()),
+                         "priority": pa.array(q, pa.float64())})
+
+    def pick(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("priority", "descending"),
+                                              (id_col, "ascending")])
+        return t.take(order[:k])
+
+    cand = (ds.map_batches(prio, batch_format="pyarrow")
+            .map_batches(pick, batch_format="pyarrow"))
+    return two_level_pick(cand, pick, num_partitions)
+
+
+def cooccurrence_counts(ds, *, user_col: str, item_col: str,
+                        num_partitions: int | None = None):
+    """Co-occurrence counts over a SMALL categorical item domain: for
+    every unordered item pair (a < b), the number of distinct users
+    that touched BOTH — the market-basket / co-view matrix at the
+    granularity where it is dense.
+
+    Scale shape: batches dedup to their distinct (user, item) pairs,
+    ONE user-keyed bucket shuffle co-locates each user, and the
+    per-bucket kernel is bitset algebra: factorize items (≤ 64 per
+    bucket by contract — this is an operator for type-like domains),
+    OR each user's item bits into one uint64 via ``np.bitwise_or.
+    reduceat``, then count each pair with two vectorized bit tests.
+    Output volume is items²-domain-sized; users never leave their
+    bucket."""
+    from ray.data.aggregate import Sum
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        limit_worker_threads()
+        # NULL items never co-occur (SQL: the pair join's < never
+        # matches NULL) — drop them up front
+        batch = batch.filter(pc.is_valid(batch[item_col]))
+        df = pd.DataFrame({
+            "u": np.asarray(batch[user_col], dtype=np.int64),
+            "item": np.asarray(batch[item_col]).astype(object)})
+        df = df.drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
+                         "item": pa.array(df["item"], pa.string())})
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "__gb" in t.column_names:
+            t = t.drop_columns(["__gb"])
+        u = np.asarray(t["u"], dtype=np.int64)
+        codes, cats = pd.factorize(np.asarray(t["item"]).astype(object),
+                                   sort=True)
+        if len(cats) > 64:
+            raise ValueError(
+                f"cooccurrence_counts requires <= 64 distinct items per "
+                f"bucket, saw {len(cats)} — this operator is for small "
+                f"categorical domains")
+        order = np.argsort(u, kind="stable")
+        u, codes = u[order], codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        bits = np.left_shift(np.uint64(1), codes.astype(np.uint64))
+        masks = np.bitwise_or.reduceat(bits, starts)
+        pa_, pb_, n_ = [], [], []
+        for i in range(len(cats)):
+            hi = (masks >> np.uint64(i)) & np.uint64(1)
+            for j in range(i + 1, len(cats)):
+                c = int(np.sum(hi & ((masks >> np.uint64(j))
+                                     & np.uint64(1))))
+                if c:
+                    pa_.append(str(cats[i]))
+                    pb_.append(str(cats[j]))
+                    n_.append(c)
+        return pa.table({"type_a": pa.array(pa_, pa.string()),
+                         "type_b": pa.array(pb_, pa.string()),
+                         "n": pa.array(n_, pa.int64())})
+
+    nparts = num_partitions or 32
+    pairs = ds.map_batches(dedup_partial, batch_format="pyarrow")
+    partial = key_bucketed(pairs, ["u"], nparts).map_groups(
+        bucket_kernel, batch_format="pyarrow")
+    return (partial.groupby(["type_a", "type_b"],
+                            num_partitions=min(nparts, 8))
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+def _ohlc_reduce(t: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Associative OHLC combine over partial rows (a raw row is the
+    trivial partial): per key group, keep open/close from the rows
+    with the extreme (ts, id) carriers and min/max/sum the rest. One
+    vectorized pass: sort by key + (o_ts, o_id), take group firsts for
+    the open side; mirror for close; pandas groupby for min/max/n."""
+    import pandas as pd
+
+    if "__gb" in t.column_names:
+        t = t.drop_columns(["__gb"])
+    df = t.to_pandas()
+    g = df.groupby(key_cols, sort=False, dropna=False)
+    base = g.agg(high=("high", "max"), low=("low", "min"),
+                 n=("n", "sum")).reset_index()
+    first = (df.sort_values(key_cols + ["o_ts", "o_id"], kind="mergesort")
+             .drop_duplicates(key_cols, keep="first"))
+    last = (df.sort_values(key_cols + ["c_ts", "c_id"], kind="mergesort")
+            .drop_duplicates(key_cols, keep="last"))
+    out = base.merge(first[key_cols + ["o_ts", "o_id", "open"]],
+                     on=key_cols)
+    out = out.merge(last[key_cols + ["c_ts", "c_id", "close"]],
+                    on=key_cols)
+    cols = {c: out[c] for c in key_cols}
+    for c in ["o_ts", "o_id", "c_ts", "c_id", "n"]:
+        cols[c] = pa.array(out[c].to_numpy(), pa.int64())
+    for c in ["open", "high", "low", "close"]:
+        cols[c] = pa.array(out[c].to_numpy(), pa.float64())
+    return pa.table(cols)
+
+
+def ohlc_bars(ds, *, key_col: str, ts_col: str, val_col: str,
+              id_col: str, bar_us: int = 3_600_000_000,
+              num_partitions: int | None = None):
+    """OHLC time bars per (key, bar): open = value at the earliest
+    (ts, id), close = at the latest, high/low = extremes, n = count —
+    the classic candlestick aggregation, with (ts, id) as the total
+    order so ties are deterministic. open/high/low/close are
+    SELECTIONS of raw float64 inputs (no arithmetic), so results are
+    bit-exact against any engine.
+
+    Scale shape: the OHLC state is associative, so each batch reduces
+    to ≤ bars-present-per-block partial rows before the ONE bucket
+    shuffle (bar-domain-sized), and the per-bucket merge is the same
+    vectorized kernel."""
+    def partial(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        ts = (np.asarray(batch[ts_col]).astype("datetime64[us]")
+              .astype(np.int64))
+        bar = (ts // bar_us) * bar_us
+        raw = pa.table({
+            key_col: batch[key_col],
+            "bar_us": pa.array(bar, pa.int64()),
+            "o_ts": pa.array(ts, pa.int64()),
+            "o_id": pc.cast(batch[id_col], pa.int64()),
+            "open": pc.cast(batch[val_col], pa.float64()),
+            "c_ts": pa.array(ts, pa.int64()),
+            "c_id": pc.cast(batch[id_col], pa.int64()),
+            "close": pc.cast(batch[val_col], pa.float64()),
+            "high": pc.cast(batch[val_col], pa.float64()),
+            "low": pc.cast(batch[val_col], pa.float64()),
+            "n": pa.array(np.ones(len(ts), dtype=np.int64), pa.int64()),
+        })
+        return _ohlc_reduce(raw, [key_col, "bar_us"])
+
+    nparts = num_partitions or 32
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    merged = key_bucketed(part, [key_col, "bar_us"], nparts).map_groups(
+        lambda t: _ohlc_reduce(t, [key_col, "bar_us"]),
+        batch_format="pyarrow")
+    return merged.select_columns(
+        [key_col, "bar_us", "open", "high", "low", "close", "n"])

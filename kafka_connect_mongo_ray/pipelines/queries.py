@@ -3096,6 +3096,92 @@ def q_cdc_curated_stream(sf_dir: str):
     return out
 
 
+def q_events_cohort_retention(sf_dir: str):
+    """Daily cohort retention triangle (functions/analytics.py::
+    cohort_retention): cohort = user's first active day, one row per
+    (cohort_day, day_offset) with the distinct-user count. Batch-local
+    (user, day) dedup bounds the ONE user-keyed shuffle; the final
+    exchange is cohort×offset-domain-sized."""
+    from kafka_connect_mongo_ray.functions.analytics import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, user_col="user_id", ts_col="ts",
+                            num_partitions=_gate_buckets())
+
+
+def q_part_skyline(sf_dir: str):
+    """2-D Pareto frontier of parts — cheapest-for-the-size: no other
+    part is both ≤ on retailprice and ≥ on size with one strict (SQL
+    NOT EXISTS dominance anti-join). Per-block local skylines reduce
+    each block to its frontier before a single-task final pass — the
+    operator needs NO shuffle at any scale
+    (functions/analytics.py::skyline_2d)."""
+    from kafka_connect_mongo_ray.functions.analytics import skyline_2d
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+    return skyline_2d(ds, x_col="p_retailprice", y_col="p_size")
+
+
+def q_orders_weighted_sample(sf_dir: str):
+    """Deterministic weighted priority sample of orders (Duffield–
+    Lund–Thorup priority sampling): q = w/u with w = totalprice cents
+    and u a dyadic-rational md5 hash of the orderkey, top-500 by q.
+    Priorities are one IEEE multiply + one IEEE divide of exactly
+    representable integers, mirrored operand-for-operand in the SQL —
+    bit-identical selection, no libm
+    (functions/analytics.py::weighted_priority_sample)."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        weighted_priority_sample,
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        w = np.rint(np.asarray(t["o_totalprice"], dtype=np.float64)
+                    * 100).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "w": pa.array(w, pa.int64())})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow")
+    return weighted_priority_sample(ds, id_col="o_orderkey",
+                                    weight_cents_col="w", k=500,
+                                    num_partitions=_gate_buckets())
+
+
+def q_events_type_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence matrix: for each unordered type pair,
+    the number of distinct users that emitted BOTH (the market-basket
+    shape at type granularity). Batch-local (user, type) dedup → one
+    user-keyed shuffle → per-bucket uint64 bitset kernel → a
+    types²-domain final sum
+    (functions/analytics.py::cooccurrence_counts)."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        cooccurrence_counts,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return cooccurrence_counts(ds, user_col="user_id",
+                               item_col="event_type",
+                               num_partitions=_gate_buckets())
+
+
+def q_events_ohlc(sf_dir: str):
+    """Hourly OHLC bars per event type: open/close = value at the
+    extreme (ts, event_id) carriers, high/low/n per (type, hour) —
+    all four price fields are SELECTIONS of raw float64 values so the
+    oracle mirror is bit-exact. Associative partials bound the one
+    bucket shuffle at bars-present-per-block rows
+    (functions/analytics.py::ohlc_bars)."""
+    from kafka_connect_mongo_ray.functions.analytics import ohlc_bars
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+    return ohlc_bars(ds, key_col="event_type", ts_col="ts",
+                     val_col="value", id_col="event_id",
+                     num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3112,6 +3198,11 @@ def build_queries():
         "lineitem_mad_refine": q_lineitem_mad_refine,
         "docs_pii_scan": q_docs_pii_scan,
         "dedup_normalized": q_dedup_normalized,
+        "events_cohort_retention": q_events_cohort_retention,
+        "part_skyline": q_part_skyline,
+        "orders_weighted_sample": q_orders_weighted_sample,
+        "events_type_cooccurrence": q_events_type_cooccurrence,
+        "events_ohlc": q_events_ohlc,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3233,6 +3324,76 @@ def build_oracle_sql():
         f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
         for p in _PII.values())
     return {
+        "events_cohort_retention": """
+            WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+                 f AS (SELECT user_id, MIN(d) AS d0 FROM a
+                       GROUP BY user_id)
+            SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', f.d0, a.d) AS BIGINT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # strict 2-D dominance anti-join (minimize price, maximize size)
+        "part_skyline": """
+            SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
+        # priority = (cents·2^33)/(2h+1): one IEEE multiply + one IEEE
+        # divide of exactly-representable integers — bit-identical to
+        # the engine's numpy expression
+        "orders_weighted_sample": """
+            WITH p AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CAST('0x' ||
+                            substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                            AS BIGINT) AS h
+                FROM orders)
+            SELECT o_orderkey, cents,
+                   (CAST(cents AS DOUBLE) * 8589934592) / (2 * h + 1)
+                       AS priority
+            FROM p
+            ORDER BY priority DESC, o_orderkey
+            LIMIT 500
+        """,
+        "events_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+                        WHERE event_type IS NOT NULL)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "events_ohlc": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                           AS bar_us,
+                       value, ts, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS ra,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rd
+                FROM events)
+            SELECT event_type, bar_us,
+                   MAX(CASE WHEN ra = 1 THEN value END) AS "open",
+                   MAX(value) AS high, MIN(value) AS low,
+                   MAX(CASE WHEN rd = 1 THEN value END) AS "close",
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY event_type, bar_us
+        """,
         "docs_pii_scan": f"""
             SELECT source, {_pii_cols},
                    CAST(SUM(CASE WHEN {_pii_flag} THEN 1 ELSE 0 END)

@@ -1,0 +1,164 @@
+"""functions/analytics.py edge cases — the oracle-parity gate covers
+the happy path at sf0.001/sf0.01; these pin the degenerate shapes
+(duplicate frontier points, single-user cohorts, cross-block dedup,
+the >64-item guard, OHLC single-row bars) against brute-force Python
+references on seeded random inputs."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from kafka_connect_mongo_ray.functions.analytics import (
+    cohort_retention,
+    cooccurrence_counts,
+    ohlc_bars,
+    skyline_2d,
+    weighted_priority_sample,
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _events(n=400, users=25, days=9, types=5, seed=7):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, users, n).astype(np.int64)
+    day = rng.integers(0, days, n).astype(np.int64)
+    ts = ((np.int64(20_000) + day) * _US_PER_DAY
+          + rng.integers(0, _US_PER_DAY, n))
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(u),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array([f"t{int(x)}" for x in
+                                rng.integers(0, types, n)], pa.string()),
+        "value": pa.array(rng.normal(size=n), pa.float64()),
+    })
+
+
+def test_cohort_retention_matches_pandas_reference():
+    t = _events()
+    # repartition so per-batch dedup + cross-block merge are exercised
+    out = cohort_retention(ray.data.from_arrow(t).repartition(7),
+                           user_col="user_id", ts_col="ts",
+                           num_partitions=4).to_pandas()
+    df = pd.DataFrame({"u": np.asarray(t["user_id"]),
+                       "day": (np.asarray(t["ts"]).astype(np.int64)
+                               // _US_PER_DAY)})
+    a = df.drop_duplicates()
+    d0 = a.groupby("u")["day"].transform("min")
+    ref = (pd.DataFrame({"cohort": d0, "off": a["day"] - d0})
+           .groupby(["cohort", "off"]).size().reset_index(name="n"))
+    ref["cohort_day"] = ref["cohort"].astype("int64").astype(
+        "datetime64[D]").astype(str)
+    got = {(r.cohort_day, int(r.day_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    want = {(r.cohort_day, int(r.off)): int(r.n) for r in ref.itertuples()}
+    assert got == want
+    # every user's cohort has an offset-0 row covering them exactly once
+    assert (out[out.day_offset == 0].n_users.sum()
+            == df["u"].nunique())
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts)
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force_with_duplicates():
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 30, 200).astype(np.float64)
+    y = rng.integers(0, 30, 200).astype(np.int64)
+    # force duplicate points, some on the frontier
+    x[10:14] = 0.0
+    y[10:14] = y.max()
+    t = pa.table({"id": pa.array(np.arange(200, dtype=np.int64)),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y, pa.int64())})
+    out = skyline_2d(ray.data.from_arrow(t).repartition(6),
+                     x_col="x", y_col="y").to_pandas()
+    got = sorted(zip(out.x, out.y.astype(float)))
+    want = _brute_skyline(list(zip(x, y.astype(float))))
+    assert got == want
+    # all four duplicated frontier twins survive
+    assert (out.id.isin(range(10, 14))).sum() == 4
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased():
+    n = 3000
+    w = np.where(np.arange(n) < 100, 1_000_000, 100).astype(np.int64)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "w": pa.array(w, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = weighted_priority_sample(ds, id_col="id", weight_cents_col="w",
+                                   k=120, num_partitions=4).to_pandas()
+    out2 = weighted_priority_sample(ds, id_col="id", weight_cents_col="w",
+                                    k=120, num_partitions=4).to_pandas()
+    assert list(out.id) == list(out2.id)          # pure function of keys
+    assert len(out) == 120
+    # the 100 heavy rows (10,000x weight) essentially all make the cut
+    assert (out.id < 100).sum() >= 95
+    # priorities are exactly (w * 2^33) / (2h+1) — spot-check one row
+    import hashlib
+    r = out.iloc[0]
+    h = int(hashlib.md5(str(int(r.id)).encode()).hexdigest()[:8], 16)
+    assert r.priority == (float(int(r.cents)) * 8589934592.0) / (2 * h + 1)
+
+
+def test_cooccurrence_matches_itertools_reference():
+    t = _events(n=600, users=40, types=6, seed=3)
+    out = cooccurrence_counts(
+        ray.data.from_arrow(t).repartition(8), user_col="user_id",
+        item_col="event_type", num_partitions=4).to_pandas()
+    sets = (pd.DataFrame({"u": np.asarray(t["user_id"]),
+                          "i": np.asarray(t["event_type"]).astype(object)})
+            .drop_duplicates().groupby("u")["i"].apply(set))
+    want = {}
+    for s in sets:
+        for a, b in itertools.combinations(sorted(s), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
+    assert got == want
+
+
+def test_cooccurrence_rejects_wide_item_domains():
+    t = pa.table({"u": pa.array([1] * 70, pa.int64()),
+                  "i": pa.array([f"x{i:03d}" for i in range(70)],
+                                pa.string())})
+    with pytest.raises(Exception, match="64 distinct items"):
+        cooccurrence_counts(ray.data.from_arrow(t), user_col="u",
+                            item_col="i", num_partitions=2).to_pandas()
+
+
+def test_ohlc_matches_pandas_reference_and_handles_single_row_bars():
+    t = _events(n=500, users=10, days=2, seed=19)
+    out = ohlc_bars(ray.data.from_arrow(t).repartition(9),
+                    key_col="event_type", ts_col="ts", val_col="value",
+                    id_col="event_id", num_partitions=4).to_pandas()
+    df = pd.DataFrame({
+        "k": np.asarray(t["event_type"]).astype(object),
+        "ts": np.asarray(t["ts"]).astype(np.int64),
+        "id": np.asarray(t["event_id"]),
+        "v": np.asarray(t["value"])})
+    df["bar"] = (df.ts // 3_600_000_000) * 3_600_000_000
+    ref = {}
+    for (k, bar), g in df.groupby(["k", "bar"]):
+        g = g.sort_values(["ts", "id"])
+        ref[(k, int(bar))] = (g.v.iloc[0], g.v.max(), g.v.min(),
+                              g.v.iloc[-1], len(g))
+    got = {(r.event_type, int(r.bar_us)):
+           (r.open, r.high, r.low, r.close, int(r.n))
+           for r in out.itertuples()}
+    assert got == ref
+    # single-row bars exist in this fixture and have open==close==hi==lo
+    singles = [v for v in ref.values() if v[4] == 1]
+    assert singles and all(v[0] == v[1] == v[2] == v[3] for v in singles)
