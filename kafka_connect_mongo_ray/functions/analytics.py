@@ -47,6 +47,9 @@ __all__ = [
     "weighted_priority_sample",
     "cooccurrence_counts",
     "ohlc_bars",
+    "rolling_active_users",
+    "gini_concentration",
+    "transition_counts",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -351,3 +354,167 @@ def ohlc_bars(ds, *, key_col: str, ts_col: str, val_col: str,
         batch_format="pyarrow")
     return merged.select_columns(
         [key_col, "bar_us", "open", "high", "low", "close", "n"])
+
+
+def rolling_active_users(ds, *, user_col: str, ts_col: str,
+                         window_days: int = 7,
+                         num_partitions: int | None = None):
+    """Rolling W-day active users per observed day (the WAU-per-day /
+    stickiness denominator): for each day that has any activity, the
+    count of distinct users active in the trailing ``window_days``
+    window ending that day.
+
+    Scale shape: batches dedup to distinct (user, day); ONE user-keyed
+    bucket shuffle co-locates each user's days, and the per-bucket
+    kernel expands each (user, day) to its ≤ W covered target days,
+    dedups per user LOCALLY (all of a user's rows are in the bucket,
+    so a user contributes exactly once per target day globally) and
+    emits per-target partial counts — the final exchange and the
+    observed-day filter are calendar-domain-sized. Fact rows cross the
+    wire once, deduped, never W-fold."""
+    from ray.data.aggregate import Sum
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        limit_worker_threads()
+        u = np.asarray(batch[user_col], dtype=np.int64)
+        day = (np.asarray(batch[ts_col]).astype("datetime64[us]")
+               .astype(np.int64) // _US_PER_DAY)
+        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
+                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "__gb" in t.column_names:
+            t = t.drop_columns(["__gb"])
+        df = (pd.DataFrame({"u": np.asarray(t["u"], dtype=np.int64),
+                            "day": np.asarray(t["day"], dtype=np.int64)})
+              .drop_duplicates(["u", "day"]))
+        u = np.repeat(df["u"].to_numpy(), window_days)
+        tgt = (np.repeat(df["day"].to_numpy(), window_days)
+               + np.tile(np.arange(window_days, dtype=np.int64), len(df)))
+        cov = pd.DataFrame({"u": u, "tgt": tgt}).drop_duplicates()
+        g = cov.groupby("tgt", as_index=False).size()
+        return pa.table({"tgt": pa.array(g["tgt"].to_numpy(), pa.int64()),
+                         "n": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    nparts = num_partitions or 32
+    pairs = ds.map_batches(dedup_partial, batch_format="pyarrow")
+    pairs = pairs.materialize()  # two consumers below (counts + days)
+    counts = (key_bucketed(pairs, ["u"], nparts)
+              .map_groups(bucket_kernel, batch_format="pyarrow")
+              .groupby("tgt", num_partitions=min(nparts, 8))
+              .aggregate(Sum("n", alias_name="wau")))
+    # observed-day filter: the day domain is calendar-bounded, so the
+    # broadcast set is tiny by construction
+    def day_partial(t: pa.Table) -> pa.Table:
+        d = np.unique(np.asarray(t["day"], dtype=np.int64))
+        return pa.table({"day": pa.array(d, pa.int64())})
+
+    observed = set(
+        np.asarray(pairs.map_batches(day_partial, batch_format="pyarrow")
+                   .unique("day"), dtype=np.int64).tolist())
+
+    def fmt(t: pa.Table) -> pa.Table:
+        tgt = np.asarray(t["tgt"], dtype=np.int64)
+        keep = np.array([d in observed for d in tgt], dtype=bool)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "day": _day_str(np.asarray(t["tgt"], dtype=np.int64)),
+            "wau": pc.cast(t["wau"], pa.int64())})
+
+    return counts.map_batches(fmt, batch_format="pyarrow")
+
+
+def gini_concentration(ds, *, key_col: str, cents_col: str,
+                       num_partitions: int | None = None):
+    """Gini coefficient of the per-key distribution of an exact-cents
+    measure (revenue concentration — the inequality complement of the
+    Pareto cut): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x sorted
+    ascending and 1-based ranks. Tie order cannot change the result
+    (equal x within a tie block contribute the same Σ i·x for any
+    permutation), so the statistic is deterministic.
+
+    Exactness: the sorted scan accumulates in PYTHON ints (arbitrary
+    precision — Σ i·x overflows int64 at ~10^9 keys), mirrored by
+    HUGEINT sums in SQL; both sides round to float64 once, in the same
+    two casts and one division. Scale shape: one groupby-sum collapses
+    facts to the key domain; the cumulative scan is a single task over
+    that dimension-sized table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "k": np.asarray(batch[key_col], dtype=np.int64),
+            "x": np.asarray(batch[cents_col], dtype=np.int64)})
+        g = df.groupby("k", as_index=False)["x"].sum()
+        return pa.table({"k": pa.array(g["k"].to_numpy(), pa.int64()),
+                         "x": pa.array(g["x"].to_numpy(), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("k", num_partitions=num_partitions or 32)
+           .aggregate(Sum("x", alias_name="x")))
+
+    def scan(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("x", "ascending"),
+                                              ("k", "ascending")])
+        x = np.asarray(t.take(order)["x"], dtype=np.int64)
+        n = len(x)
+        s0 = int(np.sum(x, dtype=object)) if n else 0
+        s1 = sum(int(v) * (i + 1) for i, v in enumerate(x))
+        gini = (float(2 * s1 - (n + 1) * s0) / float(n * s0)
+                if n and s0 else float("nan"))
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "total_cents": pa.array([s0], pa.int64()),
+                         "gini": pa.array([gini], pa.float64())})
+
+    return agg.repartition(1).map_batches(scan, batch_format="pyarrow")
+
+
+def transition_counts(ds, *, key_col: str, order_cols: list[str],
+                      state_col: str,
+                      num_partitions: int | None = None):
+    """First-order transition matrix: counts of consecutive
+    (state → next state) pairs per key under ``order_cols`` — SQL's
+    LEAD(state) OVER (PARTITION BY key ORDER BY ...) join-free. The
+    behavioral "next action" matrix over a categorical column.
+
+    Scale shape: one key-bucketed shuffle; the per-bucket kernel is a
+    key-sorted segment pass (the repo's window-family pattern —
+    np boundary arithmetic, one pandas value_counts on the pair
+    codes), emitting state²-domain partials into a tiny final sum."""
+    from ray.data.aggregate import Sum
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if "__gb" in t.column_names:
+            t = t.drop_columns(["__gb"])
+        t = t.sort_by([(key_col, "ascending")]
+                      + [(c, "ascending") for c in order_cols])
+        k = np.asarray(t[key_col])
+        s = np.asarray(t[state_col]).astype(object)
+        n = len(k)
+        if n < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = k[1:] == k[:-1]
+        df = pd.DataFrame({"a": s[:-1][same], "b": s[1:][same]})
+        g = df.groupby(["a", "b"], as_index=False).size()
+        return pa.table({
+            "from_type": pa.array(g["a"].to_numpy(), pa.string()),
+            "to_type": pa.array(g["b"].to_numpy(), pa.string()),
+            "n": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    nparts = num_partitions or 32
+    bucketed = key_bucketed(ds, [key_col], nparts)
+    partial = bucketed.map_groups(bucket_kernel, batch_format="pyarrow")
+    return (partial.groupby(["from_type", "to_type"],
+                            num_partitions=min(nparts, 8))
+            .aggregate(Sum("n", alias_name="n")))

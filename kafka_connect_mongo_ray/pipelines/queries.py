@@ -3182,6 +3182,75 @@ def q_events_ohlc(sf_dir: str):
                      num_partitions=_gate_buckets())
 
 
+def q_events_rolling_wau(sf_dir: str):
+    """7-day rolling active users per observed day (WAU-per-day —
+    the stickiness denominator). Batch-local (user, day) dedup, one
+    user-keyed shuffle with a per-bucket window expansion (a user
+    contributes once per covered day globally), calendar-domain final
+    sum + observed-day filter
+    (functions/analytics.py::rolling_active_users)."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        rolling_active_users,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return rolling_active_users(ds, user_col="user_id", ts_col="ts",
+                                window_days=7,
+                                num_partitions=_gate_buckets())
+
+
+def q_orders_revenue_gini(sf_dir: str):
+    """Gini coefficient of per-customer revenue (concentration — the
+    inequality complement of the Pareto cut). Facts collapse to the
+    customer domain in one pre-aggregated groupby-sum; the sorted scan
+    runs in a single dimension-sized task accumulating in Python ints
+    (exact at any key count), mirrored by HUGEINT sums in SQL with the
+    same two float64 casts and one division
+    (functions/analytics.py::gini_concentration)."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        gini_concentration,
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        w = np.rint(np.asarray(t["o_totalprice"], dtype=np.float64)
+                    * 100).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(w, pa.int64())})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow")
+    return gini_concentration(ds, key_col="o_custkey", cents_col="cents",
+                              num_partitions=_gate_buckets())
+
+
+def q_events_transitions(sf_dir: str):
+    """First-order event-type transition matrix — LEAD(type) OVER
+    (PARTITION BY user ORDER BY ts, id) pair counts, the behavioral
+    "next action" table. One key-bucketed shuffle; the per-bucket
+    kernel is the window family's key-sorted segment pass emitting
+    types²-domain partials
+    (functions/analytics.py::transition_counts)."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        transition_counts,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id",
+                        "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    return transition_counts(ds, key_col="user_id",
+                             order_cols=["ts_us", "event_id"],
+                             state_col="event_type",
+                             num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3203,6 +3272,9 @@ def build_queries():
         "orders_weighted_sample": q_orders_weighted_sample,
         "events_type_cooccurrence": q_events_type_cooccurrence,
         "events_ohlc": q_events_ohlc,
+        "events_rolling_wau": q_events_rolling_wau,
+        "orders_revenue_gini": q_orders_revenue_gini,
+        "events_transitions": q_events_transitions,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3393,6 +3465,45 @@ def build_oracle_sql():
                    MAX(CASE WHEN rd = 1 THEN value END) AS "close",
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM b GROUP BY event_type, bar_us
+        """,
+        "events_rolling_wau": """
+            WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+                 days AS (SELECT DISTINCT d FROM a)
+            SELECT strftime(days.d, '%Y-%m-%d') AS day,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+            FROM days JOIN a ON a.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1
+        """,
+        # G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), x ascending, 1-based;
+        # HUGEINT keeps Σ i·x exact, then the same two DOUBLE casts +
+        # one division as the engine's Python-int scan
+        "orders_revenue_gini": """
+            WITH r AS (SELECT o_custkey,
+                              SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS x
+                       FROM orders GROUP BY o_custkey),
+                 s AS (SELECT x, ROW_NUMBER() OVER
+                                 (ORDER BY x, o_custkey) AS i FROM r)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS total_cents,
+                   CAST(2 * SUM(CAST(i AS HUGEINT) * x)
+                        - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)
+                        AS DOUBLE)
+                   / CAST(COUNT(*) * CAST(SUM(x) AS HUGEINT) AS DOUBLE)
+                       AS gini
+            FROM s
+        """,
+        "events_transitions": """
+            WITH s AS (SELECT event_type,
+                              LEAD(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
         """,
         "docs_pii_scan": f"""
             SELECT source, {_pii_cols},

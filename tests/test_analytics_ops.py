@@ -162,3 +162,82 @@ def test_ohlc_matches_pandas_reference_and_handles_single_row_bars():
     # single-row bars exist in this fixture and have open==close==hi==lo
     singles = [v for v in ref.values() if v[4] == 1]
     assert singles and all(v[0] == v[1] == v[2] == v[3] for v in singles)
+
+
+def test_rolling_active_users_matches_pandas_reference():
+    from kafka_connect_mongo_ray.functions.analytics import (
+        rolling_active_users,
+    )
+
+    t = _events(n=500, users=18, days=12, seed=23)
+    out = rolling_active_users(
+        ray.data.from_arrow(t).repartition(7), user_col="user_id",
+        ts_col="ts", window_days=7, num_partitions=4).to_pandas()
+    df = pd.DataFrame({"u": np.asarray(t["user_id"]),
+                       "day": (np.asarray(t["ts"]).astype(np.int64)
+                               // _US_PER_DAY)}).drop_duplicates()
+    days = sorted(df.day.unique())
+    want = {np.datetime64(int(d), "D").astype(str):
+            df[(df.day >= d - 6) & (df.day <= d)].u.nunique()
+            for d in days}
+    got = dict(zip(out.day, out.wau.astype(int)))
+    assert got == want
+    # a window covering every active day must equal total distinct users
+    wide = rolling_active_users(
+        ray.data.from_arrow(t), user_col="user_id", ts_col="ts",
+        window_days=12, num_partitions=4).to_pandas()
+    assert int(wide.wau.max()) == df.u.nunique()
+
+
+def test_gini_zero_for_equal_and_known_for_skewed():
+    from kafka_connect_mongo_ray.functions.analytics import (
+        gini_concentration,
+    )
+
+    eq = pa.table({"k": pa.array(np.arange(10, dtype=np.int64)),
+                   "c": pa.array(np.full(10, 7, dtype=np.int64))})
+    out = gini_concentration(ray.data.from_arrow(eq), key_col="k",
+                             cents_col="c").to_pandas()
+    assert out.gini.iloc[0] == 0.0 and int(out.n.iloc[0]) == 10
+    # one key owns everything: G = (n-1)/n
+    skew = pa.table({"k": pa.array(np.arange(5, dtype=np.int64)),
+                     "c": pa.array([0, 0, 0, 0, 100], pa.int64())})
+    out = gini_concentration(ray.data.from_arrow(skew), key_col="k",
+                             cents_col="c").to_pandas()
+    assert out.gini.iloc[0] == (5 - 1) / 5
+    # per-key pre-aggregation: duplicate key rows sum before ranking
+    dup = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                    "c": pa.array([3, 4, 7], pa.int64())})
+    out = gini_concentration(ray.data.from_arrow(dup), key_col="k",
+                             cents_col="c").to_pandas()
+    assert out.gini.iloc[0] == 0.0 and int(out.total_cents.iloc[0]) == 14
+
+
+def test_transition_counts_matches_lead_reference():
+    from kafka_connect_mongo_ray.functions.analytics import (
+        transition_counts,
+    )
+
+    t = _events(n=400, users=12, types=4, seed=31)
+    prep = pa.table({"user_id": t["user_id"],
+                     "ts_us": np.asarray(t["ts"]).astype(np.int64),
+                     "event_id": t["event_id"],
+                     "event_type": t["event_type"]})
+    out = transition_counts(
+        ray.data.from_arrow(prep).repartition(6), key_col="user_id",
+        order_cols=["ts_us", "event_id"], state_col="event_type",
+        num_partitions=4).to_pandas()
+    df = (pd.DataFrame({"u": np.asarray(t["user_id"]),
+                        "ts": np.asarray(t["ts"]).astype(np.int64),
+                        "id": np.asarray(t["event_id"]),
+                        "s": np.asarray(t["event_type"]).astype(object)})
+          .sort_values(["u", "ts", "id"]))
+    want = {}
+    for _, g in df.groupby("u"):
+        s = list(g.s)
+        for a, b in zip(s, s[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    assert got == want
+    # total transitions = rows - distinct users
+    assert out.n.sum() == len(df) - df.u.nunique()
