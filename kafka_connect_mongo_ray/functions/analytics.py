@@ -50,6 +50,7 @@ __all__ = [
     "rolling_active_users",
     "gini_concentration",
     "transition_counts",
+    "chi2_independence",
 ]
 
 _US_PER_DAY = 86_400_000_000
@@ -518,3 +519,58 @@ def transition_counts(ds, *, key_col: str, order_cols: list[str],
     return (partial.groupby(["from_type", "to_type"],
                             num_partitions=min(nparts, 8))
             .aggregate(Sum("n", alias_name="n")))
+
+
+def chi2_independence(ds, *, a_col: str, b_col: str,
+                      num_partitions: int | None = None):
+    """Pearson chi-squared test of independence between two
+    categorical columns: χ² = Σ (O − E)² / E over the contingency
+    table, E = row_total · col_total / n. Returns one row
+    (n, dof, chi2) with dof = (R−1)(C−1) and chi2 rounded to 9 dp —
+    the float is a short chain of IEEE +,·,/ over exact int64 counts
+    computed cell-by-cell on both sides; only the cross-cell summation
+    order differs from SQL, and 9-dp rounding absorbs that ULP slack
+    (the repo's closed-form-float convention, see linreg_components).
+
+    Scale shape: batches pre-aggregate to cells-present partials, the
+    one exchange is contingency-domain-sized, and the statistic is a
+    single task over that tiny table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        limit_worker_threads()
+        df = pd.DataFrame({
+            "a": np.asarray(batch[a_col]).astype(object),
+            "b": np.asarray(batch[b_col], dtype=np.int64)})
+        g = df.groupby(["a", "b"], as_index=False).size()
+        return pa.table({"a": pa.array(g["a"].to_numpy(), pa.string()),
+                         "b": pa.array(g["b"].to_numpy(), pa.int64()),
+                         "o": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    cont = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["a", "b"], num_partitions=min(num_partitions or 8, 8))
+            .aggregate(Sum("o", alias_name="o")))
+
+    def stat(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        n = int(df.o.sum())
+        # densify to the FULL R×C cross product: unobserved cells have
+        # O = 0 but E > 0 and contribute E to the statistic
+        full = (df.set_index(["a", "b"]).o
+                .unstack(fill_value=0).stack().reset_index(name="o"))
+        rt = full.groupby("a").o.sum()
+        ct = full.groupby("b").o.sum()
+        e = (rt[full.a].to_numpy().astype(np.float64)
+             * ct[full.b].to_numpy().astype(np.float64)) / float(n)
+        o = full.o.to_numpy().astype(np.float64)
+        chi2 = round(float(np.sum((o - e) ** 2 / e)), 9)
+        dof = (len(rt) - 1) * (len(ct) - 1)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "dof": pa.array([dof], pa.int64()),
+                         "chi2": pa.array([chi2], pa.float64())})
+
+    return cont.repartition(1).map_batches(stat, batch_format="pyarrow")

@@ -3251,6 +3251,28 @@ def q_events_transitions(sf_dir: str):
                              num_partitions=_gate_buckets())
 
 
+def q_events_chi2(sf_dir: str):
+    """Chi-squared independence test between event type and user-id
+    parity (the A/B-bucket shape): exact contingency counts in one
+    domain-sized exchange, the statistic in a single task, 9-dp
+    rounding absorbing only the cross-cell summation-order ULPs
+    (functions/analytics.py::chi2_independence)."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        chi2_independence,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        par = np.asarray(t["user_id"], dtype=np.int64) % 2
+        return pa.table({"event_type": t["event_type"],
+                         "par": pa.array(par, pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "user_id"]).map_batches(
+        prep, batch_format="pyarrow")
+    return chi2_independence(ds, a_col="event_type", b_col="par",
+                             num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3275,6 +3297,7 @@ def build_queries():
         "events_rolling_wau": q_events_rolling_wau,
         "orders_revenue_gini": q_orders_revenue_gini,
         "events_transitions": q_events_transitions,
+        "events_chi2": q_events_chi2,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3504,6 +3527,32 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # per-cell (O−E)²/E mirrored operand-for-operand; round(·, 9)
+        # absorbs the cross-cell SUM order difference
+        "events_chi2": """
+            WITH c AS (SELECT event_type AS t,
+                              CAST(user_id % 2 AS BIGINT) AS g,
+                              CAST(COUNT(*) AS BIGINT) AS o
+                       FROM events GROUP BY 1, 2),
+                 m AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+                 rt AS (SELECT t, CAST(SUM(o) AS BIGINT) AS rt
+                        FROM c GROUP BY t),
+                 ct AS (SELECT g, CAST(SUM(o) AS BIGINT) AS ct
+                        FROM c GROUP BY g)
+            SELECT m.n AS n,
+                   CAST(((SELECT COUNT(*) FROM rt) - 1)
+                        * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT)
+                       AS dof,
+                   round(SUM(
+                       pow(coalesce(c.o, 0)
+                           - (CAST(rt.rt AS DOUBLE) * ct.ct) / m.n, 2)
+                       / ((CAST(rt.rt AS DOUBLE) * ct.ct) / m.n)), 9)
+                       AS chi2
+            -- full R×C cross product: unobserved cells count as O = 0
+            FROM rt CROSS JOIN ct CROSS JOIN m
+            LEFT JOIN c ON c.t = rt.t AND c.g = ct.g
+            GROUP BY m.n
         """,
         "docs_pii_scan": f"""
             SELECT source, {_pii_cols},

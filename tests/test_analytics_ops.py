@@ -241,3 +241,27 @@ def test_transition_counts_matches_lead_reference():
     assert got == want
     # total transitions = rows - distinct users
     assert out.n.sum() == len(df) - df.u.nunique()
+
+
+def test_chi2_zero_for_independent_and_known_for_dependent():
+    from kafka_connect_mongo_ray.functions.analytics import (
+        chi2_independence,
+    )
+
+    # perfectly proportional table -> chi2 == 0
+    a = ["x"] * 40 + ["y"] * 20 + ["x"] * 20 + ["y"] * 10
+    b = [0] * 60 + [1] * 30
+    t = pa.table({"a": pa.array(a, pa.string()),
+                  "b": pa.array(np.array(b, dtype=np.int64))})
+    out = chi2_independence(ray.data.from_arrow(t).repartition(4),
+                            a_col="a", b_col="b").to_pandas()
+    assert out.chi2.iloc[0] == 0.0
+    assert int(out.n.iloc[0]) == 90 and int(out.dof.iloc[0]) == 1
+    # perfect dependence on a 2x2 with balanced margins -> chi2 == n
+    a = ["x"] * 30 + ["y"] * 30
+    b = [0] * 30 + [1] * 30
+    t = pa.table({"a": pa.array(a, pa.string()),
+                  "b": pa.array(np.array(b, dtype=np.int64))})
+    out = chi2_independence(ray.data.from_arrow(t).repartition(3),
+                            a_col="a", b_col="b").to_pandas()
+    assert out.chi2.iloc[0] == 60.0
