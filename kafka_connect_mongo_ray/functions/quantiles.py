@@ -74,10 +74,13 @@ def exact_quantiles_cont(ds, col: str, qs: list[float], *,
     order statistics at ``h = q·(n−1)`` come from the same
     value→count compaction as :func:`exact_quantiles` (driver state is
     value-domain-bounded, never row-count-bounded), and the one float
-    operation is the standard linear interpolation
-    ``v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`` — verified bit-identical to
-    DuckDB's quantile_cont so a SQL oracle matches exactly (rounded to
-    ``round_to`` for hash stability). Returns (q, value_cont)."""
+    operation is linear interpolation in DuckDB's OWN operand order
+    ``v_lo·(1−d) + v_hi·d`` (d = h − ⌊h⌋) — the convex-combination
+    form, NOT ``v_lo + d·(v_hi − v_lo)``: the two differ in the last
+    ULP (observed at q=0.99 on sf0.001 lineitem, where round-to-9dp
+    cannot mask it because ULP(1e7) ≈ 1.9e−9 > 1e−9), so matching
+    DuckDB bit-for-bit requires matching its operand order. Returns
+    (q, value_cont)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -105,7 +108,8 @@ def exact_quantiles_cont(ds, col: str, qs: list[float], *,
         hi = int(np.ceil(h))
         v_lo = order_stat(lo)
         v_hi = v_lo if hi == lo else order_stat(hi)
-        out.append(round(v_lo + (h - lo) * (v_hi - v_lo), round_to))
+        d = h - lo
+        out.append(round(v_lo * (1.0 - d) + v_hi * d, round_to))
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value_cont": pa.array(out, pa.float64())})
 

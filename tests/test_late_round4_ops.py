@@ -614,3 +614,26 @@ def test_exact_quantiles_cont_matches_duckdb():
         f"CAST(round(x*100) AS BIGINT), {q}), 9) value_cont FROM t"
         for q in (0.25, 0.5, 0.9, 0.33))).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_exact_quantiles_cont_ulp_regression_large_magnitude():
+    # ULP(1e7) ~ 1.9e-9 exceeds the 9-dp rounding grid, so any
+    # interpolation-formula drift vs DuckDB shows up here (the
+    # sf0.001 q=0.99 regression: l + d*(u-l) != l*(1-d) + u*d in the
+    # last ULP; DuckDB computes the convex-combination form)
+    rng = np.random.default_rng(99)
+    v = rng.uniform(9.0e4, 1.1e5, 6000)
+    t = pa.table({"x": pa.array(v, pa.float64())})
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        exact_quantiles_cont,
+    )
+    import ray.data as rd
+
+    qs = [0.01, 0.1, 0.33, 0.5, 0.77, 0.9, 0.99]
+    got = exact_quantiles_cont(rd.from_arrow(t).repartition(8), "x",
+                               qs, scale=100).to_pandas()
+    want = duckdb.sql(" UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) q, ROUND(quantile_cont("
+        f"CAST(round(x*100) AS BIGINT), {q}), 9) value_cont FROM t"
+        for q in qs)).df()
+    pd.testing.assert_frame_equal(got, want)
