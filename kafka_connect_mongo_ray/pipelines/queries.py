@@ -3273,6 +3273,37 @@ def q_events_chi2(sf_dir: str):
                              num_partitions=_gate_buckets())
 
 
+def q_cdc_incremental_view(sf_dir: str):
+    """Incremental view maintenance (state/ivm.py): the per-repo
+    (n_live, total_chars) aggregate built purely from change-feed
+    DELTAS across the backfill (v1) and tail (v2) windows — the final
+    snapshot is never rescanned. Retractions are null-driven (pre-image
+    vs post-image live-ness), each window's work is COW-bounded to
+    changed buckets, and every exchange is group-domain-sized. The
+    oracle recomputes the same aggregate analytically over the final
+    live set."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.state.ivm import maintain_group_aggregate
+
+    root = f"/tmp/kcm_ivmq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs.map_batches(_backfill_events, batch_format="pyarrow"),
+               cfg)
+    docs2 = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
+    return maintain_group_aggregate(cfg.snapshot_dir, [0, 1, 2],
+                                    num_partitions=_gate_buckets(8))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3298,6 +3329,7 @@ def build_queries():
         "orders_revenue_gini": q_orders_revenue_gini,
         "events_transitions": q_events_transitions,
         "events_chi2": q_events_chi2,
+        "cdc_incremental_view": q_cdc_incremental_view,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3527,6 +3559,16 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # the analytic final live set of the backfill+tail fixture:
+        # live = doc_id%7<>0, content = text||':u' iff doc_id%3<>0
+        "cdc_incremental_view": """
+            SELECT source AS repo, CAST(COUNT(*) AS BIGINT) AS n_live,
+                   CAST(SUM(length(CASE WHEN doc_id % 3 <> 0
+                                        THEN text || ':u' ELSE text END))
+                        AS BIGINT) AS total_chars
+            FROM documents WHERE doc_id % 7 <> 0
+            GROUP BY source
         """,
         # per-cell (O−E)²/E mirrored operand-for-operand; round(·, 9)
         # absorbs the cross-cell SUM order difference

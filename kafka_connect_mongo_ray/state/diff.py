@@ -28,6 +28,11 @@ DIFF_SCHEMA = pa.schema(
     ]
 )
 
+# with include_old=True: the PRE-image content (null for 'i') — what an
+# incremental aggregate maintainer needs to retract (state/ivm.py)
+DIFF_SCHEMA_OLD = DIFF_SCHEMA.append(pa.field("content_old",
+                                              pa.large_string()))
+
 
 def _bucket_rels(store: SnapshotStore, version: int) -> dict[str, list[str]]:
     m = store.manifest(version)
@@ -36,7 +41,8 @@ def _bucket_rels(store: SnapshotStore, version: int) -> dict[str, list[str]]:
     return {b: ([r] if isinstance(r, str) else r) for b, r in m["buckets"].items()}
 
 
-def diff_bucket_tables(old: pa.Table | None, new: pa.Table | None) -> pa.Table:
+def diff_bucket_tables(old: pa.Table | None, new: pa.Table | None,
+                       include_old: bool = False) -> pa.Table:
     cols = ["repo", "path", "ts", "inc", "op_rank", "content"]
 
     def frame(t):
@@ -67,11 +73,23 @@ def diff_bucket_tables(old: pa.Table | None, new: pa.Table | None) -> pa.Table:
             "inc": keep["inc"].astype("int32"),
         }
     )
+    if include_old:
+        # a key that appeared has no pre-image; a tombstoned key's
+        # pre-image may itself be a tombstone (stays null)
+        out["content_old"] = keep["content_old"]
+        return pa.Table.from_pandas(out,
+                                    preserve_index=False).cast(DIFF_SCHEMA_OLD)
     return pa.Table.from_pandas(out, preserve_index=False).cast(DIFF_SCHEMA)
 
 
-def changes_between(snapshot_dir: str, v_old: int, v_new: int):
-    """Dataset of per-key changes from v_old to v_new."""
+def changes_between(snapshot_dir: str, v_old: int, v_new: int,
+                    include_old: bool = False):
+    """Dataset of per-key changes from v_old to v_new.
+
+    ``include_old=True`` appends the pre-image ``content_old`` column
+    (null for appeared keys) — the retraction side an incremental
+    aggregate maintainer needs; the default keeps the wire schema the
+    downstream feed consumers already parse."""
     import ray.data as rd
 
     store = SnapshotStore(snapshot_dir, create=False)
@@ -83,8 +101,9 @@ def changes_between(snapshot_dir: str, v_old: int, v_new: int):
         if o == n:
             continue  # COW: identical file list ⇒ bucket unchanged, skip
         work.append({"bucket": b, "old": ",".join(o or []), "new": ",".join(n or [])})
+    schema = DIFF_SCHEMA_OLD if include_old else DIFF_SCHEMA
     if not work:
-        return rd.from_arrow(DIFF_SCHEMA.empty_table())
+        return rd.from_arrow(schema.empty_table())
 
     root = store.root
 
@@ -101,7 +120,8 @@ def changes_between(snapshot_dir: str, v_old: int, v_new: int):
                 ts = [pq.read_table(os.path.join(root, r)) for r in rels.split(",")]
                 return ts[0] if len(ts) == 1 else pa.concat_tables(ts)
 
-            outs.append(diff_bucket_tables(read(row["old"]), read(row["new"])))
-        return pa.concat_tables(outs) if outs else DIFF_SCHEMA.empty_table()
+            outs.append(diff_bucket_tables(read(row["old"]), read(row["new"]),
+                                           include_old=include_old))
+        return pa.concat_tables(outs) if outs else schema.empty_table()
 
     return rd.from_items(work).map_batches(diff_task, batch_size=1, batch_format="pyarrow")

@@ -1,0 +1,115 @@
+"""Incremental view maintenance (IVM): keep a per-group aggregate of
+the live table current by folding each change-feed window's DELTAS
+into a persisted dimension-sized state — never rescanning the table.
+
+Reference analog: the sink side applies row upserts
+(`sink/MongoSinkTask.kt` semantics); a warehouse sink additionally
+maintains the aggregates downstream dashboards read. This module is
+that operator, built on the COW snapshot diff (`state/diff.py`):
+
+- retraction logic is NULL-driven, not op-driven: a key's live-ness
+  before/after is ``content_old is not null`` / ``content is not
+  null``, which handles every edge the op string can blur (tombstone →
+  tombstone re-delete contributes (0, 0); tombstone → live 'u' is a
+  net insert; live → tombstone a net retract);
+- per-window work: the feed's changed buckets only (COW skips the
+  rest byte-free), batch-local partials collapse rows to
+  groups-present-per-block (dn, dm) pairs, ONE group-domain-sized
+  groupby-sum per window, then a tiny state merge;
+- the maintained invariant (asserted in tests and the gate oracle):
+  state == full GROUP BY recompute over the live rows of the latest
+  version, at every window boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kafka_connect_mongo_ray.state.diff import changes_between
+
+__all__ = ["window_aggregate_deltas", "maintain_group_aggregate"]
+
+STATE_SCHEMA = pa.schema([
+    pa.field("repo", pa.string()),
+    pa.field("n_live", pa.int64()),
+    pa.field("total_chars", pa.int64()),
+])
+
+
+def window_aggregate_deltas(snapshot_dir: str, v_old: int, v_new: int,
+                            num_partitions: int = 8):
+    """Per-group (dn_live, d_chars) deltas for one version window:
+    read the feed with pre-images, reduce batch-locally to
+    groups-present partials, one tiny groupby-sum. Returns a Dataset
+    (repo, n_live, total_chars) of SIGNED deltas."""
+    from ray.data.aggregate import Sum
+
+    feed = changes_between(snapshot_dir, v_old, v_new, include_old=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        new_live = pc.is_valid(batch["content"]).to_numpy(zero_copy_only=False)
+        old_live = pc.is_valid(batch["content_old"]).to_numpy(
+            zero_copy_only=False)
+        m_new = pc.fill_null(pc.utf8_length(batch["content"]), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m_old = pc.fill_null(pc.utf8_length(batch["content_old"]),
+                             0).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "repo": np.asarray(batch["repo"]).astype(object),
+            "dn": new_live.astype(np.int64) - old_live.astype(np.int64),
+            "dm": np.where(new_live, m_new, 0) - np.where(old_live, m_old, 0),
+        })
+        g = df.groupby("repo", as_index=False).sum()
+        return pa.table({
+            "repo": pa.array(g["repo"].to_numpy(), pa.string()),
+            "n_live": pa.array(g["dn"].to_numpy(), pa.int64()),
+            "total_chars": pa.array(g["dm"].to_numpy(), pa.int64())})
+
+    return (feed.map_batches(partial, batch_format="pyarrow")
+            .groupby("repo", num_partitions=num_partitions)
+            .aggregate(Sum("n_live", alias_name="n_live"),
+                       Sum("total_chars", alias_name="total_chars")))
+
+
+def maintain_group_aggregate(snapshot_dir: str, versions: list[int], *,
+                             num_partitions: int = 8,
+                             drop_empty: bool = True):
+    """Fold the change feeds of consecutive ``versions`` (e.g.
+    ``[0, 1, 2]`` → windows 0→1, 1→2) into the per-repo live
+    aggregate. Version 0 is the empty table, so starting from 0 builds
+    the state from nothing exactly as a streaming consumer would.
+
+    Every delta table is group-domain-sized, so the cross-window merge
+    is a union of tiny tables + one final groupby-sum; groups whose
+    live count reaches zero are dropped (``drop_empty``) to mirror a
+    GROUP BY over the live rows. Returns a Dataset
+    (repo, n_live, total_chars)."""
+    from ray.data.aggregate import Sum
+
+    deltas = [window_aggregate_deltas(snapshot_dir, a, b,
+                                      num_partitions=num_partitions)
+              for a, b in zip(versions, versions[1:])]
+    if not deltas:
+        import ray.data as rd
+
+        return rd.from_arrow(STATE_SCHEMA.empty_table())
+    merged = deltas[0].union(*deltas[1:]) if len(deltas) > 1 else deltas[0]
+    state = (merged.groupby("repo", num_partitions=num_partitions)
+             .aggregate(Sum("n_live", alias_name="n_live"),
+                        Sum("total_chars", alias_name="total_chars")))
+    if drop_empty:
+        state = state.map_batches(
+            lambda t: t.filter(pc.greater(t["n_live"], 0)),
+            batch_format="pyarrow")
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": pc.cast(t["repo"], pa.string()),
+            "n_live": pc.cast(t["n_live"], pa.int64()),
+            "total_chars": pc.cast(t["total_chars"], pa.int64())})
+
+    return state.map_batches(conform, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""state/ivm.py — incremental view maintenance invariant: the
+delta-maintained per-repo aggregate equals a full recompute over the
+live rows of the latest snapshot, at every window boundary, including
+the edges the op string blurs (re-delete, tombstone → live re-insert,
+update that changes length)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from kafka_connect_mongo_ray.config import EngineConfig
+from kafka_connect_mongo_ray.pipelines.cdc import (
+    final_state_dataset,
+    run_replay,
+)
+from kafka_connect_mongo_ray.state.ivm import maintain_group_aggregate
+from tests.test_oracle_and_gen import make_events
+
+
+def _ds(tbl, blocks=3):
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _recompute(cfg, version):
+    live = final_state_dataset(cfg, version=version).to_pandas()
+    live = live[live.content.notna()]
+    g = (live.assign(m=live.content.str.len().astype(np.int64))
+         .groupby("repo").agg(n_live=("path", "count"), total_chars=("m", "sum"))
+         .reset_index())
+    return {(r.repo): (int(r.n_live), int(r.total_chars))
+            for r in g.itertuples()}
+
+
+def _state_dict(ds):
+    df = ds.to_pandas()
+    return {r.repo: (int(r.n_live), int(r.total_chars))
+            for r in df.itertuples()}
+
+
+def test_ivm_matches_recompute_across_edge_windows(tmp_path):
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    # v1: inserts in two repos
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="xxxx", **base),
+        dict(ts=1, op="i", repo="r0", path="b", content="yy", **base),
+        dict(ts=1, op="i", repo="r1", path="c", content="z", **base),
+    ])), cfg)
+    # v2: update changing length, delete, insert
+    run_replay(_ds(make_events([
+        dict(ts=2, op="u", repo="r0", path="a", content="xxxxxxxx", **base),
+        dict(ts=2, op="d", repo="r0", path="b", content=None, **base),
+        dict(ts=2, op="i", repo="r1", path="d", content="ww", **base),
+    ])), cfg)
+    # v3: re-delete an already-dead key (no-op), resurrect b, kill all
+    # of r1 (group must drop from the state entirely)
+    run_replay(_ds(make_events([
+        dict(ts=3, op="d", repo="r0", path="b", content=None, **base),
+        dict(ts=4, op="i", repo="r0", path="b", content="back", **base),
+        dict(ts=3, op="d", repo="r1", path="c", content=None, **base),
+        dict(ts=3, op="d", repo="r1", path="d", content=None, **base),
+    ])), cfg)
+    for upto in (1, 2, 3):
+        got = _state_dict(maintain_group_aggregate(
+            cfg.snapshot_dir, list(range(upto + 1)), num_partitions=2))
+        assert got == _recompute(cfg, upto), f"diverged at v{upto}"
+    # the final state: r1 fully tombstoned -> absent
+    final = _state_dict(maintain_group_aggregate(
+        cfg.snapshot_dir, [0, 1, 2, 3], num_partitions=2))
+    assert "r1" not in final
+    assert final["r0"] == (2, len("xxxxxxxx") + len("back"))
+
+
+def test_ivm_matches_recompute_on_random_sequences(tmp_path):
+    rng = np.random.default_rng(5)
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    alive = {}
+    ts = 0
+    for w in range(1, 4):
+        rows = []
+        for _ in range(60):
+            ts += 1
+            repo = f"r{int(rng.integers(0, 3))}"
+            path = f"p{int(rng.integers(0, 25))}"
+            key = (repo, path)
+            roll = rng.random()
+            if key in alive and roll < 0.3:
+                rows.append(dict(ts=ts, op="d", repo=repo, path=path,
+                                 content=None, **base))
+                alive.pop(key)
+            else:
+                content = "c" * int(rng.integers(1, 12))
+                op = "u" if key in alive else "i"
+                rows.append(dict(ts=ts, op=op, repo=repo, path=path,
+                                 content=content, **base))
+                alive[key] = content
+        run_replay(_ds(make_events(rows)), cfg)
+        got = _state_dict(maintain_group_aggregate(
+            cfg.snapshot_dir, list(range(w + 1)), num_partitions=2))
+        want = {}
+        for (repo, _), content in alive.items():
+            n, m = want.get(repo, (0, 0))
+            want[repo] = (n + 1, m + len(content))
+        assert got == want, f"diverged at window {w}"
+
+
+def test_change_feed_default_schema_unchanged(tmp_path):
+    """include_old defaults off: the wire schema existing consumers
+    parse (curate.py, cdc_change_feed) must be byte-compatible."""
+    from kafka_connect_mongo_ray.state.diff import (
+        DIFF_SCHEMA,
+        changes_between,
+    )
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=2)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="x", **base)])), cfg)
+    feed = changes_between(cfg.snapshot_dir, 0, 1)
+    t = pa.concat_tables(list(
+        feed.iter_batches(batch_size=None, batch_format="pyarrow")))
+    assert t.schema.equals(DIFF_SCHEMA)
+    assert t.num_rows == 1 and "content_old" not in t.column_names
