@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 
 from kafka_connect_mongo_ray.state.diff import changes_between
 
-__all__ = ["window_aggregate_deltas", "maintain_group_aggregate"]
+__all__ = ["window_aggregate_deltas", "maintain_group_aggregate",
+           "IvmState"]
 
 STATE_SCHEMA = pa.schema([
     pa.field("repo", pa.string()),
@@ -113,3 +114,113 @@ def maintain_group_aggregate(snapshot_dir: str, versions: list[int], *,
             "total_chars": pc.cast(t["total_chars"], pa.int64())})
 
     return state.map_batches(conform, batch_format="pyarrow")
+
+
+class IvmState:
+    """Persisted, crash-safe IVM state: one directory per applied
+    snapshot version, committed atomically (write to ``.tmp-`` then
+    ``os.replace`` — the repo's commit primitive), so the current
+    state is simply the highest COMPLETE version dir and a re-fold of
+    an already-applied window is a detected no-op (idempotent under
+    at-least-once drivers). A crashed attempt leaves only a
+    ``.tmp-*`` orphan that recovery ignores and the next attempt
+    clears.
+
+    The state table is group-domain-sized by contract (repos), so one
+    parquet file per version; a key-domain-sized state would bucket
+    the directory exactly like ``state/dedup_index.py``."""
+
+    def __init__(self, state_dir: str):
+        import os
+
+        self.root = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _vdirs(self):
+        import os
+
+        out = {}
+        for d in os.listdir(self.root):
+            if d.startswith("v") and not d.startswith(".") \
+                    and os.path.isdir(os.path.join(self.root, d)):
+                try:
+                    out[int(d[1:])] = os.path.join(self.root, d)
+                except ValueError:
+                    continue
+        return out
+
+    def current_version(self) -> int:
+        vs = self._vdirs()
+        return max(vs) if vs else 0
+
+    def read(self, version: int | None = None) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return STATE_SCHEMA.empty_table()
+        return pq.read_table(os.path.join(self._vdirs()[v], "state.parquet"))
+
+    def fold_window(self, snapshot_dir: str, v_new: int, *,
+                    num_partitions: int = 8) -> dict:
+        """Fold the (current_version → v_new) change feed into the
+        state and commit it as version ``v_new``. Returns a summary
+        dict; if ``v_new`` is already applied this is a no-op (the
+        idempotence contract). Windows must be applied in order."""
+        import os
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        v_old = self.current_version()
+        if v_new in self._vdirs():
+            return {"version": v_new, "applied": False,
+                    "reason": "already-folded"}
+        if v_new <= v_old:
+            raise ValueError(f"window v{v_new} precedes current state "
+                             f"v{v_old}")
+        delta = window_aggregate_deltas(snapshot_dir, v_old, v_new,
+                                        num_partitions=num_partitions)
+        # merge with the (tiny) current state driver-side: both tables
+        # are group-domain-sized by contract
+        import pandas as pd
+
+        cur = self.read(v_old).to_pandas()
+        dl = delta.to_pandas()
+        merged = (pd.concat([cur, dl], ignore_index=True)
+                  .groupby("repo", as_index=False).sum())
+        merged = merged[merged.n_live > 0].sort_values("repo")
+        out = pa.table({
+            "repo": pa.array(merged["repo"].to_numpy(dtype=object),
+                             pa.string()),
+            "n_live": pa.array(merged["n_live"].to_numpy(np.int64),
+                               pa.int64()),
+            "total_chars": pa.array(merged["total_chars"].to_numpy(np.int64),
+                                    pa.int64())})
+        tmp = tempfile.mkdtemp(dir=self.root, prefix=".tmp-")
+        try:
+            pq.write_table(out, os.path.join(tmp, "state.parquet"))
+            os.replace(tmp, os.path.join(self.root, f"v{v_new}"))
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        return {"version": v_new, "applied": True, "groups": out.num_rows}
+
+    def gc(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` state versions and any
+        crashed ``.tmp-*`` orphans."""
+        import os
+        import shutil
+
+        vs = self._vdirs()
+        drop = sorted(vs)[:-keep_last] if keep_last else sorted(vs)
+        for v in drop:
+            shutil.rmtree(vs[v], ignore_errors=True)
+        for d in os.listdir(self.root):
+            if d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(self.root, d),
+                              ignore_errors=True)
+        return drop

@@ -126,3 +126,64 @@ def test_change_feed_default_schema_unchanged(tmp_path):
         feed.iter_batches(batch_size=None, batch_format="pyarrow")))
     assert t.schema.equals(DIFF_SCHEMA)
     assert t.num_rows == 1 and "content_old" not in t.column_names
+
+
+def test_persisted_ivm_state_fold_idempotent_and_crash_safe(tmp_path):
+    import os
+
+    from kafka_connect_mongo_ray.state.ivm import IvmState
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="xxxx", **base),
+        dict(ts=1, op="i", repo="r1", path="b", content="yy", **base),
+    ])), cfg)
+    run_replay(_ds(make_events([
+        dict(ts=2, op="u", repo="r0", path="a", content="x", **base),
+        dict(ts=2, op="d", repo="r1", path="b", content=None, **base),
+    ])), cfg)
+
+    st = IvmState(str(tmp_path / "ivm"))
+    # a crashed earlier attempt left a tmp orphan: must be ignored
+    os.makedirs(st.root + "/.tmp-crashed", exist_ok=True)
+    assert st.current_version() == 0
+    r1 = st.fold_window(cfg.snapshot_dir, 1, num_partitions=2)
+    assert r1["applied"] and st.current_version() == 1
+    got1 = {r["repo"]: (r["n_live"], r["total_chars"])
+            for r in st.read().to_pylist()}
+    assert got1 == {"r0": (1, 4), "r1": (1, 2)}
+    r2 = st.fold_window(cfg.snapshot_dir, 2, num_partitions=2)
+    assert r2["applied"]
+    got2 = {r["repo"]: (r["n_live"], r["total_chars"])
+            for r in st.read().to_pylist()}
+    assert got2 == {"r0": (1, 1)}  # r1 fully retracted, update shrank a
+    # re-fold of an applied window is a detected no-op
+    again = st.fold_window(cfg.snapshot_dir, 2, num_partitions=2)
+    assert not again["applied"] and again["reason"] == "already-folded"
+    # matches the from-scratch fold
+    scratch = _state_dict(maintain_group_aggregate(
+        cfg.snapshot_dir, [0, 1, 2], num_partitions=2))
+    assert {k: v for k, v in got2.items()} == scratch
+    # gc drops old versions and the crash orphan
+    dropped = st.gc(keep_last=1)
+    assert dropped == [1]
+    assert not [d for d in os.listdir(st.root) if d.startswith(".tmp-")]
+    assert st.current_version() == 2
+
+
+def test_persisted_ivm_rejects_out_of_order_windows(tmp_path):
+    import pytest as _pytest
+
+    from kafka_connect_mongo_ray.state.ivm import IvmState
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=2)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="x", **base)])), cfg)
+    st = IvmState(str(tmp_path / "ivm"))
+    st.fold_window(cfg.snapshot_dir, 1, num_partitions=2)
+    with _pytest.raises(ValueError, match="precedes"):
+        st.fold_window(cfg.snapshot_dir, 0, num_partitions=2)
