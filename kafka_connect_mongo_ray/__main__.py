@@ -219,6 +219,37 @@ def list_queries(_args) -> int:
     return 0
 
 
+def ivm(args) -> int:
+    """Fold committed snapshot windows into the persisted per-repo
+    aggregate (state/ivm.py): catches the state up from its current
+    version to the snapshot's, one idempotent fold per window."""
+    import ray
+
+    from kafka_connect_mongo_ray.state.ivm import IvmState
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        started = True
+    store = SnapshotStore(args.snapshot, create=False)
+    latest = store.current_version()
+    st = IvmState(args.state)
+    folds = []
+    for v in range(st.current_version() + 1, latest + 1):
+        folds.append(st.fold_window(args.snapshot, v))
+    state = st.read()
+    print(json.dumps({"snapshot_version": latest,
+                      "state_version": st.current_version(),
+                      "folds": folds, "groups": state.num_rows,
+                      "n_live": int(sum(state["n_live"].to_pylist()))},
+                     sort_keys=True))
+    if started:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -250,6 +281,9 @@ def main(argv=None) -> int:
     q.add_argument("--out", default=None)
     q.add_argument("--limit", type=int, default=20)
     sub.add_parser("queries")
+    iv = sub.add_parser("ivm")
+    iv.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    iv.add_argument("--state", required=True)
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -266,6 +300,8 @@ def main(argv=None) -> int:
         return query(args)
     if args.cmd == "queries":
         return list_queries(args)
+    if args.cmd == "ivm":
+        return ivm(args)
     p.print_help()
     return 0
 

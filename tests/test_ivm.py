@@ -187,3 +187,28 @@ def test_persisted_ivm_rejects_out_of_order_windows(tmp_path):
     st.fold_window(cfg.snapshot_dir, 1, num_partitions=2)
     with _pytest.raises(ValueError, match="precedes"):
         st.fold_window(cfg.snapshot_dir, 0, num_partitions=2)
+
+
+def test_ivm_cli_catches_up_and_matches_replay(tmp_path, capsys):
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import main
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=2)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    s = run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="xx", **base),
+        dict(ts=2, op="d", repo="r0", path="a", content=None, **base),
+        dict(ts=1, op="i", repo="r1", path="b", content="yyy", **base),
+    ])), cfg)
+    rc = main(["ivm", "--snapshot", cfg.snapshot_dir,
+               "--state", str(tmp_path / "ivm")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["state_version"] == 1
+    assert out["n_live"] == s["live_rows"] == 1
+    # second run: nothing to fold
+    rc = main(["ivm", "--snapshot", cfg.snapshot_dir,
+               "--state", str(tmp_path / "ivm")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["folds"] == []
