@@ -265,3 +265,51 @@ def test_chi2_zero_for_independent_and_known_for_dependent():
     out = chi2_independence(ray.data.from_arrow(t).repartition(3),
                             a_col="a", b_col="b").to_pandas()
     assert out.chi2.iloc[0] == 60.0
+
+
+def test_new_ops_survive_extreme_user_skew():
+    """One user owns 50% of all events (one bucket holds a fact-sized
+    group): the bucketed kernels must stay correct — and the per-batch
+    dedup bounds what that hot bucket receives for the pair-based ops."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        cohort_retention,
+        cooccurrence_counts,
+        transition_counts,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 20000
+    u = rng.integers(1, 200, n).astype(np.int64)
+    u[: n // 2] = 0  # the hot user
+    day = rng.integers(0, 5, n).astype(np.int64)
+    ts = (np.int64(20_000) + day) * _US_PER_DAY + rng.integers(
+        0, _US_PER_DAY, n)
+    types = np.array([f"t{i}" for i in range(6)], dtype=object)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(u),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "ts_us": pa.array(ts, pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 6, n)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    ret = cohort_retention(ds, user_col="user_id", ts_col="ts",
+                           num_partitions=8).to_pandas()
+    df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+    d0 = df.groupby("u")["day"].transform("min")
+    want_rows = (pd.DataFrame({"c": d0, "o": df.day - d0})
+                 .groupby(["c", "o"]).size())
+    assert int(ret.n_users.sum()) == int(want_rows.sum())
+
+    co = cooccurrence_counts(ds, user_col="user_id",
+                             item_col="event_type",
+                             num_partitions=8).to_pandas()
+    # the hot user has all 6 types -> contributes to every pair once
+    assert len(co) == 15 and (co.n_users >= 1).all()
+
+    tr = transition_counts(ds, key_col="user_id",
+                           order_cols=["ts_us", "event_id"],
+                           state_col="event_type",
+                           num_partitions=8).to_pandas()
+    assert int(tr.n.sum()) == n - pd.Series(u).nunique()
