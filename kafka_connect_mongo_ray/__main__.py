@@ -224,6 +224,7 @@ def ivm(args) -> int:
     aggregate (state/ivm.py): catches the state up from its current
     version to the snapshot's, one idempotent fold per window."""
     import ray
+    from ray.data import DataContext
 
     from kafka_connect_mongo_ray.state.ivm import IvmState
     from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
@@ -233,6 +234,8 @@ def ivm(args) -> int:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
         started = True
+    # clean machine-parseable stdout (same contract as `query`)
+    DataContext.get_current().enable_progress_bars = False
     store = SnapshotStore(args.snapshot, create=False)
     latest = store.current_version()
     st = IvmState(args.state)

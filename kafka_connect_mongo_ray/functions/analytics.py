@@ -63,6 +63,30 @@ def _day_str(days: np.ndarray) -> pa.Array:
     return pa.array(np.datetime_as_string(d, unit="D"), pa.string())
 
 
+def _str_col(series) -> pa.Array:
+    """pandas groupby(dropna=False) represents a NULL key as NaN;
+    restore it to an Arrow null string. Domain-sized inputs only."""
+    vals = series.to_numpy(dtype=object)
+    return pa.array([None if (v is None or (isinstance(v, float)
+                                            and np.isnan(v))) else str(v)
+                     for v in vals], pa.string())
+
+
+def _distinct_user_day(batch: pa.Table, user_col: str,
+                       ts_col: str) -> pa.Table:
+    """Batch-local distinct (user, epoch-day) pairs — the shared
+    pre-dedup partial of cohort_retention and rolling_active_users."""
+    import pandas as pd
+
+    limit_worker_threads()
+    u = np.asarray(batch[user_col], dtype=np.int64)
+    day = (np.asarray(batch[ts_col]).astype("datetime64[us]")
+           .astype(np.int64) // _US_PER_DAY)
+    df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
+    return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
+                     "day": pa.array(df["day"].to_numpy(), pa.int64())})
+
+
 def cohort_retention(ds, *, user_col: str, ts_col: str,
                      num_partitions: int | None = None):
     """Daily cohort retention: cohort = the user's FIRST active day,
@@ -81,17 +105,6 @@ def cohort_retention(ds, *, user_col: str, ts_col: str,
     and the final exchange is cohort×offset-domain-sized."""
     from ray.data.aggregate import Sum
 
-    def dedup_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        limit_worker_threads()
-        u = np.asarray(batch[user_col], dtype=np.int64)
-        day = (np.asarray(batch[ts_col]).astype("datetime64[us]")
-               .astype(np.int64) // _US_PER_DAY)
-        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
-        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
-                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
-
     def bucket_kernel(t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -109,7 +122,10 @@ def cohort_retention(ds, *, user_col: str, ts_col: str,
             "n": pa.array(g["size"].to_numpy(), pa.int64())})
 
     nparts = num_partitions or 32
-    pairs = ds.map_batches(dedup_partial, batch_format="pyarrow")
+    pairs = ds.map_batches(_distinct_user_day,
+                           fn_kwargs={"user_col": user_col,
+                                      "ts_col": ts_col},
+                           batch_format="pyarrow")
     partial = key_bucketed(pairs, ["u"], nparts).map_groups(
         lambda t: bucket_kernel(t.drop_columns(["__gb"])),
         batch_format="pyarrow")
@@ -375,17 +391,6 @@ def rolling_active_users(ds, *, user_col: str, ts_col: str,
     wire once, deduped, never W-fold."""
     from ray.data.aggregate import Sum
 
-    def dedup_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        limit_worker_threads()
-        u = np.asarray(batch[user_col], dtype=np.int64)
-        day = (np.asarray(batch[ts_col]).astype("datetime64[us]")
-               .astype(np.int64) // _US_PER_DAY)
-        df = pd.DataFrame({"u": u, "day": day}).drop_duplicates()
-        return pa.table({"u": pa.array(df["u"].to_numpy(), pa.int64()),
-                         "day": pa.array(df["day"].to_numpy(), pa.int64())})
-
     def bucket_kernel(t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -403,7 +408,10 @@ def rolling_active_users(ds, *, user_col: str, ts_col: str,
                          "n": pa.array(g["size"].to_numpy(), pa.int64())})
 
     nparts = num_partitions or 32
-    pairs = ds.map_batches(dedup_partial, batch_format="pyarrow")
+    pairs = ds.map_batches(_distinct_user_day,
+                           fn_kwargs={"user_col": user_col,
+                                      "ts_col": ts_col},
+                           batch_format="pyarrow")
     pairs = pairs.materialize()  # two consumers below (counts + days)
     counts = (key_bucketed(pairs, ["u"], nparts)
               .map_groups(bucket_kernel, batch_format="pyarrow")
@@ -507,10 +515,13 @@ def transition_counts(ds, *, key_col: str, order_cols: list[str],
                              "n": pa.array([], pa.int64())})
         same = k[1:] == k[:-1]
         df = pd.DataFrame({"a": s[:-1][same], "b": s[1:][same]})
-        g = df.groupby(["a", "b"], as_index=False).size()
+        # SQL mirror: WHERE nxt IS NOT NULL filters only the TO side;
+        # a NULL from-state keeps its row (dropna=False)
+        df = df[df["b"].notna()]
+        g = df.groupby(["a", "b"], as_index=False, dropna=False).size()
         return pa.table({
-            "from_type": pa.array(g["a"].to_numpy(), pa.string()),
-            "to_type": pa.array(g["b"].to_numpy(), pa.string()),
+            "from_type": _str_col(g["a"]),
+            "to_type": _str_col(g["b"]),
             "n": pa.array(g["size"].to_numpy(), pa.int64())})
 
     nparts = num_partitions or 32
@@ -544,8 +555,9 @@ def chi2_independence(ds, *, a_col: str, b_col: str,
         df = pd.DataFrame({
             "a": np.asarray(batch[a_col]).astype(object),
             "b": np.asarray(batch[b_col], dtype=np.int64)})
-        g = df.groupby(["a", "b"], as_index=False).size()
-        return pa.table({"a": pa.array(g["a"].to_numpy(), pa.string()),
+        # SQL GROUP BY keeps NULL as its own category (dropna=False)
+        g = df.groupby(["a", "b"], as_index=False, dropna=False).size()
+        return pa.table({"a": _str_col(g["a"]),
                          "b": pa.array(g["b"].to_numpy(), pa.int64()),
                          "o": pa.array(g["size"].to_numpy(), pa.int64())})
 
@@ -558,14 +570,19 @@ def chi2_independence(ds, *, a_col: str, b_col: str,
 
         df = t.to_pandas()
         n = int(df.o.sum())
-        # densify to the FULL R×C cross product: unobserved cells have
-        # O = 0 but E > 0 and contribute E to the statistic
-        full = (df.set_index(["a", "b"]).o
-                .unstack(fill_value=0).stack().reset_index(name="o"))
-        rt = full.groupby("a").o.sum()
-        ct = full.groupby("b").o.sum()
-        e = (rt[full.a].to_numpy().astype(np.float64)
-             * ct[full.b].to_numpy().astype(np.float64)) / float(n)
+        # densify to the FULL R×C cross product (unobserved cells have
+        # O = 0 but E > 0 and contribute E) via a cross merge — pandas
+        # merge matches NaN==NaN, so a NULL category stays a category
+        # exactly as SQL GROUP BY treats it
+        rt = df.groupby("a", dropna=False, as_index=False).o.sum() \
+               .rename(columns={"o": "rt"})
+        ct = df.groupby("b", dropna=False, as_index=False).o.sum() \
+               .rename(columns={"o": "ct"})
+        full = rt.merge(ct, how="cross").merge(df, on=["a", "b"],
+                                               how="left")
+        full["o"] = full["o"].fillna(0)
+        e = (full.rt.to_numpy().astype(np.float64)
+             * full.ct.to_numpy().astype(np.float64)) / float(n)
         o = full.o.to_numpy().astype(np.float64)
         chi2 = round(float(np.sum((o - e) ** 2 / e)), 9)
         dof = (len(rt) - 1) * (len(ct) - 1)

@@ -203,10 +203,20 @@ class IvmState:
         tmp = tempfile.mkdtemp(dir=self.root, prefix=".tmp-")
         try:
             pq.write_table(out, os.path.join(tmp, "state.parquet"))
-            os.replace(tmp, os.path.join(self.root, f"v{v_new}"))
-        except BaseException:
+            try:
+                os.replace(tmp, os.path.join(self.root, f"v{v_new}"))
+            except OSError:
+                # a concurrent at-least-once driver committed v_new
+                # between our check and the rename (os.replace cannot
+                # overwrite a non-empty dir) — both folds computed the
+                # same deterministic state, so losing the race IS the
+                # idempotent no-op
+                if v_new in self._vdirs():
+                    return {"version": v_new, "applied": False,
+                            "reason": "lost-commit-race"}
+                raise
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            raise
         return {"version": v_new, "applied": True, "groups": out.num_rows}
 
     def gc(self, keep_last: int = 1) -> list[int]:

@@ -313,3 +313,32 @@ def test_new_ops_survive_extreme_user_skew():
                            state_col="event_type",
                            num_partitions=8).to_pandas()
     assert int(tr.n.sum()) == n - pd.Series(u).nunique()
+
+
+def test_transitions_and_chi2_keep_null_categories_like_sql():
+    """SQL GROUP BY keeps NULL as a category; WHERE nxt IS NOT NULL
+    filters only the TO side of a transition."""
+    from kafka_connect_mongo_ray.functions.analytics import (
+        chi2_independence,
+        transition_counts,
+    )
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "s": pa.array(["a", None, "b", None, None], pa.string())})
+    out = transition_counts(ray.data.from_arrow(t), key_col="u",
+                            order_cols=["o"], state_col="s",
+                            num_partitions=2).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    # user1: a->NULL dropped (to side), NULL->b kept; user2: NULL->NULL
+    # dropped (to side)
+    assert got == {(None, "b"): 1}
+
+    t2 = pa.table({"a": pa.array(["x", "x", None, None], pa.string()),
+                   "b": pa.array([0, 1, 0, 1], pa.int64())})
+    out = chi2_independence(ray.data.from_arrow(t2), a_col="a",
+                            b_col="b").to_pandas()
+    # NULL is its own row category: 2x2 perfectly proportional table
+    assert int(out.n.iloc[0]) == 4 and int(out.dof.iloc[0]) == 1
+    assert out.chi2.iloc[0] == 0.0

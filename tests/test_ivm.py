@@ -212,3 +212,35 @@ def test_ivm_cli_catches_up_and_matches_replay(tmp_path, capsys):
                "--state", str(tmp_path / "ivm")])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["folds"] == []
+
+
+def test_fold_commit_race_loser_is_idempotent_noop(tmp_path, monkeypatch):
+    """Two at-least-once drivers fold the same window: the loser's
+    os.replace hits the winner's committed dir and must degrade to the
+    already-folded no-op, not a traceback."""
+    import os
+    import shutil
+
+    from kafka_connect_mongo_ray.state.ivm import IvmState
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=2)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="x", **base)])), cfg)
+    st = IvmState(str(tmp_path / "ivm"))
+    real_replace = os.replace
+
+    def racing_replace(src, dst):
+        if dst.endswith("/v1") and not os.path.exists(dst):
+            # the competing driver commits first
+            shutil.copytree(src, dst)
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", racing_replace)
+    r = st.fold_window(cfg.snapshot_dir, 1, num_partitions=2)
+    assert not r["applied"] and r["reason"] == "lost-commit-race"
+    monkeypatch.undo()
+    assert st.current_version() == 1
+    got = {x["repo"]: x["n_live"] for x in st.read().to_pylist()}
+    assert got == {"r0": 1}
