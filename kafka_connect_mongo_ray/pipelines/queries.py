@@ -3300,8 +3300,14 @@ def q_cdc_incremental_view(sf_dir: str):
     docs2 = _read(sf_dir, "documents",
                   columns=["doc_id", "text", "lang", "source"])
     run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
-    return maintain_group_aggregate(cfg.snapshot_dir, [0, 1, 2],
-                                    num_partitions=_gate_buckets(8))
+    from kafka_connect_mongo_ray.state.ivm import (
+        METRIC_CHARS,
+        METRIC_TOKENS,
+    )
+
+    return maintain_group_aggregate(
+        cfg.snapshot_dir, [0, 1, 2], num_partitions=_gate_buckets(8),
+        metrics={"total_chars": METRIC_CHARS, "n_tokens": METRIC_TOKENS})
 
 
 # ---------------------------------------------------------------------------
@@ -3563,12 +3569,15 @@ def build_oracle_sql():
         # the analytic final live set of the backfill+tail fixture:
         # live = doc_id%7<>0, content = text||':u' iff doc_id%3<>0
         "cdc_incremental_view": """
+            WITH live AS (
+                SELECT source, CASE WHEN doc_id % 3 <> 0
+                                    THEN text || ':u' ELSE text END AS c
+                FROM documents WHERE doc_id % 7 <> 0)
             SELECT source AS repo, CAST(COUNT(*) AS BIGINT) AS n_live,
-                   CAST(SUM(length(CASE WHEN doc_id % 3 <> 0
-                                        THEN text || ':u' ELSE text END))
-                        AS BIGINT) AS total_chars
-            FROM documents WHERE doc_id % 7 <> 0
-            GROUP BY source
+                   CAST(SUM(length(c)) AS BIGINT) AS total_chars,
+                   CAST(SUM(len(regexp_extract_all(c, '\\S+')))
+                        AS BIGINT) AS n_tokens
+            FROM live GROUP BY source
         """,
         # per-cell (O−E)²/E mirrored operand-for-operand; round(·, 9)
         # absorbs the cross-cell SUM order difference

@@ -30,23 +30,48 @@ import pyarrow.compute as pc
 from kafka_connect_mongo_ray.state.diff import changes_between
 
 __all__ = ["window_aggregate_deltas", "maintain_group_aggregate",
-           "IvmState"]
+           "IvmState", "METRIC_CHARS", "METRIC_TOKENS"]
 
-STATE_SCHEMA = pa.schema([
-    pa.field("repo", pa.string()),
-    pa.field("n_live", pa.int64()),
-    pa.field("total_chars", pa.int64()),
-])
+
+def METRIC_CHARS(content: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Character count of the content column (NULL → 0)."""
+    return pc.fill_null(pc.utf8_length(content), 0)
+
+
+def METRIC_TOKENS(content: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token count (runs of \\S+, NULL → 0) — the
+    training-data token budget; SQL mirror:
+    ``len(regexp_extract_all(content, '\\S+'))``."""
+    return pc.fill_null(pc.count_substring_regex(content, r"\S+"), 0)
+
+
+# default metric set: (name → fn(content Arrow array) -> int64-castable
+# Arrow array). Only SUM-decomposable metrics can be maintained
+# incrementally (a retraction subtracts the pre-image's value); MIN/MAX
+# would need a per-group rescan on retraction and are out of scope by
+# design.
+DEFAULT_METRICS = {"total_chars": METRIC_CHARS}
+
+
+def _state_schema(metrics) -> pa.Schema:
+    return pa.schema([pa.field("repo", pa.string()),
+                      pa.field("n_live", pa.int64())]
+                     + [pa.field(m, pa.int64()) for m in metrics])
+
+
+STATE_SCHEMA = _state_schema(DEFAULT_METRICS)
 
 
 def window_aggregate_deltas(snapshot_dir: str, v_old: int, v_new: int,
-                            num_partitions: int = 8):
-    """Per-group (dn_live, d_chars) deltas for one version window:
+                            num_partitions: int = 8,
+                            metrics: dict | None = None):
+    """Per-group (dn_live, d_metric…) deltas for one version window:
     read the feed with pre-images, reduce batch-locally to
     groups-present partials, one tiny groupby-sum. Returns a Dataset
-    (repo, n_live, total_chars) of SIGNED deltas."""
+    (repo, n_live, <metric>…) of SIGNED deltas."""
     from ray.data.aggregate import Sum
 
+    metrics = DEFAULT_METRICS if metrics is None else metrics
     feed = changes_between(snapshot_dir, v_old, v_new, include_old=True)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -55,30 +80,32 @@ def window_aggregate_deltas(snapshot_dir: str, v_old: int, v_new: int,
         new_live = pc.is_valid(batch["content"]).to_numpy(zero_copy_only=False)
         old_live = pc.is_valid(batch["content_old"]).to_numpy(
             zero_copy_only=False)
-        m_new = pc.fill_null(pc.utf8_length(batch["content"]), 0).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        m_old = pc.fill_null(pc.utf8_length(batch["content_old"]),
-                             0).to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame({
+        cols = {
             "repo": np.asarray(batch["repo"]).astype(object),
             "dn": new_live.astype(np.int64) - old_live.astype(np.int64),
-            "dm": np.where(new_live, m_new, 0) - np.where(old_live, m_old, 0),
-        })
-        g = df.groupby("repo", as_index=False).sum()
-        return pa.table({
-            "repo": pa.array(g["repo"].to_numpy(), pa.string()),
-            "n_live": pa.array(g["dn"].to_numpy(), pa.int64()),
-            "total_chars": pa.array(g["dm"].to_numpy(), pa.int64())})
+        }
+        for name, fn in metrics.items():
+            m_new = np.asarray(pc.cast(fn(batch["content"]), pa.int64()))
+            m_old = np.asarray(pc.cast(fn(batch["content_old"]), pa.int64()))
+            cols[name] = (np.where(new_live, m_new, 0)
+                          - np.where(old_live, m_old, 0))
+        g = pd.DataFrame(cols).groupby("repo", as_index=False).sum()
+        out = {"repo": pa.array(g["repo"].to_numpy(), pa.string()),
+               "n_live": pa.array(g["dn"].to_numpy(), pa.int64())}
+        for name in metrics:
+            out[name] = pa.array(g[name].to_numpy(), pa.int64())
+        return pa.table(out)
 
     return (feed.map_batches(partial, batch_format="pyarrow")
             .groupby("repo", num_partitions=num_partitions)
             .aggregate(Sum("n_live", alias_name="n_live"),
-                       Sum("total_chars", alias_name="total_chars")))
+                       *[Sum(m, alias_name=m) for m in metrics]))
 
 
 def maintain_group_aggregate(snapshot_dir: str, versions: list[int], *,
                              num_partitions: int = 8,
-                             drop_empty: bool = True):
+                             drop_empty: bool = True,
+                             metrics: dict | None = None):
     """Fold the change feeds of consecutive ``versions`` (e.g.
     ``[0, 1, 2]`` → windows 0→1, 1→2) into the per-repo live
     aggregate. Version 0 is the empty table, so starting from 0 builds
@@ -91,27 +118,30 @@ def maintain_group_aggregate(snapshot_dir: str, versions: list[int], *,
     (repo, n_live, total_chars)."""
     from ray.data.aggregate import Sum
 
+    metrics = DEFAULT_METRICS if metrics is None else metrics
     deltas = [window_aggregate_deltas(snapshot_dir, a, b,
-                                      num_partitions=num_partitions)
+                                      num_partitions=num_partitions,
+                                      metrics=metrics)
               for a, b in zip(versions, versions[1:])]
     if not deltas:
         import ray.data as rd
 
-        return rd.from_arrow(STATE_SCHEMA.empty_table())
+        return rd.from_arrow(_state_schema(metrics).empty_table())
     merged = deltas[0].union(*deltas[1:]) if len(deltas) > 1 else deltas[0]
     state = (merged.groupby("repo", num_partitions=num_partitions)
              .aggregate(Sum("n_live", alias_name="n_live"),
-                        Sum("total_chars", alias_name="total_chars")))
+                        *[Sum(m, alias_name=m) for m in metrics]))
     if drop_empty:
         state = state.map_batches(
             lambda t: t.filter(pc.greater(t["n_live"], 0)),
             batch_format="pyarrow")
 
     def conform(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "repo": pc.cast(t["repo"], pa.string()),
-            "n_live": pc.cast(t["n_live"], pa.int64()),
-            "total_chars": pc.cast(t["total_chars"], pa.int64())})
+        cols = {"repo": pc.cast(t["repo"], pa.string()),
+                "n_live": pc.cast(t["n_live"], pa.int64())}
+        for m in metrics:
+            cols[m] = pc.cast(t[m], pa.int64())
+        return pa.table(cols)
 
     return state.map_batches(conform, batch_format="pyarrow")
 
@@ -130,10 +160,11 @@ class IvmState:
     parquet file per version; a key-domain-sized state would bucket
     the directory exactly like ``state/dedup_index.py``."""
 
-    def __init__(self, state_dir: str):
+    def __init__(self, state_dir: str, metrics: dict | None = None):
         import os
 
         self.root = state_dir
+        self.metrics = DEFAULT_METRICS if metrics is None else metrics
         os.makedirs(state_dir, exist_ok=True)
 
     def _vdirs(self):
@@ -160,7 +191,7 @@ class IvmState:
 
         v = self.current_version() if version is None else version
         if v == 0:
-            return STATE_SCHEMA.empty_table()
+            return _state_schema(self.metrics).empty_table()
         return pq.read_table(os.path.join(self._vdirs()[v], "state.parquet"))
 
     def fold_window(self, snapshot_dir: str, v_new: int, *,
@@ -183,7 +214,8 @@ class IvmState:
             raise ValueError(f"window v{v_new} precedes current state "
                              f"v{v_old}")
         delta = window_aggregate_deltas(snapshot_dir, v_old, v_new,
-                                        num_partitions=num_partitions)
+                                        num_partitions=num_partitions,
+                                        metrics=self.metrics)
         # merge with the (tiny) current state driver-side: both tables
         # are group-domain-sized by contract
         import pandas as pd
@@ -193,13 +225,11 @@ class IvmState:
         merged = (pd.concat([cur, dl], ignore_index=True)
                   .groupby("repo", as_index=False).sum())
         merged = merged[merged.n_live > 0].sort_values("repo")
-        out = pa.table({
-            "repo": pa.array(merged["repo"].to_numpy(dtype=object),
-                             pa.string()),
-            "n_live": pa.array(merged["n_live"].to_numpy(np.int64),
-                               pa.int64()),
-            "total_chars": pa.array(merged["total_chars"].to_numpy(np.int64),
-                                    pa.int64())})
+        cols = {"repo": pa.array(merged["repo"].to_numpy(dtype=object),
+                                 pa.string())}
+        for c in ["n_live", *self.metrics]:
+            cols[c] = pa.array(merged[c].to_numpy(np.int64), pa.int64())
+        out = pa.table(cols)
         tmp = tempfile.mkdtemp(dir=self.root, prefix=".tmp-")
         try:
             pq.write_table(out, os.path.join(tmp, "state.parquet"))

@@ -244,3 +244,32 @@ def test_fold_commit_race_loser_is_idempotent_noop(tmp_path, monkeypatch):
     assert st.current_version() == 1
     got = {x["repo"]: x["n_live"] for x in st.read().to_pylist()}
     assert got == {"r0": 1}
+
+
+def test_pluggable_token_metric_matches_reference(tmp_path):
+    from kafka_connect_mongo_ray.state.ivm import (
+        METRIC_CHARS,
+        METRIC_TOKENS,
+        IvmState,
+    )
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=2)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a",
+             content="one two  three", **base),     # 3 tokens, 14 chars
+        dict(ts=1, op="i", repo="r0", path="b", content="  ", **base),
+    ])), cfg)
+    run_replay(_ds(make_events([
+        dict(ts=2, op="u", repo="r0", path="a", content="just one", **base),
+    ])), cfg)
+    st = IvmState(str(tmp_path / "ivm"),
+                  metrics={"total_chars": METRIC_CHARS,
+                           "n_tokens": METRIC_TOKENS})
+    st.fold_window(cfg.snapshot_dir, 1, num_partitions=2)
+    st.fold_window(cfg.snapshot_dir, 2, num_partitions=2)
+    row = st.read().to_pylist()[0]
+    # live: a="just one" (8 chars, 2 tokens), b="  " (2 chars, 0 tokens)
+    assert row == {"repo": "r0", "n_live": 2, "total_chars": 10,
+                   "n_tokens": 2}
