@@ -3310,6 +3310,33 @@ def q_cdc_incremental_view(sf_dir: str):
         metrics={"total_chars": METRIC_CHARS, "n_tokens": METRIC_TOKENS})
 
 
+def q_events_attribution(sf_dir: str):
+    """Stream-stream windowed join (stages/join.py::window_join): every
+    (purchase, click) pair of the same user with the click in the hour
+    before the purchase — the ad-attribution shape. One key-bucketed
+    shuffle per side; vectorized composite-searchsorted window bounds
+    and cumsum/arange pair expansion inside each bucket."""
+    from kafka_connect_mongo_ray.stages.join import window_join
+
+    def typed(tp, id_name):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], tp))
+            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                             id_name: t["event_id"]})
+        return fn
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(typed("purchase", "purchase_id"),
+                               batch_format="pyarrow")
+    clicks = ev.map_batches(typed("click", "click_id"),
+                            batch_format="pyarrow")
+    return window_join(purchases, clicks, key_col="user_id", ts_col="ts",
+                       left_id="purchase_id", right_id="click_id",
+                       before_us=3_600_000_000, after_us=0,
+                       num_buckets=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3336,6 +3363,7 @@ def build_queries():
         "events_transitions": q_events_transitions,
         "events_chi2": q_events_chi2,
         "cdc_incremental_view": q_cdc_incremental_view,
+        "events_attribution": q_events_attribution,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3565,6 +3593,17 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_attribution": """
+            SELECT a.user_id,
+                   a.event_id AS purchase_id,
+                   b.event_id AS click_id,
+                   CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT)
+                       AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+            WHERE a.event_type = 'purchase' AND b.event_type = 'click'
         """,
         # the analytic final live set of the backfill+tail fixture:
         # live = doc_id%7<>0, content = text||':u' iff doc_id%3<>0

@@ -415,3 +415,100 @@ def _hash_join_impl(left_ds, right_ds, *, on, num_buckets, how,
     return both.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def window_join(left_ds, right_ds, *, key_col: str, ts_col: str,
+                left_id: str, right_id: str, before_us: int,
+                after_us: int = 0, num_buckets: int = 32):
+    """Stream-stream windowed equi-join (the click→purchase
+    attribution shape): emit every pair of a left row l and right row
+    r with ``l.key == r.key`` and ``r.ts ∈ [l.ts − before_us,
+    l.ts + after_us]`` (both bounds inclusive — SQL BETWEEN). Returns
+    (key, left_id, right_id, gap_us) with gap_us = l.ts − r.ts.
+
+    Scale shape: ONE key-bucketed shuffle per side co-locates each
+    key; the per-bucket kernel sorts the right side once by
+    (key, ts), finds each left row's window bounds with two
+    vectorized ``np.searchsorted`` calls over an int64
+    (key, ts)-composite encoding (exact — the encoding is guarded
+    against overflow and falls back to per-key-segment searches), and
+    expands pairs with the cumsum/arange range trick — no Python loop
+    over rows or pairs. Output volume is the true join cardinality;
+    as with any window join, a key whose rows all share one window
+    produces quadratic pairs — bound the window, not the operator."""
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            limit_worker_threads()
+            idc = left_id if side == 0 else right_id
+            return pa.table({
+                "k": pc.cast(batch[key_col], pa.int64()),
+                "ts": pc.cast(batch[ts_col], pa.int64()),
+                "rid": pc.cast(batch[idc], pa.int64()),
+                "side": pa.array(
+                    np.full(batch.num_rows, side, np.int8), pa.int8()),
+            })
+        return fn
+
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    both = (left_ds.map_batches(prep(0), batch_format="pyarrow")
+            .union(right_ds.map_batches(prep(1), batch_format="pyarrow")))
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        if "__gb" in t.column_names:
+            t = t.drop_columns(["__gb"])
+        side = np.asarray(t["side"], dtype=np.int8)
+        k = np.asarray(t["k"], dtype=np.int64)
+        ts = np.asarray(t["ts"], dtype=np.int64)
+        rid = np.asarray(t["rid"], dtype=np.int64)
+        L, R = side == 0, side == 1
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          left_id: pa.array([], pa.int64()),
+                          right_id: pa.array([], pa.int64()),
+                          "gap_us": pa.array([], pa.int64())})
+        if not (L.any() and R.any()):
+            return empty
+        rk, rts, rrid = k[R], ts[R], rid[R]
+        order = np.lexsort((rts, rk))
+        rk, rts, rrid = rk[order], rts[order], rrid[order]
+        lk, lts, lrid = k[L], ts[L], rid[L]
+
+        tmin = int(min(rts.min(), lts.min()))
+        span = int(max(rts.max(), lts.max())) - tmin + before_us + after_us + 2
+        kmax = int(max(rk.max(), lk.max()))
+        if kmax < (1 << 62) // span:
+            enc_r = rk * span + (rts - tmin)
+            lo = np.searchsorted(enc_r,
+                                 lk * span + (lts - tmin - before_us),
+                                 side="left")
+            hi = np.searchsorted(enc_r,
+                                 lk * span + (lts - tmin + after_us),
+                                 side="right")
+        else:  # composite would overflow int64: per-key-segment bounds
+            seg_lo = np.searchsorted(rk, lk, side="left")
+            seg_hi = np.searchsorted(rk, lk, side="right")
+            lo = np.empty(len(lk), np.int64)
+            hi = np.empty(len(lk), np.int64)
+            for i in range(len(lk)):
+                s, e = seg_lo[i], seg_hi[i]
+                lo[i] = s + np.searchsorted(rts[s:e], lts[i] - before_us,
+                                            side="left")
+                hi[i] = s + np.searchsorted(rts[s:e], lts[i] + after_us,
+                                            side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        l_rep = np.repeat(np.arange(len(lk)), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        r_idx = (np.arange(total) - np.repeat(offs[:-1], counts)
+                 + np.repeat(lo, counts))
+        return pa.table({
+            key_col: pa.array(lk[l_rep], pa.int64()),
+            left_id: pa.array(lrid[l_rep], pa.int64()),
+            right_id: pa.array(rrid[r_idx], pa.int64()),
+            "gap_us": pa.array(lts[l_rep] - rts[r_idx], pa.int64())})
+
+    return key_bucketed(both, ["k"], num_buckets).map_groups(
+        bucket_kernel, batch_format="pyarrow")

@@ -130,3 +130,74 @@ def test_semi_anti_join_matches_pandas(how, hot):
     pd.testing.assert_frame_equal(key(out), key(want))
     # a left row with N matches is emitted exactly once
     assert len(out) == len(want)
+
+
+def test_window_join_matches_pandas_reference_and_bounds_inclusive():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.stages.join import window_join
+
+    rng = np.random.default_rng(13)
+    n = 800
+    mk = lambda ids: pa.table({
+        "user_id": pa.array(rng.integers(0, 30, len(ids)).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10_000, len(ids)).astype(np.int64)),
+        "rid": pa.array(np.asarray(ids, dtype=np.int64))})
+    lt = mk(np.arange(n))
+    rt = mk(np.arange(n, 2 * n))
+    lts = ray.data.from_arrow(lt.rename_columns(
+        ["user_id", "ts", "purchase_id"])).repartition(5)
+    rts = ray.data.from_arrow(rt.rename_columns(
+        ["user_id", "ts", "click_id"])).repartition(4)
+    out = window_join(lts, rts, key_col="user_id", ts_col="ts",
+                      left_id="purchase_id", right_id="click_id",
+                      before_us=500, after_us=100,
+                      num_buckets=4).to_pandas()
+    ldf = lt.to_pandas().rename(columns={"rid": "pid"})
+    rdf = rt.to_pandas().rename(columns={"rid": "cid"})
+    ref = ldf.merge(rdf, on="user_id", suffixes=("_l", "_r"))
+    ref = ref[(ref.ts_r >= ref.ts_l - 500) & (ref.ts_r <= ref.ts_l + 100)]
+    want = set(zip(ref.pid, ref.cid))
+    got = set(zip(out.purchase_id, out.click_id))
+    assert got == want and len(out) == len(ref)
+    # gap sign: positive when the right event precedes the left
+    m = out.merge(ldf, left_on="purchase_id", right_on="pid").merge(
+        rdf, left_on="click_id", right_on="cid")
+    assert (m.gap_us == m.ts_x - m.ts_y).all()
+    # inclusive boundaries: pairs exactly at -500 and +100 exist in ref
+    edges = ref[(ref.ts_r == ref.ts_l - 500) | (ref.ts_r == ref.ts_l + 100)]
+    assert len(edges) == 0 or set(zip(edges.pid, edges.cid)) <= got
+
+
+def test_window_join_overflow_fallback_matches_fast_path():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.stages.join import window_join
+
+    rng = np.random.default_rng(29)
+
+    def build(kvals):
+        n = 300
+        return pa.table({
+            "k": pa.array(kvals[rng.integers(0, len(kvals), n)], pa.int64()),
+            "ts": pa.array(rng.integers(0, 5_000, n).astype(np.int64)),
+            "i": pa.array(np.arange(n, dtype=np.int64))})
+
+    small = np.array([1, 2, 3], dtype=np.int64)
+    huge = np.array([1, 2, (1 << 61)], dtype=np.int64)  # forces fallback
+    for keys in (small, huge):
+        lt, rt = build(keys), build(keys)
+        out = window_join(
+            ray.data.from_arrow(lt.rename_columns(["k", "ts", "lid"])),
+            ray.data.from_arrow(rt.rename_columns(["k", "ts", "rid2"])),
+            key_col="k", ts_col="ts", left_id="lid", right_id="rid2",
+            before_us=200, after_us=0, num_buckets=2).to_pandas()
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        ref = ldf.merge(rdf, on="k", suffixes=("_l", "_r"))
+        ref = ref[(ref.ts_r >= ref.ts_l - 200) & (ref.ts_r <= ref.ts_l)]
+        assert set(zip(out.lid, out.rid2)) == set(zip(ref.i_l, ref.i_r))
