@@ -3337,6 +3337,26 @@ def q_events_attribution(sf_dir: str):
                        num_buckets=_gate_buckets())
 
 
+def q_events_except_all_views(sf_dir: str):
+    """Bag-semantics EXCEPT ALL (functions/setops.py::set_op_all): one
+    row per SURPLUS view — a user with 5 views and 2 clicks appears 3
+    times. Batch-local key counts bound the one exchange at
+    distinct-keys-per-block; multiplicities replicate via np.repeat."""
+    from kafka_connect_mongo_ray.functions.setops import set_op_all
+
+    def typed(tp):
+        def fn(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t["event_type"], tp))
+                    .select(["user_id"]))
+        return fn
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    views = ev.map_batches(typed("view"), batch_format="pyarrow")
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow")
+    return set_op_all(views, clicks, on=["user_id"], op="except_all",
+                      num_buckets=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3364,6 +3384,7 @@ def build_queries():
         "events_chi2": q_events_chi2,
         "cdc_incremental_view": q_cdc_incremental_view,
         "events_attribution": q_events_attribution,
+        "events_except_all_views": q_events_except_all_views,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3593,6 +3614,11 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_except_all_views": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'click'
         """,
         "events_attribution": """
             SELECT a.user_id,

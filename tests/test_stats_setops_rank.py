@@ -94,3 +94,34 @@ def test_set_op_distinct_matches_sql_with_nulls():
                      .to_pandas()["k"].fillna("<null>"))
         want = sorted(con.sql(sql).df()["k"].fillna("<null>"))
         assert got == want, (op, got, want)
+
+
+def test_set_op_all_bag_semantics_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.functions.setops import set_op_all
+
+    rng = np.random.default_rng(17)
+    a = pa.table({"k": pa.array(rng.integers(0, 12, 400).astype(np.int64))})
+    b = pa.table({"k": pa.array(rng.integers(0, 12, 300).astype(np.int64))})
+    for op, sql in [("except_all", "EXCEPT ALL"),
+                    ("intersect_all", "INTERSECT ALL")]:
+        out = set_op_all(ray.data.from_arrow(a).repartition(5),
+                         ray.data.from_arrow(b).repartition(4),
+                         on=["k"], op=op, num_buckets=3).to_pandas()
+        want = duckdb.sql(
+            f"SELECT k FROM a {sql} SELECT k FROM b").df()
+        assert sorted(out.k) == sorted(want.k)
+    # NULL keys participate as their own key (set-op semantics)
+    an = pa.table({"k": pa.array([1, None, None], pa.int64())})
+    bn = pa.table({"k": pa.array([None], pa.int64())})
+    t = pa.concat_tables(list(
+        set_op_all(ray.data.from_arrow(an), ray.data.from_arrow(bn),
+                   on=["k"], op="except_all",
+                   num_buckets=2).iter_batches(batch_size=None,
+                                               batch_format="pyarrow")))
+    got = sorted(t["k"].to_pylist(), key=lambda v: (v is None, v or 0))
+    assert got == [1, None]
