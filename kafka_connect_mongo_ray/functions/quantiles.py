@@ -667,3 +667,44 @@ def winsorized_sum(ds, group_col: str, col: str, *, lo_q: float = 0.05,
 
     return counts.groupby(group_col).map_groups(pick,
                                                 batch_format="pyarrow")
+
+
+def balanced_sample_by_md5(ds, id_col: str, group_col: str, *, k: int,
+                           num_partitions: int | None = None):
+    """Per-group FIXED-SIZE deterministic sample: exactly min(k, group
+    size) rows per group, chosen by ascending md5(str(id)) — SQL's
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5(id),
+    id) <= k``. The balanced-dataset construction primitive
+    (:func:`stratified_sample_by_md5` keeps a FRACTION; this keeps a
+    COUNT).
+
+    Scale shape: selection by md5-priority is associative, so each
+    batch first reduces locally to its own per-group top-k (≤ groups ×
+    k rows leave every block) and ONE group-bucketed exchange merges
+    with the same kernel — the group's full row set never gathers."""
+    import pandas as pd
+
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def topk_per_group(t: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        if "__gb" in t.column_names:
+            t = t.drop_columns(["__gb"])
+        if "__md5" not in t.column_names:
+            ids = t[id_col].to_pylist()
+            t = t.append_column(
+                "__md5", pa.array([md5_hex(i) for i in ids], pa.string()))
+        df = pd.DataFrame({
+            "g": np.asarray(t[group_col]).astype(object),
+            "h": np.asarray(t["__md5"]).astype(object),
+            "i": np.arange(t.num_rows)})
+        df = df.sort_values(["g", "h", "i"], kind="mergesort")
+        keep_idx = df[df.groupby("g", dropna=False).cumcount() < k]["i"]
+        return t.take(pa.array(np.sort(keep_idx.to_numpy()), pa.int64()))
+
+    cand = ds.map_batches(topk_per_group, batch_format="pyarrow")
+    merged = key_bucketed(cand, [group_col],
+                          num_partitions or 32).map_groups(
+        topk_per_group, batch_format="pyarrow")
+    return merged.map_batches(lambda t: t.drop_columns(["__md5"]),
+                              batch_format="pyarrow")

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 __all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
            "dense_rank", "group_percent_rank", "rank_with_ties",
-           "group_string_agg", "funnel_counts"]
+           "group_string_agg", "funnel_counts", "throttle"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
@@ -521,3 +521,40 @@ def dense_rank(ds, *, order_col: str, rank_col: str = "dr",
             .groupby("__rbucket",
                      num_partitions=min(num_buckets, max(len(counts), 1)))
             .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+def throttle(ds, *, keys: list[str], order_cols: list[str], ts_col: str,
+             min_gap_us: int, num_partitions: int | None = None):
+    """Time-based throttle (rate-limit dedup): drop a row if the
+    PREVIOUS row of its key group (under ``order_cols``) is within
+    ``min_gap_us`` — SQL ``LAG(ts) OVER (PARTITION BY keys ORDER BY
+    ...)`` with ``d IS NULL OR d > min_gap_us``. Suppression is
+    relative to the previous EVENT (not the previous kept event), so
+    the predicate is windowless and exactly SQL-mirrorable; true
+    debounce-to-last-kept is a sequential scan by design and
+    deliberately not this operator.
+
+    Same scale shape as the window family: one key-bucketed shuffle,
+    key-sorted segment arithmetic per bucket."""
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if "__gb" in g.column_names:
+            g = g.drop_columns(["__gb"])
+        t = g.sort_by([(c, "ascending") for c in keys]
+                      + [(c, "ascending") for c in order_cols])
+        ts = np.asarray(t[ts_col], dtype=np.int64)
+        n = len(ts)
+        if n == 0:
+            return t
+        same = np.ones(n - 1, dtype=bool)
+        for c in keys:
+            k = np.asarray(t[c])
+            same &= k[1:] == k[:-1]
+        delta = ts[1:] - ts[:-1]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~same | (delta > min_gap_us)
+        return t.filter(pa.array(keep))
+
+    return key_bucketed(ds, keys, num_partitions or 32).map_groups(
+        per_bucket, batch_format="pyarrow")

@@ -3357,6 +3357,46 @@ def q_events_except_all_views(sf_dir: str):
                       num_buckets=_gate_buckets())
 
 
+def q_docs_balanced_sample(sf_dir: str):
+    """Per-source FIXED-SIZE balanced sample (functions/quantiles.py::
+    balanced_sample_by_md5): exactly min(50, group size) docs per
+    source by ascending md5(doc_id) — QUALIFY ROW_NUMBER() <= k over a
+    deterministic hash order. Associative per-batch top-k bounds every
+    block's output at groups×k rows; one group-bucketed merge."""
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        balanced_sample_by_md5,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = balanced_sample_by_md5(docs, "doc_id", "source", k=50,
+                                 num_partitions=_gate_buckets())
+    return out.select_columns(["doc_id", "source"])
+
+
+def q_events_throttle(sf_dir: str):
+    """Rate-limit throttle (functions/ranking.py::throttle): drop an
+    event when the same (user, type) fired within the previous minute
+    — LAG-based, windowless, exactly SQL-mirrorable. One key-bucketed
+    shuffle + segment arithmetic."""
+    from kafka_connect_mongo_ray.functions.ranking import throttle
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_id": t["event_id"]})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts",
+                        "event_id"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = throttle(ds, keys=["user_id", "event_type"],
+                   order_cols=["ts_us", "event_id"], ts_col="ts_us",
+                   min_gap_us=60_000_000,
+                   num_partitions=_gate_buckets())
+    return out.select_columns(["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3385,6 +3425,8 @@ def build_queries():
         "cdc_incremental_view": q_cdc_incremental_view,
         "events_attribution": q_events_attribution,
         "events_except_all_views": q_events_except_all_views,
+        "docs_balanced_sample": q_docs_balanced_sample,
+        "events_throttle": q_events_throttle,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3614,6 +3656,21 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "docs_balanced_sample": """
+            SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 50
+        """,
+        "events_throttle": """
+            SELECT event_id FROM (
+                SELECT event_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS d
+                FROM events)
+            WHERE d IS NULL OR d > 60000000
         """,
         "events_except_all_views": """
             SELECT user_id FROM events WHERE event_type = 'view'

@@ -263,3 +263,39 @@ def test_grouped_mad_2pass_matches_one_pass():
     c = lambda d: d.sort_values("g").reset_index(drop=True)
     pd.testing.assert_frame_equal(c(a), c(b)[c(a).columns],
                                   check_dtype=False)
+
+
+def test_balanced_sample_exact_k_per_group_and_deterministic():
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        balanced_sample_by_md5,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 600
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array([f"s{int(x)}" for x in rng.integers(0, 5, n)],
+                      pa.string())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = balanced_sample_by_md5(ds, "id", "g", k=20,
+                                 num_partitions=4).to_pandas()
+    df = pd.DataFrame({"id": np.asarray(t["id"]),
+                       "g": np.asarray(t["g"]).astype(object)})
+    df["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in df.id]
+    want = (df.sort_values(["g", "h", "id"])
+            .groupby("g").head(20))
+    assert sorted(out.id) == sorted(want.id)
+    assert (out.groupby("g").size() == 20).all()
+    # groups smaller than k keep everything
+    small = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "g": pa.array(["only", "only"], pa.string())})
+    out2 = balanced_sample_by_md5(ray.data.from_arrow(small), "id", "g",
+                                  k=20, num_partitions=2).to_pandas()
+    assert sorted(out2.id) == [1, 2]

@@ -201,3 +201,37 @@ def test_window_join_overflow_fallback_matches_fast_path():
         ref = ldf.merge(rdf, on="k", suffixes=("_l", "_r"))
         ref = ref[(ref.ts_r >= ref.ts_l - 200) & (ref.ts_r <= ref.ts_l)]
         assert set(zip(out.lid, out.rid2)) == set(zip(ref.i_l, ref.i_r))
+
+
+def test_throttle_matches_lag_reference():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.functions.ranking import throttle
+
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        "ty": pa.array([f"t{int(x)}" for x in rng.integers(0, 3, n)],
+                       pa.string()),
+        "ts": pa.array(rng.integers(0, 2_000, n).astype(np.int64)),
+        "i": pa.array(np.arange(n, dtype=np.int64))})
+    out = throttle(ray.data.from_arrow(t).repartition(6),
+                   keys=["u", "ty"], order_cols=["ts", "i"], ts_col="ts",
+                   min_gap_us=100, num_partitions=4).to_pandas()
+    df = t.to_pandas().sort_values(["u", "ty", "ts", "i"])
+    d = df.groupby(["u", "ty"]).ts.diff()
+    want = df[d.isna() | (d > 100)]
+    assert sorted(out.i) == sorted(want.i)
+    # boundary: exactly min_gap apart is SUPPRESSED (strict >)
+    edge = pa.table({"u": pa.array([1, 1], pa.int64()),
+                     "ty": pa.array(["a", "a"], pa.string()),
+                     "ts": pa.array([0, 100], pa.int64()),
+                     "i": pa.array([0, 1], pa.int64())})
+    out2 = throttle(ray.data.from_arrow(edge), keys=["u", "ty"],
+                    order_cols=["ts", "i"], ts_col="ts",
+                    min_gap_us=100, num_partitions=2).to_pandas()
+    assert sorted(out2.i) == [0]
