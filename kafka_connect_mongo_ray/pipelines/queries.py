@@ -3397,6 +3397,53 @@ def q_events_throttle(sf_dir: str):
     return out.select_columns(["event_id"])
 
 
+def q_lineitem_profile(sf_dir: str):
+    """Data profiling (ANALYZE TABLE shape): one streaming pass emits
+    per-column {n, n_null, min, max} partials — trivially mergeable —
+    and a domain-sized final reduce. Numeric columns of lineitem;
+    min/max as float64 (selection-only, bit-exact)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"column": [], "n": [], "n_null": [], "min_v": [],
+               "max_v": []}
+        for c in cols:
+            a = t[c]
+            out["column"].append(c)
+            out["n"].append(len(a))
+            out["n_null"].append(a.null_count)
+            valid = pc.drop_null(a)
+            out["min_v"].append(
+                float(pc.min(valid).as_py()) if len(valid) else None)
+            out["max_v"].append(
+                float(pc.max(valid).as_py()) if len(valid) else None)
+        return pa.table({
+            "column": pa.array(out["column"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.float64()),
+            "max_v": pa.array(out["max_v"], pa.float64())})
+
+    prof = (_read(sf_dir, "lineitem", columns=cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("column", num_partitions=4)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_null", alias_name="n_null"),
+                       Min("min_v", alias_name="min_v"),
+                       Max("max_v", alias_name="max_v")))
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({"column": pc.cast(t["column"], pa.string()),
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "n_null": pc.cast(t["n_null"], pa.int64()),
+                         "min_v": pc.cast(t["min_v"], pa.float64()),
+                         "max_v": pc.cast(t["max_v"], pa.float64())})
+
+    return prof.map_batches(conform, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3427,6 +3474,7 @@ def build_queries():
         "events_except_all_views": q_events_except_all_views,
         "docs_balanced_sample": q_docs_balanced_sample,
         "events_throttle": q_events_throttle,
+        "lineitem_profile": q_lineitem_profile,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3656,6 +3704,27 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "lineitem_profile": """
+            SELECT c AS "column", n, n_null, min_v, max_v FROM (
+                SELECT 'l_quantity' AS c, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT)
+                           AS n_null,
+                       CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+                       CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                       CAST(MIN(l_extendedprice) AS DOUBLE),
+                       CAST(MAX(l_extendedprice) AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+                       CAST(MIN(l_discount) AS DOUBLE),
+                       CAST(MAX(l_discount) AS DOUBLE)
+                FROM lineitem)
         """,
         "docs_balanced_sample": """
             SELECT doc_id, source FROM documents
