@@ -253,6 +253,29 @@ def ivm(args) -> int:
     return 0
 
 
+def compact(args) -> int:
+    """Rewrite fragmented multi-file buckets as one file each in a new
+    COW version (state/snapshot.py::run_compaction); untouched buckets
+    carry forward byte-free and resume tokens are preserved."""
+    import ray
+    from ray.data import DataContext
+
+    from kafka_connect_mongo_ray.state.snapshot import run_compaction
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        started = True
+    DataContext.get_current().enable_progress_bars = False
+    print(json.dumps(run_compaction(args.snapshot,
+                                    min_files=args.min_files),
+                     sort_keys=True))
+    if started:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -287,6 +310,9 @@ def main(argv=None) -> int:
     iv = sub.add_parser("ivm")
     iv.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     iv.add_argument("--state", required=True)
+    cp = sub.add_parser("compact")
+    cp.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    cp.add_argument("--min-files", type=int, default=2, dest="min_files")
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -305,6 +331,8 @@ def main(argv=None) -> int:
         return list_queries(args)
     if args.cmd == "ivm":
         return ivm(args)
+    if args.cmd == "compact":
+        return compact(args)
     p.print_help()
     return 0
 

@@ -295,3 +295,57 @@ class SnapshotStore:
         atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
         atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": new_version})
         return manifest
+
+
+def run_compaction(snapshot_dir: str, *, min_files: int = 2,
+                   nonce: str | None = None) -> dict:
+    """Compact fragmented buckets: every bucket whose current version
+    holds ≥ ``min_files`` part files is rewritten as ONE file and
+    committed as a new version; single-file buckets are COW
+    carry-forwards (zero bytes touched — same contract as the apply
+    path). Rows are unchanged — part files are ordered slices of the
+    canonically sorted bucket state, so concatenation preserves the
+    byte-stable order — and the new manifest carries the previous
+    version's resume tokens verbatim, so an interrupted compaction is
+    simply re-run (the OCC commit refuses a racing writer).
+
+    Distributed one task per fragmented bucket (the diff.py pattern);
+    the driver sees only the bucket list and the commit."""
+    import ray.data as rd
+
+    store = SnapshotStore(snapshot_dir, create=False)
+    v = store.current_version()
+    m = store.manifest(v)
+    if not m:
+        return {"version": v, "compacted": 0, "new_version": v}
+    frag = sorted(int(b) for b, rels in m["buckets"].items()
+                  if not isinstance(rels, str) and len(rels) >= min_files)
+    if not frag:
+        return {"version": v, "compacted": 0, "new_version": v}
+    new_v = v + 1
+    store.clean_staging(new_v, nonce)
+
+    root = snapshot_dir
+
+    def compact_task(batch):
+        import pyarrow as _pa
+
+        st = SnapshotStore(root, create=False)
+        out_files, out_b = [], []
+        for b in batch["bucket"].to_pylist():
+            t = st.read_bucket(v, int(b))
+            rel = st.write_bucket_staging(new_v, int(b), t, nonce=nonce)
+            out_b.append(int(b))
+            out_files.append(rel)
+        return _pa.table({"bucket": _pa.array(out_b, _pa.int64()),
+                          "files": _pa.array(out_files, _pa.string())})
+
+    res = (rd.from_items([{"bucket": b} for b in frag])
+           .map_batches(compact_task, batch_size=1,
+                        batch_format="pyarrow").take_all())
+    expected = [p for r in res for p in r["files"].split(",")]
+    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
+                 union_schema=(m.get("union_schema")), nonce=nonce,
+                 expected_files=expected)
+    return {"version": v, "new_version": new_v, "compacted": len(frag),
+            "buckets": frag}

@@ -175,3 +175,40 @@ def test_concurrent_commit_refused(tmp_engine_dirs, monkeypatch):
     # retry: plans against the interloper's v1, commits v2 cleanly
     s = run_replay(ds_from_table(ev), cfg)
     assert s["version"] == 2
+
+
+def test_compaction_rewrites_fragmented_buckets_state_identical(tmp_path):
+    """run_compaction collapses multi-file buckets into one file in a
+    new COW version: state bytes identical, tokens carried verbatim,
+    single-file buckets untouched (path equality), idempotent no-op
+    when nothing is fragmented."""
+    ev = fixture_events()
+    cfg = EngineConfig(
+        snapshot_dir=str(tmp_path / "s"),
+        checkpoint_dir=str(tmp_path / "c"),
+        num_buckets=4,
+        snapshot_rows_per_file=3,
+    )
+    run_replay(ds_from_table(ev), cfg)
+    from kafka_connect_mongo_ray.state.snapshot import (
+        SnapshotStore,
+        run_compaction,
+    )
+
+    store = SnapshotStore(cfg.snapshot_dir)
+    before = engine_sha_map(final_state_dataset(cfg))
+    m1 = store.manifest(1)
+    frag = [b for b, f in m1["buckets"].items()
+            if not isinstance(f, str) and len(f) > 1]
+    assert frag
+    out = run_compaction(cfg.snapshot_dir)
+    assert out["new_version"] == 2 and out["compacted"] == len(frag)
+    m2 = store.manifest(2)
+    for b in frag:
+        assert len(m2["buckets"][b]) == 1
+    # state and tokens identical
+    assert engine_sha_map(final_state_dataset(cfg, version=2)) == before
+    assert store.tokens(2) == store.tokens(1)
+    # second run: nothing fragmented -> no new version
+    again = run_compaction(cfg.snapshot_dir)
+    assert again["compacted"] == 0 and store.current_version() == 2
