@@ -3444,6 +3444,39 @@ def q_lineitem_profile(sf_dir: str):
     return prof.map_batches(conform, batch_format="pyarrow")
 
 
+def q_cdc_time_travel(sf_dir: str):
+    """Explicit time-travel read: after the backfill (v1) AND tail
+    (v2) commits, read version 1 AS OF — the pre-tail state, every doc
+    at its original text, tombstones-to-come still live. The COW
+    manifest makes the old version a first-class read
+    (pipelines/cdc.py::final_state_dataset(version=)); the oracle is
+    the analytic backfill state."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import (
+        final_state_dataset,
+        run_replay,
+    )
+
+    root = f"/tmp/kcm_ttq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs.map_batches(_backfill_events, batch_format="pyarrow"),
+               cfg)
+    docs2 = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
+    old = final_state_dataset(cfg, version=1)
+    return old.map_batches(
+        lambda t: t.select(["repo", "path", "content"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3475,6 +3508,7 @@ def build_queries():
         "docs_balanced_sample": q_docs_balanced_sample,
         "events_throttle": q_events_throttle,
         "lineitem_profile": q_lineitem_profile,
+        "cdc_time_travel": q_cdc_time_travel,
         "orders_revenue_top": q_orders_revenue_top,
         "docs_bigram_top": q_docs_bigram_top,
         "docs_contamination": q_docs_contamination,
@@ -3704,6 +3738,13 @@ def build_oracle_sql():
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # the analytic BACKFILL state (v1): every doc live at its
+        # original text — updates and tombstones only land in v2
+        "cdc_time_travel": """
+            SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path,
+                   text AS content
+            FROM documents
         """,
         "lineitem_profile": """
             SELECT c AS "column", n, n_null, min_v, max_v FROM (
