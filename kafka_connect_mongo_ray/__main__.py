@@ -269,7 +269,8 @@ def compact(args) -> int:
         started = True
     DataContext.get_current().enable_progress_bars = False
     print(json.dumps(run_compaction(args.snapshot,
-                                    min_files=args.min_files),
+                                    min_files=args.min_files,
+                                    rows_per_file=args.rows_per_file),
                      sort_keys=True))
     if started:
         ray.shutdown()
@@ -313,6 +314,8 @@ def main(argv=None) -> int:
     cp = sub.add_parser("compact")
     cp.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     cp.add_argument("--min-files", type=int, default=2, dest="min_files")
+    cp.add_argument("--rows-per-file", type=int, default=None,
+                    dest="rows_per_file")
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":

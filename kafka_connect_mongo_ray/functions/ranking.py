@@ -549,8 +549,15 @@ def throttle(ds, *, keys: list[str], order_cols: list[str], ts_col: str,
             return t
         same = np.ones(n - 1, dtype=bool)
         for c in keys:
-            k = np.asarray(t[c])
-            same &= k[1:] == k[:-1]
+            col = t[c].combine_chunks()
+            valid = np.asarray(col.is_valid())
+            k = np.asarray(col.to_pandas())
+            eq = k[1:] == k[:-1]
+            # SQL PARTITION BY groups NULLs into ONE partition: two
+            # nulls are the same key (a raw numpy compare would make
+            # every NULL row its own partition via NaN != NaN)
+            same &= (eq & valid[1:] & valid[:-1]) \
+                | (~valid[1:] & ~valid[:-1])
         delta = ts[1:] - ts[:-1]
         keep = np.ones(n, dtype=bool)
         keep[1:] = ~same | (delta > min_gap_us)

@@ -476,8 +476,12 @@ def window_join(left_ds, right_ds, *, key_col: str, ts_col: str,
 
         tmin = int(min(rts.min(), lts.min()))
         span = int(max(rts.max(), lts.max())) - tmin + before_us + after_us + 2
-        kmax = int(max(rk.max(), lk.max()))
-        if kmax < (1 << 62) // span:
+        # the guard must bound the key MAGNITUDE on both signs: a large
+        # negative key would wrap k*span just as silently as a large
+        # positive one and break enc monotonicity
+        kmag = max(abs(int(rk.min())), abs(int(rk.max())),
+                   abs(int(lk.min())), abs(int(lk.max())))
+        if kmag < (1 << 62) // span:
             enc_r = rk * span + (rts - tmin)
             lo = np.searchsorted(enc_r,
                                  lk * span + (lts - tmin - before_us),

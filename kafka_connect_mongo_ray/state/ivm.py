@@ -221,6 +221,14 @@ class IvmState:
         import pandas as pd
 
         cur = self.read(v_old).to_pandas()
+        want_cols = ["repo", "n_live", *self.metrics]
+        if list(cur.columns) != want_cols:
+            # a silent concat would NaN-fill the difference and sum it
+            # as 0 — wrong totals presented as the full aggregate
+            raise ValueError(
+                f"persisted IVM state columns {list(cur.columns)} do not "
+                f"match configured metrics {want_cols}; open the state "
+                f"with the metric set it was built with")
         dl = delta.to_pandas()
         merged = (pd.concat([cur, dl], ignore_index=True)
                   .groupby("repo", as_index=False).sum())

@@ -298,19 +298,26 @@ class SnapshotStore:
 
 
 def run_compaction(snapshot_dir: str, *, min_files: int = 2,
+                   rows_per_file: int | None = None,
                    nonce: str | None = None) -> dict:
-    """Compact fragmented buckets: every bucket whose current version
-    holds ≥ ``min_files`` part files is rewritten as ONE file and
-    committed as a new version; single-file buckets are COW
-    carry-forwards (zero bytes touched — same contract as the apply
-    path). Rows are unchanged — part files are ordered slices of the
-    canonically sorted bucket state, so concatenation preserves the
-    byte-stable order — and the new manifest carries the previous
-    version's resume tokens verbatim, so an interrupted compaction is
-    simply re-run (the OCC commit refuses a racing writer).
+    """Compact fragmented buckets into the TARGET layout
+    ``rows_per_file`` (pass the deployment's
+    ``EngineConfig.snapshot_rows_per_file``; None ⇒ one file): a
+    bucket is rewritten only when it holds ≥ ``min_files`` part files
+    AND the rewrite would actually reduce its file count — so a bucket
+    already at the configured split is left alone and compaction
+    cannot churn against the apply path's own splitting. Untouched
+    buckets are COW carry-forwards (zero bytes). Rows are unchanged —
+    part files are ordered slices of the canonically sorted bucket
+    state, so concatenation preserves the byte-stable order — and the
+    new manifest carries the previous version's resume tokens
+    verbatim, so an interrupted compaction is simply re-run (the OCC
+    commit refuses a racing writer).
 
     Distributed one task per fragmented bucket (the diff.py pattern);
     the driver sees only the bucket list and the commit."""
+    import math
+
     import ray.data as rd
 
     store = SnapshotStore(snapshot_dir, create=False)
@@ -318,8 +325,17 @@ def run_compaction(snapshot_dir: str, *, min_files: int = 2,
     m = store.manifest(v)
     if not m:
         return {"version": v, "compacted": 0, "new_version": v}
+
+    def target_files(rels: list[str]) -> int:
+        if rows_per_file is None:
+            return 1
+        rows = sum(pq.read_metadata(os.path.join(snapshot_dir, r)).num_rows
+                   for r in rels)
+        return max(1, math.ceil(rows / rows_per_file))
+
     frag = sorted(int(b) for b, rels in m["buckets"].items()
-                  if not isinstance(rels, str) and len(rels) >= min_files)
+                  if not isinstance(rels, str) and len(rels) >= min_files
+                  and target_files(rels) < len(rels))
     if not frag:
         return {"version": v, "compacted": 0, "new_version": v}
     new_v = v + 1
@@ -334,7 +350,9 @@ def run_compaction(snapshot_dir: str, *, min_files: int = 2,
         out_files, out_b = [], []
         for b in batch["bucket"].to_pylist():
             t = st.read_bucket(v, int(b))
-            rel = st.write_bucket_staging(new_v, int(b), t, nonce=nonce)
+            rel = st.write_bucket_staging(new_v, int(b), t,
+                                          rows_per_file=rows_per_file,
+                                          nonce=nonce)
             out_b.append(int(b))
             out_files.append(rel)
         return _pa.table({"bucket": _pa.array(out_b, _pa.int64()),

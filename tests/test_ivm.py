@@ -273,3 +273,30 @@ def test_pluggable_token_metric_matches_reference(tmp_path):
     # live: a="just one" (8 chars, 2 tokens), b="  " (2 chars, 0 tokens)
     assert row == {"repo": "r0", "n_live": 2, "total_chars": 10,
                    "n_tokens": 2}
+
+
+def test_persisted_ivm_refuses_mismatched_metric_sets(tmp_path):
+    import pytest as _pytest
+
+    from kafka_connect_mongo_ray.state.ivm import (
+        METRIC_CHARS,
+        METRIC_TOKENS,
+        IvmState,
+    )
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=2)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="x y", **base)])),
+        cfg)
+    run_replay(_ds(make_events([
+        dict(ts=2, op="i", repo="r0", path="b", content="z", **base)])),
+        cfg)
+    st = IvmState(str(tmp_path / "ivm"))  # default: chars only
+    st.fold_window(cfg.snapshot_dir, 1, num_partitions=2)
+    wide = IvmState(str(tmp_path / "ivm"),
+                    metrics={"total_chars": METRIC_CHARS,
+                             "n_tokens": METRIC_TOKENS})
+    with _pytest.raises(ValueError, match="do not match configured"):
+        wide.fold_window(cfg.snapshot_dir, 2, num_partitions=2)

@@ -235,3 +235,48 @@ def test_throttle_matches_lag_reference():
                     order_cols=["ts", "i"], ts_col="ts",
                     min_gap_us=100, num_partitions=2).to_pandas()
     assert sorted(out2.i) == [0]
+
+
+def test_window_join_negative_key_magnitude_uses_fallback():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.stages.join import window_join
+
+    # a large NEGATIVE key must not slip past the overflow guard: the
+    # composite k*span would wrap and silently corrupt the bounds
+    keys = np.array([5, -(1 << 61)], dtype=np.int64)
+    rng = np.random.default_rng(7)
+    n = 200
+    lt = pa.table({"k": pa.array(keys[rng.integers(0, 2, n)], pa.int64()),
+                   "ts": pa.array(rng.integers(0, 3_000, n).astype(np.int64)),
+                   "lid": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(keys[rng.integers(0, 2, n)], pa.int64()),
+                   "ts": pa.array(rng.integers(0, 3_000, n).astype(np.int64)),
+                   "rid2": pa.array(np.arange(n, dtype=np.int64))})
+    out = window_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                      key_col="k", ts_col="ts", left_id="lid",
+                      right_id="rid2", before_us=150, after_us=0,
+                      num_buckets=2).to_pandas()
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    ref = ldf.merge(rdf, on="k", suffixes=("_l", "_r"))
+    ref = ref[(ref.ts_r >= ref.ts_l - 150) & (ref.ts_r <= ref.ts_l)]
+    assert set(zip(out.lid, out.rid2)) == set(zip(ref.lid, ref.rid2))
+
+
+def test_throttle_null_keys_share_one_partition():
+    import pyarrow as pa
+    import ray
+
+    from kafka_connect_mongo_ray.functions.ranking import throttle
+
+    t = pa.table({"k": pa.array([None, None, 1, 1], pa.int64()),
+                  "ts": pa.array([0, 10, 0, 10], pa.int64()),
+                  "i": pa.array([0, 1, 2, 3], pa.int64())})
+    out = throttle(ray.data.from_arrow(t), keys=["k"],
+                   order_cols=["ts", "i"], ts_col="ts",
+                   min_gap_us=100, num_partitions=2).to_pandas()
+    # SQL LAG PARTITION BY k groups NULLs together: the second null-key
+    # row (10us later) is suppressed exactly like the int-key pair
+    assert sorted(out.i) == [0, 2]

@@ -212,3 +212,38 @@ def test_compaction_rewrites_fragmented_buckets_state_identical(tmp_path):
     # second run: nothing fragmented -> no new version
     again = run_compaction(cfg.snapshot_dir)
     assert again["compacted"] == 0 and store.current_version() == 2
+
+
+def test_compaction_respects_target_rows_per_file(tmp_path):
+    """A bucket already at the configured split is NOT fragmentation;
+    a rewrite honors the target split instead of one giant file."""
+    ev = fixture_events()
+    cfg = EngineConfig(
+        snapshot_dir=str(tmp_path / "s"),
+        checkpoint_dir=str(tmp_path / "c"),
+        num_buckets=4,
+        snapshot_rows_per_file=3,
+    )
+    run_replay(ds_from_table(ev), cfg)
+    from kafka_connect_mongo_ray.state.snapshot import (
+        SnapshotStore,
+        run_compaction,
+    )
+
+    store = SnapshotStore(cfg.snapshot_dir)
+    # target == the config's own split: nothing qualifies, no churn
+    out = run_compaction(cfg.snapshot_dir, rows_per_file=3)
+    assert out["compacted"] == 0 and store.current_version() == 1
+    # a coarser target (6 rows/file) halves the file count per bucket
+    out = run_compaction(cfg.snapshot_dir, rows_per_file=6)
+    assert out["compacted"] >= 1 and store.current_version() == 2
+    import math
+
+    import pyarrow.parquet as pq
+    m2 = store.manifest(2)
+    import os as _os
+    for b, rels in m2["buckets"].items():
+        rels = [rels] if isinstance(rels, str) else rels
+        rows = sum(pq.read_metadata(
+            _os.path.join(cfg.snapshot_dir, r)).num_rows for r in rels)
+        assert len(rels) <= max(1, math.ceil(rows / 3))  # never denser
