@@ -277,6 +277,31 @@ def compact(args) -> int:
     return 0
 
 
+def get_cmd(args) -> int:
+    """Point reads from the snapshot store: O(touched buckets), never
+    a scan (pipelines/cdc.py::point_lookup). --key is repeatable as
+    repo/path; --buckets must match the store's replay bucket count
+    (the hash rule)."""
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import point_lookup
+
+    for k in args.key:
+        if not k.partition("/")[2]:
+            print(json.dumps({"error": f"--key must be repo/path, got {k!r}"}))
+            return 1
+    keys = [tuple(k.partition("/")[::2]) for k in args.key]
+    cfg = EngineConfig(snapshot_dir=args.snapshot,
+                       checkpoint_dir=args.snapshot + "/../checkpoints",
+                       num_buckets=args.buckets)
+    t = point_lookup(cfg, keys)
+    rows = [] if t is None else [
+        {k: (str(v) if v is not None else None) for k, v in r.items()}
+        for r in t.to_pylist()]
+    print(json.dumps({"requested": len(keys), "found": len(rows),
+                      "rows": rows}, sort_keys=True))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -316,6 +341,11 @@ def main(argv=None) -> int:
     cp.add_argument("--min-files", type=int, default=2, dest="min_files")
     cp.add_argument("--rows-per-file", type=int, default=None,
                     dest="rows_per_file")
+    gt = sub.add_parser("get")
+    gt.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    gt.add_argument("--buckets", type=int, required=True)
+    gt.add_argument("--key", action="append", required=True,
+                    help="repo/path (repeatable)")
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -336,6 +366,8 @@ def main(argv=None) -> int:
         return ivm(args)
     if args.cmd == "compact":
         return compact(args)
+    if args.cmd == "get":
+        return get_cmd(args)
     p.print_help()
     return 0
 

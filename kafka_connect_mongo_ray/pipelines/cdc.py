@@ -936,3 +936,52 @@ def replay_collect(events_ds, num_buckets: int = 64, batch_size: int | None = No
     # large blocks and the merge stage loses its parallelism
     return ds.groupby("bucket", num_partitions=num_buckets).map_groups(
         fn, batch_format="pyarrow")
+
+
+def point_lookup(cfg: EngineConfig, keys: list[tuple[str, str]],
+                 version: int | None = None) -> "pa.Table":
+    """Serve point reads from the Parquet store in O(touched buckets):
+    each (repo, path) key hashes to exactly one bucket (the same
+    ``hash_buckets`` rule the apply shuffle uses), so only those
+    bucket files are opened — never a table scan. Tombstoned and
+    absent keys simply return no row (the sink-DB GET semantics the
+    reference's downstream store serves). Driver-side by design: the
+    result is ≤ len(keys) rows and the touched file set is
+    len(distinct buckets)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+    from kafka_connect_mongo_ray.utils import hash_buckets
+
+    store = SnapshotStore(cfg.snapshot_dir, create=False)
+    v = store.current_version() if version is None else version
+    key_t = pa.table({
+        "repo": pa.array([k[0] for k in keys], pa.string()),
+        "path": pa.array([k[1] for k in keys], pa.string())})
+    if key_t.num_rows == 0 or store.manifest(v) is None:
+        return None
+    buckets = hash_buckets(key_t, ["repo", "path"], cfg.num_buckets)
+    out = []
+    for b in sorted(set(int(x) for x in buckets)):
+        t = store.read_bucket(v, b)
+        if t is None:
+            continue
+        want = key_t.filter(pa.array(buckets == b))
+        from kafka_connect_mongo_ray.utils import key_strings
+
+        member = pc.is_in(key_strings(t, ["repo", "path"]),
+                          value_set=key_strings(want, ["repo", "path"]))
+        hit = t.filter(member)
+        # live rows only: tombstones answer "absent"
+        hit = hit.filter(pc.is_valid(hit["content"]))
+        if hit.num_rows:
+            # canonical columns only: buckets may carry independently
+            # evolved payload columns; a GET answers with the stable
+            # core schema
+            from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
+
+            out.append(hit.select(SNAPSHOT_SCHEMA.names))
+    if not out:
+        return None
+    return pa.concat_tables(out)

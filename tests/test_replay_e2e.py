@@ -235,3 +235,41 @@ def test_run_replay_restores_data_context(tmp_path):
         SnapshotStore.commit = orig
     assert (ctx.shuffle_strategy, ctx.op_resource_reservation_enabled,
             ctx.op_resource_reservation_ratio) == before
+
+
+def test_point_lookup_reads_only_touched_buckets(tmp_path, monkeypatch):
+    """GET semantics over the Parquet store: present keys return their
+    live row, tombstoned and absent keys return nothing, and only the
+    buckets the keys hash to are opened (file-read accounting)."""
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import point_lookup, run_replay
+    from kafka_connect_mongo_ray.state import snapshot as snap_mod
+    from kafka_connect_mongo_ray.utils import hash_buckets
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=8)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    rows = [dict(ts=1, op="i", repo="r0", path=f"p{i}",
+                 content=f"c{i}", **base) for i in range(40)]
+    rows.append(dict(ts=2, op="d", repo="r0", path="p7", content=None,
+                     **base))
+    from tests.test_oracle_and_gen import make_events
+
+    run_replay(ds_from_table(make_events(rows)), cfg)
+
+    opened = []
+    real = snap_mod.SnapshotStore.read_bucket
+
+    def counting(self, version, bucket):
+        opened.append(int(bucket))
+        return real(self, version, bucket)
+
+    monkeypatch.setattr(snap_mod.SnapshotStore, "read_bucket", counting)
+    keys = [("r0", "p3"), ("r0", "p7"), ("r0", "nope")]
+    t = point_lookup(cfg, keys)
+    got = {r["path"]: r["content"] for r in t.to_pylist()}
+    assert got == {"p3": "c3"}  # p7 tombstoned, nope absent
+    kt = pa.table({"repo": pa.array([k[0] for k in keys]),
+                   "path": pa.array([k[1] for k in keys])})
+    expect = set(int(b) for b in hash_buckets(kt, ["repo", "path"], 8))
+    assert set(opened) <= expect and len(opened) <= len(expect)
