@@ -60,6 +60,11 @@ class EngineConfig:
     # of actor-arrival-order-dependent ones. "actors": the autoscaling
     # pool, for when a cross-batch schema memo matters more than ramp.
     analyze_mode: str = "tasks"
+    # Dead-letter sink for analyzed mode: when set, malformed payload
+    # rows are ALSO written raw (key cols + offending text) as small
+    # per-batch parquet files under this dir — a diagnostic side
+    # channel; the main path's skip/substitute semantics are unchanged.
+    quarantine_dir: str | None = None
     # Coalesce pre-reduced blocks and run a second partial-LWW combine
     # before the global shuffle — cuts shuffle volume ~keys/blocks-fold
     # on high-dup / hot-key streams. int = explicit block count (size so

@@ -163,7 +163,8 @@ class AnalyzeObjectStage:
     DENSITY_BAIL = 16
 
     def __init__(self, json_col: str = "object", initial_schema: dict | None = None,
-                 arrow_fast_path: bool = True):
+                 arrow_fast_path: bool = True,
+                 quarantine_dir: str | None = None):
         from kafka_connect_mongo_ray.stages.schema_evolve import SchemaAnalyzer
 
         self.json_col = json_col
@@ -172,10 +173,34 @@ class AnalyzeObjectStage:
             initial_schema=initial_schema,
         )
         self.arrow_fast_path = arrow_fast_path
+        self.quarantine_dir = quarantine_dir
         self.fast_batches = 0
         self.slow_batches = 0
         self.split_batches = 0
         self._last_error_row: int | None = None
+
+    def _quarantine(self, batch: pa.Table, rows: list[int]) -> None:
+        """Dead-letter sink: when ``quarantine_dir`` is set, malformed
+        rows are ALSO written raw (key columns + the offending payload
+        text) as one small parquet per dirty batch — append-only,
+        uuid-named, diagnostic-grade at-least-once (a retried batch
+        re-quarantines its rows; consumers dedupe on the key+ts if
+        they must). The substitution semantics of the main path are
+        unchanged — this is a side channel, zero cost on clean
+        batches."""
+        if not self.quarantine_dir or not rows:
+            return
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        keep = [c for c in ("repo", "path", "ts", self.json_col)
+                if c in batch.column_names]
+        t = batch.select(keep).take(pa.array(sorted(rows), pa.int64()))
+        _os.makedirs(self.quarantine_dir, exist_ok=True)
+        _pq.write_table(t, _os.path.join(
+            self.quarantine_dir, f"part-{_uuid.uuid4().hex}.parquet"))
 
     def _capture_error_row(self, exc: Exception) -> None:
         """Remember the 0-based NDJSON line the parser rejected (Arrow
@@ -270,6 +295,7 @@ class AnalyzeObjectStage:
             byte_off[i + 1] = byte_off[i] + len(e) + 1
 
         malformed_found = 0
+        malformed_rows: list[int] = []
         splice_rows: list[int] = []
         patched = 0
         pos, err = 0, self._last_error_row
@@ -285,6 +311,7 @@ class AnalyzeObjectStage:
                 parsed_ok, doc = False, None
             if not parsed_ok:
                 malformed_found += 1  # {} substitution is exact here
+                malformed_rows.append(j)
             elif not isinstance(doc, dict):
                 pass  # non-dict JSON maps to {} WITHOUT a malformed
                 # count on the per-row path — substitution is exact
@@ -318,6 +345,7 @@ class AnalyzeObjectStage:
         if out is None:  # conform rejection on the patched batch
             return None
         self.analyzer.malformed += malformed_found
+        self._quarantine(batch, malformed_rows)
         self.split_batches += 1
         if not splice_rows:
             return [out]
@@ -546,13 +574,15 @@ class AnalyzeObjectStage:
         # running schema in-line — the key-normalized dict is built once
         # per row, not once per (field × row)
         lowered_docs: list[dict] = []
-        for text in docs:
+        bad_rows: list[int] = []
+        for row_i, text in enumerate(docs):
             try:
                 d = _json.loads(text) if text is not None else {}
                 if not isinstance(d, dict):
                     d = {}
             except (ValueError, TypeError):
                 self.analyzer.malformed += 1
+                bad_rows.append(row_i)
                 d = {}
             lowered: dict = {}
             for rk, v in d.items():
@@ -581,6 +611,7 @@ class AnalyzeObjectStage:
                 vals = [v if type(v := d.get(name)) is bool else coerce(v, t)
                         for d in lowered_docs]
             out = out.append_column(name, pa.array(vals, _ARROW[t]))
+        self._quarantine(batch, bad_rows)
         return out
 
 
@@ -678,8 +709,11 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
                 # same finding that made apply_mode="tasks" the default).
                 # A fresh analyzer per batch also makes schema decisions a
                 # function of the BATCH, not of actor arrival order.
+                qdir = cfg.quarantine_dir
+
                 def analyze_batch(batch: pa.Table) -> pa.Table:
-                    return AnalyzeObjectStage(json_col="object")(batch)
+                    return AnalyzeObjectStage(
+                        json_col="object", quarantine_dir=qdir)(batch)
 
                 events_ds = events_ds.map_batches(
                     analyze_batch, batch_format="pyarrow")
@@ -693,7 +727,9 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
                     if _r.is_initialized() else 8
                 events_ds = events_ds.map_batches(
                     AnalyzeObjectStage,
-                    fn_constructor_kwargs={"json_col": "object"},
+                    fn_constructor_kwargs={"json_col": "object",
+                                           "quarantine_dir":
+                                               cfg.quarantine_dir},
                     batch_format="pyarrow",
                     concurrency=(min(4, hi), hi),
                 )

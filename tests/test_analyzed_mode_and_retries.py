@@ -271,3 +271,55 @@ def test_split_retry_dense_dirt_goes_wholesale():
     assert got.equals(want)
     assert fast.analyzer.malformed == slow.analyzer.malformed == 200
     assert fast.slow_batches == 1 and fast.split_batches == 0
+
+
+def test_quarantine_captures_malformed_rows_on_both_paths(tmp_path):
+    """quarantine_dir: malformed payloads land raw in the dead-letter
+    dir on BOTH the split-retry fast path (sparse dirt) and the
+    wholesale Python path (dense dirt); clean batches write nothing;
+    main-path outputs are unchanged."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.pipelines.cdc import AnalyzeObjectStage
+
+    def batch_with_dirt(n, bad_every):
+        obj = [f'{{"name": "r{i}", "size": {i}}}' for i in range(n)]
+        off = bad_every - 100 if bad_every > 100 else 3
+        bad = [i for i in range(n) if bad_every and i % bad_every == off]
+        for i in bad:
+            obj[i] = '{"name": broken'
+        return pa.table({
+            "repo": pa.array([f"rp{i % 4}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "ts": pa.array(np.arange(n, dtype=np.int64)),
+            "object": pa.array(obj, pa.large_string())}), bad
+
+    # sparse dirt -> split-retry path
+    qd = str(tmp_path / "q1")
+    t, bad = batch_with_dirt(4000, bad_every=1500)  # rows 1400, 2900
+    st = AnalyzeObjectStage(json_col="object", quarantine_dir=qd)
+    out = st(t)
+    assert st.analyzer.malformed == len(bad) and st.split_batches == 1
+    got = pq.read_table(glob.glob(qd + "/part-*.parquet")[0])
+    assert sorted(got["path"].to_pylist()) == sorted(
+        f"p{i}" for i in bad)
+    assert all("broken" in s for s in got["object"].to_pylist())
+    assert out.num_rows == 4000  # substitution semantics unchanged
+
+    # dense dirt -> wholesale python path
+    qd2 = str(tmp_path / "q2")
+    t, bad = batch_with_dirt(2000, bad_every=7)
+    st = AnalyzeObjectStage(json_col="object", quarantine_dir=qd2)
+    st(t)
+    files = glob.glob(qd2 + "/part-*.parquet")
+    rows = pa.concat_tables([pq.read_table(f) for f in files])
+    assert sorted(rows["path"].to_pylist()) == sorted(f"p{i}" for i in bad)
+
+    # clean batch, quarantine configured -> no files
+    qd3 = str(tmp_path / "q3")
+    t, _ = batch_with_dirt(1000, bad_every=0)
+    AnalyzeObjectStage(json_col="object", quarantine_dir=qd3)(t)
+    assert not glob.glob(qd3 + "/part-*.parquet")
