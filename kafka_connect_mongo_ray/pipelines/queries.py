@@ -3478,6 +3478,338 @@ def q_cdc_time_travel(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped deep compositions (Q4/Q5/Q12/Q18/Q22 adapted to the
+# fixture schema — it carries no commitdate/receiptdate/shipmode/phone
+# columns, so each query keeps the REFERENCE QUERY's composition shape
+# (existence join, 6-way star, conditional aggregate, having-join-back,
+# scalar-threshold anti join) over the columns that exist. Every join
+# is the bucketed hash_join; every aggregate pre-reduces inside the
+# batch before its one exchange.
+
+
+def q_tpch_late_ship_priority(sf_dir: str):
+    """TPC-H Q4-shaped existence join: orders placed in 1997 with at
+    least one lineitem shipped >90 days after the order date, counted
+    per priority. EXISTS(l_shipdate > o_orderdate + 90d) collapses to
+    max(l_shipdate) per orderkey — a batch-local max then one
+    orderkey-distinct-bounded exchange — so the join ships one row per
+    order, not one per lineitem."""
+    from ray.data.aggregate import Max, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1997-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1998-01-01").astype("datetime64[us]").item()
+    NINETY_US = 90 * 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": batch["l_orderkey"],
+                      "ship_us": pc.cast(batch["l_shipdate"], pa.int64())})
+        return t.group_by("o_orderkey").aggregate(
+            [("ship_us", "max")]).rename_columns(["o_orderkey", "ship_us"])
+
+    maxship = li.map_batches(li_partial, batch_format="pyarrow").groupby(
+        "o_orderkey").aggregate(Max("ship_us", alias_name="ship_us"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(LO)),
+                       pc.less(batch["o_orderdate"], pa.scalar(HI)))
+        b = batch.filter(keep)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "date_us": pc.cast(b["o_orderdate"], pa.int64()),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    joined = hash_join(orders.map_batches(in_window, batch_format="pyarrow"),
+                       maxship, on=["o_orderkey"],
+                       num_buckets=_gate_buckets())
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch["ship_us"], dtype=np.int64)
+        date = np.asarray(batch["date_us"], dtype=np.int64)
+        b = batch.filter(pa.array(ship > date + NINETY_US))
+        g = b.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n_late"])
+
+    agg = joined.map_batches(late_partial, batch_format="pyarrow").groupby(
+        "o_orderpriority").aggregate(Sum("n_late", alias_name="n_late"))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("n_late"), "n_late",
+                               pc.cast(t["n_late"], pa.int64())),
+        batch_format="pyarrow")
+
+
+def q_tpch_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 6-way star: revenue by (region, nation) where
+    the supplying supplier and the ordering customer share a nation,
+    orders placed 1996–1997. Three bucketed fact joins (orders⋈customer
+    on custkey, lineitem⋈that on orderkey, ⋈supplier on suppkey — the
+    supplier side is a JOIN, not a broadcast, because TPC-H supplier
+    scales with SF); nation⋈region (fixed 25×5 rows) attaches to the
+    nationkey-sized FINAL aggregate driver-side. Revenue is int cents ×
+    (100−disc) so the oracle match is exact."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1996-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1998-01-01").astype("datetime64[us]").item()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_nationkey": pc.cast(t["c_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(LO)),
+                       pc.less(batch["o_orderdate"], pa.scalar(HI)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    cust_orders = hash_join(
+        orders.map_batches(o_window, batch_format="pyarrow"), cust,
+        on=["o_custkey"], num_buckets=_gate_buckets(),
+    ).map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                  batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(batch["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev": pa.array(cents * (100 - disc))})
+
+    li_orders = hash_join(li.map_batches(li_prep, batch_format="pyarrow"),
+                          cust_orders, on=["o_orderkey"],
+                          num_buckets=_gate_buckets()).map_batches(
+        lambda t: t.select(["l_suppkey", "c_nationkey", "rev"]),
+        batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+                 ).map_batches(
+        lambda t: pa.table({"l_suppkey": t["s_suppkey"],
+                            "s_nationkey": pc.cast(t["s_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+    both = hash_join(li_orders, supp, on=["l_suppkey"],
+                     num_buckets=_gate_buckets())
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["c_nationkey"],
+                                  batch["s_nationkey"]))
+        g = pa.table({"c_nationkey": b["c_nationkey"], "rev": b["rev"]}
+                     ).group_by("c_nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["c_nationkey", "revenue_cents"])
+
+    agg = both.map_batches(rev_partial, batch_format="pyarrow").groupby(
+        "c_nationkey").aggregate(Sum("revenue_cents",
+                                     alias_name="revenue_cents"))
+    # nation⋈region is a FIXED 25×5-row dimension: attach names to the
+    # nationkey-sized aggregate driver-side
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    names = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().merge(
+            names[["n_nationkey", "n_name", "r_name"]],
+            left_on="c_nationkey", right_on="n_nationkey")
+        out = df[["r_name", "n_name", "revenue_cents"]].copy()
+        out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def q_tpch_priority_linestatus_mix(sf_dir: str):
+    """TPC-H Q12-shaped conditional aggregate: lineitems shipped
+    1997–1998 joined back to their order's priority, counted per
+    linestatus split high (URGENT/HIGH) vs low. One bucketed join on
+    orderkey; both counts pre-reduce per batch."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1997-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1999-01-01").astype("datetime64[us]").item()
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "is_high": pc.cast(pc.is_in(
+                t["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(LO)),
+                       pc.less(batch["l_shipdate"], pa.scalar(HI)))
+        b = batch.filter(keep)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_linestatus": b["l_linestatus"]})
+
+    joined = hash_join(li.map_batches(li_window, batch_format="pyarrow"),
+                       orders, on=["o_orderkey"],
+                       num_buckets=_gate_buckets())
+
+    def mix_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"l_linestatus": batch["l_linestatus"],
+                      "is_high": batch["is_high"]}
+                     ).group_by("l_linestatus").aggregate(
+            [("is_high", "sum"), ([], "count_all")])
+        g = g.rename_columns(["l_linestatus", "hi", "n"])
+        return g.append_column(
+            "lo", pc.subtract(g["n"], g["hi"])).drop_columns(["n"])
+
+    agg = joined.map_batches(mix_partial, batch_format="pyarrow").groupby(
+        "l_linestatus").aggregate(
+        Sum("hi", alias_name="high_line_count"),
+        Sum("lo", alias_name="low_line_count"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(t["low_line_count"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_tpch_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped having-join-back: orders whose total lineitem
+    quantity exceeds 200, joined back to the order row and its
+    customer's name. The HAVING side is a batch-local int-quantity
+    pre-sum then one orderkey exchange; only qualifying keys (a tiny
+    fraction) flow into the two bucketed joins."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 dtype=np.float64)).astype(np.int64)
+        t = pa.table({"o_orderkey": batch["l_orderkey"],
+                      "sum_qty": pa.array(qty)})
+        return t.group_by("o_orderkey").aggregate(
+            [("sum_qty", "sum")]).rename_columns(["o_orderkey", "sum_qty"])
+
+    big = li.map_batches(qty_partial, batch_format="pyarrow").groupby(
+        "o_orderkey").aggregate(Sum("sum_qty", alias_name="sum_qty")
+                                ).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "sum_qty": pc.cast(t["sum_qty"], pa.int64())}).filter(
+            pc.greater(pc.cast(t["sum_qty"], pa.int64()), pa.scalar(200))),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "total_cents": pa.array(np.rint(np.asarray(
+                t["o_totalprice"], dtype=np.float64) * 100
+            ).astype(np.int64))}),
+        batch_format="pyarrow")
+
+    j1 = hash_join(big, orders, on=["o_orderkey"],
+                   num_buckets=_gate_buckets())
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]
+                 ).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_name": t["c_name"]}),
+        batch_format="pyarrow")
+    return hash_join(j1, cust, on=["o_custkey"],
+                     num_buckets=_gate_buckets())
+
+
+def q_tpch_lapsed_rich_customers(sf_dir: str):
+    """TPC-H Q22-shaped scalar-threshold anti join: customers whose
+    balance exceeds the mean positive balance and who placed NO order
+    since 1999, counted per nation. The threshold comparison is kept
+    EXACT across engines by cross-multiplying (bal × count > sum of
+    floor-dollars — identical double ops on identical ints both sides,
+    no division); the anti side ships deduplicated recent-order keys
+    only."""
+    from ray.data.aggregate import Count, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    CUT = np.datetime64("1999-01-01").astype("datetime64[us]").item()
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # global scalar: sum of floor-dollars and count over positive
+    # balances — an exact-int reduction, two numbers to the driver
+    pos = cust.map_batches(
+        lambda t: pa.table({"fl": pc.cast(pc.floor(t.filter(
+            pc.greater(t["c_acctbal"],
+                       pa.scalar(0.0)))["c_acctbal"]), pa.int64())}),
+        batch_format="pyarrow")
+    stats = pos.aggregate(Sum("fl", alias_name="s"),
+                          Count(alias_name="n"))
+    s_total = float(stats["s"])
+    n_total = float(stats["n"])
+
+    recent = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+                   ).map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(CUT)))["o_custkey"]}),
+        batch_format="pyarrow")
+
+    def rich_only(batch: pa.Table) -> pa.Table:
+        bal = np.asarray(batch["c_acctbal"], dtype=np.float64)
+        return batch.filter(pa.array(bal * n_total > s_total))
+
+    lapsed = hash_join(cust.map_batches(rich_only, batch_format="pyarrow"),
+                       recent, on=["c_custkey"], how="anti",
+                       num_buckets=_gate_buckets())
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+            "fl": pc.cast(pc.floor(batch["c_acctbal"]), pa.int64())})
+        g = t.group_by("c_nationkey").aggregate(
+            [([], "count_all"), ("fl", "sum")])
+        return g.rename_columns(["c_nationkey", "n_rich", "bal_floor"])
+
+    agg = lapsed.map_batches(nat_partial, batch_format="pyarrow").groupby(
+        "c_nationkey").aggregate(Sum("n_rich", alias_name="n_rich"),
+                                 Sum("bal_floor", alias_name="bal_floor"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "n_rich": pc.cast(t["n_rich"], pa.int64()),
+            "bal_floor": pc.cast(t["bal_floor"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3488,6 +3820,11 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "tpch_late_ship_priority": q_tpch_late_ship_priority,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
+        "tpch_priority_linestatus_mix": q_tpch_priority_linestatus_mix,
+        "tpch_large_orders": q_tpch_large_orders,
+        "tpch_lapsed_rich_customers": q_tpch_lapsed_rich_customers,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -3630,6 +3967,80 @@ def build_oracle_sql():
         f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
         for p in _PII.values())
     return {
+        "tpch_late_ship_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_regional_revenue": """
+            SELECT r.r_name, n.n_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                   AS revenue_cents
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY r.r_name, n.n_name
+        """,
+        "tpch_priority_linestatus_mix": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l.l_linestatus
+        """,
+        "tpch_large_orders": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   AS total_cents,
+                   c.c_name, q.sum_qty
+            FROM (SELECT l_orderkey,
+                         CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                              AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 200) q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "tpch_lapsed_rich_customers": """
+            SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rich,
+                   CAST(SUM(CAST(FLOOR(c.c_acctbal) AS BIGINT)) AS BIGINT)
+                   AS bal_floor
+            FROM customer c
+            WHERE c.c_acctbal
+                  * (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer
+                     WHERE c_acctbal > 0)
+                  > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT))
+                                 AS DOUBLE)
+                     FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c.c_nationkey
+        """,
         "events_cohort_retention": """
             WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
                        FROM events),
