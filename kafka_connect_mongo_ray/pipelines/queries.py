@@ -3809,6 +3809,43 @@ def q_tpch_lapsed_rich_customers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_hourly_gapfill(sf_dir: str):
+    """Time-series resample with zero-fill: per (event_type, hour)
+    counts densified over the FULL hour range — missing hours appear
+    with n=0 (the gap-fill every downstream anomaly/forecast job
+    needs; plain GROUP BY silently skips empty buckets). The fact scan
+    pre-reduces per batch to (type, hour) partials before ONE
+    domain-bounded exchange; densification runs driver-side on the
+    aggregate because its size is types × wall-clock-hours — bounded
+    by the time RANGE, not the data volume (a year is 8,760 rows per
+    type at any SF)."""
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = np.asarray(pc.cast(batch["ts"], pa.int64())) // HOUR_US
+        g = pa.table({"event_type": batch["event_type"],
+                      "hour": pa.array(hr)}
+                     ).group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]).aggregate(Sum("n", alias_name="n"))
+    df = agg.to_pandas()
+    lo, hi = int(df["hour"].min()), int(df["hour"].max())
+    types = sorted(df["event_type"].unique())
+    full = pd.DataFrame(
+        [(t, h) for t in types for h in range(lo, hi + 1)],
+        columns=["event_type", "hour"])
+    out = full.merge(df, on=["event_type", "hour"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["hour_ts"] = pd.to_datetime(out["hour"] * HOUR_US, unit="us")
+    return out[["event_type", "hour_ts", "n"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3825,6 +3862,7 @@ def build_queries():
         "tpch_priority_linestatus_mix": q_tpch_priority_linestatus_mix,
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_lapsed_rich_customers": q_tpch_lapsed_rich_customers,
+        "events_hourly_gapfill": q_events_hourly_gapfill,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -4040,6 +4078,28 @@ def build_oracle_sql():
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c.c_nationkey
+        """,
+        "events_hourly_gapfill": """
+            WITH b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP)
+                              AS lo,
+                              CAST(date_trunc('hour', max(ts)) AS TIMESTAMP)
+                              AS hi
+                       FROM events),
+                 hours AS (SELECT unnest(generate_series(
+                               (SELECT lo FROM b), (SELECT hi FROM b),
+                               INTERVAL 1 HOUR)) AS hour_ts),
+                 types AS (SELECT DISTINCT event_type FROM events),
+                 cnt AS (SELECT event_type,
+                                CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                                AS hour_ts,
+                                COUNT(*) AS n
+                         FROM events GROUP BY 1, 2)
+            SELECT t.event_type, h.hour_ts,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM types t
+            CROSS JOIN hours h
+            LEFT JOIN cnt c ON c.event_type = t.event_type
+                           AND c.hour_ts = h.hour_ts
         """,
         "events_cohort_retention": """
             WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
