@@ -183,6 +183,7 @@ def bench_queries(sf_dir: str) -> dict:
         q_events_global_rank,
         q_events_rollup,
         q_text_stats,
+        q_tpch_regional_revenue,
     )
 
     out = {}
@@ -195,6 +196,9 @@ def bench_queries(sf_dir: str) -> dict:
         ("docs_bm25", q_docs_bm25),
         ("events_rollup", q_events_rollup),
         ("events_global_rank", q_events_global_rank),
+        # round-4 sixth session: 3-bucketed-join star (Q5 shape) — the
+        # join-throughput data point
+        ("tpch_regional_revenue", q_tpch_regional_revenue),
     ]:
         t0 = time.perf_counter()
         res = fn(sf_dir)

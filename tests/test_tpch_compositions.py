@@ -1,0 +1,31 @@
+"""The TPC-H-shaped composition family's non-oracle invariants.
+
+The oracle gate (test_queries_oracle.py) already value-checks every
+query at sf0.001; this file pins the paths the gate data cannot reach:
+the Q5 supplier-side JOIN fallback (the gate's supplier table is far
+below the broadcast threshold, so the bucketed third join would
+otherwise never execute).
+"""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_q5_supplier_join_fallback_matches_broadcast(ray_session,
+                                                     monkeypatch):
+    from kafka_connect_mongo_ray.pipelines import queries as q
+
+    broadcast = _canon(q.q_tpch_regional_revenue(SF).to_pandas())
+    # force the size guard over the edge: the supplier side must run
+    # as the third bucketed join and produce the identical result
+    monkeypatch.setattr(q, "_SUPP_BROADCAST_MAX_ROWS", 0)
+    joined = _canon(q.q_tpch_regional_revenue(SF).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert len(joined) > 0
