@@ -669,14 +669,17 @@ def winsorized_sum(ds, group_col: str, col: str, *, lo_q: float = 0.05,
                                                 batch_format="pyarrow")
 
 
-def balanced_sample_by_md5(ds, id_col: str, group_col: str, *, k: int,
+def balanced_sample_by_md5(ds, id_col: str, group_col: str, *, k: int = 0,
+                           quotas: dict | None = None,
                            num_partitions: int | None = None):
     """Per-group FIXED-SIZE deterministic sample: exactly min(k, group
     size) rows per group, chosen by ascending md5(str(id)) — SQL's
     ``QUALIFY ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5(id),
     id) <= k``. The balanced-dataset construction primitive
     (:func:`stratified_sample_by_md5` keeps a FRACTION; this keeps a
-    COUNT).
+    COUNT). Pass ``quotas`` (group value → count; missing groups get
+    0) for a DIFFERENT count per group — the corpus-mixture shape; the
+    dict is group-domain-bounded, a closure broadcast.
 
     Scale shape: selection by md5-priority is associative, so each
     batch first reduces locally to its own per-group top-k (≤ groups ×
@@ -699,7 +702,12 @@ def balanced_sample_by_md5(ds, id_col: str, group_col: str, *, k: int,
             "h": np.asarray(t["__md5"]).astype(object),
             "i": np.arange(t.num_rows)})
         df = df.sort_values(["g", "h", "i"], kind="mergesort")
-        keep_idx = df[df.groupby("g", dropna=False).cumcount() < k]["i"]
+        if quotas is None:
+            keep = df.groupby("g", dropna=False).cumcount() < k
+        else:
+            kvec = df["g"].map(lambda g_: int(quotas.get(g_, 0)))
+            keep = df.groupby("g", dropna=False).cumcount() < kvec
+        keep_idx = df[keep]["i"]
         return t.take(pa.array(np.sort(keep_idx.to_numpy()), pa.int64()))
 
     cand = ds.map_batches(topk_per_group, batch_format="pyarrow")

@@ -3878,6 +3878,78 @@ def q_events_hourly_gapfill(sf_dir: str):
     return out[["event_type", "hour_ts", "n"]]
 
 
+# corpus-mixture targets: language → share of the output mix. The
+# oracle SQL is COMPOSED from this same dict (the PII-patterns
+# precedent) so the two sides cannot drift. Shares need not sum to 1;
+# unlisted languages get weight 0 (excluded).
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_FRACTION = 0.5  # output size as a fraction of the corpus
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Deterministic training-mix construction: select floor(weight ×
+    total) docs per language (capped at availability — no quota
+    redistribution, so the output is a pure function of per-lang
+    counts), chosen by ascending md5(str(doc_id)) — reproducible
+    across runs, partitionings, and cluster sizes. The pretraining
+    data-mixing primitive: re-weight a multilingual corpus to target
+    proportions without a global sort.
+
+    Scale shape: per-lang counts are a batch-local pre-reduce + one
+    lang-domain exchange; quotas broadcast as a closure dict; the
+    selection reuses :func:`balanced_sample_by_md5`'s associative
+    md5-priority kernel (per-block top-quota, then ONE group-bucketed
+    merge — a lang's full row set never gathers)."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.functions.quantiles import (
+        balanced_sample_by_md5,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    cnt = docs.map_batches(cnt_partial, batch_format="pyarrow").groupby(
+        "lang").aggregate(Sum("n", alias_name="n")).to_pandas()
+    total = int(np.floor(_MIX_FRACTION * float(cnt["n"].sum())))
+    quotas = {
+        str(row.lang): min(int(row.n),
+                           int(np.floor(_MIX_WEIGHTS.get(str(row.lang), 0.0)
+                                        * float(total))))
+        for row in cnt.itertuples()}
+    return balanced_sample_by_md5(docs, "doc_id", "lang", quotas=quotas,
+                                  num_partitions=_gate_buckets())
+
+
+def _mixture_oracle_sql() -> str:
+    cases = " ".join(f"WHEN '{lang}' THEN CAST({w!r} AS DOUBLE)"
+                     for lang, w in _MIX_WEIGHTS.items())
+    return f"""
+        WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+                     GROUP BY lang),
+             tot AS (SELECT FLOOR(CAST({_MIX_FRACTION!r} AS DOUBLE)
+                                  * SUM(n)) AS total FROM cnt),
+             quota AS (SELECT lang,
+                              LEAST(n, CAST(FLOOR(
+                                  (CASE lang {cases} ELSE 0.0 END)
+                                  * (SELECT total FROM tot))
+                                  AS BIGINT)) AS q
+                       FROM cnt)
+        SELECT d.doc_id, d.lang
+        FROM (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rn
+              FROM documents) d
+        JOIN quota USING (lang)
+        WHERE d.rn <= quota.q
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3895,6 +3967,7 @@ def build_queries():
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_lapsed_rich_customers": q_tpch_lapsed_rich_customers,
         "events_hourly_gapfill": q_events_hourly_gapfill,
+        "corpus_mixture": q_corpus_mixture,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -4111,6 +4184,7 @@ def build_oracle_sql():
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c.c_nationkey
         """,
+        "corpus_mixture": _mixture_oracle_sql(),
         "events_hourly_gapfill": """
             WITH b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP)
                               AS lo,
