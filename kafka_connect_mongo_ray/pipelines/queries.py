@@ -3878,6 +3878,176 @@ def q_events_hourly_gapfill(sf_dir: str):
     return out[["event_type", "hour_ts", "n"]]
 
 
+def q_tpch_returned_top_customers(sf_dir: str):
+    """TPC-H Q10-shaped top-k join-back: revenue lost to returned
+    ('R') lineitems on 1998 orders, per customer, top 20. Return
+    revenue pre-sums per orderkey inside each batch, joins the
+    windowed orders, re-sums per custkey (custkey-domain exchange),
+    attaches names, and the top-20 runs as batch-local top-k + one
+    dimension-sized final cut (the Q3 pattern)."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1998-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1999-01-01").astype("datetime64[us]").item()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def returned_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        cents = np.rint(np.asarray(b["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(b["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        t = pa.table({"o_orderkey": b["l_orderkey"],
+                      "rev": pa.array(cents * (100 - disc))})
+        return t.group_by("o_orderkey").aggregate(
+            [("rev", "sum")]).rename_columns(["o_orderkey", "rev"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(LO)),
+                       pc.less(batch["o_orderdate"], pa.scalar(HI)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    joined = hash_join(
+        li.map_batches(returned_partial, batch_format="pyarrow"),
+        orders.map_batches(o_window, batch_format="pyarrow"),
+        on=["o_orderkey"], num_buckets=_gate_buckets())
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": batch["o_custkey"],
+                      "rev": batch["rev"]}).group_by(
+            "o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_cents"])
+
+    per_cust = joined.map_batches(cust_partial, batch_format="pyarrow"
+                                  ).groupby("o_custkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]
+                 ).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_name": t["c_name"]}),
+        batch_format="pyarrow")
+    named = hash_join(per_cust.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue_cents"),
+                               "revenue_cents",
+                               pc.cast(t["revenue_cents"], pa.int64())),
+        batch_format="pyarrow"), cust, on=["o_custkey"],
+        num_buckets=_gate_buckets())
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True],
+            kind="mergesort")
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+    return (named.map_batches(topk, batch_format="pyarrow")
+            .repartition(1).map_batches(topk, batch_format="pyarrow"))
+
+
+def q_tpch_promo_share(sf_dir: str):
+    """TPC-H Q14-shaped ratio aggregate: per ship-month percentage of
+    revenue from PROMO-type parts. One bucketed partkey join; both
+    revenue sums pre-reduce per batch per month; the share is a single
+    int-derived division (×100) — bit-stable across engines."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]
+                 ).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t["p_partkey"],
+            "is_promo": pc.cast(pc.equal(t["p_type"], pa.scalar("PROMO")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(batch["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        ym = (pc.multiply(pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+                          pa.scalar(100, pa.int64())))
+        ym = pc.add(ym, pc.cast(pc.month(batch["l_shipdate"]), pa.int64()))
+        return pa.table({"l_partkey": batch["l_partkey"], "ym": ym,
+                         "rev": pa.array(cents * (100 - disc))})
+
+    joined = hash_join(li.map_batches(li_prep, batch_format="pyarrow"),
+                       part, on=["l_partkey"], num_buckets=_gate_buckets())
+
+    def month_partial(batch: pa.Table) -> pa.Table:
+        promo = pc.multiply(batch["is_promo"], batch["rev"])
+        g = pa.table({"ym": batch["ym"], "promo_rev": promo,
+                      "total_rev": batch["rev"]}).group_by("ym").aggregate(
+            [("promo_rev", "sum"), ("total_rev", "sum")])
+        return g.rename_columns(["ym", "promo_rev", "total_rev"])
+
+    agg = joined.map_batches(month_partial, batch_format="pyarrow").groupby(
+        "ym").aggregate(Sum("promo_rev", alias_name="promo_rev"),
+                        Sum("total_rev", alias_name="total_rev"))
+
+    def share(t: pa.Table) -> pa.Table:
+        promo = np.asarray(t["promo_rev"], dtype=np.float64)
+        total = np.asarray(t["total_rev"], dtype=np.float64)
+        return pa.table({"ym": t["ym"],
+                         "promo_share": pa.array(
+                             np.round(100.0 * promo / total, 9))})
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def q_tpch_supplier_variety(sf_dir: str):
+    """TPC-H Q16-shaped distinct-count with exclusion: how many
+    DISTINCT suppliers shipped each (brand, size) of part, excluding
+    Brand#13. The (brand,size) pair rides as one composite key through
+    :func:`group_count_distinct`'s exact machinery (batch-local pair
+    dedup → one pair-domain exchange → group-domain Sum) and splits
+    back on the group-domain-sized result."""
+    from kafka_connect_mongo_ray.functions.stats import (
+        group_count_distinct,
+    )
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "l_partkey": f["p_partkey"],
+            "grp": pc.binary_join_element_wise(
+                f["p_brand"],
+                pc.cast(pc.cast(f["p_size"], pa.int64()), pa.string()),
+                "|")}))(t.filter(pc.not_equal(t["p_brand"],
+                                              pa.scalar("Brand#13")))),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    joined = hash_join(li, part, on=["l_partkey"],
+                       num_buckets=_gate_buckets())
+    nd = group_count_distinct(joined, group_col="grp",
+                              val_col="l_suppkey",
+                              out_col="supplier_cnt",
+                              num_partitions=_gate_buckets())
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["grp"], "|")
+        return pa.table({
+            "p_brand": pc.list_element(parts, 0),
+            "p_size": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "supplier_cnt": t["supplier_cnt"]})
+
+    return nd.map_batches(split, batch_format="pyarrow")
+
+
 # corpus-mixture targets: language → share of the output mix. The
 # oracle SQL is COMPOSED from this same dict (the PII-patterns
 # precedent) so the two sides cannot drift. Shares need not sum to 1;
@@ -3968,6 +4138,9 @@ def build_queries():
         "tpch_lapsed_rich_customers": q_tpch_lapsed_rich_customers,
         "events_hourly_gapfill": q_events_hourly_gapfill,
         "corpus_mixture": q_corpus_mixture,
+        "tpch_returned_top_customers": q_tpch_returned_top_customers,
+        "tpch_promo_share": q_tpch_promo_share,
+        "tpch_supplier_variety": q_tpch_supplier_variety,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -4185,6 +4358,51 @@ def build_oracle_sql():
             GROUP BY c.c_nationkey
         """,
         "corpus_mixture": _mixture_oracle_sql(),
+        "tpch_returned_top_customers": """
+            SELECT o.o_custkey, c.c_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                   AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY revenue_cents DESC, o.o_custkey
+            LIMIT 20
+        """,
+        "tpch_promo_share": """
+            SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                        AS BIGINT) AS ym,
+                   ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                          THEN CAST(round(l.l_extendedprice
+                                                          * 100) AS BIGINT)
+                                               * (100 - CAST(round(
+                                                     l.l_discount * 100)
+                                                     AS BIGINT))
+                                          ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(CAST(round(l.l_extendedprice * 100)
+                                         AS BIGINT)
+                                    * (100 - CAST(round(l.l_discount * 100)
+                                                  AS BIGINT)))
+                                AS DOUBLE), 9)
+                   AS promo_share
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        """,
+        "tpch_supplier_variety": """
+            SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                   AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#13'
+            GROUP BY p.p_brand, p.p_size
+        """,
         "events_hourly_gapfill": """
             WITH b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP)
                               AS lo,
