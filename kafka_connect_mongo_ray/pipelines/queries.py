@@ -4048,6 +4048,55 @@ def q_tpch_supplier_variety(sf_dir: str):
     return nd.map_batches(split, batch_format="pyarrow")
 
 
+def q_tpch_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue from
+    lineitems matching ANY of three (brand/size/quantity | type/
+    quantity) conjunction clauses spanning BOTH joined tables — the
+    predicate cannot push below the join, so the shape is one bucketed
+    partkey join with a vectorized OR-of-ANDs filter and a scalar
+    reduction (no second exchange)."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size", "p_type"]
+                 ).map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"],
+                            "p_brand": t["p_brand"],
+                            "p_size": pc.cast(t["p_size"], pa.int64()),
+                            "p_type": t["p_type"]}),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    joined = hash_join(li, part, on=["l_partkey"],
+                       num_buckets=_gate_buckets())
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        brand = np.asarray(batch["p_brand"]).astype(object)
+        size = np.asarray(batch["p_size"], dtype=np.int64)
+        ptype = np.asarray(batch["p_type"]).astype(object)
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 dtype=np.float64)).astype(np.int64)
+        keep = (((brand == "Brand#5") & (size >= 1) & (size <= 10)
+                 & (qty >= 1) & (qty <= 20))
+                | ((brand == "Brand#19") & (size >= 5) & (size <= 25)
+                   & (qty >= 10) & (qty <= 40))
+                | ((ptype == "PROMO") & (qty >= 30)))
+        b = batch.filter(pa.array(keep))
+        cents = np.rint(np.asarray(b["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(b["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({"rev": pa.array((cents * (100 - disc)).reshape(-1))})
+
+    total = joined.map_batches(rev_partial, batch_format="pyarrow"
+                               ).aggregate(Sum("rev", alias_name="rev"))
+    return pa.table({"revenue_cents": pa.array([int(total["rev"])],
+                                               pa.int64())})
+
+
 # corpus-mixture targets: language → share of the output mix. The
 # oracle SQL is COMPOSED from this same dict (the PII-patterns
 # precedent) so the two sides cannot drift. Shares need not sum to 1;
@@ -4141,6 +4190,7 @@ def build_queries():
         "tpch_returned_top_customers": q_tpch_returned_top_customers,
         "tpch_promo_share": q_tpch_promo_share,
         "tpch_supplier_variety": q_tpch_supplier_variety,
+        "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -4393,6 +4443,23 @@ def build_oracle_sql():
             FROM lineitem l
             JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY 1
+        """,
+        "tpch_disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                   AS revenue_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#5'
+                   AND p.p_size BETWEEN 1 AND 10
+                   AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#19'
+                   AND p.p_size BETWEEN 5 AND 25
+                   AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10
+                                                               AND 40)
+               OR (p.p_type = 'PROMO'
+                   AND CAST(round(l.l_quantity) AS BIGINT) >= 30)
         """,
         "tpch_supplier_variety": """
             SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
