@@ -516,3 +516,85 @@ def kmeans_cluster_summary(ds, *, k: int = 8, sample_size: int = 2000,
     return pa.table({"k": pa.array([k], pa.int64()),
                      "n": pa.array([n], pa.int64()),
                      "improved": pa.array([improved], pa.bool_())})
+
+
+def pca_power_iteration(ds, *, vec_col: str = "embedding",
+                        iters: int = 6):
+    """Distributed top-principal-component via power iteration over the
+    (centered) covariance — the iterative-linear-algebra shape nothing
+    else in the registry exercises. Each iteration is ONE pass over
+    the vectors: per batch s_partial = Xᵀ(Xv) (a d-vector), reduced
+    through a d-domain (i, val) exchange; the covariance action is
+    Σv = s/n − μ(μᵀv), so the full matrix is never formed and nothing
+    fact-sized gathers. The driver holds only d-sized vectors (d = the
+    embedding width).
+
+    The machine-checked claim (the HLL ±5% precedent): the iterate is
+    SEEDED with the highest-variance coordinate axis, and the Rayleigh
+    quotient of power iteration on a PSD matrix is monotonically
+    non-decreasing — so rq ≥ max-axis-variance holds by construction
+    (up to float-reduction jitter; checked with 1e-9 relative slack).
+    Returns one row: (dim, n_vectors, rq_ge_axis).
+
+    Scale note: iterative operators scan the input once PER ITERATION
+    (iters ≈ 6 here); the input read is column-pruned to the vector
+    column, and each pass's exchange is d-domain-bounded."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    def _first_pass(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch[vec_col])
+        d = x.shape[1]
+        idx = np.arange(d, dtype=np.int64)
+        return pa.table({
+            "i": pa.array(np.concatenate([idx, idx, [d]])),
+            "s": pa.array(np.concatenate([x.sum(axis=0),
+                                          (x * x).sum(axis=0),
+                                          [float(x.shape[0])]])),
+            "kind": pa.array(["sum"] * d + ["sq"] * d + ["n"]),
+        })
+
+    stats = (ds.map_batches(_first_pass, batch_format="pyarrow")
+             .groupby(["kind", "i"]).aggregate(Sum("s", alias_name="s"))
+             .to_pandas())
+    n = float(stats.loc[stats["kind"] == "n", "s"].iloc[0])
+    sums = (stats[stats["kind"] == "sum"].sort_values("i")["s"]
+            .to_numpy(dtype=np.float64))
+    sqs = (stats[stats["kind"] == "sq"].sort_values("i")["s"]
+           .to_numpy(dtype=np.float64))
+    d = sums.shape[0]
+    mu = sums / n
+    axis_var = sqs / n - mu * mu
+    seed_axis = int(np.argmin(-axis_var))  # argmax, first on ties
+    max_axis_var = float(axis_var[seed_axis])
+
+    v = np.zeros(d, dtype=np.float64)
+    v[seed_axis] = 1.0
+
+    def _matvec_pass(v_now: np.ndarray):
+        def partial(batch: pa.Table) -> pa.Table:
+            x = embedding_matrix(batch[vec_col])
+            xv = x @ v_now
+            return pa.table({"i": pa.array(np.arange(d, dtype=np.int64)),
+                             "s": pa.array(x.T @ xv)})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("i").aggregate(Sum("s", alias_name="s"))
+               .to_pandas().sort_values("i"))
+        return agg["s"].to_numpy(dtype=np.float64)
+
+    rq = max_axis_var
+    for _ in range(iters):
+        sigma_v = _matvec_pass(v) / n - mu * float(mu @ v)
+        rq = float(v @ sigma_v)
+        norm = float(np.linalg.norm(sigma_v))
+        if norm == 0.0:
+            break
+        v = sigma_v / norm
+
+    ok = bool(rq >= max_axis_var * (1.0 - 1e-9))
+    return pa.table({"dim": pa.array([d], pa.int64()),
+                     "n_vectors": pa.array([int(n)], pa.int64()),
+                     "rq_ge_axis": pa.array([ok], pa.bool_()),
+                     "rq": pa.array([rq], pa.float64())})

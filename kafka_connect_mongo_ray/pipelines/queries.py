@@ -4097,6 +4097,26 @@ def q_tpch_disjunctive_revenue(sf_dir: str):
                                                pa.int64())})
 
 
+def q_embedding_pca(sf_dir: str):
+    """Top principal component of the embedding table via distributed
+    power iteration (functions/similarity.py::pca_power_iteration):
+    one column-pruned pass per iteration, d-domain exchanges, nothing
+    fact-sized gathers. Machine-checked claim (HLL precedent): seeded
+    at the max-variance axis, the PSD Rayleigh quotient is monotone,
+    so rq ≥ max-axis-variance by construction; the oracle verifies
+    dim / n_vectors exactly and the claim as a checked boolean."""
+    from kafka_connect_mongo_ray.functions.similarity import (
+        pca_power_iteration,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    out = pca_power_iteration(ds, vec_col="embedding", iters=6)
+    # rq is float-reduction-order-sensitive in the last ULPs; the gate
+    # carries the exact ints + the checked boolean (tests pin rq
+    # against numpy's eigendecomposition directly)
+    return out.drop_columns(["rq"])
+
+
 # corpus-mixture targets: language → share of the output mix. The
 # oracle SQL is COMPOSED from this same dict (the PII-patterns
 # precedent) so the two sides cannot drift. Shares need not sum to 1;
@@ -4191,6 +4211,7 @@ def build_queries():
         "tpch_promo_share": q_tpch_promo_share,
         "tpch_supplier_variety": q_tpch_supplier_variety,
         "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
+        "embedding_pca": q_embedding_pca,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -4443,6 +4464,12 @@ def build_oracle_sql():
             FROM lineitem l
             JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY 1
+        """,
+        "embedding_pca": """
+            SELECT CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   TRUE AS rq_ge_axis
+            FROM embeddings
         """,
         "tpch_disjunctive_revenue": """
             SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
