@@ -302,6 +302,79 @@ def get_cmd(args) -> int:
     return 0
 
 
+def curate(args) -> int:
+    """Streaming curation end-to-end (pipelines/curate.py): N synthetic
+    CDC windows with monotone (ts,inc), each committed as a replay and
+    its change feed screened against the persisted fingerprint index;
+    admissions land under --curated/window={version}. One JSON line
+    with the per-window replay + curation summaries — the CLI face of
+    the `cdc_curated_stream` gate query."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.curate import run_curated_stream
+    from kafka_connect_mongo_ray.sources.gen import (
+        GenSpec,
+        change_event_dataset,
+        synth_repo_files,
+    )
+
+    base = synth_repo_files(50, 100, seed=args.seed)
+    cfg = EngineConfig(snapshot_dir=args.snapshot,
+                       checkpoint_dir=args.checkpoints,
+                       num_buckets=args.buckets)
+
+    def factory(w: int):
+        def make():
+            spec = GenSpec(
+                num_partitions=args.partitions,
+                events_per_partition=max(1, args.events // args.partitions),
+                seed=args.seed + w,
+                # windows must advance monotonically in (ts, inc) for
+                # checkpoint-token resume: give each window its own
+                # disjoint ts range
+                base_ts=1_600_000_000 + w * 10_000_000,
+            )
+            return change_event_dataset(spec, base)
+        return make
+
+    def candidates(batch):
+        # the synthetic stream keys on (repo, path) strings, not the
+        # numeric paths the default mapping expects: derive the
+        # in-window tie-break doc_id as a stable 63-bit key hash
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.invert(pc.equal(batch["op"], pa.scalar("d"))))
+        keys = [f"{r}/{p}" for r, p in zip(b["repo"].to_pylist(),
+                                           b["path"].to_pylist())]
+        ids = [int.from_bytes(hashlib.md5(k.encode()).digest()[:8],
+                              "big") >> 1 for k in keys]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "repo": pc.cast(b["repo"], pa.string()),
+            "path": pc.cast(b["path"], pa.string()),
+            "text": pc.cast(b["content"], pa.string()),
+        })
+
+    summaries = run_curated_stream(
+        [factory(w) for w in range(args.windows)], cfg,
+        index_dir=args.index, curated_dir=args.curated,
+        index_buckets=args.index_buckets, candidates_fn=candidates)
+    print(json.dumps({"windows": summaries}, sort_keys=True, default=str))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -346,6 +419,18 @@ def main(argv=None) -> int:
     gt.add_argument("--buckets", type=int, required=True)
     gt.add_argument("--key", action="append", required=True,
                     help="repo/path (repeatable)")
+    cu = sub.add_parser("curate")
+    cu.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    cu.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
+    cu.add_argument("--index", required=True)
+    cu.add_argument("--curated", required=True)
+    cu.add_argument("--windows", type=int, default=3)
+    cu.add_argument("--events", type=int, default=20_000)
+    cu.add_argument("--partitions", type=int, default=4)
+    cu.add_argument("--buckets", type=int, default=16)
+    cu.add_argument("--index-buckets", type=int, default=16,
+                    dest="index_buckets")
+    cu.add_argument("--seed", type=int, default=42)
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -368,6 +453,8 @@ def main(argv=None) -> int:
         return compact(args)
     if args.cmd == "get":
         return get_cmd(args)
+    if args.cmd == "curate":
+        return curate(args)
     p.print_help()
     return 0
 
