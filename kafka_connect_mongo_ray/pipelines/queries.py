@@ -4097,6 +4097,49 @@ def q_tpch_disjunctive_revenue(sf_dir: str):
                                                pa.int64())})
 
 
+def q_docs_source_policy(sf_dir: str):
+    """Domain-level curation policy table: per source, doc count,
+    total whitespace tokens, total chars, and a keep-verdict (mean
+    tokens/doc ≥ 24 — compared as the pure-INT cross-multiplication
+    sum_tokens ≥ 24·n_docs, no float crosses the engines). The
+    drop-bad-domains decision every web-corpus pipeline makes before
+    touching individual documents; one source-domain exchange after
+    batch-local int pre-sums."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        t = pa.table({
+            "source": batch["source"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "tok": pc.cast(pc.list_value_length(
+                pc.ascii_split_whitespace(text)), pa.int64()),
+            "ch": pc.cast(pc.utf8_length(text), pa.int64())})
+        g = t.group_by("source").aggregate(
+            [("one", "sum"), ("tok", "sum"), ("ch", "sum")])
+        return g.rename_columns(["source", "n_docs", "sum_tokens",
+                                 "sum_chars"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                            Sum("sum_tokens", alias_name="sum_tokens"),
+                            Sum("sum_chars", alias_name="sum_chars"))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        nd = pc.cast(t["n_docs"], pa.int64())
+        st = pc.cast(t["sum_tokens"], pa.int64())
+        keep = pc.greater_equal(st, pc.multiply(
+            pa.scalar(24, pa.int64()), nd))
+        return pa.table({"source": t["source"], "n_docs": nd,
+                         "sum_tokens": st,
+                         "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+                         "keep": keep})
+
+    return agg.map_batches(verdict, batch_format="pyarrow")
+
+
 def q_embedding_pca(sf_dir: str):
     """Top principal component of the embedding table via distributed
     power iteration (functions/similarity.py::pca_power_iteration):
@@ -4212,6 +4255,7 @@ def build_queries():
         "tpch_supplier_variety": q_tpch_supplier_variety,
         "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
         "embedding_pca": q_embedding_pca,
+        "docs_source_policy": q_docs_source_policy,
         "cdc_curated_stream": q_cdc_curated_stream,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
@@ -4464,6 +4508,17 @@ def build_oracle_sql():
             FROM lineitem l
             JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY 1
+        """,
+        "docs_source_policy": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(array_length(string_split(text, ' ')))
+                        AS BIGINT) AS sum_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   SUM(array_length(string_split(text, ' ')))
+                       >= 24 * COUNT(*) AS keep
+            FROM documents
+            GROUP BY source
         """,
         "embedding_pca": """
             SELECT CAST(MAX(len(embedding)) AS BIGINT) AS dim,
