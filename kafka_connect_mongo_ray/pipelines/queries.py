@@ -3869,9 +3869,11 @@ def q_events_hourly_gapfill(sf_dir: str):
     df = agg.to_pandas()
     lo, hi = int(df["hour"].min()), int(df["hour"].max())
     types = sorted(df["event_type"].unique())
-    full = pd.DataFrame(
-        [(t, h) for t in types for h in range(lo, hi + 1)],
-        columns=["event_type", "hour"])
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    full = pd.DataFrame({
+        "event_type": np.repeat(np.asarray(types, dtype=object),
+                                hours.shape[0]),
+        "hour": np.tile(hours, len(types))})
     out = full.merge(df, on=["event_type", "hour"], how="left")
     out["n"] = out["n"].fillna(0).astype(np.int64)
     out["hour_ts"] = pd.to_datetime(out["hour"] * HOUR_US, unit="us")
