@@ -4234,6 +4234,424 @@ def _mixture_oracle_sql() -> str:
     """
 
 
+def q_tpch_custorder_distribution(sf_dir: str):
+    """TPC-H Q13-shaped two-level count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order bucket
+    a plain GROUP BY silently drops. Level 1 is a custkey-domain
+    exchange of batch-local count partials; level 2 re-histograms the
+    (customer, count) rows over the tiny count domain. The zero bucket
+    is arithmetic — total customers (parquet footer) minus customers
+    seen in orders — so no customer⟕order join ships any rows (valid
+    because every o_custkey references a customer; the oracle's LEFT
+    JOIN would diverge on dangling keys, asserted absent in testdata)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    per = (orders.map_batches(per_cust, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count"))
+           ).materialize()  # consumed twice: count + histogram
+    n_active = per.count()
+    n_customers = _table_rows(sf_dir, "customer")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": pc.cast(batch["c_count"], pa.int64())}
+                     ).group_by("c_count").aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    hist = (per.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("custdist",
+                                              alias_name="custdist")))
+    df = hist.to_pandas()  # bounded by the distinct-order-count domain
+    df["c_count"] = df["c_count"].astype(np.int64)
+    df["custdist"] = df["custdist"].astype(np.int64)
+    zero = n_customers - n_active
+    if zero > 0:
+        df = pd.concat([df, pd.DataFrame({"c_count": [0],
+                                          "custdist": [zero]})],
+                       ignore_index=True)
+    return df.sort_values("c_count", ignore_index=True)
+
+
+def q_tpch_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated-average filter: revenue from
+    lineitems of Brand#13 parts whose quantity is below 20% of that
+    part's average quantity. The per-part average never becomes a
+    float: the predicate cross-multiplies (5·qty·n_part < sum_qty —
+    identical int64 ops both engines). The brand join bounds the fact
+    stream to a brand-sized fraction first and the filtered stream is
+    staged once (stats pass + compare pass share the same blocks)."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    brand_parts = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]
+                        ).map_batches(
+        lambda t: pa.table({"l_partkey": t.filter(
+            pc.equal(t["p_brand"], pa.scalar("Brand#13")))["p_partkey"]}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 dtype=np.float64)).astype(np.int64)
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "qty": pa.array(qty), "cents": pa.array(cents)})
+
+    bli = hash_join(li.map_batches(li_prep, batch_format="pyarrow"),
+                    brand_parts, on=["l_partkey"], how="semi",
+                    num_buckets=_gate_buckets()).materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": batch["l_partkey"], "q": batch["qty"]}
+                     ).group_by("l_partkey").aggregate(
+            [("q", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_partkey", "sum_qty", "n_li"])
+
+    stats = (bli.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("l_partkey").aggregate(
+                 Sum("sum_qty", alias_name="sum_qty"),
+                 Sum("n_li", alias_name="n_li")))
+
+    joined = hash_join(bli, stats, on=["l_partkey"],
+                       num_buckets=_gate_buckets())
+
+    def small_partial(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["qty"], dtype=np.int64)
+        n = np.asarray(batch["n_li"], dtype=np.int64)
+        s = np.asarray(batch["sum_qty"], dtype=np.int64)
+        keep = qty * 5 * n < s
+        cents = np.asarray(batch["cents"], dtype=np.int64)[keep]
+        return pa.table({"n_small": pa.array([int(keep.sum())]),
+                         "sum_cents": pa.array([int(cents.sum())])})
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = joined.map_batches(small_partial, batch_format="pyarrow"
+                             ).aggregate(_Sum("n_small", alias_name="n_small"),
+                                         _Sum("sum_cents",
+                                              alias_name="sum_cents"))
+    return pd.DataFrame({"n_small": [int(agg["n_small"] or 0)],
+                         "sum_cents": [int(agg["sum_cents"] or 0)]})
+
+
+def q_tpch_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped argmax-over-aggregated-view: supplier(s) whose
+    1997-Q1 revenue equals the global maximum. The revenue view is a
+    supplier-domain exchange of batch-local partials, staged once so
+    the max scan and the equality cut share blocks; revenue is exact
+    int64 (cents × (100−disc%)) so cross-engine equality is safe —
+    the reason Q15's `= (SELECT MAX…)` pattern is usually fragile."""
+    from ray.data.aggregate import Max, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1997-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1997-04-01").astype("datetime64[us]").item()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(LO)),
+            pc.less(batch["l_shipdate"], pa.scalar(HI))))
+        cents = np.rint(np.asarray(b["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(b["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        g = pa.table({"s_suppkey": b["l_suppkey"],
+                      "rev": pa.array(cents * (100 - disc))}
+                     ).group_by("s_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["s_suppkey", "total_rev"])
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey").aggregate(Sum("total_rev",
+                                               alias_name="total_rev"))
+           .map_batches(lambda t: t.set_column(
+               t.schema.get_field_index("total_rev"), "total_rev",
+               pc.cast(t["total_rev"], pa.int64())),
+               batch_format="pyarrow")).materialize()
+    best = int(rev.aggregate(Max("total_rev", alias_name="m"))["m"])
+    top = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return hash_join(top, supp, on=["s_suppkey"],
+                     num_buckets=_gate_buckets())
+
+
+def q_tpch_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped sole-blame existence composition (adapted to
+    this schema's dates: 'late' = shipped >90 days after the order
+    date): for finalized ('F') orders with ≥2 suppliers where EXACTLY
+    ONE supplier shipped late, count blamed orders per supplier. The
+    lineitem×orders join collapses immediately to distinct
+    (order, supplier, ever-late) pairs — a batch-local max then one
+    pair-domain exchange — and every later stage (per-order counts,
+    the sole-blame cut, the per-supplier tally) runs on bounded
+    domains; the raw fact stream shuffles exactly once."""
+    from ray.data.aggregate import Max, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LATE_US = 90 * 86_400 * 1_000_000
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+                   ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))
+                           ).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+               ).map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                            "l_suppkey": t["l_suppkey"],
+                            "ship_us": pc.cast(t["l_shipdate"],
+                                               pa.int64())}),
+        batch_format="pyarrow")
+
+    j = hash_join(li, orders, on=["o_orderkey"],
+                  num_buckets=_gate_buckets())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(
+            batch["ship_us"],
+            pc.add(pc.cast(batch["o_orderdate"], pa.int64()),
+                   pa.scalar(LATE_US, pa.int64()))), pa.int64())
+        g = pa.table({"o_orderkey": batch["o_orderkey"],
+                      "l_suppkey": batch["l_suppkey"], "late": late}
+                     ).group_by(["o_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")])
+        return g.rename_columns(["o_orderkey", "l_suppkey", "late"])
+
+    pairs = (j.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["o_orderkey", "l_suppkey"])
+             .aggregate(Max("late", alias_name="late"))).materialize()
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderkey": batch["o_orderkey"],
+                      "late": pc.cast(batch["late"], pa.int64())}
+                     ).group_by("o_orderkey").aggregate(
+            [([], "count_all"), ("late", "sum")])
+        return g.rename_columns(["o_orderkey", "n_supp", "n_late"])
+
+    sole = (pairs.map_batches(order_partial, batch_format="pyarrow")
+            .groupby("o_orderkey").aggregate(
+                Sum("n_supp", alias_name="n_supp"),
+                Sum("n_late", alias_name="n_late"))
+            .map_batches(lambda t: pa.table({"o_orderkey": t.filter(
+                pc.and_(pc.greater_equal(pc.cast(t["n_supp"], pa.int64()),
+                                         pa.scalar(2, pa.int64())),
+                        pc.equal(pc.cast(t["n_late"], pa.int64()),
+                                 pa.scalar(1, pa.int64()))))["o_orderkey"]}),
+                batch_format="pyarrow"))
+
+    blamed = hash_join(
+        pairs.map_batches(
+            lambda t: t.filter(pc.equal(pc.cast(t["late"], pa.int64()),
+                                        pa.scalar(1, pa.int64()))
+                               ).select(["o_orderkey", "l_suppkey"]),
+            batch_format="pyarrow"),
+        sole, on=["o_orderkey"], how="semi", num_buckets=_gate_buckets())
+
+    def supp_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"s_suppkey": batch["l_suppkey"]}).group_by(
+            "s_suppkey").aggregate([([], "count_all")])
+        return g.rename_columns(["s_suppkey", "numwait"])
+
+    tally = (blamed.map_batches(supp_partial, batch_format="pyarrow")
+             .groupby("s_suppkey").aggregate(Sum("numwait",
+                                                 alias_name="numwait"))
+             .map_batches(lambda t: t.set_column(
+                 t.schema.get_field_index("numwait"), "numwait",
+                 pc.cast(t["numwait"], pa.int64())),
+                 batch_format="pyarrow"))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return hash_join(tally, supp, on=["s_suppkey"],
+                     num_buckets=_gate_buckets())
+
+
+def q_tpch_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped segment top-k: revenue still shippable after
+    the cut date for BUILDING-segment customers' orders placed before
+    it, top 10 by revenue. The segment filter ships keys only (semi
+    join); lineitem revenue pre-sums per orderkey inside each batch
+    before its single exchange; the top-10 is batch-local top-k plus
+    one 10-row final reduce — no global sort."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    CUT = np.datetime64("1998-06-01").astype("datetime64[us]").item()
+
+    bcust = _read(sf_dir, "customer",
+                  columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.equal(t["c_mktsegment"],
+                     pa.scalar("BUILDING")))["c_custkey"]}),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT))),
+        batch_format="pyarrow")
+    orders_b = hash_join(orders, bcust, on=["o_custkey"], how="semi",
+                         num_buckets=_gate_buckets()
+                         ).drop_columns(["o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(CUT)))
+        cents = np.rint(np.asarray(b["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(b["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        g = pa.table({"o_orderkey": b["l_orderkey"],
+                      "rev": pa.array(cents * (100 - disc))}
+                     ).group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "revenue_cents"])
+
+    rev = (li.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("o_orderkey").aggregate(Sum("revenue_cents",
+                                                alias_name="revenue_cents"))
+           .map_batches(lambda t: t.set_column(
+               t.schema.get_field_index("revenue_cents"), "revenue_cents",
+               pc.cast(t["revenue_cents"], pa.int64())),
+               batch_format="pyarrow"))
+
+    joined = hash_join(rev, orders_b, on=["o_orderkey"],
+                       num_buckets=_gate_buckets())
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True],
+            kind="mergesort")
+        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+
+    return (joined.map_batches(topk, batch_format="pyarrow")
+            .repartition(1).map_batches(topk, batch_format="pyarrow"))
+
+
+# chunk-level dedup: composite (doc_id, chunk_index) encoding bounds
+_CHUNK_WORDS = 10
+_CHUNK_IDX_SPAN = 4096  # doc texts are ≤ ~100 words; guarded per batch
+
+
+def q_docs_chunk_dedup(sf_dir: str):
+    """Chunk-level (paragraph-style) corpus dedup: explode every
+    document into 10-word chunks, keep each distinct chunk only at its
+    FIRST corpus position (minimal (doc_id, chunk_index)), and
+    reassemble the surviving chunks per document — the
+    explode→first-wins→reassemble shape CC-style pipelines use for
+    paragraph dedup (here fixed word windows because the synthetic
+    texts have no paragraph marks). The explode is pure Arrow
+    (split_pattern → list offsets → np.add.reduceat); first-wins is
+    ONE chunk-text-keyed exchange of Min(composite) — the composite
+    doc_id·4096+idx makes "earliest position" a single int64 Min, and
+    both factors are magnitude-guarded. Docs whose every chunk lost
+    are dropped (mirrored in SQL by building from winners)."""
+    from ray.data.aggregate import Min, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        doc = np.asarray(batch["doc_id"], dtype=np.int64)
+        if len(doc) == 0:
+            return pa.table({"chunk": pa.array([], pa.string()),
+                             "comp": pa.array([], pa.int64())})
+        flat = np.asarray(pc.list_flatten(words)).astype(object)
+        total = int(lens.sum())
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        wi = np.arange(total, dtype=np.int64) - starts
+        pidx = wi // _CHUNK_WORDS
+        # every chunk's first word marks a reduceat boundary
+        bounds = np.flatnonzero(wi % _CHUNK_WORDS == 0)
+        chunks = np.add.reduceat(flat + " ", bounds)
+        chunks = np.array([c[:-1] for c in chunks], dtype=object)
+        cdoc = np.repeat(doc, -(-lens // _CHUNK_WORDS))
+        cidx = pidx[bounds]
+        if cidx.size and (int(cidx.max()) >= _CHUNK_IDX_SPAN
+                          or int(np.abs(cdoc).max())
+                          >= (2 ** 62) // _CHUNK_IDX_SPAN
+                          or int(cdoc.min()) < 0):
+            raise ValueError("chunk composite out of guarded range")
+        comp = cdoc * _CHUNK_IDX_SPAN + cidx
+        return pa.table({"chunk": pa.array(chunks, pa.string()),
+                         "comp": pa.array(comp)})
+
+    chunks = docs.map_batches(explode, batch_format="pyarrow"
+                              ).materialize()  # winners pass + counts pass
+
+    winners = (chunks.groupby("chunk").aggregate(Min("comp",
+                                                     alias_name="comp"))
+               .map_batches(lambda t: pa.table({
+                   "doc_id": pc.divide(pc.cast(t["comp"], pa.int64()),
+                                       pa.scalar(_CHUNK_IDX_SPAN,
+                                                 pa.int64())),
+                   "pidx": pc.subtract(
+                       pc.cast(t["comp"], pa.int64()),
+                       pc.multiply(pc.divide(
+                           pc.cast(t["comp"], pa.int64()),
+                           pa.scalar(_CHUNK_IDX_SPAN, pa.int64())),
+                           pa.scalar(_CHUNK_IDX_SPAN, pa.int64()))),
+                   "chunk": t["chunk"]}), batch_format="pyarrow"))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("pidx", kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": [np.int64(df["doc_id"].iloc[0])],
+            "n_kept": [np.int64(len(df))],
+            "text_dedup": [" ".join(df["chunk"].tolist())]})
+
+    # pin Arrow types after the pandas group conversion (a pandas-born
+    # schema reaches hash_join with numpy/object types otherwise)
+    kept = winners.groupby("doc_id").map_groups(
+        reassemble, batch_format="pandas").map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_kept": pc.cast(t["n_kept"], pa.int64()),
+            "text_dedup": pc.cast(t["text_dedup"], pa.string())}),
+        batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch["comp"], pa.int64()),
+                      pa.scalar(_CHUNK_IDX_SPAN, pa.int64()))
+        g = pa.table({"doc_id": d}).group_by("doc_id").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["doc_id", "n_chunks"])
+
+    totals = (chunks.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("n_chunks",
+                                               alias_name="n_chunks"))
+              .map_batches(lambda t: t.set_column(
+                  t.schema.get_field_index("n_chunks"), "n_chunks",
+                  pc.cast(t["n_chunks"], pa.int64())),
+                  batch_format="pyarrow"))
+
+    return hash_join(kept, totals, on=["doc_id"],
+                     num_buckets=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4245,6 +4663,12 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "tpch_custorder_distribution": q_tpch_custorder_distribution,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+        "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
+        "docs_chunk_dedup": q_docs_chunk_dedup,
         "tpch_late_ship_priority": q_tpch_late_ship_priority,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "tpch_priority_linestatus_mix": q_tpch_priority_linestatus_mix,
@@ -4400,6 +4824,109 @@ def build_oracle_sql():
         f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
         for p in _PII.values())
     return {
+        "tpch_custorder_distribution": """
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_small_qty_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+                   CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                   AS sum_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_brand = 'Brand#13'
+            WHERE CAST(round(l.l_quantity) AS BIGINT) * 5
+                  * (SELECT COUNT(*) FROM lineitem l2
+                     WHERE l2.l_partkey = l.l_partkey)
+                  < (SELECT SUM(CAST(round(l2.l_quantity) AS BIGINT))
+                     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "tpch_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                       AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT r.s_suppkey, r.total_rev, s.s_name
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "tpch_waiting_suppliers": """
+            WITH pairs AS (
+                SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                       MAX(CASE WHEN l.l_shipdate >
+                                     o.o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1, 2),
+            sole AS (
+                SELECT ok FROM pairs
+                GROUP BY ok
+                HAVING COUNT(*) >= 2 AND SUM(late) = 1)
+            SELECT p.sk AS s_suppkey, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM pairs p
+            JOIN sole USING (ok)
+            JOIN supplier s ON s.s_suppkey = p.sk
+            WHERE p.late = 1
+            GROUP BY 1, 2
+        """,
+        "tpch_shipping_priority": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                   AS revenue_cents,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_cents DESC, o_orderkey
+            LIMIT 10
+        """,
+        "docs_chunk_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1)
+                       AS wi
+                FROM documents),
+            c AS (
+                SELECT doc_id, (wi - 1) // 10 AS pidx,
+                       string_agg(word, ' ' ORDER BY wi) AS chunk
+                FROM w GROUP BY 1, 2),
+            win AS (
+                SELECT chunk, MIN(doc_id * 4096 + pidx) AS comp
+                FROM c GROUP BY chunk),
+            k AS (
+                SELECT comp // 4096 AS doc_id, comp % 4096 AS pidx, chunk
+                FROM win),
+            tot AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+                FROM c GROUP BY doc_id)
+            SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(k.chunk, ' ' ORDER BY k.pidx) AS text_dedup,
+                   MAX(tot.n_chunks) AS n_chunks
+            FROM k JOIN tot ON tot.doc_id = k.doc_id
+            GROUP BY k.doc_id
+        """,
         "tpch_late_ship_priority": """
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
             FROM orders o
