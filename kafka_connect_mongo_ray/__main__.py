@@ -302,6 +302,48 @@ def get_cmd(args) -> int:
     return 0
 
 
+def scan_cmd(args) -> int:
+    """Key-range scan with zone-map pruning
+    (pipelines/cdc.py::key_range_dataset): only part files whose
+    manifest-recorded [first_key, last_key] overlaps [--from, --to]
+    are opened. Prints the pruning counters plus the row count so the
+    effectiveness is observable from the CLI."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import key_range_dataset
+
+    def parse_key(s: str, what: str):
+        repo, sep, path = s.partition("/")
+        if not sep:
+            raise SystemExit(json.dumps(
+                {"error": f"{what} must be repo/path, got {s!r}"}))
+        return repo, path
+
+    lo = parse_key(args.from_key, "--from")
+    hi = parse_key(args.to_key, "--to")
+    cfg = EngineConfig(snapshot_dir=args.snapshot,
+                       checkpoint_dir=args.snapshot + "/../checkpoints")
+    ds = key_range_dataset(cfg, lo, hi,
+                           version=args.version or None)
+    n = ds.count()
+    out = {"from": list(lo), "to": list(hi), "rows": n,
+           "files_scanned": ds.files_scanned,
+           "files_total": ds.files_total}
+    if args.out:
+        ds.write_parquet(args.out)
+        out["out"] = args.out
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
 def curate(args) -> int:
     """Streaming curation end-to-end (pipelines/curate.py): N synthetic
     CDC windows with monotone (ts,inc), each committed as a replay and
@@ -419,6 +461,14 @@ def main(argv=None) -> int:
     gt.add_argument("--buckets", type=int, required=True)
     gt.add_argument("--key", action="append", required=True,
                     help="repo/path (repeatable)")
+    sc = sub.add_parser("scan")
+    sc.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    sc.add_argument("--from", required=True, dest="from_key",
+                    help="range start as repo/path (inclusive)")
+    sc.add_argument("--to", required=True, dest="to_key",
+                    help="range end as repo/path (inclusive)")
+    sc.add_argument("--version", type=int, default=0)
+    sc.add_argument("--out", default=None)
     cu = sub.add_parser("curate")
     cu.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     cu.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
@@ -453,6 +503,8 @@ def main(argv=None) -> int:
         return compact(args)
     if args.cmd == "get":
         return get_cmd(args)
+    if args.cmd == "scan":
+        return scan_cmd(args)
     if args.cmd == "curate":
         return curate(args)
     p.print_help()

@@ -15,6 +15,7 @@ one-thread-per-namespace ceiling (``MongoSourceConnector.kt:65-85``).
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -878,6 +879,57 @@ def final_state_dataset(cfg: EngineConfig, version: int | None = None):
     union_b64 = (store.manifest(v) or {}).get("union_schema")
     return rd.read_datasource(
         SnapshotDatasource(files, union_b64, live_only=True))
+
+
+def key_range_dataset(cfg: EngineConfig, lo_key: tuple[str, str],
+                      hi_key: tuple[str, str],
+                      version: int | None = None):
+    """Composite-key RANGE scan over a committed snapshot with
+    zone-map file pruning: the manifest's per-part-file
+    [first_key, last_key] bounds (free at write time — part files are
+    contiguous slices of the (repo, path)-sorted bucket) select the
+    overlapping files BEFORE any read is scheduled, complementing the
+    hash-bucket point GET (``point_lookup``) with the ordered access
+    path. A residual vectorized filter inside ``map_batches`` trims
+    the boundary files' out-of-range rows; interior files pass it
+    untouched. Returns a streaming Dataset of live rows in
+    [lo_key, hi_key]; attaches ``files_scanned`` / ``files_total``
+    counters on the returned dataset object for observability."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
+    from kafka_connect_mongo_ray.sources.snapshot_source import SnapshotDatasource
+
+    store = SnapshotStore(cfg.snapshot_dir, create=False)
+    v = store.current_version() if version is None else version
+    rels, total = store.files_for_key_range(v, lo_key, hi_key)
+    if not rels:
+        ds = rd.from_arrow(SNAPSHOT_SCHEMA.empty_table())
+        ds.files_scanned, ds.files_total = 0, total
+        return ds
+    union_b64 = (store.manifest(v) or {}).get("union_schema")
+    files = [os.path.join(store.root, r) for r in rels]
+    ds = rd.read_datasource(SnapshotDatasource(files, union_b64,
+                                               live_only=True))
+    lo_r, lo_p = lo_key
+    hi_r, hi_p = hi_key
+
+    def residual(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        ge_lo = pc.or_(pc.greater(batch["repo"], pa.scalar(lo_r)),
+                       pc.and_(pc.equal(batch["repo"], pa.scalar(lo_r)),
+                               pc.greater_equal(batch["path"],
+                                                pa.scalar(lo_p))))
+        le_hi = pc.or_(pc.less(batch["repo"], pa.scalar(hi_r)),
+                       pc.and_(pc.equal(batch["repo"], pa.scalar(hi_r)),
+                               pc.less_equal(batch["path"],
+                                             pa.scalar(hi_p))))
+        return batch.filter(pc.and_(ge_lo, le_hi))
+
+    out = ds.map_batches(residual, batch_format="pyarrow")
+    out.files_scanned, out.files_total = len(rels), total
+    return out
 
 
 def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = None,

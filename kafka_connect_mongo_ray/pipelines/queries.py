@@ -4548,6 +4548,132 @@ def q_tpch_shipping_priority(sf_dir: str):
             .repartition(1).map_batches(topk, batch_format="pyarrow"))
 
 
+def q_cdc_key_range_scan(sf_dir: str):
+    """Zone-map-pruned key-range read: replay the full derived change
+    stream into a PERSISTED store whose buckets split into many small
+    part files, then range-scan repos src2..src4 through
+    ``key_range_dataset`` — only part files whose manifest-recorded
+    [first_key, last_key] overlaps the range are opened (asserted:
+    pruning must actually skip files), the residual filter trims
+    boundary files. The oracle is the analytic final state restricted
+    to the same lexicographic repo range."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import (
+        key_range_dataset,
+        run_replay,
+    )
+
+    root = f"/tmp/kcm_zmq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=8, snapshot_rows_per_file=32)
+    run_replay(doc_change_events(sf_dir), cfg)
+    ds = key_range_dataset(cfg, ("src2", ""), ("src4", "￿"))
+    assert ds.files_scanned < ds.files_total, (
+        "zone maps pruned nothing — stats missing from the manifest?")
+    return ds.map_batches(
+        lambda t: t.select(["repo", "path", "lang", "content"]),
+        batch_format="pyarrow")
+
+
+def q_tpch_nation_volume(sf_dir: str):
+    """TPC-H Q7-shaped bidirectional nation-pair volume: revenue
+    shipped 1997-1998 between NATION_3 and NATION_8 in either
+    direction, per (supplier nation, customer nation, year). The
+    nation table is constant-sized (25 rows) so its name map rides
+    driver-side; the supplier and customer dimensions filter to the
+    two nations BEFORE their joins (a 2/25 cut on each side of the
+    fact stream), and revenue pre-sums per batch before the final
+    3-key exchange over a pair×year domain."""
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1997-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1999-01-01").astype("datetime64[us]").item()
+    WANT = ("NATION_3", "NATION_8")
+
+    nat = {int(r["n_nationkey"]): str(r["n_name"])
+           for r in _read(sf_dir, "nation",
+                          columns=["n_nationkey", "n_name"]).take_all()}
+    want_keys = [k for k, v in nat.items() if v in WANT]
+
+    def dim(table, key_col, out_key, out_name):
+        def f(batch: pa.Table) -> pa.Table:
+            nk = np.asarray(batch[key_col[1]], dtype=np.int64)
+            keep = np.isin(nk, want_keys)
+            names = np.array([nat[int(x)] for x in nk[keep]], dtype=object)
+            return pa.table({out_key: pa.array(
+                np.asarray(batch[key_col[0]], dtype=np.int64)[keep]),
+                out_name: pa.array(names, pa.string())})
+        return _read(sf_dir, table, columns=list(key_col)).map_batches(
+            f, batch_format="pyarrow")
+
+    supp = dim("supplier", ("s_suppkey", "s_nationkey"),
+               "l_suppkey", "supp_nation")
+    cust = dim("customer", ("c_custkey", "c_nationkey"),
+               "o_custkey", "cust_nation")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    # column ops ride inside map_batches: Dataset.drop_columns needs a
+    # schema, and a join whose dimension side matched nothing (possible
+    # at the smallest sf) has none
+    ord_cust = hash_join(orders, cust, on=["o_custkey"],
+                         num_buckets=_gate_buckets()).map_batches(
+        lambda t: t.select(["o_orderkey", "cust_nation"]),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(LO)),
+            pc.less(batch["l_shipdate"], pa.scalar(HI))))
+        cents = np.rint(np.asarray(b["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(b["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "l_year": pc.cast(pc.year(b["l_shipdate"]),
+                                           pa.int64()),
+                         "rev": pa.array(cents * (100 - disc))})
+
+    li_s = hash_join(li.map_batches(li_prep, batch_format="pyarrow"),
+                     supp, on=["l_suppkey"], num_buckets=_gate_buckets()
+                     ).map_batches(
+        lambda t: t.drop_columns(["l_suppkey"]).rename_columns(
+            ["o_orderkey" if c == "l_orderkey" else c
+             for c in t.column_names if c != "l_suppkey"]),
+        batch_format="pyarrow")
+    j = hash_join(li_s, ord_cust, on=["o_orderkey"],
+                  num_buckets=_gate_buckets())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["supp_nation"], batch["cust_nation"])
+        b = batch.filter(keep)
+        g = pa.table({"supp_nation": b["supp_nation"],
+                      "cust_nation": b["cust_nation"],
+                      "l_year": b["l_year"], "rev": b["rev"]}
+                     ).group_by(["supp_nation", "cust_nation", "l_year"]
+                                ).aggregate([("rev", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "revenue_cents"])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+            .map_batches(lambda t: t.set_column(
+                t.schema.get_field_index("revenue_cents"), "revenue_cents",
+                pc.cast(t["revenue_cents"], pa.int64())),
+                batch_format="pyarrow"))
+
+
 # chunk-level dedup: composite (doc_id, chunk_index) encoding bounds
 _CHUNK_WORDS = 10
 _CHUNK_IDX_SPAN = 4096  # doc texts are ≤ ~100 words; guarded per batch
@@ -4668,7 +4794,9 @@ def build_queries():
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
         "tpch_shipping_priority": q_tpch_shipping_priority,
+        "tpch_nation_volume": q_tpch_nation_volume,
         "docs_chunk_dedup": q_docs_chunk_dedup,
+        "cdc_key_range_scan": q_cdc_key_range_scan,
         "tpch_late_ship_priority": q_tpch_late_ship_priority,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "tpch_priority_linestatus_mix": q_tpch_priority_linestatus_mix,
@@ -4900,6 +5028,32 @@ def build_oracle_sql():
             GROUP BY 1, 3, 4
             ORDER BY revenue_cents DESC, o_orderkey
             LIMIT 10
+        """,
+        "cdc_key_range_scan": """
+            SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, lang,
+                   text || ':v' || CAST(doc_id % 5 AS VARCHAR) AS content
+            FROM documents
+            WHERE doc_id % 7 <> 0
+              AND source >= 'src2' AND source <= 'src4'
+        """,
+        "tpch_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                   AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+                   OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3
         """,
         "docs_chunk_dedup": """
             WITH w AS (

@@ -92,6 +92,41 @@ class SnapshotStore:
                 out.append(os.path.join(self.root, r))
         return out
 
+    def files_for_key_range(self, version: int,
+                            lo_key: tuple[str, str],
+                            hi_key: tuple[str, str]) -> tuple[list[str], int]:
+        """Zone-map pruning for a composite-key range scan: relative
+        paths of the part files whose [first_key, last_key] interval
+        (recorded at write time — each part file is a contiguous slice
+        of its canonically sorted bucket) overlaps [lo_key, hi_key],
+        plus the TOTAL live file count for observability. Files
+        without stats (pre-zone-map commits) are conservatively kept;
+        empty files are skipped. Pure manifest arithmetic — no file,
+        not even a footer, is opened."""
+        m = self.manifest(version)
+        if not m:
+            return [], 0
+        stats = m.get("file_stats", {})
+        lo, hi = tuple(lo_key), tuple(hi_key)
+        out, total = [], 0
+        for rels in m["buckets"].values():
+            for r in ([rels] if isinstance(rels, str) else rels):
+                total += 1
+                st = stats.get(r)
+                if st is None:
+                    out.append(r)  # unknown bounds: must scan
+                    continue
+                if st.get("rows", 1) == 0:
+                    continue
+                fk, lk = st.get("first_key"), st.get("last_key")
+                if fk is None or lk is None:
+                    out.append(r)
+                    continue
+                if tuple(lk) < lo or tuple(fk) > hi:
+                    continue
+                out.append(r)
+        return out, total
+
     def tokens(self, version: int) -> dict[int, tuple[int, int]]:
         """Per-partition resume tokens recorded at the given commit."""
         m = self.manifest(version)
@@ -161,6 +196,23 @@ class SnapshotStore:
             pq.write_table(chunk, tmp, compression="zstd")
             final = os.path.join(d, fname)
             os.replace(tmp, final)
+            # zone-map sidecar: the chunk is a contiguous slice of the
+            # canonically (repo, path)-sorted bucket, so its first/last
+            # rows ARE its exact key bounds — free at write time, and
+            # commit() folds them into the manifest so range readers
+            # prune part files without opening any footer
+            stats: dict = {"rows": chunk.num_rows}
+            if chunk.num_rows:
+                last = chunk.num_rows - 1
+                stats["first_key"] = [chunk["repo"][0].as_py(),
+                                      chunk["path"][0].as_py()]
+                stats["last_key"] = [chunk["repo"][last].as_py(),
+                                     chunk["path"][last].as_py()]
+                import pyarrow.compute as _pc
+
+                ts_mm = _pc.min_max(chunk["ts"]).as_py()
+                stats["ts"] = [ts_mm["min"], ts_mm["max"]]
+            atomic_write_json(final + ".zmap.json", stats)
             finals.append(final)
         return ",".join(finals)
 
@@ -264,11 +316,30 @@ class SnapshotStore:
             buckets.update(prev_manifest["buckets"])  # COW carry-forward
         vname = os.path.basename(vdir)
         fresh: dict[str, list] = {}
+        fresh_stats: dict[str, dict] = {}
         for f in sorted(os.listdir(vdir)):
             if f.startswith("bucket=") and f.endswith(".parquet"):
                 b = f[len("bucket="):-len(".parquet")].split("-")[0]
-                fresh.setdefault(b, []).append(os.path.join(vname, f))
+                rel = os.path.join(vname, f)
+                fresh.setdefault(b, []).append(rel)
+                zmap = os.path.join(vdir, f + ".zmap.json")
+                st = read_json(zmap)
+                if st is not None:
+                    fresh_stats[rel] = st
+                    os.unlink(zmap)  # manifest is the source of truth
         buckets.update(fresh)
+
+        # zone maps: fresh files bring their sidecar stats; COW
+        # carry-forward files keep the stats their own commit recorded
+        # (rel paths are stable across versions). Files without stats
+        # simply stay unprunable — readers treat missing as "scan".
+        file_stats: dict[str, dict] = {}
+        if prev_manifest:
+            file_stats.update(prev_manifest.get("file_stats", {}))
+        file_stats.update(fresh_stats)
+        live_rels = {r for rels in buckets.values()
+                     for r in ([rels] if isinstance(rels, str) else rels)}
+        file_stats = {r: s for r, s in file_stats.items() if r in live_rels}
 
         # lineage metrics: fresh rows for touched buckets; untouched
         # (carried-forward) buckets keep their previous metrics so
@@ -291,6 +362,7 @@ class SnapshotStore:
             "buckets": buckets,
             "tokens": {str(p): [t[0], t[1]] for p, t in sorted(tokens.items())},
             "metrics": sorted(merged_metrics.values(), key=lambda m: m.get("bucket", -1)),
+            "file_stats": file_stats,
         }
         atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
         atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": new_version})
