@@ -4651,6 +4651,10 @@ def q_tpch_nation_volume(sf_dir: str):
             ["o_orderkey" if c == "l_orderkey" else c
              for c in t.column_names if c != "l_suppkey"]),
         batch_format="pyarrow")
+    # stage the narrow first-join output before the second bucketed
+    # join — chained lazy all-to-alls starve the executor (NEXT.md #2;
+    # the Q5 star measured 20 s → 6.4 s from exactly this staging)
+    li_s = li_s.materialize()
     j = hash_join(li_s, ord_cust, on=["o_orderkey"],
                   num_buckets=_gate_buckets())
 
@@ -4699,6 +4703,10 @@ def q_docs_chunk_dedup(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
+        # null text explodes to nothing (SQL unnest semantics) — and a
+        # null-bearing list_value_length would poison the int64 numpy
+        # cast below (the repo's recurring NaN-key lesson)
+        batch = batch.filter(pc.is_valid(batch["text"]))
         words = pc.split_pattern(batch["text"], " ")
         lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
         doc = np.asarray(batch["doc_id"], dtype=np.int64)
