@@ -1052,10 +1052,14 @@ def point_lookup(cfg: EngineConfig, keys: list[tuple[str, str]],
     buckets = hash_buckets(key_t, ["repo", "path"], cfg.num_buckets)
     out = []
     for b in sorted(set(int(x) for x in buckets)):
-        t = store.read_bucket(v, b)
+        want = key_t.filter(pa.array(buckets == b))
+        # zone-map pruned: a split bucket opens only the part files
+        # whose key bounds could hold one of this bucket's keys
+        t = store.read_bucket_for_keys(
+            v, b, list(zip(want["repo"].to_pylist(),
+                           want["path"].to_pylist())))
         if t is None:
             continue
-        want = key_t.filter(pa.array(buckets == b))
         from kafka_connect_mongo_ray.utils import key_strings
 
         member = pc.is_in(key_strings(t, ["repo", "path"]),

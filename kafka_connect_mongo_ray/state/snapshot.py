@@ -82,6 +82,42 @@ class SnapshotStore:
         tables = [pq.read_table(os.path.join(self.root, r)) for r in rels]
         return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
+    def read_bucket_for_keys(self, version: int, bucket: int,
+                             keys: list[tuple[str, str]]) -> pa.Table | None:
+        """Bucket read pruned to the part files whose zone-map
+        [first_key, last_key] interval could contain one of ``keys`` —
+        a point GET on a rows_per_file-split bucket opens one part
+        file instead of all of them. Files without stats are kept
+        (legacy manifests degrade to the full-bucket read)."""
+        m = self.manifest(version)
+        if not m:
+            return None
+        rels = m["buckets"].get(str(bucket))
+        if rels is None:
+            return None
+        if isinstance(rels, str):
+            rels = [rels]
+        stats = m.get("file_stats", {})
+        ks = sorted(tuple(k) for k in keys)
+
+        def may_hold(rel: str) -> bool:
+            st = stats.get(rel)
+            if st is None:
+                return True
+            if st.get("rows", 1) == 0:
+                return False
+            fk, lk = st.get("first_key"), st.get("last_key")
+            if fk is None or lk is None:
+                return True
+            fk, lk = tuple(fk), tuple(lk)
+            return any(fk <= k <= lk for k in ks)
+
+        hit = [r for r in rels if may_hold(r)]
+        if not hit:
+            return None
+        tables = [pq.read_table(os.path.join(self.root, r)) for r in hit]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+
     def bucket_files(self, version: int) -> list[str]:
         m = self.manifest(version)
         if not m:

@@ -100,6 +100,28 @@ def test_stats_missing_falls_back_to_full_scan(split_store):
     assert ds.count() == 20  # residual filter still correct
 
 
+def test_point_lookup_prunes_part_files(split_store):
+    from kafka_connect_mongo_ray.pipelines.cdc import point_lookup
+    from kafka_connect_mongo_ray.utils import hash_buckets
+    import pyarrow as pa
+
+    t = point_lookup(split_store, [("r1", "p010")])
+    assert t.num_rows == 1 and t["content"][0].as_py() == "c10"
+
+    # the pruned bucket read must open fewer rows than the full bucket
+    store = SnapshotStore(split_store.snapshot_dir, create=False)
+    v = store.current_version()
+    key_t = pa.table({"repo": ["r1"], "path": ["p010"]})
+    b = int(hash_buckets(key_t, ["repo", "path"],
+                         split_store.num_buckets)[0])
+    pruned = store.read_bucket_for_keys(v, b, [("r1", "p010")])
+    full = store.read_bucket(v, b)
+    assert pruned.num_rows <= 5 < full.num_rows  # one part file of 5
+
+    # absent key outside every part file's bounds: nothing opened
+    assert store.read_bucket_for_keys(v, b, [("zz", "x")]) is None
+
+
 def test_compaction_preserves_zone_maps(split_store):
     from kafka_connect_mongo_ray.state.snapshot import run_compaction
 
