@@ -290,9 +290,20 @@ def get_cmd(args) -> int:
             print(json.dumps({"error": f"--key must be repo/path, got {k!r}"}))
             return 1
     keys = [tuple(k.partition("/")[::2]) for k in args.key]
+    buckets = args.buckets
+    if not buckets:
+        from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+        store = SnapshotStore(args.snapshot, create=False)
+        m = store.manifest(store.current_version())
+        buckets = (m or {}).get("num_buckets") or 0
+        if not buckets:
+            print(json.dumps({"error": "--buckets required: this store's "
+                              "manifest predates the num_buckets contract"}))
+            return 1
     cfg = EngineConfig(snapshot_dir=args.snapshot,
                        checkpoint_dir=args.snapshot + "/../checkpoints",
-                       num_buckets=args.buckets)
+                       num_buckets=buckets)
     t = point_lookup(cfg, keys)
     rows = [] if t is None else [
         {k: (str(v) if v is not None else None) for k, v in r.items()}
@@ -341,6 +352,28 @@ def scan_cmd(args) -> int:
         ds.write_parquet(args.out)
         out["out"] = args.out
     print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+def rebucket_cmd(args) -> int:
+    """Re-partition the store to a new bucket count
+    (state/snapshot.py::run_rebucket): one distributed hash exchange,
+    atomic commit, new num_buckets recorded in the manifest so GET
+    derives the hash rule without a flag."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_connect_mongo_ray.state.snapshot import run_rebucket
+
+    res = run_rebucket(args.snapshot, args.buckets,
+                       rows_per_file=args.rows_per_file)
+    print(json.dumps(res, sort_keys=True))
     return 0
 
 
@@ -458,9 +491,15 @@ def main(argv=None) -> int:
                     dest="rows_per_file")
     gt = sub.add_parser("get")
     gt.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
-    gt.add_argument("--buckets", type=int, required=True)
+    gt.add_argument("--buckets", type=int, default=0,
+                    help="hash modulus; omit to read it from the manifest")
     gt.add_argument("--key", action="append", required=True,
                     help="repo/path (repeatable)")
+    rb = sub.add_parser("rebucket")
+    rb.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    rb.add_argument("--buckets", type=int, required=True)
+    rb.add_argument("--rows-per-file", type=int, default=None,
+                    dest="rows_per_file")
     sc = sub.add_parser("scan")
     sc.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     sc.add_argument("--from", required=True, dest="from_key",
@@ -505,6 +544,8 @@ def main(argv=None) -> int:
         return get_cmd(args)
     if args.cmd == "scan":
         return scan_cmd(args)
+    if args.cmd == "rebucket":
+        return rebucket_cmd(args)
     if args.cmd == "curate":
         return curate(args)
     p.print_help()

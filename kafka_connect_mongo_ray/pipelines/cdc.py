@@ -836,7 +836,8 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
         staged_files = [p for row in metrics if row["file"]
                         for p in row["file"].split(",")]
         store.commit(new, tokens=all_tokens, metrics=clean_metrics, prev_version=prev,
-                     union_schema=union_b64, nonce=nonce, expected_files=staged_files)
+                     union_schema=union_b64, nonce=nonce, expected_files=staged_files,
+                     num_buckets=cfg.num_buckets)
         mirror_checkpoints(cfg.checkpoint_dir, all_tokens, version=new)
         return {
             "version": new,
@@ -1047,9 +1048,13 @@ def point_lookup(cfg: EngineConfig, keys: list[tuple[str, str]],
     key_t = pa.table({
         "repo": pa.array([k[0] for k in keys], pa.string()),
         "path": pa.array([k[1] for k in keys], pa.string())})
-    if key_t.num_rows == 0 or store.manifest(v) is None:
+    m = store.manifest(v)
+    if key_t.num_rows == 0 or m is None:
         return None
-    buckets = hash_buckets(key_t, ["repo", "path"], cfg.num_buckets)
+    # the manifest's recorded bucket count is authoritative (survives
+    # a rebucket); cfg is the fallback for pre-contract manifests
+    nb = m.get("num_buckets") or cfg.num_buckets
+    buckets = hash_buckets(key_t, ["repo", "path"], nb)
     out = []
     for b in sorted(set(int(x) for x in buckets)):
         want = key_t.filter(pa.array(buckets == b))

@@ -311,6 +311,7 @@ class SnapshotStore:
         union_schema: str | None = None,
         nonce: str | None = None,
         expected_files: list[str] | None = None,
+        num_buckets: int | None = None,
     ) -> dict:
         """Atomic publish: staging → v{N}, manifest, CURRENT flip.
 
@@ -391,6 +392,11 @@ class SnapshotStore:
             merged_metrics[str(mm.get("bucket"))] = mm
         if union_schema is None and prev_manifest:
             union_schema = prev_manifest.get("union_schema")
+        if num_buckets is None and prev_manifest:
+            # carry the bucket-count contract so readers (point GET's
+            # hash rule) can derive it from the manifest instead of
+            # trusting a CLI flag; absent on pre-contract manifests
+            num_buckets = prev_manifest.get("num_buckets")
         manifest = {
             "version": new_version,
             "parent": prev,
@@ -399,6 +405,7 @@ class SnapshotStore:
             "tokens": {str(p): [t[0], t[1]] for p, t in sorted(tokens.items())},
             "metrics": sorted(merged_metrics.values(), key=lambda m: m.get("bucket", -1)),
             "file_stats": file_stats,
+            "num_buckets": num_buckets,
         }
         atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
         atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": new_version})
@@ -475,3 +482,70 @@ def run_compaction(snapshot_dir: str, *, min_files: int = 2,
                  expected_files=expected)
     return {"version": v, "new_version": new_v, "compacted": len(frag),
             "buckets": frag}
+
+
+def run_rebucket(snapshot_dir: str, new_buckets: int, *,
+                 rows_per_file: int | None = None,
+                 nonce: str | None = None) -> dict:
+    """Re-partition the store to a different bucket count — the
+    operational move when a table outgrows (or rattles around in) its
+    original layout. Every key moves to ``hash64(key) % new_buckets``
+    via ONE distributed hash exchange (the same rule the apply shuffle
+    and the point GET use), each new bucket's rows re-sorted to the
+    canonical (repo, path) order inside its own task, written through
+    the staging/zone-map path, and committed atomically with the NEW
+    ``num_buckets`` recorded in the manifest — readers switch rules at
+    the CURRENT flip, never mid-read. Resume tokens carry verbatim
+    (re-bucketing moves rows, not progress). A full rewrite by nature:
+    every row relocates, so there is no COW carry-forward to exploit.
+
+    The reference has no analog (MongoDB reshards server-side); this
+    is the Ray-native equivalent of `sh.reshardCollection`."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.sources.snapshot_source import SnapshotDatasource
+    from kafka_connect_mongo_ray.utils import hash_buckets
+
+    if new_buckets < 1:
+        raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
+    store = SnapshotStore(snapshot_dir, create=False)
+    v = store.current_version()
+    m = store.manifest(v)
+    if not m:
+        return {"version": v, "new_version": v, "rebucketed": 0}
+    new_v = v + 1
+    store.clean_staging(new_v, nonce)
+
+    files = store.bucket_files(v)
+    union_b64 = m.get("union_schema")
+    # live_only=False: the store's state INCLUDES tombstone rows (they
+    # suppress late duplicates); a rebucket must move them too
+    ds = rd.read_datasource(SnapshotDatasource(files, union_b64,
+                                               live_only=False))
+
+    def assign(batch):
+        b = hash_buckets(batch, ["repo", "path"], new_buckets)
+        return batch.append_column("__bucket", pa.array(b))
+
+    root = snapshot_dir
+
+    def write_group(batch: pa.Table) -> pa.Table:
+        b = int(batch["__bucket"][0].as_py())
+        t = batch.drop_columns(["__bucket"]).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])
+        st = SnapshotStore(root, create=False)
+        rel = st.write_bucket_staging(new_v, b, t,
+                                      rows_per_file=rows_per_file,
+                                      nonce=nonce)
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "files": pa.array([rel], pa.string())})
+
+    res = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("__bucket", num_partitions=new_buckets)
+           .map_groups(write_group, batch_format="pyarrow").take_all())
+    expected = [p for r in res for p in r["files"].split(",")]
+    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
+                 union_schema=union_b64, nonce=nonce,
+                 expected_files=expected, num_buckets=new_buckets)
+    return {"version": v, "new_version": new_v,
+            "rebucketed": len(res), "num_buckets": new_buckets}
