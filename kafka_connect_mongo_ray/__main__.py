@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -344,13 +345,21 @@ def scan_cmd(args) -> int:
                        checkpoint_dir=args.snapshot + "/../checkpoints")
     ds = key_range_dataset(cfg, lo, hi,
                            version=args.version or None)
-    n = ds.count()
-    out = {"from": list(lo), "to": list(hi), "rows": n,
+    out = {"from": list(lo), "to": list(hi),
            "files_scanned": ds.files_scanned,
            "files_total": ds.files_total}
     if args.out:
+        # single pass: write, then count from the written footers
+        # (ds.count() + write_parquet would scan every part file twice)
         ds.write_parquet(args.out)
+        import pyarrow.parquet as pq
+
+        out["rows"] = sum(
+            pq.read_metadata(os.path.join(args.out, f)).num_rows
+            for f in os.listdir(args.out) if f.endswith(".parquet"))
         out["out"] = args.out
+    else:
+        out["rows"] = ds.count()
     print(json.dumps(out, sort_keys=True))
     return 0
 

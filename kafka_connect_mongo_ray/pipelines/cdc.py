@@ -699,6 +699,22 @@ def run_replay(events_ds, cfg: EngineConfig) -> dict:
     store.clean_stale_staging()  # crash-window hygiene: orphans of committed versions
     old_tokens = store.tokens(prev)
 
+    # layout-contract check: after a rebucket the manifest's recorded
+    # num_buckets is authoritative; replaying with a stale config would
+    # merge mod-K events into a mod-N store — superseded rows resurface
+    # next to their LWW replacements and tombstone suppression breaks.
+    # Refuse loudly instead (the operator fixes the config or reruns
+    # run_rebucket); pre-contract manifests record nothing and pass.
+    prev_m = store.manifest(prev)
+    recorded = (prev_m or {}).get("num_buckets")
+    if recorded and recorded != cfg.num_buckets:
+        from kafka_connect_mongo_ray.config import ConfigError
+
+        raise ConfigError(
+            f"store layout is {recorded} buckets (manifest v{prev}) but "
+            f"cfg.num_buckets={cfg.num_buckets}; set the config to match "
+            f"or run_rebucket({cfg.num_buckets}) first")
+
     saved_ctx = _apply_execution_context(cfg, events_ds)
     try:
 

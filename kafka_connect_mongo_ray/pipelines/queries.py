@@ -4333,11 +4333,10 @@ def q_tpch_small_qty_revenue(sf_dir: str):
         return pa.table({"n_small": pa.array([int(keep.sum())]),
                          "sum_cents": pa.array([int(cents.sum())])})
 
-    from ray.data.aggregate import Sum as _Sum
     agg = joined.map_batches(small_partial, batch_format="pyarrow"
-                             ).aggregate(_Sum("n_small", alias_name="n_small"),
-                                         _Sum("sum_cents",
-                                              alias_name="sum_cents"))
+                             ).aggregate(Sum("n_small", alias_name="n_small"),
+                                         Sum("sum_cents",
+                                             alias_name="sum_cents"))
     return pd.DataFrame({"n_small": [int(agg["n_small"] or 0)],
                          "sum_cents": [int(agg["sum_cents"] or 0)]})
 
@@ -4380,7 +4379,12 @@ def q_tpch_top_supplier(sf_dir: str):
                t.schema.get_field_index("total_rev"), "total_rev",
                pc.cast(t["total_rev"], pa.int64())),
                batch_format="pyarrow")).materialize()
-    best = int(rev.aggregate(Max("total_rev", alias_name="m"))["m"])
+    agg = rev.aggregate(Max("total_rev", alias_name="m"))
+    if not agg or agg.get("m") is None:  # empty window ⇒ oracle's 0 rows
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "total_rev": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object)})
+    best = int(agg["m"])
     top = rev.map_batches(
         lambda t: t.filter(pc.equal(t["total_rev"],
                                     pa.scalar(best, pa.int64()))),

@@ -312,6 +312,7 @@ class SnapshotStore:
         nonce: str | None = None,
         expected_files: list[str] | None = None,
         num_buckets: int | None = None,
+        full_rewrite: bool = False,
     ) -> dict:
         """Atomic publish: staging → v{N}, manifest, CURRENT flip.
 
@@ -349,8 +350,12 @@ class SnapshotStore:
 
         buckets: dict[str, list] = {}
         prev_manifest = self.manifest(prev)
-        if prev_manifest:
-            buckets.update(prev_manifest["buckets"])  # COW carry-forward
+        if prev_manifest and not full_rewrite:
+            # COW carry-forward — suppressed for full rewrites
+            # (rebucket): carrying an old-modulus bucket whose id the
+            # new layout doesn't overwrite would leave every row it
+            # holds live TWICE (its relocated copy plus the stale file)
+            buckets.update(prev_manifest["buckets"])
         vname = os.path.basename(vdir)
         fresh: dict[str, list] = {}
         fresh_stats: dict[str, dict] = {}
@@ -382,7 +387,10 @@ class SnapshotStore:
         # (carried-forward) buckets keep their previous metrics so
         # cumulative views (healthcheck live_rows) stay truthful
         merged_metrics: dict[str, dict] = {}
-        if prev_manifest:
+        if prev_manifest and not full_rewrite:
+            # a full rewrite's metrics describe the NEW layout only;
+            # old per-bucket lineage rows would report buckets that no
+            # longer hold those rows
             for m in prev_manifest.get("metrics", []):
                 merged_metrics[str(m.get("bucket"))] = m
         for m in metrics or []:
@@ -530,6 +538,8 @@ def run_rebucket(snapshot_dir: str, new_buckets: int, *,
     root = snapshot_dir
 
     def write_group(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
         b = int(batch["__bucket"][0].as_py())
         t = batch.drop_columns(["__bucket"]).sort_by(
             [("repo", "ascending"), ("path", "ascending")])
@@ -537,15 +547,26 @@ def run_rebucket(snapshot_dir: str, new_buckets: int, *,
         rel = st.write_bucket_staging(new_v, b, t,
                                       rows_per_file=rows_per_file,
                                       nonce=nonce)
+        live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
+                           ).as_py() or 0)
         return pa.table({"bucket": pa.array([b], pa.int64()),
-                         "files": pa.array([rel], pa.string())})
+                         "files": pa.array([rel], pa.string()),
+                         "state_rows": pa.array([t.num_rows], pa.int64()),
+                         "live_rows": pa.array([live], pa.int64())})
 
     res = (ds.map_batches(assign, batch_format="pyarrow")
            .groupby("__bucket", num_partitions=new_buckets)
            .map_groups(write_group, batch_format="pyarrow").take_all())
     expected = [p for r in res for p in r["files"].split(",")]
+    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
+                "state_rows": int(r["state_rows"]),
+                "live_rows": int(r["live_rows"])} for r in res]
+    # full_rewrite: every row relocated, so NO carry-forward — a stale
+    # old-modulus bucket (or its lineage row) surviving the commit
+    # would double every row it holds in scans and break healthcheck
     store.commit(new_v, tokens=store.tokens(v), prev_version=v,
                  union_schema=union_b64, nonce=nonce,
-                 expected_files=expected, num_buckets=new_buckets)
+                 expected_files=expected, num_buckets=new_buckets,
+                 metrics=metrics, full_rewrite=True)
     return {"version": v, "new_version": new_v,
             "rebucketed": len(res), "num_buckets": new_buckets}

@@ -66,3 +66,49 @@ def test_rebucket_preserves_state_and_records_contract(
     assert t["content"][0].as_py() == "c10"
     # the tombstoned key answers absent
     assert point_lookup(cfg, [("r0", "p000")]) is None
+
+
+def test_shrink_rebucket_drops_old_modulus_buckets(tmp_path, ray_session):
+    """Shrinking (5 → 2) must NOT carry forward old buckets 2-4: a
+    surviving old-modulus file would double every row it holds in
+    scans (the code-review repro)."""
+    cfg = _store(tmp_path, num_buckets=5)
+    before = final_state_table(cfg).to_pandas()
+
+    run_rebucket(cfg.snapshot_dir, 2, rows_per_file=7)
+
+    store = SnapshotStore(cfg.snapshot_dir, create=False)
+    m = store.manifest(store.current_version())
+    assert set(m["buckets"]) <= {"0", "1"}
+    after = final_state_table(cfg, version=store.current_version()
+                              ).to_pandas()
+    assert before.equals(after)  # no duplicates, nothing lost
+    # lineage metrics describe the NEW layout only, and healthcheck's
+    # live_rows sum stays truthful
+    assert {mm["bucket"] for mm in m["metrics"]} <= {0, 1}
+    assert sum(mm["live_rows"] for mm in m["metrics"]) == len(after)
+
+
+def test_replay_refuses_stale_bucket_config(tmp_path, ray_session):
+    """An incremental replay with a pre-rebucket config must refuse:
+    merging mod-2 events into a mod-5 store resurfaces superseded
+    rows and breaks tombstone suppression (the code-review repro)."""
+    import pytest
+
+    from kafka_connect_mongo_ray.config import ConfigError
+
+    cfg = _store(tmp_path, num_buckets=2)
+    run_rebucket(cfg.snapshot_dir, 5, rows_per_file=7)
+
+    rows = [dict(ts=200, op="u", repo="r0", path="p001",
+                 content="new", **BASE)]
+    with pytest.raises(ConfigError, match="store layout is 5 buckets"):
+        run_replay(ds_from_table(make_events(rows), 1), cfg)
+
+    # with the matching config the same window applies cleanly
+    cfg5 = EngineConfig(snapshot_dir=cfg.snapshot_dir,
+                        checkpoint_dir=cfg.checkpoint_dir,
+                        num_buckets=5, snapshot_rows_per_file=7)
+    run_replay(ds_from_table(make_events(rows), 1), cfg5)
+    t = point_lookup(cfg5, [("r0", "p001")])
+    assert t["content"][0].as_py() == "new"
