@@ -4687,6 +4687,61 @@ _CHUNK_WORDS = 10
 _CHUNK_IDX_SPAN = 4096  # doc texts are ≤ ~100 words; guarded per batch
 
 
+def q_tpch_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped group-vs-global-scalar HAVING: parts whose
+    revenue exceeds 1.3× the mean per-part revenue (Q11's
+    value > fraction × SUM(value) shape, with an adaptive mean-based
+    cut because the synthetic revenue is uniform across parts — any
+    fixed share degenerates as the part count scales). The compare
+    ships as v·n·10 > 13·total — identical int64 ops both engines, the
+    Q22 cross-multiplication rule. One partkey-domain exchange; the
+    two global scalars reduce from the same staged blocks."""
+    from ray.data.aggregate import Count, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        g = pa.table({"p_partkey": batch["l_partkey"],
+                      "v": pa.array(cents)}).group_by(
+            "p_partkey").aggregate([("v", "sum")])
+        return g.rename_columns(["p_partkey", "value_cents"])
+
+    pv = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby("p_partkey").aggregate(Sum("value_cents",
+                                              alias_name="value_cents"))
+          .map_batches(lambda t: t.set_column(
+              t.schema.get_field_index("value_cents"), "value_cents",
+              pc.cast(t["value_cents"], pa.int64())),
+              batch_format="pyarrow")).materialize()
+    from ray.data.aggregate import Max
+
+    scal = pv.aggregate(Sum("value_cents", alias_name="s"),
+                        Count(alias_name="n"),
+                        Max("value_cents", alias_name="mx"))
+    total, n = int(scal["s"] or 0), int(scal["n"])
+    # magnitude guard (the repo's composite-int rule): both sides of
+    # the cross-multiplied compare must stay inside int64
+    assert (scal["mx"] is None
+            or max(int(scal["mx"]) * n * 10, 13 * total) < 2 ** 63)
+    if n == 0:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "value_cents": pd.Series([], dtype=np.int64),
+                             "p_name": pd.Series([], dtype=object)})
+    big = pv.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["value_cents"],
+                        pa.scalar(n * 10, pa.int64())),
+            pa.scalar(13 * total, pa.int64()))),
+        batch_format="pyarrow")
+    names = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return hash_join(big, names, on=["p_partkey"],
+                     num_buckets=_gate_buckets())
+
+
 def q_docs_chunk_dedup(sf_dir: str):
     """Chunk-level (paragraph-style) corpus dedup: explode every
     document into 10-word chunks, keep each distinct chunk only at its
@@ -4809,6 +4864,7 @@ def build_queries():
         "tpch_nation_volume": q_tpch_nation_volume,
         "docs_chunk_dedup": q_docs_chunk_dedup,
         "cdc_key_range_scan": q_cdc_key_range_scan,
+        "tpch_important_parts": q_tpch_important_parts,
         "tpch_late_ship_priority": q_tpch_late_ship_priority,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "tpch_priority_linestatus_mix": q_tpch_priority_linestatus_mix,
@@ -5040,6 +5096,17 @@ def build_oracle_sql():
             GROUP BY 1, 3, 4
             ORDER BY revenue_cents DESC, o_orderkey
             LIMIT 10
+        """,
+        "tpch_important_parts": """
+            WITH pv AS (SELECT l_partkey AS p_partkey,
+                               CAST(SUM(CAST(round(l_extendedprice * 100)
+                                             AS BIGINT)) AS BIGINT)
+                               AS value_cents
+                        FROM lineitem GROUP BY 1)
+            SELECT pv.p_partkey, pv.value_cents, p.p_name
+            FROM pv JOIN part p ON p.p_partkey = pv.p_partkey
+            WHERE pv.value_cents * (SELECT COUNT(*) FROM pv) * 10
+                  > 13 * (SELECT SUM(value_cents) FROM pv)
         """,
         "cdc_key_range_scan": """
             SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, lang,
