@@ -19,8 +19,13 @@ store replaces that with an exactly-once-on-final-state protocol:
   leaves the previous version live; replaying the job is idempotent
   (LWW), so the crash window is safe.
 
-Layout is resumable and shardable: one file per bucket, never one
-giant file.
+Layout is resumable and shardable: one file per bucket (split into
+``rows_per_file`` parts when large), never one giant file. Each part
+file's exact (repo, path) key bounds and ts min/max ride the manifest
+(zone maps — see ``files_for_key_range`` / ``read_bucket_for_keys``),
+and ``run_rebucket`` re-partitions the whole store to a new bucket
+count in one distributed exchange, recording the new ``num_buckets``
+contract in the manifest.
 """
 
 from __future__ import annotations
