@@ -447,6 +447,9 @@ def curate(args) -> int:
             "doc_id": pa.array(ids, pa.int64()),
             "repo": pc.cast(b["repo"], pa.string()),
             "path": pc.cast(b["path"], pa.string()),
+            # carrying ts gives each window its exact event-time zone
+            # map in the _CURATED marker (read_curated prunes on it)
+            "ts": pc.cast(b["ts"], pa.int64()),
             "text": pc.cast(b["content"], pa.string()),
         })
 

@@ -47,6 +47,7 @@ reported per window in the summary.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Callable, Iterable
@@ -56,7 +57,12 @@ import pyarrow.compute as pc
 
 from kafka_connect_mongo_ray.config import EngineConfig
 
-__all__ = ["upserts_to_candidates", "curate_version", "run_curated_stream"]
+__all__ = ["upserts_to_candidates", "curate_version", "run_curated_stream",
+           "read_curated"]
+
+# ordered superset of the columns a curated window persists; ts is
+# optional (custom candidates_fn may not carry one)
+_CURATED_COLS = ("doc_id", "repo", "path", "ts", "fp")
 
 
 def upserts_to_candidates(batch: pa.Table) -> pa.Table:
@@ -65,12 +71,15 @@ def upserts_to_candidates(batch: pa.Table) -> pa.Table:
     coalesce as the SQL mirror), derive the integer ``doc_id`` the
     in-window first-occurrence tie-break orders by from the numeric
     ``path`` (the repo's event streams use ``path = str(doc_id)`` —
-    callers with non-numeric paths pass their own ``candidates_fn``)."""
+    callers with non-numeric paths pass their own ``candidates_fn``).
+    Carries the change's ``ts`` through so the curated window records
+    its event-time bounds (the :func:`read_curated` zone map)."""
     b = batch.filter(pc.invert(pc.equal(batch["op"], pa.scalar("d"))))
     return pa.table({
         "doc_id": pc.cast(b["path"], pa.int64()),
         "repo": pc.cast(b["repo"], pa.string()),
         "path": pc.cast(b["path"], pa.string()),
+        "ts": pc.cast(b["ts"], pa.int64()),
         "text": pc.cast(b["content"], pa.string()),
     })
 
@@ -131,18 +140,32 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
     survivors = screen_window(cand, index_dir, id_col="doc_id",
                               text_col="text", num_buckets=index_buckets)
     admitted = survivors.count()
+    # an empty survivor set has a NONE schema (the dataset-level
+    # column-op trap, NEXT.md) — nothing is written for it anyway
+    names = survivors.schema().names if admitted else []
+    cols = [c for c in _CURATED_COLS if c in names]
     shutil.rmtree(wdir, ignore_errors=True)  # overwrite = re-run idempotence
     if admitted:
         (survivors
-         .map_batches(lambda t: t.select(["doc_id", "repo", "path", "fp"]),
-                      batch_format="pyarrow")
+         .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
          .write_parquet(wdir))
     else:
         os.makedirs(wdir, exist_ok=True)  # an empty window is still a window
+    # the window IS the time partition: record its event-ts bounds as a
+    # zone map inside the marker (free — survivors is already
+    # materialized), so a time-scoped reader can prune whole windows.
+    # Legacy empty markers just mean "scan" (the snapshot-store rule).
+    stats: dict = {"rows": admitted}
+    if admitted and "ts" in cols:
+        from ray.data.aggregate import Max, Min
+
+        agg = survivors.aggregate(Min("ts", alias_name="ts_min"),
+                                  Max("ts", alias_name="ts_max"))
+        stats["ts_min"], stats["ts_max"] = int(agg["ts_min"]), int(agg["ts_max"])
     # marker BEFORE append: once it exists the directory is
     # authoritative and re-runs take the re-append path above
-    with open(marker, "w"):
-        pass
+    with open(marker, "w") as f:
+        json.dump(stats, f)
     append_fingerprints(survivors, index_dir)
     return {"version": version, "changes": n_changes,
             "tombstones": tombstones, "admitted": admitted}
@@ -173,3 +196,111 @@ def run_curated_stream(
                              candidates_fn=candidates_fn)
         summaries.append({**rep, "curation": cur})
     return summaries
+
+
+def _window_stats(wdir: str) -> dict | None:
+    """Parse a window's ``_CURATED`` marker as zone-map stats. Missing
+    marker ⇒ the window never committed (a crashed run) ⇒ not
+    authoritative; empty/legacy marker ⇒ ``{}`` (committed, no stats —
+    scan). Returns None only for the uncommitted case."""
+    marker = os.path.join(wdir, "_CURATED")
+    if not os.path.exists(marker):
+        return None
+    try:
+        with open(marker) as f:
+            raw = f.read().strip()
+        return json.loads(raw) if raw else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def read_curated(curated_dir: str, *, ts_min: int | None = None,
+                 ts_max: int | None = None, columns: list[str] | None = None,
+                 include_window: bool = False):
+    """Time-scoped read over the curated corpus.
+
+    ``window={version}`` IS the time partition: each committed window's
+    ``_CURATED`` marker carries the exact event-ts bounds of its
+    admitted rows (recorded at curation time — no footer reads, no
+    stats pass; the snapshot-store zone-map contract,
+    ``state/snapshot.py``). A read scoped to ``[ts_min, ts_max]``
+    prunes every non-overlapping window on pure marker arithmetic —
+    their part files are never opened — and pushes the exact row-level
+    ``ts`` filter into the Parquet scan of the windows that remain
+    (row-group stats prune inside the file). Windows with a legacy
+    empty marker have no bounds and are scanned (the "missing stats ⇒
+    scan" rule); windows without a marker never committed and are
+    skipped as non-authoritative.
+
+    ``include_window=True`` appends the window version as ``win``.
+    Raises FileNotFoundError when the corpus has no committed windows
+    at all; a range that prunes everything returns an EMPTY dataset
+    with the full curated schema (one false-filter scan of the first
+    committed window keeps the schema without reading data rows)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    windows = []  # (version, wdir, stats)
+    for name in os.listdir(curated_dir) if os.path.isdir(curated_dir) else []:
+        if not name.startswith("window="):
+            continue
+        wdir = os.path.join(curated_dir, name)
+        stats = _window_stats(wdir)
+        if stats is None:
+            continue
+        windows.append((int(name.split("=", 1)[1]), wdir, stats))
+    windows.sort()
+    if not windows:
+        raise FileNotFoundError(f"no committed curated windows under "
+                                f"{curated_dir}")
+
+    def overlaps(stats: dict) -> bool:
+        if "ts_min" not in stats or "ts_max" not in stats:
+            return True  # no zone map ⇒ scan
+        if ts_max is not None and stats["ts_min"] > ts_max:
+            return False
+        return not (ts_min is not None and stats["ts_max"] < ts_min)
+
+    flt = None
+    if ts_min is not None:
+        flt = pads.field("ts") >= ts_min
+    if ts_max is not None:
+        hi = pads.field("ts") <= ts_max
+        flt = hi if flt is None else (flt & hi)
+
+    def window_ds(v: int, wdir: str, read_filter):
+        files = sorted(os.path.join(wdir, f) for f in os.listdir(wdir)
+                       if f.endswith(".parquet"))
+        if not files:
+            return None
+        # explicit columns always: with none given, project the file's
+        # own footer schema — otherwise Ray's hive path inference
+        # surfaces the `window=` path component as a redundant STRING
+        # column (the reader's `win`, int64, is the typed version).
+        # (partitioning=None would be cleaner but trips an
+        # UnboundLocalError in ray 2.49's parquet datasource when
+        # combined with an explicit column list.)
+        cols = columns
+        if cols is None:
+            import pyarrow.parquet as pq
+
+            cols = pq.read_schema(files[0]).names
+        ds = rd.read_parquet(files, columns=cols, filter=read_filter)
+        if include_window:
+            ds = ds.map_batches(
+                lambda t, v=v: t.append_column(
+                    "win", pa.array([v] * t.num_rows, pa.int64())),
+                batch_format="pyarrow")
+        return ds
+
+    kept = [d for v, wdir, stats in windows if overlaps(stats)
+            if (d := window_ds(v, wdir, flt)) is not None]
+    if not kept:
+        # everything pruned (or only empty windows): preserve the
+        # schema via a false-filter scan of the first non-empty window
+        for v, wdir, _ in windows:
+            d = window_ds(v, wdir, pads.scalar(False))
+            if d is not None:
+                return d
+        raise FileNotFoundError(f"no curated rows under {curated_dir}")
+    return kept[0].union(*kept[1:]) if len(kept) > 1 else kept[0]

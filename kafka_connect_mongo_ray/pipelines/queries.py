@@ -3096,6 +3096,87 @@ def q_cdc_curated_stream(sf_dir: str):
     return out
 
 
+def _curated_ts_events_batch(batch: pa.Table, window: int) -> pa.Table:
+    """Spread-ts variant of :func:`_curated_events_batch` for the
+    time-scoped-reader gate: window w inserts doc_id%3==w at
+    ts = 10·w + doc_id%10 (so each window spans a ten-tick range);
+    window 1 additionally updates doc_id%6==0 docs to text||':u' at
+    ts = 10 + doc_id%10 — the update beats the window-0 insert on ts
+    (LWW) and lands inside window 1's range."""
+    doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+    text = np.asarray(batch["text"]).astype(object)
+    lang = np.asarray(batch["lang"]).astype(object)
+    source = np.asarray(batch["source"]).astype(object)
+    ins = (doc_id % 3) == window
+    ids, ops = [doc_id[ins]], [np.full(ins.sum(), "i", dtype=object)]
+    content = [text[ins]]
+    rows = [ins]
+    if window == 1:
+        upd = (doc_id % 6) == 0
+        ids.append(doc_id[upd])
+        ops.append(np.full(upd.sum(), "u", dtype=object))
+        content.append((pd.Series(text[upd]) + ":u").to_numpy(dtype=object))
+        rows.append(upd)
+    all_ids = np.concatenate(ids)
+    n = len(all_ids)
+    row_mask = np.concatenate([np.flatnonzero(m) for m in rows])
+    return pa.table(
+        {
+            "ts": pa.array(10 * window + all_ids % 10, pa.int64()),
+            "inc": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(np.concatenate(ops), pa.string()),
+            "repo": pa.array(source[row_mask], pa.string()),
+            "path": pa.array(all_ids.astype(str), pa.string()),
+            "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
+            "lang": pa.array(lang[row_mask], pa.string()),
+            "content": pa.array(np.concatenate(content), pa.large_string()),
+            "partition_id": pa.array((all_ids % NUM_PARTITIONS).astype(np.int32)),
+        },
+        schema=CHANGE_EVENT_SCHEMA,
+    )
+
+
+def q_cdc_curated_time_scoped(sf_dir: str):
+    """Time-scoped read over the curated corpus
+    (pipelines/curate.py::read_curated): three CDC windows with SPREAD
+    event ts (window w spans ts 10w..10w+9) are committed and curated;
+    the read scopes to ts ∈ [5, 14] — the per-window ts zone maps
+    recorded in the `_CURATED` markers prune window 3 (ts 20..29)
+    without opening a file, and the pushed-down Parquet filter cuts
+    the surviving windows to the exact row range. Returns
+    (win, doc_id, ts, fp) of the in-range admissions."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.curate import (
+        read_curated,
+        run_curated_stream,
+    )
+
+    root = f"/tmp/kcm_curts_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+
+    def factory(w):
+        def make():
+            docs = _read(sf_dir, "documents",
+                         columns=["doc_id", "text", "lang", "source"])
+            return docs.map_batches(_curated_ts_events_batch,
+                                    fn_kwargs={"window": w},
+                                    batch_format="pyarrow")
+        return make
+
+    run_curated_stream([factory(w) for w in range(3)], cfg,
+                       index_dir=f"{root}/idx", curated_dir=f"{root}/cur",
+                       index_buckets=_gate_buckets())
+    ds = read_curated(f"{root}/cur", ts_min=5, ts_max=14,
+                      columns=["doc_id", "ts", "fp"], include_window=True)
+    return ds.map_batches(lambda t: t.select(["win", "doc_id", "ts", "fp"]),
+                          batch_format="pyarrow")
+
+
 def q_events_cohort_retention(sf_dir: str):
     """Daily cohort retention triangle (functions/analytics.py::
     cohort_retention): cohort = user's first active day, one row per
@@ -4879,6 +4960,7 @@ def build_queries():
         "embedding_pca": q_embedding_pca,
         "docs_source_policy": q_docs_source_policy,
         "cdc_curated_stream": q_cdc_curated_stream,
+        "cdc_curated_time_scoped": q_cdc_curated_time_scoped,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
         "docs_pii_scan": q_docs_pii_scan,
@@ -5592,6 +5674,28 @@ def build_oracle_sql():
             SELECT win, doc_id, fp FROM changes
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
                                        ORDER BY win, doc_id) = 1
+        """,
+        # spread-ts curation (window w's events at ts = 10w + doc_id%10;
+        # window 1 / version 2 also updates doc_id%6==0 at 10+doc_id%10)
+        # time-scoped to ts ∈ [5, 14]: admission is the same ROW_NUMBER
+        # relation, the scope is a plain WHERE over the admitted row's ts
+        "cdc_curated_time_scoped": """
+            WITH changes AS (
+                SELECT CAST(doc_id % 3 + 1 AS BIGINT) AS win, doc_id,
+                       CAST(10 * (doc_id % 3) + doc_id % 10 AS BIGINT) AS ts,
+                       md5(coalesce(text, '')) AS fp
+                FROM documents
+                UNION ALL
+                SELECT 2, doc_id, CAST(10 + doc_id % 10 AS BIGINT),
+                       md5(coalesce(text, '') || ':u')
+                FROM documents WHERE doc_id % 6 = 0
+            ),
+            adm AS (
+                SELECT win, doc_id, ts, fp FROM changes
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+                                           ORDER BY win, doc_id) = 1
+            )
+            SELECT win, doc_id, ts, fp FROM adm WHERE ts BETWEEN 5 AND 14
         """,
         # exact whitespace tokens (the retrieval.py contract); ties at
         # the k boundary break by ascending bigram on both sides

@@ -174,3 +174,98 @@ def test_null_content_upsert_fingerprints_as_empty(dirs):
     empty_md5 = hashlib.md5(b"").hexdigest()
     assert (7, empty_md5) in got and len(got) == 2
     assert summaries[0]["curation"]["tombstones"] == 0
+
+
+def _ts_windows(dirs):
+    """Three windows with spread ts: w1 at ts 3/7, w2 at 12/18 (18 is a
+    cross-window dup and is dropped), w3 at 25."""
+    cfg, idx, cur = dirs
+    run_curated_stream(
+        [
+            _factory([(3, "i", "1", "a"), (7, "i", "2", "b")]),
+            _factory([(12, "i", "3", "c"), (18, "i", "4", "b")]),
+            _factory([(25, "i", "5", "e")]),
+        ],
+        cfg, index_dir=idx, curated_dir=cur)
+    return cur
+
+
+def test_curated_marker_carries_ts_zone_map(dirs):
+    """The `_CURATED` marker records the window's exact admitted-row ts
+    bounds — the free-at-write-time zone map (window = time partition)."""
+    import json
+
+    cur = _ts_windows(dirs)
+    stats = {v: json.load(open(f"{cur}/window={v}/_CURATED"))
+             for v in (1, 2, 3)}
+    assert stats[1] == {"rows": 2, "ts_min": 3, "ts_max": 7}
+    # window 2's dup (ts=18) was dropped, so the bound is 12..12
+    assert stats[2] == {"rows": 1, "ts_min": 12, "ts_max": 12}
+    assert stats[3] == {"rows": 1, "ts_min": 25, "ts_max": 25}
+
+
+def test_read_curated_prunes_without_opening_files(dirs):
+    """A window outside the ts scope is pruned on marker arithmetic
+    alone — poisoning its parquet files proves they are never opened —
+    and the in-scope read applies the exact row-level filter."""
+    import os
+
+    from kafka_connect_mongo_ray.pipelines.curate import read_curated
+
+    cur = _ts_windows(dirs)
+    for f in os.listdir(f"{cur}/window=3"):
+        if f.endswith(".parquet"):
+            with open(f"{cur}/window=3/{f}", "wb") as fh:
+                fh.write(b"not parquet")
+    rows = read_curated(cur, ts_min=5, ts_max=15,
+                        include_window=True).take_all()
+    assert {(r["win"], r["doc_id"], r["ts"]) for r in rows} == {
+        (1, 2, 7), (2, 3, 12)}
+
+
+def test_read_curated_all_pruned_keeps_schema(dirs):
+    from kafka_connect_mongo_ray.pipelines.curate import read_curated
+
+    cur = _ts_windows(dirs)
+    ds = read_curated(cur, ts_min=100, ts_max=200)
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "repo", "path", "ts", "fp"]
+
+
+def test_read_curated_legacy_marker_scans(dirs):
+    """An empty (legacy) marker has no zone map: the window must be
+    SCANNED, not pruned — the missing-stats ⇒ scan contract — and the
+    row-level ts filter still applies."""
+    from kafka_connect_mongo_ray.pipelines.curate import read_curated
+
+    cur = _ts_windows(dirs)
+    with open(f"{cur}/window=1/_CURATED", "w"):
+        pass  # truncate to the legacy empty marker
+    rows = read_curated(cur, ts_min=5, ts_max=15).take_all()
+    assert {r["doc_id"] for r in rows} == {2, 3}
+    # and scoping PAST window 1's true range keeps correctness (the
+    # legacy window is scanned and row-filtered to nothing)
+    rows = read_curated(cur, ts_min=20, ts_max=30).take_all()
+    assert {r["doc_id"] for r in rows} == {5}
+
+
+def test_read_curated_skips_uncommitted_window(dirs):
+    """A window directory without a marker never committed (crash
+    before the marker write) — it is not authoritative and must be
+    invisible to readers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.pipelines.curate import read_curated
+
+    cur = _ts_windows(dirs)
+    os.makedirs(f"{cur}/window=9", exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([99], pa.int64()),
+                  "repo": pa.array(["r"]), "path": pa.array(["99"]),
+                  "ts": pa.array([7], pa.int64()),
+                  "fp": pa.array(["deadbeef"])}),
+        f"{cur}/window=9/part.parquet")
+    rows = read_curated(cur, ts_min=0, ts_max=30).take_all()
+    assert 99 not in {r["doc_id"] for r in rows}
