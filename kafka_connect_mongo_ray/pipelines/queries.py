@@ -3751,6 +3751,295 @@ def q_tpch_regional_revenue(sf_dir: str):
     return agg.map_batches(attach, batch_format="pyarrow")
 
 
+def _broadcast_or_none(sf_dir: str, table: str, ref_builder):
+    """ray.put a small-side lookup built by ``ref_builder`` when the
+    table is under the broadcast guard; None means the caller must take
+    its bucketed-join fallback (the `_SUPP_BROADCAST_MAX_ROWS` rule)."""
+    import ray
+
+    if _table_rows(sf_dir, table) > _SUPP_BROADCAST_MAX_ROWS:
+        return None
+    return ray.put(ref_builder())
+
+
+def q_tpch_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: within ASIA-region customers'
+    1996–1997 orders of PROMO parts, the revenue delivered by suppliers
+    of one nation (nationkey 2) vs ALL revenue, per order year. The
+    share ships as the TWO int-cent sums (nation_rev_cents,
+    total_rev_cents) — no division crosses the engine boundary (the
+    Q22 scalar rule). Plan shape: nation/region resolve driver-side to
+    a 5-int nation set (a literal filter on customer); PROMO partkeys
+    and the suppkey→nationkey map are size-guarded broadcasts with
+    bucketed-join fallbacks; the one staged intermediate is the narrow
+    date-windowed orders⋈customer output (the Q5 staging rule); the
+    final exchange is year-domain-sized after batch-local pre-agg."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1996-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1998-01-01").astype("datetime64[us]").item()
+    TARGET_NATION = 2
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = set(nat.merge(reg[reg.r_name == "ASIA"], left_on="n_regionkey",
+                         right_on="r_regionkey")["n_nationkey"].astype(int))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                     pa.array(sorted(asia), pa.int64())))["c_custkey"]}),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(LO)),
+                       pc.less(batch["o_orderdate"], pa.scalar(HI)))
+        b = batch.filter(keep)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                           pa.int64())})
+
+    cust_orders = hash_join(
+        orders.map_batches(o_window, batch_format="pyarrow"), cust,
+        on=["o_custkey"], num_buckets=_gate_buckets(),
+    ).map_batches(lambda t: t.select(["o_orderkey", "o_year"]),
+                  batch_format="pyarrow").materialize()
+
+    part_ref = _broadcast_or_none(
+        sf_dir, "part",
+        lambda: set(pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+            filters=[("p_type", "==", "PROMO")])["p_partkey"].to_pylist()))
+    supp_ref = _broadcast_or_none(
+        sf_dir, "supplier",
+        lambda: dict(zip(
+            (t := pq.read_table(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+             )["s_suppkey"].to_pylist(),
+            (int(v) for v in t["s_nationkey"].to_pylist()))))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        if part_ref is not None:
+            keys = ray.get(part_ref)
+            pk = np.asarray(batch["l_partkey"], dtype=np.int64)
+            batch = batch.filter(pa.array(
+                pd.Series(pk).isin(keys).to_numpy()))
+        cols = {"o_orderkey": batch["l_orderkey"]}
+        if part_ref is None:
+            cols["l_partkey"] = batch["l_partkey"]
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        disc = np.rint(np.asarray(batch["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        cols["rev"] = pa.array(cents * (100 - disc))
+        if supp_ref is not None:
+            smap = ray.get(supp_ref)
+            sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            cols["s_nationkey"] = pa.array(
+                pd.Series(sk).map(smap).to_numpy(dtype=np.int64))
+        else:
+            cols["l_suppkey"] = batch["l_suppkey"]
+        return pa.table(cols)
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    if part_ref is None:
+        promo = _read(sf_dir, "part", columns=["p_partkey", "p_type"]
+                      ).map_batches(
+            lambda t: pa.table({"l_partkey": t.filter(
+                pc.equal(t["p_type"], pa.scalar("PROMO")))["p_partkey"]}),
+            batch_format="pyarrow")
+        li = hash_join(li, promo, on=["l_partkey"], how="semi",
+                       num_buckets=_gate_buckets())
+    if supp_ref is None:
+        supp = _read(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"]).map_batches(
+            lambda t: pa.table({"l_suppkey": t["s_suppkey"],
+                                "s_nationkey": pc.cast(t["s_nationkey"],
+                                                       pa.int64())}),
+            batch_format="pyarrow")
+        li = hash_join(li, supp, on=["l_suppkey"],
+                       num_buckets=_gate_buckets())
+
+    joined = hash_join(li, cust_orders, on=["o_orderkey"],
+                       num_buckets=_gate_buckets())
+
+    def share_partial(batch: pa.Table) -> pa.Table:
+        yr = np.asarray(batch["o_year"], dtype=np.int64)
+        rev = np.asarray(batch["rev"], dtype=np.int64)
+        is_n = np.asarray(batch["s_nationkey"],
+                          dtype=np.int64) == TARGET_NATION
+        df = pd.DataFrame({"o_year": yr,
+                           "nation_rev_cents": np.where(is_n, rev, 0),
+                           "total_rev_cents": rev})
+        g = df.groupby("o_year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(share_partial, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("nation_rev_cents", alias_name="nation_rev_cents"),
+                       Sum("total_rev_cents", alias_name="total_rev_cents"))
+            .map_batches(lambda t: pa.table({
+                "o_year": t["o_year"],
+                "nation_rev_cents": pc.cast(t["nation_rev_cents"],
+                                            pa.int64()),
+                "total_rev_cents": pc.cast(t["total_rev_cents"],
+                                           pa.int64())}),
+                         batch_format="pyarrow"))
+
+
+def q_tpch_product_profit(sf_dir: str):
+    """TPC-H Q9-shaped product-line profit by (supplier nation, order
+    year) over parts whose name contains 'red'. Without a partsupp
+    table (not in the testdata inventory) the cost side is the
+    retail-price proxy: profit_cents = cents(extprice)·(100−disc) −
+    cents(retailprice)·qty·100 — pure int64 arithmetic mirrored
+    verbatim in the oracle. part (name-filtered, carrying its
+    retail-cents payload) and supplier (suppkey→nationkey) are
+    size-guarded broadcasts with bucketed-join fallbacks; orders
+    attaches per year through ONE bucketed orderkey join; the final
+    exchange is (nation × year)-domain-sized after batch-local
+    pre-aggregation."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    def build_part_map():
+        t = pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name", "p_retailprice"])
+        t = t.filter(pc.match_substring(t["p_name"], "red"))
+        cents = np.rint(np.asarray(t["p_retailprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        return dict(zip(t["p_partkey"].to_pylist(), (int(c) for c in cents)))
+
+    part_ref = _broadcast_or_none(sf_dir, "part", build_part_map)
+    supp_ref = _broadcast_or_none(
+        sf_dir, "supplier",
+        lambda: dict(zip(
+            (t := pq.read_table(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+             )["s_suppkey"].to_pylist(),
+            (int(v) for v in t["s_nationkey"].to_pylist()))))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        retail_c = None
+        if part_ref is not None:
+            pmap = ray.get(part_ref)
+            pk = pd.Series(np.asarray(batch["l_partkey"], dtype=np.int64))
+            retail = pk.map(pmap)
+            batch = batch.filter(pa.array(retail.notna().to_numpy()))
+            retail_c = retail.dropna().to_numpy(dtype=np.int64)
+        else:
+            cols["l_partkey"] = batch["l_partkey"]
+        rev = (np.rint(np.asarray(batch["l_extendedprice"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+               * (100 - np.rint(np.asarray(batch["l_discount"],
+                                           dtype=np.float64) * 100
+                                ).astype(np.int64)))
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 dtype=np.float64)).astype(np.int64)
+        cols["o_orderkey"] = batch["l_orderkey"]
+        if retail_c is not None:
+            cols["profit_cents"] = pa.array(rev - retail_c * qty * 100)
+        else:
+            cols["rev"], cols["qty"] = pa.array(rev), pa.array(qty)
+        if supp_ref is not None:
+            smap = ray.get(supp_ref)
+            sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            cols["s_nationkey"] = pa.array(
+                pd.Series(sk).map(smap).to_numpy(dtype=np.int64))
+        else:
+            cols["l_suppkey"] = batch["l_suppkey"]
+        return pa.table(cols)
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    if part_ref is None:
+        red = _read(sf_dir, "part",
+                    columns=["p_partkey", "p_name", "p_retailprice"]
+                    ).map_batches(
+            lambda t: (lambda f: pa.table({
+                "l_partkey": f["p_partkey"],
+                "retail_c": pa.array(np.rint(np.asarray(
+                    f["p_retailprice"], dtype=np.float64) * 100
+                ).astype(np.int64))}))(
+                t.filter(pc.match_substring(t["p_name"], "red"))),
+            batch_format="pyarrow")
+        li = hash_join(li, red, on=["l_partkey"],
+                       num_buckets=_gate_buckets()).map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "profit_cents": pc.subtract(
+                    t["rev"], pc.multiply(pc.multiply(
+                        t["retail_c"], t["qty"]), pa.scalar(100))),
+                **({"s_nationkey": t["s_nationkey"]}
+                   if "s_nationkey" in t.schema.names
+                   else {"l_suppkey": t["l_suppkey"]})}),
+            batch_format="pyarrow")
+    if supp_ref is None:
+        supp = _read(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"]).map_batches(
+            lambda t: pa.table({"l_suppkey": t["s_suppkey"],
+                                "s_nationkey": pc.cast(t["s_nationkey"],
+                                                       pa.int64())}),
+            batch_format="pyarrow")
+        li = hash_join(li, supp, on=["l_suppkey"],
+                       num_buckets=_gate_buckets())
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]
+                   ).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"],
+                       num_buckets=_gate_buckets())
+
+    def profit_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s_nationkey": np.asarray(batch["s_nationkey"], dtype=np.int64),
+            "o_year": np.asarray(batch["o_year"], dtype=np.int64),
+            "profit_cents": np.asarray(batch["profit_cents"],
+                                       dtype=np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["s_nationkey", "o_year"], as_index=False).sum(),
+            preserve_index=False)
+
+    agg = (joined.map_batches(profit_partial, batch_format="pyarrow")
+           .groupby(["s_nationkey", "o_year"])
+           .aggregate(Sum("profit_cents", alias_name="profit_cents")))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nk = np.asarray(t["s_nationkey"], dtype=np.int64)
+        return pa.table({
+            "n_name": pa.array([nmap[int(k)] for k in nk], pa.string()),
+            "o_year": t["o_year"],
+            "profit_cents": pc.cast(t["profit_cents"], pa.int64())})
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
 def q_tpch_priority_linestatus_mix(sf_dir: str):
     """TPC-H Q12-shaped conditional aggregate: lineitems shipped
     1997–1998 joined back to their order's priority, counted per
@@ -4948,6 +5237,8 @@ def build_queries():
         "tpch_important_parts": q_tpch_important_parts,
         "tpch_late_ship_priority": q_tpch_late_ship_priority,
         "tpch_regional_revenue": q_tpch_regional_revenue,
+        "tpch_market_share": q_tpch_market_share,
+        "tpch_product_profit": q_tpch_product_profit,
         "tpch_priority_linestatus_mix": q_tpch_priority_linestatus_mix,
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_lapsed_rich_customers": q_tpch_lapsed_rich_customers,
@@ -5269,6 +5560,53 @@ def build_oracle_sql():
             WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY r.r_name, n.n_name
+        """,
+        # Q8-shaped market share: the share ships as its two int-cent
+        # sums (nation numerator, regional total) — no float division
+        # crosses the engine boundary (the Q22 scalar rule)
+        "tpch_market_share": """
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(CASE WHEN s.s_nationkey = 2 THEN
+                           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100)
+                                         AS BIGINT)) ELSE 0 END)
+                        AS BIGINT) AS nation_rev_cents,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS total_rev_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_year
+        """,
+        # Q9-shaped profit (no partsupp table in the inventory: the
+        # cost side is the retailprice proxy, mirrored verbatim)
+        "tpch_product_profit": """
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))
+                            - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                              * CAST(round(l.l_quantity) AS BIGINT) * 100)
+                        AS BIGINT) AS profit_cents
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY n.n_name, o_year
         """,
         "tpch_priority_linestatus_mix": """
             SELECT l.l_linestatus,

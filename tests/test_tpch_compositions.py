@@ -29,3 +29,20 @@ def test_q5_supplier_join_fallback_matches_broadcast(ray_session,
     joined = _canon(q.q_tpch_regional_revenue(SF).to_pandas())
     pd.testing.assert_frame_equal(broadcast, joined)
     assert len(joined) > 0
+
+
+@pytest.mark.parametrize("qname", ["q_tpch_market_share",
+                                   "q_tpch_product_profit"])
+def test_q8_q9_join_fallbacks_match_broadcast(ray_session, monkeypatch,
+                                              qname):
+    """Q8/Q9 shapes broadcast part AND supplier under the size guard;
+    forcing the guard to zero exercises the bucketed semi/inner join
+    fallbacks, which must produce the identical result."""
+    from kafka_connect_mongo_ray.pipelines import queries as q
+
+    fn = getattr(q, qname)
+    broadcast = _canon(fn(SF).to_pandas())
+    monkeypatch.setattr(q, "_SUPP_BROADCAST_MAX_ROWS", 0)
+    joined = _canon(fn(SF).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert len(joined) > 0
