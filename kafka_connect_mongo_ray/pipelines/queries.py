@@ -4764,6 +4764,94 @@ def q_tpch_top_supplier(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+def q_tpch_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped excess-share cut (adapted: no partsupp table,
+    so 'availability' becomes shipped volume): among 1997 shipments of
+    'red'-named parts, a supplier DOMINATES a part when it shipped
+    more than half that part's total (2·qty > total — the
+    division-free compare, the Q22 scalar rule); count dominated parts
+    per supplier. The fact stream collapses batch-locally to
+    (partkey, suppkey) quantity sums and shuffles ONCE; the per-part
+    totals, the dominance cut, and the supplier tally all run on
+    part/supplier-domain-bounded data, and the name attach is a
+    dimension×dimension join."""
+    from ray.data.aggregate import Count, Sum
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    LO = np.datetime64("1997-01-01").astype("datetime64[us]").item()
+    HI = np.datetime64("1998-01-01").astype("datetime64[us]").item()
+
+    import pyarrow.parquet as pq
+    import ray
+
+    part_ref = _broadcast_or_none(
+        sf_dir, "part",
+        lambda: set((t := pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        ).filter(pc.match_substring(t["p_name"], "red"))
+            ["p_partkey"].to_pylist()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(LO)),
+                       pc.less(batch["l_shipdate"], pa.scalar(HI)))
+        b = batch.filter(keep)
+        if part_ref is not None:
+            keys = ray.get(part_ref)
+            pk = np.asarray(b["l_partkey"], dtype=np.int64)
+            b = b.filter(pa.array(pd.Series(pk).isin(keys).to_numpy()))
+        qty = np.rint(np.asarray(b["l_quantity"],
+                                 dtype=np.float64)).astype(np.int64)
+        g = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"], "qty": pa.array(qty)}
+                     ).group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("qty", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "qty"])
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    if part_ref is None:
+        red = _read(sf_dir, "part", columns=["p_partkey", "p_name"]
+                    ).map_batches(
+            lambda t: pa.table({"l_partkey": t.filter(
+                pc.match_substring(t["p_name"], "red"))["p_partkey"]}),
+            batch_format="pyarrow")
+        li = hash_join(li, red, on=["l_partkey"], how="semi",
+                       num_buckets=_gate_buckets())
+
+    # the ONE fact-sized exchange; pairs feed both the totals and the
+    # dominance compare (the multi-consumer staging rule)
+    pairs = (li.groupby(["l_partkey", "l_suppkey"])
+             .aggregate(Sum("qty", alias_name="qty"))).materialize()
+    totals = (pairs.groupby("l_partkey")
+              .aggregate(Sum("qty", alias_name="tq")))
+
+    dom = hash_join(pairs, totals, on=["l_partkey"],
+                    num_buckets=_gate_buckets()).map_batches(
+        lambda t: pa.table({"l_suppkey": t.filter(
+            pc.greater(pc.multiply(pc.cast(t["qty"], pa.int64()),
+                                   pa.scalar(2, pa.int64())),
+                       pc.cast(t["tq"], pa.int64())))["l_suppkey"]}),
+        batch_format="pyarrow")
+
+    tally = dom.groupby("l_suppkey").aggregate(
+        Count(alias_name="n_dominated"))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]
+                 ).map_batches(
+        lambda t: pa.table({"l_suppkey": t["s_suppkey"],
+                            "s_name": t["s_name"]}),
+        batch_format="pyarrow")
+    return hash_join(tally, supp, on=["l_suppkey"],
+                     num_buckets=_gate_buckets()).map_batches(
+        lambda t: pa.table({"s_name": t["s_name"],
+                            "n_dominated": pc.cast(t["n_dominated"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_tpch_waiting_suppliers(sf_dir: str):
     """TPC-H Q21-shaped sole-blame existence composition (adapted to
     this schema's dates: 'late' = shipped >90 days after the order
@@ -5230,6 +5318,7 @@ def build_queries():
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+        "tpch_dominant_suppliers": q_tpch_dominant_suppliers,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "tpch_nation_volume": q_tpch_nation_volume,
         "docs_chunk_dedup": q_docs_chunk_dedup,
@@ -5430,6 +5519,27 @@ def build_oracle_sql():
             SELECT r.s_suppkey, r.total_rev, s.s_name
             FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
             WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        # Q20-shaped dominance (no partsupp: shipped volume stands in
+        # for availability; 2·qty > total is the division-free compare)
+        "tpch_dominant_suppliers": """
+            WITH red AS (SELECT p_partkey FROM part
+                         WHERE p_name LIKE '%red%'),
+            sq AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+                FROM lineitem JOIN red ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_partkey, l_suppkey
+            ),
+            tot AS (SELECT l_partkey, SUM(qty) AS tq FROM sq
+                    GROUP BY l_partkey)
+            SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated
+            FROM sq JOIN tot USING (l_partkey)
+            JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+            WHERE 2 * sq.qty > tot.tq
+            GROUP BY s.s_name
         """,
         "tpch_waiting_suppliers": """
             WITH pairs AS (

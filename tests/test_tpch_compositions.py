@@ -32,7 +32,8 @@ def test_q5_supplier_join_fallback_matches_broadcast(ray_session,
 
 
 @pytest.mark.parametrize("qname", ["q_tpch_market_share",
-                                   "q_tpch_product_profit"])
+                                   "q_tpch_product_profit",
+                                   "q_tpch_dominant_suppliers"])
 def test_q8_q9_join_fallbacks_match_broadcast(ray_session, monkeypatch,
                                               qname):
     """Q8/Q9 shapes broadcast part AND supplier under the size guard;
