@@ -974,6 +974,30 @@ def q_ann_ivf_topk(sf_dir: str):
     return _recall_vs_brute_force(sf_dir, approx)
 
 
+def q_ann_ivf_persisted(sf_dir: str):
+    """Disk-backed IVF scale path (state/ann_index.py): the corpus is
+    coarse-quantized ONCE into cell-partitioned Parquet, the query
+    reads ONLY its nprobe probed cells' directories (the index never
+    moves through the object store), and the gate row asserts measured
+    recall@k ≥ ANN_RECALL_BOUND vs the exact brute force."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    root = f"/tmp/kcm_annix_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    build_ivf_index(ds, root, num_cells=8, seed=42,
+                    total_rows=_table_rows(sf_dir, "embeddings"))
+    q, ids = _load_query_vectors(sf_dir)
+    approx = ivf_index_topk(root, q, ids, k=ANN_K, nprobe=4)
+    return _recall_vs_brute_force(sf_dir, approx)
+
+
 def q_dedup_embedding_lsh(sf_dir: str):
     """LSH-blocked near-dup (the scale path) measured against the exact
     blocked sweep: one row asserting pair recall ≥ EMB_LSH_RECALL_BOUND
@@ -5448,6 +5472,7 @@ def build_queries():
         "corpus_prep": q_corpus_prep,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "docs_langid": q_docs_langid,
@@ -6635,6 +6660,11 @@ def build_oracle_sql():
             FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
         """,
         "ann_ivf_topk": f"""
+            SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+        """,
+        "ann_ivf_persisted": f"""
             SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}

@@ -1,0 +1,120 @@
+"""Persisted IVF index (state/ann_index.py): build/commit contract,
+directory-level pruning, and the exact-degenerate equivalence."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _queries(n=5):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    return embedding_matrix(t["embedding"]), np.asarray(t["vec_id"])
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.state.ann_index import build_ivf_index
+
+    d = str(tmp_path_factory.mktemp("annix") / "ivf")
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    build_ivf_index(ds, d, num_cells=8, seed=42)
+    return d
+
+
+def test_nprobe_all_cells_equals_brute_force(index_dir):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
+    from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
+
+    q, ids = _queries()
+    approx = ivf_index_topk(index_dir, q, ids, k=10, nprobe=8)
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, q, ids, k=10)
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True),
+        exact[["query_id", "rank", "neighbor_id"]].reset_index(drop=True))
+
+
+def test_query_opens_only_probed_cells(index_dir, tmp_path):
+    """Poison every UNPROBED cell directory: the query must still run
+    — proof the index is pruned at the directory level and unprobed
+    cells never leave disk."""
+    import json
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        _normalize,
+        ivf_index_topk,
+    )
+
+    work = str(tmp_path / "ivf")
+    shutil.copytree(index_dir, work)
+    q, ids = _queries(2)
+    centroids = np.load(os.path.join(work, "centroids.npy"))
+    nprobe = 2
+    probed = set(np.argsort(-(_normalize(np.asarray(q, np.float64))
+                              @ centroids.T), axis=1)[:, :nprobe].ravel())
+    n_poisoned = 0
+    for c in range(json.load(open(os.path.join(work, "manifest.json")))
+                   ["num_cells"]):
+        cdir = os.path.join(work, "cells", f"ivf_cell={c}")
+        if c in probed or not os.path.isdir(cdir):
+            continue
+        for f in os.listdir(cdir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(cdir, f), "wb") as fh:
+                    fh.write(b"not parquet")
+                n_poisoned += 1
+    assert n_poisoned > 0, "every cell probed — widen num_cells"
+    out = ivf_index_topk(work, q, ids, k=10, nprobe=nprobe)
+    assert set(out["query_id"]) == set(int(i) for i in ids)
+    assert (out.groupby("query_id").size() == 10).all()
+
+
+def test_uncommitted_index_refused(ray_session, tmp_path):
+    """A build that crashed before the manifest write must be refused
+    (the commit-marker contract)."""
+    from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
+
+    d = str(tmp_path / "crashed")
+    os.makedirs(os.path.join(d, "cells", "ivf_cell=0"), exist_ok=True)
+    q, ids = _queries(1)
+    with pytest.raises(FileNotFoundError):
+        ivf_index_topk(d, q, ids, k=5)
+
+
+def test_rebuild_overwrites_cleanly(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    d = str(tmp_path / "ivf2")
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    m1 = build_ivf_index(ds, d, num_cells=4, seed=1)
+    ds2 = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    m2 = build_ivf_index(ds2, d, num_cells=8, seed=42)
+    assert (m1["num_cells"], m2["num_cells"]) == (4, 8)
+    q, ids = _queries(2)
+    out = ivf_index_topk(d, q, ids, k=5, nprobe=8)
+    assert (out.groupby("query_id").size() == 5).all()
