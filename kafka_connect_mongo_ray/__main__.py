@@ -462,6 +462,58 @@ def curate(args) -> int:
     return 0
 
 
+def ann_cmd(args) -> int:
+    """Persisted IVF index face (state/ann_index.py): ``--build``
+    quantizes an embeddings Parquet into the cell-partitioned index;
+    ``--query-ids`` answers top-k for the vectors with those ids,
+    reading only the probed cells' directories. One JSON line each."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    ray.init(address="local", include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    try:
+        if args.build:
+            import ray.data as rd
+
+            from kafka_connect_mongo_ray.state.ann_index import build_ivf_index
+
+            ds = rd.read_parquet(args.embeddings,
+                                 columns=[args.id_col, args.vec_col])
+            manifest = build_ivf_index(ds, args.index, num_cells=args.cells,
+                                       seed=args.seed, id_col=args.id_col,
+                                       vec_col=args.vec_col)
+            print(json.dumps({"built": args.index, **manifest},
+                             sort_keys=True))
+            return 0
+        if not args.query_ids:
+            print(json.dumps({"error": "pass --build or --query-ids"}))
+            return 2
+        from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
+
+        want = [int(x) for x in args.query_ids.split(",")]
+        t = pq.read_table(args.embeddings,
+                          columns=[args.id_col, args.vec_col])
+        t = t.filter(pc.is_in(t[args.id_col], pa.array(want, pa.int64()))
+                     ).sort_by(args.id_col)
+        q = embedding_matrix(t[args.vec_col])
+        ids = np.asarray(t[args.id_col])
+        out = ivf_index_topk(args.index, q, ids, k=args.k,
+                             nprobe=args.nprobe)
+        print(json.dumps({
+            "queries": len(ids), "rows": int(len(out)),
+            "results": out.head(args.limit).to_dict(orient="records")},
+            sort_keys=True))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -532,6 +584,20 @@ def main(argv=None) -> int:
     cu.add_argument("--index-buckets", type=int, default=16,
                     dest="index_buckets")
     cu.add_argument("--seed", type=int, default=42)
+    an = sub.add_parser("ann")
+    an.add_argument("--embeddings", required=True,
+                    help="embeddings parquet file")
+    an.add_argument("--index", required=True)
+    an.add_argument("--build", action="store_true")
+    an.add_argument("--cells", type=int, default=16)
+    an.add_argument("--seed", type=int, default=42)
+    an.add_argument("--id-col", default="vec_id", dest="id_col")
+    an.add_argument("--vec-col", default="embedding", dest="vec_col")
+    an.add_argument("--query-ids", default=None, dest="query_ids",
+                    help="comma-separated vec ids to query")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--limit", type=int, default=20)
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -560,6 +626,8 @@ def main(argv=None) -> int:
         return rebucket_cmd(args)
     if args.cmd == "curate":
         return curate(args)
+    if args.cmd == "ann":
+        return ann_cmd(args)
     p.print_help()
     return 0
 
