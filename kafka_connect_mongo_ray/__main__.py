@@ -456,7 +456,8 @@ def curate(args) -> int:
     summaries = run_curated_stream(
         [factory(w) for w in range(args.windows)], cfg,
         index_dir=args.index, curated_dir=args.curated,
-        index_buckets=args.index_buckets, candidates_fn=candidates)
+        index_buckets=args.index_buckets, candidates_fn=candidates,
+        screen=args.screen)
     print(json.dumps({"windows": summaries}, sort_keys=True, default=str))
     ray.shutdown()
     return 0
@@ -583,6 +584,9 @@ def main(argv=None) -> int:
     cu.add_argument("--buckets", type=int, default=16)
     cu.add_argument("--index-buckets", type=int, default=16,
                     dest="index_buckets")
+    cu.add_argument("--screen", choices=["exact", "minhash"],
+                    default="exact",
+                    help="membership test: exact md5 or LSH near-dup")
     cu.add_argument("--seed", type=int, default=42)
     an = sub.add_parser("ann")
     an.add_argument("--embeddings", required=True,

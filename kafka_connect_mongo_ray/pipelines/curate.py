@@ -87,28 +87,59 @@ def upserts_to_candidates(batch: pa.Table) -> pa.Table:
 def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
                    curated_dir: str, index_buckets: int = 32,
                    candidates_fn: Callable[[pa.Table], pa.Table] | None = None,
+                   screen: str = "exact",
+                   minhash_opts: dict | None = None,
                    ) -> dict:
     """Curate ONE committed window: change feed (version-1 → version) →
     screen against the index → write ``curated_dir/window={version}/``
     → append the survivors' fingerprints. Idempotent per version (see
-    module docstring); returns the window summary."""
+    module docstring); returns the window summary.
+
+    ``screen="minhash"`` swaps the exact fingerprint membership test
+    for the persisted LSH band index
+    (``state/dedup_index.py::screen_window_minhash``): a window doc
+    NEAR-duplicate (sharing ≥1 band) to anything ever admitted is
+    dropped. Exact copies always drop (identical text ⇒ identical
+    bands); in-window near-dups are NOT collapsed (the incremental-
+    minhash contract). The crash story differs only in what re-appends
+    on recovery: band rows are NOT derivable from the curated columns,
+    so the admitted docs' band rows persist under ``wdir/_bands/``
+    BEFORE the marker and recovery re-appends from there (its presence
+    also tells recovery which mode wrote the window).
+    ``minhash_opts`` forwards num_hashes/num_bands/seed."""
     from kafka_connect_mongo_ray.state.dedup_index import (
         _bucket_of,
+        append_band_rows,
         append_fingerprints,
+        fingerprint_batch,
         screen_window,
+        screen_window_minhash,
     )
     from kafka_connect_mongo_ray.state.diff import changes_between
 
     wdir = os.path.join(curated_dir, f"window={version}")
     marker = os.path.join(wdir, "_CURATED")
+    bands_dir = os.path.join(wdir, "_bands")
     if os.path.exists(marker):
         # already curated: the directory is authoritative — re-append
-        # its fps (idempotent) to cover a crash between marker and
-        # append, and never re-screen (see module docstring)
+        # its index rows (idempotent) to cover a crash between marker
+        # and append, and never re-screen (see module docstring). A
+        # `_bands/` sidecar means the window was minhash-screened and
+        # the band rows re-append verbatim; otherwise the exact mode's
+        # fps re-derive their bucket from the fp itself.
         import ray.data as rd
 
-        files = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
         admitted = 0
+        if os.path.isdir(bands_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(bands_dir)):
+            append_band_rows(rd.read_parquet(bands_dir), index_dir)
+            files = [os.path.join(wdir, f) for f in os.listdir(wdir)
+                     if f.endswith(".parquet")]
+            admitted = rd.read_parquet(files).count() if files else 0
+            return {"version": version, "changes": None,
+                    "tombstones": None, "admitted": admitted,
+                    "recovered": True}
+        files = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
         if files:
             fps = rd.read_parquet(wdir, columns=["fp"])
 
@@ -137,8 +168,22 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
                      .take_all())
     cand = diff.map_batches(candidates_fn or upserts_to_candidates,
                             batch_format="pyarrow")
-    survivors = screen_window(cand, index_dir, id_col="doc_id",
-                              text_col="text", num_buckets=index_buckets)
+    keep_bands = None
+    if screen == "minhash":
+        admitted_ds, keep_bands = screen_window_minhash(
+            cand, index_dir, id_col="doc_id", text_col="text",
+            num_buckets=index_buckets, **(minhash_opts or {}))
+        # fp is lineage metadata here (the INDEX holds band rows); it
+        # keeps the curated schema identical across screen modes
+        survivors = admitted_ds.map_batches(
+            fingerprint_batch, batch_format="pyarrow").materialize()
+    elif screen == "exact":
+        survivors = screen_window(cand, index_dir, id_col="doc_id",
+                                  text_col="text",
+                                  num_buckets=index_buckets)
+    else:
+        raise ValueError(f"unknown screen mode {screen!r} "
+                         f"(expected 'exact' or 'minhash')")
     admitted = survivors.count()
     # an empty survivor set has a NONE schema (the dataset-level
     # column-op trap, NEXT.md) — nothing is written for it anyway
@@ -162,11 +207,22 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
         agg = survivors.aggregate(Min("ts", alias_name="ts_min"),
                                   Max("ts", alias_name="ts_max"))
         stats["ts_min"], stats["ts_max"] = int(agg["ts_min"]), int(agg["ts_max"])
+    # minhash mode: band rows are not derivable from the curated
+    # columns — persist them BEFORE the marker so recovery can
+    # re-append them (and detect the mode)
+    if keep_bands is not None and admitted:
+        (keep_bands.map_batches(
+            lambda t: t.select(["band_id", "band_hash", "bucket"]),
+            batch_format="pyarrow").write_parquet(bands_dir))
     # marker BEFORE append: once it exists the directory is
     # authoritative and re-runs take the re-append path above
     with open(marker, "w") as f:
         json.dump(stats, f)
-    append_fingerprints(survivors, index_dir)
+    if keep_bands is not None:
+        if admitted:
+            append_band_rows(keep_bands, index_dir)
+    else:
+        append_fingerprints(survivors, index_dir)
     return {"version": version, "changes": n_changes,
             "tombstones": tombstones, "admitted": admitted}
 
@@ -179,6 +235,8 @@ def run_curated_stream(
     curated_dir: str,
     index_buckets: int = 32,
     candidates_fn: Callable[[pa.Table], pa.Table] | None = None,
+    screen: str = "exact",
+    minhash_opts: dict | None = None,
 ) -> list[dict]:
     """Run each bounded event Dataset as one committed replay AND curate
     its change feed against the persisted fingerprint index. Returns
@@ -193,7 +251,8 @@ def run_curated_stream(
         cur = curate_version(cfg, rep["version"], index_dir=index_dir,
                              curated_dir=curated_dir,
                              index_buckets=index_buckets,
-                             candidates_fn=candidates_fn)
+                             candidates_fn=candidates_fn,
+                             screen=screen, minhash_opts=minhash_opts)
         summaries.append({**rep, "curation": cur})
     return summaries
 

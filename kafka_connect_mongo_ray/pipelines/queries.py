@@ -3201,6 +3201,92 @@ def q_cdc_curated_time_scoped(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_cdc_curated_minhash(sf_dir: str):
+    """Streaming curation with NEAR-dup screening (screen='minhash',
+    pipelines/curate.py): window 1 inserts the even docs; window 2
+    inserts the odd docs PLUS exact re-inserts of the doc_id%4==0
+    texts under fresh keys (+10M). LSH drops are probabilistic, so the
+    gate uses the checked-boolean pattern: every exact re-insert drops
+    (identical text ⇒ identical bands — guaranteed), admissions
+    partition the window, and the oracle asserts the literals plus the
+    deterministic window-2 candidate count."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.curate import run_curated_stream
+
+    root = f"/tmp/kcm_curmh_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    COPY_BASE = 10_000_000
+
+    def win_batch(batch: pa.Table, window: int) -> pa.Table:
+        doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+        text = np.asarray(batch["text"]).astype(object)
+        source = np.asarray(batch["source"]).astype(object)
+        ins = (doc_id % 2) == window
+        ids = [doc_id[ins]]
+        content = [text[ins]]
+        srcs = [source[ins]]
+        if window == 1:
+            cp = (doc_id % 4) == 0
+            ids.append(doc_id[cp] + COPY_BASE)
+            content.append(text[cp])
+            srcs.append(source[cp])
+        all_ids = np.concatenate(ids)
+        n = len(all_ids)
+        return pa.table(
+            {
+                "ts": pa.array(np.full(n, window, dtype=np.int64)),
+                "inc": pa.array(np.zeros(n, dtype=np.int32)),
+                "op": pa.array(np.full(n, "i", dtype=object), pa.string()),
+                "repo": pa.array(np.concatenate(srcs), pa.string()),
+                "path": pa.array(all_ids.astype(str), pa.string()),
+                "commit": pa.array(np.full(n, "", dtype=object),
+                                   pa.string()),
+                "lang": pa.array(np.full(n, "en", dtype=object),
+                                 pa.string()),
+                "content": pa.array(np.concatenate(content),
+                                    pa.large_string()),
+                "partition_id": pa.array(
+                    (all_ids % NUM_PARTITIONS).astype(np.int32)),
+            },
+            schema=CHANGE_EVENT_SCHEMA,
+        )
+
+    def factory(w):
+        def make():
+            docs = _read(sf_dir, "documents",
+                         columns=["doc_id", "text", "source"])
+            return docs.map_batches(win_batch, fn_kwargs={"window": w},
+                                    batch_format="pyarrow")
+        return make
+
+    run_curated_stream([factory(w) for w in range(2)], cfg,
+                       index_dir=f"{root}/idx", curated_dir=f"{root}/cur",
+                       index_buckets=_gate_buckets(), screen="minhash")
+
+    w2 = rd.read_parquet(f"{root}/cur/window=2", columns=["doc_id"]
+                         ).to_pandas() if any(
+        f.endswith(".parquet") for f in os.listdir(f"{root}/cur/window=2")
+    ) else pd.DataFrame({"doc_id": []})
+    adm = set(w2["doc_id"].astype(np.int64))
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    odd = set(docs.doc_id[docs.doc_id % 2 == 1].astype(np.int64))
+    copies = set(docs.doc_id[docs.doc_id % 4 == 0].astype(np.int64)
+                 + COPY_BASE)
+    n_w1 = len(odd) + len(copies)
+    return pa.table({
+        "n_w1": pa.array([n_w1], pa.int64()),
+        "copies_dropped": pa.array([adm.isdisjoint(copies)], pa.bool_()),
+        "partition_ok": pa.array([adm <= (odd | copies)], pa.bool_()),
+    })
+
+
 def q_events_cohort_retention(sf_dir: str):
     """Daily cohort retention triangle (functions/analytics.py::
     cohort_retention): cohort = user's first active day, one row per
@@ -5365,6 +5451,7 @@ def build_queries():
         "docs_source_policy": q_docs_source_policy,
         "cdc_curated_stream": q_cdc_curated_stream,
         "cdc_curated_time_scoped": q_cdc_curated_time_scoped,
+        "cdc_curated_minhash": q_cdc_curated_minhash,
         "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
         "lineitem_mad_refine": q_lineitem_mad_refine,
         "docs_pii_scan": q_docs_pii_scan,
@@ -6169,6 +6256,16 @@ def build_oracle_sql():
                                            ORDER BY win, doc_id) = 1
             )
             SELECT win, doc_id, ts, fp FROM adm WHERE ts BETWEEN 5 AND 14
+        """,
+        # minhash curation: LSH drops are probabilistic — the checked-
+        # boolean pattern (see dedup_incremental_minhash); only the
+        # window-2 candidate count is deterministic enough to mirror
+        "cdc_curated_minhash": """
+            SELECT CAST((SELECT COUNT(*) FROM documents
+                         WHERE doc_id % 2 = 1)
+                      + (SELECT COUNT(*) FROM documents
+                         WHERE doc_id % 4 = 0) AS BIGINT) AS n_w1,
+                   TRUE AS copies_dropped, TRUE AS partition_ok
         """,
         # exact whitespace tokens (the retrieval.py contract); ties at
         # the k boundary break by ascending bigram on both sides

@@ -40,7 +40,8 @@ import pyarrow as pa
 from kafka_connect_mongo_ray.utils import limit_worker_threads
 
 __all__ = ["fingerprint_batch", "screen_window", "append_fingerprints",
-           "incremental_exact_dedup", "incremental_minhash_dedup"]
+           "incremental_exact_dedup", "screen_window_minhash",
+           "append_band_rows", "incremental_minhash_dedup"]
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
@@ -145,33 +146,19 @@ def incremental_exact_dedup(new_ds, index_dir: str, *,
     return survivors
 
 
-def incremental_minhash_dedup(new_ds, index_dir: str, *,
-                              id_col: str = "doc_id",
-                              text_col: str = "text",
-                              num_buckets: int = 32,
-                              num_hashes: int = 64, num_bands: int = 16,
-                              seed: int = 42):
-    """Near-dup screening of one window against a persisted LSH band
-    index — the MinHash sibling of :func:`incremental_exact_dedup` with
-    PROBABLY-SEEN semantics: a window doc sharing ≥1 (band_id,
-    band_hash) with any previously admitted doc is dropped, the rest
-    are admitted and their band rows appended.
-
-    The probabilistic contract is the standard LSH S-curve: a doc with
-    true shingle Jaccard s to an admitted doc is dropped with
-    probability 1 − (1 − s^r)^b (r = num_hashes/num_bands rows per
-    band, b = num_bands) — near-1 above the curve's threshold; false
-    drops require a full 64-bit band-hash collision (~b·|index|/2⁶⁴).
-    Use the exact variant when bit-exact semantics are required; this
-    one never stores or re-reads TEXT, only band fingerprints, so the
-    index is signature-sized at any corpus size.
-
-    Same scale shape as the exact variant: bucket-aligned — only the
-    window's band rows shuffle (bucket = band_hash % num_buckets);
-    each task reads its own ``bucket=N`` directory; the one extra
-    exchange is the keys-only anti join removing flagged ids.
-    In-window near-dups are NOT collapsed (both admit): run a batch
-    dedup (functions/dedup.py) inside the window first if needed."""
+def screen_window_minhash(new_ds, index_dir: str, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_buckets: int = 32,
+                          num_hashes: int = 64, num_bands: int = 16,
+                          seed: int = 42):
+    """Screening half of :func:`incremental_minhash_dedup`: flag the
+    window's docs whose band rows hit the persisted index, WITHOUT
+    appending anything. Returns ``(admitted, keep_bands)`` — both
+    MATERIALIZED, so callers can persist their output first and call
+    :func:`append_band_rows` after (the write-before-append crash
+    contract the curated stream relies on). Admission is a pure
+    function of (window, index state)."""
     from kafka_connect_mongo_ray.functions.dedup import (
         BandExploder,
         MinHasher,
@@ -225,12 +212,58 @@ def incremental_minhash_dedup(new_ds, index_dir: str, *,
         admitted = hash_join(new_ds, flagged, on=[id_col], how="anti",
                              num_buckets=num_buckets).materialize()
         keep_bands = hash_join(bands, flagged, on=[id_col], how="anti",
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets).materialize()
     else:  # nothing flagged (e.g. the first window): admit everything
         admitted = new_ds.materialize()
         keep_bands = bands
-    (keep_bands.map_batches(
+    return admitted, keep_bands
+
+
+def append_band_rows(bands, index_dir: str) -> None:
+    """Append screened band rows to the LSH index — the commit half of
+    :func:`incremental_minhash_dedup`. Requires columns (band_id,
+    band_hash, bucket); re-appending the same window is harmless
+    (duplicate band rows never change the flag verdict)."""
+    (bands.map_batches(
         lambda t: t.select(["band_id", "band_hash", "bucket"]),
         batch_format="pyarrow")
      .write_parquet(index_dir, partition_cols=["bucket"]))
+
+
+def incremental_minhash_dedup(new_ds, index_dir: str, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_buckets: int = 32,
+                              num_hashes: int = 64, num_bands: int = 16,
+                              seed: int = 42):
+    """Near-dup screening of one window against a persisted LSH band
+    index — the MinHash sibling of :func:`incremental_exact_dedup` with
+    PROBABLY-SEEN semantics: a window doc sharing ≥1 (band_id,
+    band_hash) with any previously admitted doc is dropped, the rest
+    are admitted and their band rows appended.
+
+    The probabilistic contract is the standard LSH S-curve: a doc with
+    true shingle Jaccard s to an admitted doc is dropped with
+    probability 1 − (1 − s^r)^b (r = num_hashes/num_bands rows per
+    band, b = num_bands) — near-1 above the curve's threshold; false
+    drops require a full 64-bit band-hash collision (~b·|index|/2⁶⁴).
+    Use the exact variant when bit-exact semantics are required; this
+    one never stores or re-reads TEXT, only band fingerprints, so the
+    index is signature-sized at any corpus size.
+
+    Same scale shape as the exact variant: bucket-aligned — only the
+    window's band rows shuffle (bucket = band_hash % num_buckets);
+    each task reads its own ``bucket=N`` directory; the one extra
+    exchange is the keys-only anti join removing flagged ids.
+    In-window near-dups are NOT collapsed (both admit): run a batch
+    dedup (functions/dedup.py) inside the window first if needed.
+
+    Composition of :func:`screen_window_minhash` +
+    :func:`append_band_rows`; callers needing the write-before-append
+    crash contract use the halves directly."""
+    admitted, keep_bands = screen_window_minhash(
+        new_ds, index_dir, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, num_hashes=num_hashes,
+        num_bands=num_bands, seed=seed)
+    append_band_rows(keep_bands, index_dir)
     return admitted

@@ -269,3 +269,65 @@ def test_read_curated_skips_uncommitted_window(dirs):
         f"{cur}/window=9/part.parquet")
     rows = read_curated(cur, ts_min=0, ts_max=30).take_all()
     assert 99 not in {r["doc_id"] for r in rows}
+
+
+def test_minhash_curation_drops_cross_window_near_dups(dirs):
+    """screen='minhash': an exact re-insert ALWAYS drops (identical
+    text ⇒ identical bands), a high-overlap paraphrase drops with the
+    LSH guarantee at full-band overlap, and a fresh doc admits. The
+    marker still carries the ts zone map."""
+    import json
+
+    cfg, idx, cur = dirs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # 10/11 shingle overlap
+    summaries = run_curated_stream(
+        [
+            _factory([(1, "i", "1", base)]),
+            _factory([(5, "i", "2", base),        # exact: must drop
+                      (6, "i", "3", near),        # near-dup
+                      (7, "i", "4", "wholly different words entirely "
+                                    "unlike anything before")]),
+        ],
+        cfg, index_dir=idx, curated_dir=cur, screen="minhash")
+    got = _read_curated(cur)
+    assert {d for d, _ in got[1]} == {1}
+    w2_ids = {d for d, _ in got[2]}
+    assert 2 not in w2_ids          # exact copy: guaranteed drop
+    assert 4 in w2_ids              # fresh content admits
+    assert summaries[1]["curation"]["admitted"] == len(w2_ids)
+    stats = json.load(open(f"{cur}/window=1/_CURATED"))
+    assert (stats["ts_min"], stats["ts_max"]) == (1, 1)
+    # band sidecar persisted for recovery
+    import os
+
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(f"{cur}/window=1/_bands"))
+
+
+def test_minhash_curation_recovery_reappends_bands(dirs):
+    """Crash between marker and band append: the re-run must re-append
+    the sidecar's band rows so the NEXT window still screens — without
+    re-screening the window against its own bands."""
+    import shutil
+
+    cfg, idx, cur = dirs
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+
+    run_replay(_factory([(1, "i", "1", "some reasonably long text with "
+                                       "many distinct words here")])(), cfg)
+    s1 = curate_version(cfg, 1, index_dir=idx, curated_dir=cur,
+                        index_buckets=4, screen="minhash")
+    assert s1["admitted"] == 1
+    # simulate the crash: the window committed (marker + sidecar) but
+    # the index append was lost entirely
+    shutil.rmtree(idx, ignore_errors=True)
+    s2 = curate_version(cfg, 1, index_dir=idx, curated_dir=cur,
+                        index_buckets=4, screen="minhash")
+    assert s2["recovered"] is True and s2["admitted"] == 1
+    # the restored index must drop an exact re-insert in window 2
+    run_replay(_factory([(2, "i", "2", "some reasonably long text with "
+                                       "many distinct words here")])(), cfg)
+    s3 = curate_version(cfg, 2, index_dir=idx, curated_dir=cur,
+                        index_buckets=4, screen="minhash")
+    assert s3["admitted"] == 0
