@@ -1167,6 +1167,76 @@ def q_multimodal_frames(sf_dir: str):
         batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
 
 
+def q_multimodal_resize(sf_dir: str):
+    """REAL image resize: render a deterministic horizontal-gradient P6
+    PPM per document (pixel(x, y) = (doc_id + x) % 256, dims from
+    doc_id), then nearest-neighbor-resize to a fixed 4x3 thumbnail via
+    two vectorized fancy-index gathers and re-encode. The oracle
+    recomputes the resized mean from the integer nearest-sample
+    mapping floor(X*w/4) in SQL. The binary output payload itself is
+    pytest-verified (round-trip decode); the gate compares the scalar
+    verification columns."""
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        PpmResizer,
+        encode_ppm_pixels,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            w, h = 2 + i % 15, 2 + i % 12
+            row = ((i + np.arange(w, dtype=np.int64)) % 256).astype(np.uint8)
+            pixels = np.broadcast_to(row[None, :, None], (h, w, 3))
+            payloads.append(encode_ppm_pixels(np.ascontiguousarray(pixels)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    resized = media.map_batches(
+        PpmResizer, fn_constructor_kwargs={"out_w": 4, "out_h": 3},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return resized.select_columns(
+        ["media_id", "out_width", "out_height", "resized_mean",
+         "payload_bytes"])
+
+
+def q_multimodal_audio_features(sf_dir: str):
+    """REAL audio feature extraction beyond decode: synthesize an
+    alternating-sign PCM-16 clip per document (samples[t] =
+    amp * (-1)^t with n, amp from doc_id), then compute RMS energy,
+    peak amplitude and zero-crossing count with numpy kernels over the
+    decoded sample plane. Every feature is analytically recomputable
+    in SQL for this signal family (rms = amp, peak = amp, crossings =
+    n-1 when amp > 0)."""
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        AudioFeatureExtractor,
+        encode_wav_pcm16,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n, amp = 100 + i % 50, i % 1000
+            signs = np.where(np.arange(n) % 2 == 0, 1, -1)
+            payloads.append(encode_wav_pcm16(
+                (amp * signs).astype(np.int16), 8000))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    return media.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4))
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem: partial aggregate
     inside map_batches (combiner), tiny final groupby — the canonical
@@ -5570,6 +5640,8 @@ def build_queries():
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "lineitem_quantiles": q_lineitem_quantiles,
         "orders_sample_md5": q_orders_sample_md5,
         "lineitem_price_brackets": q_lineitem_price_brackets,
@@ -6837,6 +6909,29 @@ def build_oracle_sql():
             SELECT doc_id AS media_id, frame_idx,
                    CAST((doc_id + frame_idx) % 256 AS DOUBLE) AS frame_mean
             FROM idx
+        """,
+        "multimodal_resize": """
+            WITH g AS (SELECT doc_id, 2 + doc_id % 15 AS w FROM documents)
+            SELECT doc_id AS media_id,
+                   CAST(4 AS BIGINT) AS out_width,
+                   CAST(3 AS BIGINT) AS out_height,
+                   CAST(((doc_id + (0 * w) // 4) % 256
+                       + (doc_id + (1 * w) // 4) % 256
+                       + (doc_id + (2 * w) // 4) % 256
+                       + (doc_id + (3 * w) // 4) % 256) / 4.0
+                       AS DOUBLE) AS resized_mean,
+                   CAST(47 AS BIGINT) AS payload_bytes
+            FROM g
+        """,
+        "multimodal_audio_features": """
+            SELECT doc_id AS media_id,
+                   CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+                   CAST(doc_id % 1000 AS DOUBLE) AS rms,
+                   CAST(doc_id % 1000 AS BIGINT) AS peak,
+                   CAST(CASE WHEN doc_id % 1000 > 0
+                             THEN 99 + doc_id % 50 ELSE 0 END
+                        AS BIGINT) AS zero_crossings
+            FROM documents
         """,
         "lineitem_quantiles": " UNION ALL ".join(
             f"""SELECT CAST({q} AS DOUBLE) AS q,

@@ -475,3 +475,75 @@ def test_pii_and_normalization_parity_with_duckdb():
         "SELECT trim(regexp_replace(lower(coalesce(text, '')), "
         "'[^a-z0-9]+', ' ', 'g')) AS s FROM t").df().s.tolist()
     assert norm == want_norm
+
+
+def test_ppm_resize_nearest_and_stage():
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        PpmResizer,
+        decode_ppm_pixels,
+        encode_ppm_pixels,
+        resize_nearest,
+    )
+
+    # gradient plane: exact nearest mapping floor(X*w/out_w)
+    w, h = 7, 5
+    row = np.arange(w, dtype=np.uint8)
+    pixels = np.ascontiguousarray(
+        np.broadcast_to(row[None, :, None], (h, w, 3)))
+    out = resize_nearest(pixels, 4, 3)
+    assert out.shape == (3, 4, 3)
+    assert out[0, :, 0].tolist() == [(x * w) // 4 for x in range(4)]
+    # upscale also works (repeats samples)
+    up = resize_nearest(pixels, 14, 10)
+    assert up.shape == (10, 14, 3)
+    # encoded round-trip preserves the resized plane exactly
+    w2, h2, back = decode_ppm_pixels(encode_ppm_pixels(out))
+    assert (w2, h2) == (4, 3) and np.array_equal(back, out)
+
+    # actor stage: resized payload decodes to the resized plane;
+    # malformed inputs skipped + counted
+    stage = PpmResizer(out_w=4, out_h=3)
+    res = stage(pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_ppm_pixels(pixels), b"bad"], pa.binary()),
+    }))
+    assert res.num_rows == 1 and stage.malformed == 1
+    assert res["out_width"][0].as_py() == 4
+    assert res["payload_bytes"][0].as_py() == len(res["payload"][0].as_py())
+    _, _, plane = decode_ppm_pixels(res["payload"][0].as_py())
+    assert np.array_equal(plane, out)
+    assert res["resized_mean"][0].as_py() == float(out.mean())
+
+
+def test_audio_feature_extractor():
+    import numpy as np
+    import pyarrow as pa
+
+    from kafka_connect_mongo_ray.functions.multimodal import (
+        AudioFeatureExtractor,
+        encode_wav_pcm16,
+    )
+
+    n, amp = 10, 25
+    signs = np.where(np.arange(n) % 2 == 0, 1, -1)
+    alternating = (amp * signs).astype(np.int16)
+    ramp = np.array([0, 3, -4, 0, 5], dtype=np.int16)
+    stage = AudioFeatureExtractor()
+    res = stage(pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [encode_wav_pcm16(alternating, 8000),
+             encode_wav_pcm16(ramp, 8000),
+             b"RIFFxxxxJUNK"], pa.binary()),
+    }))
+    assert res.num_rows == 2 and stage.malformed == 1
+    r0 = {c: res[c][0].as_py() for c in res.column_names}
+    assert r0 == {"media_id": 1, "n_samples": n, "rms": float(amp),
+                  "peak": amp, "zero_crossings": n - 1}
+    r1 = {c: res[c][1].as_py() for c in res.column_names}
+    # ramp: crossings only where adjacent product < 0 (3,-4); zeros break runs
+    assert r1["peak"] == 5 and r1["zero_crossings"] == 1
+    assert r1["rms"] == float(np.sqrt((ramp.astype(np.int64) ** 2).mean()))
