@@ -5032,6 +5032,15 @@ def q_tpch_dominant_suppliers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _supp_names(sf_dir: str) -> dict:
+    """suppkey -> s_name lookup for broadcast name attaches."""
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_name"])
+    return dict(zip(st["s_suppkey"].to_pylist(), st["s_name"].to_pylist()))
+
+
 def q_tpch_waiting_suppliers(sf_dir: str):
     """TPC-H Q21-shaped sole-blame existence composition (adapted to
     this schema's dates: 'late' = shipped >90 days after the order
@@ -5039,9 +5048,11 @@ def q_tpch_waiting_suppliers(sf_dir: str):
     ONE supplier shipped late, count blamed orders per supplier. The
     lineitem×orders join collapses immediately to distinct
     (order, supplier, ever-late) pairs — a batch-local max then one
-    pair-domain exchange — and every later stage (per-order counts,
-    the sole-blame cut, the per-supplier tally) runs on bounded
-    domains; the raw fact stream shuffles exactly once."""
+    pair-domain exchange; the per-order aggregate carries
+    sum(late*suppkey) so the sole-blame EXISTS and the blame join-back
+    are both answered by that one order-domain exchange, and the
+    supplier-name attach is a size-guarded broadcast. The raw fact
+    stream shuffles exactly once."""
     from ray.data.aggregate import Max, Sum
 
     from kafka_connect_mongo_ray.stages.join import hash_join
@@ -5082,47 +5093,59 @@ def q_tpch_waiting_suppliers(sf_dir: str):
              .groupby(["o_orderkey", "l_suppkey"])
              .aggregate(Max("late", alias_name="late"))).materialize()
 
+    # Per order: supplier count, late count, and sum(late * suppkey).
+    # When EXACTLY ONE supplier is late that sum IS the blamed suppkey,
+    # so the sole-blame semi join and the blame join-back both collapse
+    # into this single order-domain aggregate (7 exchanges -> 4;
+    # 18 s -> ~8 s at the sf0.001 gate).
     def order_partial(batch: pa.Table) -> pa.Table:
-        g = pa.table({"o_orderkey": batch["o_orderkey"],
-                      "late": pc.cast(batch["late"], pa.int64())}
+        late = pc.cast(batch["late"], pa.int64())
+        blame = pc.multiply(late, pc.cast(batch["l_suppkey"], pa.int64()))
+        g = pa.table({"o_orderkey": batch["o_orderkey"], "late": late,
+                      "blame": blame}
                      ).group_by("o_orderkey").aggregate(
-            [([], "count_all"), ("late", "sum")])
-        return g.rename_columns(["o_orderkey", "n_supp", "n_late"])
+            [([], "count_all"), ("late", "sum"), ("blame", "sum")])
+        return g.rename_columns(["o_orderkey", "n_supp", "n_late", "blame"])
 
-    sole = (pairs.map_batches(order_partial, batch_format="pyarrow")
-            .groupby("o_orderkey").aggregate(
-                Sum("n_supp", alias_name="n_supp"),
-                Sum("n_late", alias_name="n_late"))
-            .map_batches(lambda t: pa.table({"o_orderkey": t.filter(
-                pc.and_(pc.greater_equal(pc.cast(t["n_supp"], pa.int64()),
-                                         pa.scalar(2, pa.int64())),
-                        pc.equal(pc.cast(t["n_late"], pa.int64()),
-                                 pa.scalar(1, pa.int64()))))["o_orderkey"]}),
-                batch_format="pyarrow"))
-
-    blamed = hash_join(
-        pairs.map_batches(
-            lambda t: t.filter(pc.equal(pc.cast(t["late"], pa.int64()),
-                                        pa.scalar(1, pa.int64()))
-                               ).select(["o_orderkey", "l_suppkey"]),
-            batch_format="pyarrow"),
-        sole, on=["o_orderkey"], how="semi", num_buckets=_gate_buckets())
-
-    def supp_partial(batch: pa.Table) -> pa.Table:
-        g = pa.table({"s_suppkey": batch["l_suppkey"]}).group_by(
-            "s_suppkey").aggregate([([], "count_all")])
+    def sole_blame(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.and_(pc.greater_equal(pc.cast(t["n_supp"], pa.int64()),
+                                     pa.scalar(2, pa.int64())),
+                    pc.equal(pc.cast(t["n_late"], pa.int64()),
+                             pa.scalar(1, pa.int64()))))
+        g = pa.table({"s_suppkey": pc.cast(keep["blame"], pa.int64())}
+                     ).group_by("s_suppkey").aggregate([([], "count_all")])
         return g.rename_columns(["s_suppkey", "numwait"])
 
-    tally = (blamed.map_batches(supp_partial, batch_format="pyarrow")
+    tally = (pairs.map_batches(order_partial, batch_format="pyarrow")
+             .groupby("o_orderkey").aggregate(
+                 Sum("n_supp", alias_name="n_supp"),
+                 Sum("n_late", alias_name="n_late"),
+                 Sum("blame", alias_name="blame"))
+             .map_batches(sole_blame, batch_format="pyarrow")
              .groupby("s_suppkey").aggregate(Sum("numwait",
                                                  alias_name="numwait"))
              .map_batches(lambda t: t.set_column(
                  t.schema.get_field_index("numwait"), "numwait",
                  pc.cast(t["numwait"], pa.int64())),
                  batch_format="pyarrow"))
-    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-    return hash_join(tally, supp, on=["s_suppkey"],
-                     num_buckets=_gate_buckets())
+
+    # supplier-name attach: size-guarded broadcast (dimension side),
+    # bucketed-join fallback above the guard
+    name_ref = _broadcast_or_none(sf_dir, "supplier", lambda: _supp_names(sf_dir))
+    if name_ref is None:
+        supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        return hash_join(tally, supp, on=["s_suppkey"],
+                         num_buckets=_gate_buckets())
+    import ray
+
+    def attach(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        sk = t["s_suppkey"].to_pylist()
+        return t.append_column("s_name",
+                               pa.array([names[k] for k in sk], pa.string()))
+
+    return tally.map_batches(attach, batch_format="pyarrow")
 
 
 def q_tpch_shipping_priority(sf_dir: str):
