@@ -5517,6 +5517,8 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -5663,8 +5665,6 @@ def build_queries():
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio_features": q_multimodal_audio_features,
         "lineitem_quantiles": q_lineitem_quantiles,
         "orders_sample_md5": q_orders_sample_md5,
         "lineitem_price_brackets": q_lineitem_price_brackets,
