@@ -492,8 +492,20 @@ def ann_cmd(args) -> int:
             print(json.dumps({"built": args.index, **manifest},
                              sort_keys=True))
             return 0
+        if args.append:
+            import ray.data as rd
+
+            from kafka_connect_mongo_ray.state.ann_index import append_ivf_index
+
+            ds = rd.read_parquet(args.embeddings,
+                                 columns=[args.id_col, args.vec_col])
+            manifest = append_ivf_index(ds, args.index, vec_col=args.vec_col)
+            print(json.dumps({"appended": args.index, **manifest},
+                             sort_keys=True))
+            return 0
         if not args.query_ids:
-            print(json.dumps({"error": "pass --build or --query-ids"}))
+            print(json.dumps({"error": "pass --build, --append or "
+                                       "--query-ids"}))
             return 2
         from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
 
@@ -593,6 +605,9 @@ def main(argv=None) -> int:
                     help="embeddings parquet file")
     an.add_argument("--index", required=True)
     an.add_argument("--build", action="store_true")
+    an.add_argument("--append", action="store_true",
+                    help="incrementally add the embeddings to a committed "
+                         "index (new generation; frozen centroids)")
     an.add_argument("--cells", type=int, default=16)
     an.add_argument("--seed", type=int, default=42)
     an.add_argument("--id-col", default="vec_id", dest="id_col")

@@ -998,6 +998,52 @@ def q_ann_ivf_persisted(sf_dir: str):
     return _recall_vs_brute_force(sf_dir, approx)
 
 
+def q_ann_ivf_incremental(sf_dir: str):
+    """Incremental persisted-index ingest (state/ann_index.py::
+    append_ivf_index): BUILD the IVF index on the even vec_ids only,
+    APPEND the odd half as a committed generation (assigned to the
+    frozen centroids — no rebuild, earlier cells untouched), then
+    query with nprobe == num_cells, where IVF degrades to exact brute
+    force. The gate row asserts the post-append result is EXACTLY the
+    brute-force top-k over the FULL corpus — if the appended
+    generation were invisible (or double-visible) the set comparison
+    fails. Crash contract pytest-pinned in test_ann_index.py."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    root = f"/tmp/kcm_annincr_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def half(parity: int):
+        return _read(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]).map_batches(
+            lambda t, p=parity: t.filter(pc.equal(
+                pc.bit_wise_and(pc.cast(t["vec_id"], pa.int64()),
+                                pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()))),
+            batch_format="pyarrow")
+
+    total = _table_rows(sf_dir, "embeddings")
+    build_ivf_index(half(0), root, num_cells=8, seed=42,
+                    total_rows=(total + 1) // 2)
+    append_ivf_index(half(1), root, total_rows=total // 2)
+
+    q, ids = _load_query_vectors(sf_dir)
+    approx = ivf_index_topk(root, q, ids, k=ANN_K, nprobe=8)
+    exact = _brute_force_baseline(sf_dir)
+    ex = {int(qid): set(g["neighbor_id"])
+          for qid, g in exact.groupby("query_id")}
+    rows = [(int(qid), len(g), set(g["neighbor_id"]) == ex.get(int(qid)))
+            for qid, g in approx.groupby("query_id")]
+    return pd.DataFrame(rows, columns=["query_id", "n_results", "exact_ok"])
+
+
 def q_dedup_embedding_lsh(sf_dir: str):
     """LSH-blocked near-dup (the scale path) measured against the exact
     blocked sweep: one row asserting pair recall ≥ EMB_LSH_RECALL_BOUND
@@ -5519,6 +5565,7 @@ def build_queries():
     # implementations are unchanged since the r03-green commit.
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -6859,6 +6906,11 @@ def build_oracle_sql():
         "ann_ivf_persisted": f"""
             SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
                    TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+        """,
+        "ann_ivf_incremental": f"""
+            SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
+                   TRUE AS exact_ok
             FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
         """,
         "events_distinct_users_hll": """

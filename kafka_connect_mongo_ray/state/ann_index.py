@@ -40,7 +40,7 @@ import pyarrow as pa
 
 from kafka_connect_mongo_ray.utils import embedding_matrix, limit_worker_threads
 
-__all__ = ["build_ivf_index", "ivf_index_topk"]
+__all__ = ["build_ivf_index", "append_ivf_index", "ivf_index_topk"]
 
 _MANIFEST = "manifest.json"
 _CENTROIDS = "centroids.npy"
@@ -100,6 +100,72 @@ def build_ivf_index(ds, index_dir: str, *, num_cells: int = 16,
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(index_dir, _MANIFEST))
     return manifest
+
+
+def append_ivf_index(ds, index_dir: str, *, vec_col: str | None = None,
+                     total_rows: int | None = None) -> dict:
+    """Incrementally ADD vectors to a committed IVF index without a
+    rebuild — the streaming-ingest complement of :func:`build_ivf_index`
+    (same contract as the persisted dedup index's window appends).
+
+    New vectors are assigned to the EXISTING centroids (no re-fit: cell
+    routing stays stable so earlier data never moves) and land in a
+    fresh generation directory ``cells_g{N}/ivf_cell=.../``; the
+    manifest update is the COMMIT MARKER (rows += n, generations = N,
+    atomic rename). A crash mid-append leaves an uncommitted
+    generation directory that readers ignore (not in the manifest) and
+    the next append overwrites. Queries read the base ``cells`` plus
+    every committed generation — still only the probed cells'
+    directories of each.
+
+    Centroid drift is the documented trade-off: heavy appends that
+    shift the distribution should trigger a periodic rebuild (the
+    compaction analog); recall on appended data follows the original
+    centroids' coverage."""
+    import ray
+
+    from kafka_connect_mongo_ray.functions.similarity import IvfAssigner
+
+    mpath = os.path.join(index_dir, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no committed IVF index at {index_dir} (manifest missing) — "
+            f"build before appending")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    centroids = np.load(os.path.join(index_dir, _CENTROIDS))
+    cref = ray.put(centroids)
+    vec_col = vec_col or manifest["vec_col"]
+
+    gen = int(manifest.get("generations", 0)) + 1
+    gen_dir = os.path.join(index_dir, f"cells_g{gen}")
+    shutil.rmtree(gen_dir, ignore_errors=True)  # uncommitted leftovers
+
+    def with_cell_copy(batch: pa.Table) -> pa.Table:
+        return batch.append_column("cell", batch["ivf_cell"])
+
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).map_batches(with_cell_copy, batch_format="pyarrow")
+    assigned.write_parquet(gen_dir, partition_cols=["ivf_cell"])
+
+    n_new = total_rows if total_rows is not None else ds.count()
+    manifest["rows"] = int(manifest["rows"]) + int(n_new)
+    manifest["generations"] = gen
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return manifest
+
+
+def _cell_roots(index_dir: str, manifest: dict) -> list[str]:
+    """Base build dir + every COMMITTED append generation."""
+    return [os.path.join(index_dir, "cells")] + [
+        os.path.join(index_dir, f"cells_g{g}")
+        for g in range(1, int(manifest.get("generations", 0)) + 1)]
 
 
 class _CellScorer:
@@ -172,9 +238,10 @@ def ivf_index_topk(index_dir: str, query_matrix: np.ndarray,
             cell_to_queries.setdefault(int(c), []).append(qi)
 
     # directory-level pruning: ONLY probed cells' files are listed/read
-    dirs = [d for c in sorted(cell_to_queries)
-            if os.path.isdir(d := os.path.join(index_dir, "cells",
-                                               f"ivf_cell={c}"))]
+    # (across the base build and every committed append generation)
+    dirs = [d for root in _cell_roots(index_dir, manifest)
+            for c in sorted(cell_to_queries)
+            if os.path.isdir(d := os.path.join(root, f"ivf_cell={c}"))]
     if not dirs:
         return pd.DataFrame(columns=["query_id", "rank", "neighbor_id"])
     files = [os.path.join(d, f) for d in dirs

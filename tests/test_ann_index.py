@@ -118,3 +118,89 @@ def test_rebuild_overwrites_cleanly(ray_session, tmp_path):
     q, ids = _queries(2)
     out = ivf_index_topk(d, q, ids, k=5, nprobe=8)
     assert (out.groupby("query_id").size() == 5).all()
+
+
+def _halves():
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def half(parity):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        return ds.filter(lambda r, p=parity: r["vec_id"] % 2 == p)
+
+    return half(0), half(1)
+
+
+def test_append_generation_reaches_queries(ray_session, tmp_path):
+    """Build on evens, append odds: nprobe=all must exactly match the
+    full-corpus brute force — the appended generation is visible and
+    nothing is double-counted."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
+    from kafka_connect_mongo_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    d = str(tmp_path / "ivfg")
+    evens, odds = _halves()
+    m0 = build_ivf_index(evens, d, num_cells=8, seed=42)
+    m1 = append_ivf_index(odds, d)
+    assert m1["generations"] == 1 and m1["rows"] > m0["rows"]
+
+    q, ids = _queries(3)
+    approx = ivf_index_topk(d, q, ids, k=10, nprobe=8)
+    full = rd.read_parquet(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    exact = brute_force_topk(full, q, ids, k=10)
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True),
+        exact[["query_id", "rank", "neighbor_id"]].reset_index(drop=True))
+
+
+def test_append_requires_committed_index(ray_session, tmp_path):
+    from kafka_connect_mongo_ray.state.ann_index import append_ivf_index
+
+    evens, _ = _halves()
+    with pytest.raises(FileNotFoundError):
+        append_ivf_index(evens, str(tmp_path / "absent"))
+
+
+def test_uncommitted_generation_invisible_and_overwritten(ray_session,
+                                                          tmp_path):
+    """A crash AFTER generation files land but BEFORE the manifest
+    update leaves the generation invisible to queries; the next append
+    overwrites it and commits."""
+    import json
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    d = str(tmp_path / "ivfc")
+    evens, odds = _halves()
+    build_ivf_index(evens, d, num_cells=4, seed=42)
+
+    # simulate the crashed append: generation dir exists, manifest not
+    # updated (poisoned files prove they are never opened)
+    crash = os.path.join(d, "cells_g1", "ivf_cell=0")
+    os.makedirs(crash)
+    with open(os.path.join(crash, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    q, ids = _queries(2)
+    out = ivf_index_topk(d, q, ids, k=5, nprobe=4)  # must not read junk
+    assert (out.groupby("query_id").size() == 5).all()
+
+    m = append_ivf_index(odds, d)  # recovery: overwrite + commit
+    assert m["generations"] == 1
+    assert json.load(open(os.path.join(d, "manifest.json")))[
+        "generations"] == 1
+    assert not os.path.exists(os.path.join(crash, "junk.parquet"))
+    out2 = ivf_index_topk(d, q, ids, k=5, nprobe=4)
+    assert (out2.groupby("query_id").size() == 5).all()
