@@ -463,6 +463,47 @@ def curate(args) -> int:
     return 0
 
 
+def bm25_cmd(args) -> int:
+    """Persisted BM25 index face (state/text_index.py): ``--build``
+    tokenizes a documents Parquet into term-bucketed postings;
+    ``--terms`` answers top-k reading only the probed bucket
+    directories. One JSON line each."""
+    import ray
+
+    ray.init(address="local", include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    try:
+        import ray.data as rd
+
+        if args.build:
+            from kafka_connect_mongo_ray.state.text_index import (
+                build_bm25_index,
+            )
+
+            ds = rd.read_parquet(args.docs,
+                                 columns=[args.id_col, args.text_col])
+            manifest = build_bm25_index(ds, args.index,
+                                        num_buckets=args.buckets,
+                                        id_col=args.id_col,
+                                        text_col=args.text_col)
+            print(json.dumps({"built": args.index, **manifest},
+                             sort_keys=True))
+            return 0
+        if not args.terms:
+            print(json.dumps({"error": "pass --build or --terms"}))
+            return 2
+        from kafka_connect_mongo_ray.state.text_index import bm25_index_topk
+
+        terms = [t for t in args.terms.split(",") if t]
+        out = bm25_index_topk(args.index, terms, k=args.k).to_pandas()
+        print(json.dumps({"terms": terms, "rows": len(out),
+                          "results": out.to_dict(orient="records")},
+                         sort_keys=True, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def ann_cmd(args) -> int:
     """Persisted IVF index face (state/ann_index.py): ``--build``
     quantizes an embeddings Parquet into the cell-partitioned index;
@@ -617,6 +658,16 @@ def main(argv=None) -> int:
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--nprobe", type=int, default=4)
     an.add_argument("--limit", type=int, default=20)
+    bm = sub.add_parser("bm25")
+    bm.add_argument("--docs", required=True, help="documents parquet file")
+    bm.add_argument("--index", required=True)
+    bm.add_argument("--build", action="store_true")
+    bm.add_argument("--buckets", type=int, default=16)
+    bm.add_argument("--id-col", default="doc_id", dest="id_col")
+    bm.add_argument("--text-col", default="text", dest="text_col")
+    bm.add_argument("--terms", default=None,
+                    help="comma-separated query terms")
+    bm.add_argument("--k", type=int, default=10)
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -647,6 +698,8 @@ def main(argv=None) -> int:
         return curate(args)
     if args.cmd == "ann":
         return ann_cmd(args)
+    if args.cmd == "bm25":
+        return bm25_cmd(args)
     p.print_help()
     return 0
 

@@ -1951,6 +1951,29 @@ def q_docs_bm25(sf_dir: str):
                      tf=tf, tf_terms=tf_terms)
 
 
+def q_docs_bm25_persisted(sf_dir: str):
+    """Disk-backed BM25 (state/text_index.py): the corpus is tokenized
+    ONCE into term-bucketed Parquet postings (df free from posting-row
+    counts, dl denormalized onto the posting), and the query opens
+    ONLY the bucket directories its terms hash to. Same oracle as
+    docs_bm25 — the persisted path must reproduce the full-scan scores
+    on the shared 6-dp grid (all top-k scores are positive for these
+    terms, so the matched-docs-only contract is equivalent)."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.state.text_index import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    root = f"/tmp/kcm_bm25ix_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    build_bm25_index(ds, root, num_buckets=16)
+    return bm25_index_topk(root, BM25_TERMS, k=BM25_K)
+
+
 def q_training_set_prep(sf_dir: str):
     """Second flagship composition — the training-set builder:
     language-rebalancing stratified sample → exact dedup (min-id
@@ -5566,6 +5589,7 @@ def build_queries():
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio_features": q_multimodal_audio_features,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "docs_bm25_persisted": q_docs_bm25_persisted,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -7098,6 +7122,7 @@ def build_oracle_sql():
                           WHERE l.l_partkey = p.p_partkey)
         """,
         "docs_bm25": _bm25_oracle_sql(),
+        "docs_bm25_persisted": _bm25_oracle_sql(),
         "docs_bm25_multi": " UNION ALL ".join(
             f"SELECT * FROM ({_bm25_oracle_sql(ts, qid=qid)})"
             for qid, ts in sorted(BM25_MULTI.items())),
