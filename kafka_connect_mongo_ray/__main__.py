@@ -457,7 +457,7 @@ def curate(args) -> int:
         [factory(w) for w in range(args.windows)], cfg,
         index_dir=args.index, curated_dir=args.curated,
         index_buckets=args.index_buckets, candidates_fn=candidates,
-        screen=args.screen)
+        screen=args.screen, ann_dir=args.ann_dir)
     print(json.dumps({"windows": summaries}, sort_keys=True, default=str))
     ray.shutdown()
     return 0
@@ -640,6 +640,9 @@ def main(argv=None) -> int:
     cu.add_argument("--screen", choices=["exact", "minhash"],
                     default="exact",
                     help="membership test: exact md5 or LSH near-dup")
+    cu.add_argument("--ann", default=None, dest="ann_dir",
+                    help="also ingest each window's admitted docs into a "
+                         "persisted IVF index at this directory")
     cu.add_argument("--seed", type=int, default=42)
     an = sub.add_parser("ann")
     an.add_argument("--embeddings", required=True,

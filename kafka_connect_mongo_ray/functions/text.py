@@ -300,3 +300,28 @@ def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
                                    replacement=" ")
     t = pc.utf8_trim_whitespace(t)
     return batch.append_column(out_col, t)
+
+
+def hash_embedding_batch(batch: pa.Table, *, dim: int = 32,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Deterministic STUB text embedder: a unit vector seeded by the
+    blake2b of the text (the DecodeStub convention — no model weights
+    in this container; a real encoder is a drop-in actor-pool swap
+    with the same (id, list<float>) output schema). Identical texts
+    embed identically, so downstream geometry is content-derived and
+    every consumer (IVF index, near-dup sweeps) is testable
+    end-to-end."""
+    vecs = []
+    for t in batch[text_col].to_pylist():
+        seed = int.from_bytes(
+            hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
+            "little")
+        v = np.random.default_rng(seed).standard_normal(dim)
+        vecs.append((v / max(float(np.linalg.norm(v)), 1e-12)
+                     ).astype(np.float32))
+    return pa.table({
+        id_col: batch[id_col],
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })

@@ -84,11 +84,39 @@ def upserts_to_candidates(batch: pa.Table) -> pa.Table:
     })
 
 
+def _ann_ingest(vecs_ds, ann_dir: str, version: int, *, ann_cells: int,
+                admitted: int) -> None:
+    """Ingest a window's (doc_id, embedding) vectors into the persisted
+    IVF index at ``ann_dir``: BUILD on the first committed window,
+    tagged APPEND afterwards. The tag is the window version, so
+    recovery can replay the ingest idempotently (a committed tag is a
+    no-op in ``append_ivf_index``). Vectors are NOT derivable from the
+    curated columns (text is not stored), so the window persists them
+    under ``wdir/_vecs/`` BEFORE the marker — the minhash band-sidecar
+    contract."""
+    import os as _os
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    if not admitted:
+        return
+    tag = f"window={version}"
+    if _os.path.exists(_os.path.join(ann_dir, "manifest.json")):
+        append_ivf_index(vecs_ds, ann_dir, total_rows=admitted, tag=tag)
+    else:
+        build_ivf_index(vecs_ds, ann_dir, num_cells=ann_cells,
+                        id_col="doc_id", total_rows=admitted, tag=tag)
+
+
 def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
                    curated_dir: str, index_buckets: int = 32,
                    candidates_fn: Callable[[pa.Table], pa.Table] | None = None,
                    screen: str = "exact",
                    minhash_opts: dict | None = None,
+                   ann_dir: str | None = None, ann_cells: int = 8,
                    ) -> dict:
     """Curate ONE committed window: change feed (version-1 → version) →
     screen against the index → write ``curated_dir/window={version}/``
@@ -130,18 +158,14 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
         import ray.data as rd
 
         admitted = 0
+        files = [os.path.join(wdir, f) for f in os.listdir(wdir)
+                 if f.endswith(".parquet")]
         if os.path.isdir(bands_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(bands_dir)):
             append_band_rows(rd.read_parquet(bands_dir), index_dir)
-            files = [os.path.join(wdir, f) for f in os.listdir(wdir)
-                     if f.endswith(".parquet")]
             admitted = rd.read_parquet(files).count() if files else 0
-            return {"version": version, "changes": None,
-                    "tombstones": None, "admitted": admitted,
-                    "recovered": True}
-        files = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
-        if files:
-            fps = rd.read_parquet(wdir, columns=["fp"])
+        elif files:
+            fps = rd.read_parquet(files, columns=["fp"])
 
             def with_bucket(t: pa.Table) -> pa.Table:
                 return t.append_column("bucket", pa.array(
@@ -151,6 +175,14 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
                                   batch_format="pyarrow").materialize()
             admitted = fps.count()
             append_fingerprints(fps, index_dir)
+        vecs_dir = os.path.join(wdir, "_vecs")
+        if (ann_dir is not None and admitted and os.path.isdir(vecs_dir)
+                and any(f.endswith(".parquet")
+                        for f in os.listdir(vecs_dir))):
+            # re-ingest from the vector sidecar; the window tag makes
+            # the replay a no-op when it already committed
+            _ann_ingest(rd.read_parquet(vecs_dir), ann_dir, version,
+                        ann_cells=ann_cells, admitted=admitted)
         return {"version": version, "changes": None, "tombstones": None,
                 "admitted": admitted, "recovered": True}
 
@@ -214,6 +246,18 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
         (keep_bands.map_batches(
             lambda t: t.select(["band_id", "band_hash", "bucket"]),
             batch_format="pyarrow").write_parquet(bands_dir))
+    # ANN mode: embeddings are likewise not derivable from the curated
+    # columns — persist the (doc_id, embedding) sidecar BEFORE the
+    # marker so recovery can replay the index ingest
+    vecs_dir = os.path.join(wdir, "_vecs")
+    if ann_dir is not None and admitted:
+        from kafka_connect_mongo_ray.functions.text import (
+            hash_embedding_batch,
+        )
+
+        (survivors.map_batches(hash_embedding_batch,
+                               batch_format="pyarrow")
+         .write_parquet(vecs_dir))
     # marker BEFORE append: once it exists the directory is
     # authoritative and re-runs take the re-append path above
     with open(marker, "w") as f:
@@ -223,6 +267,11 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
             append_band_rows(keep_bands, index_dir)
     else:
         append_fingerprints(survivors, index_dir)
+    if ann_dir is not None and admitted:
+        import ray.data as rd
+
+        _ann_ingest(rd.read_parquet(vecs_dir), ann_dir, version,
+                    ann_cells=ann_cells, admitted=admitted)
     return {"version": version, "changes": n_changes,
             "tombstones": tombstones, "admitted": admitted}
 
@@ -237,6 +286,8 @@ def run_curated_stream(
     candidates_fn: Callable[[pa.Table], pa.Table] | None = None,
     screen: str = "exact",
     minhash_opts: dict | None = None,
+    ann_dir: str | None = None,
+    ann_cells: int = 8,
 ) -> list[dict]:
     """Run each bounded event Dataset as one committed replay AND curate
     its change feed against the persisted fingerprint index. Returns
@@ -252,7 +303,8 @@ def run_curated_stream(
                              curated_dir=curated_dir,
                              index_buckets=index_buckets,
                              candidates_fn=candidates_fn,
-                             screen=screen, minhash_opts=minhash_opts)
+                             screen=screen, minhash_opts=minhash_opts,
+                             ann_dir=ann_dir, ann_cells=ann_cells)
         summaries.append({**rep, "curation": cur})
     return summaries
 

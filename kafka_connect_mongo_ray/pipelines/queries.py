@@ -3259,6 +3259,108 @@ def q_cdc_curated_stream(sf_dir: str):
     return out
 
 
+def q_cdc_curated_ann(sf_dir: str):
+    """Streaming curation FEEDING the persisted ANN index
+    (pipelines/curate.py ann_dir mode): window 1 inserts the even
+    docs, window 2 the odd docs; each committed window's admitted
+    documents are stub-embedded and ingested into the persisted IVF
+    index — BUILD on the first window, tagged APPEND afterwards, the
+    (doc_id, embedding) sidecar persisted under ``wdir/_vecs/`` before
+    the marker so recovery can replay the ingest. The gate asserts
+    (1) the index holds exactly one vector per document, (2) a
+    replayed window-2 curation (the recovery path) leaves the manifest
+    byte-identical — tag idempotence, and (3) an nprobe=cells query
+    EQUALS the brute-force top-k over all documents' embeddings."""
+    import hashlib
+    import json as _json
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.functions.text import hash_embedding_batch
+    from kafka_connect_mongo_ray.pipelines.curate import (
+        curate_version,
+        run_curated_stream,
+    )
+    from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    root = f"/tmp/kcm_curann_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+
+    def win_batch(batch: pa.Table, window: int) -> pa.Table:
+        doc_id = np.asarray(batch["doc_id"], dtype=np.int64)
+        ins = (doc_id % 2) == window
+        ids = doc_id[ins]
+        n = len(ids)
+        return pa.table({
+            "ts": pa.array(np.full(n, window, dtype=np.int64)),
+            "inc": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(np.full(n, "i", dtype=object), pa.string()),
+            "repo": pa.array(np.asarray(batch["source"]).astype(object)[ins],
+                             pa.string()),
+            "path": pa.array(ids.astype(str), pa.string()),
+            "commit": pa.array(np.full(n, "", dtype=object), pa.string()),
+            "lang": pa.array(np.asarray(batch["lang"]).astype(object)[ins],
+                             pa.string()),
+            "content": pa.array(
+                np.asarray(batch["text"]).astype(object)[ins],
+                pa.large_string()),
+            "partition_id": pa.array((ids % NUM_PARTITIONS).astype(np.int32)),
+        }, schema=CHANGE_EVENT_SCHEMA)
+
+    def factory(w):
+        def make():
+            docs = _read(sf_dir, "documents",
+                         columns=["doc_id", "text", "lang", "source"])
+            return docs.map_batches(win_batch, fn_kwargs={"window": w},
+                                    batch_format="pyarrow")
+        return make
+
+    ann_dir = f"{root}/ann"
+    run_curated_stream([factory(w) for w in range(2)], cfg,
+                       index_dir=f"{root}/idx", curated_dir=f"{root}/cur",
+                       index_buckets=_gate_buckets(), ann_dir=ann_dir)
+
+    with open(f"{ann_dir}/manifest.json") as f:
+        m_before = _json.load(f)
+    # replay window 2's curation — the marker makes it take the
+    # recovery path; the committed tag must make the ANN ingest a no-op
+    curate_version(cfg, 2, index_dir=f"{root}/idx",
+                   curated_dir=f"{root}/cur",
+                   index_buckets=_gate_buckets(), ann_dir=ann_dir)
+    with open(f"{ann_dir}/manifest.json") as f:
+        m_after = _json.load(f)
+    idempotent_ok = m_before == m_after
+
+    # brute-force baseline over ALL documents' stub embeddings
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    vt = hash_embedding_batch(docs)
+    ids_all = np.asarray(vt["doc_id"], dtype=np.int64)
+    m = embedding_matrix(vt["embedding"])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids_all)
+    q_idx = order[:ANN_NUM_QUERIES]
+    q, q_ids = m[q_idx], ids_all[q_idx]
+
+    approx = ivf_index_topk(ann_dir, q, q_ids, k=ANN_K, nprobe=8)
+    sims = q @ m.T
+    exact_ok = True
+    for row, qid in enumerate(q_ids):
+        got = set(approx[approx["query_id"] == int(qid)]["neighbor_id"])
+        want_order = np.lexsort((ids_all, -sims[row]))[:ANN_K]
+        exact_ok = exact_ok and got == set(ids_all[want_order].tolist())
+    return pd.DataFrame({
+        "n_indexed": [int(m_after["rows"])],
+        "exact_ok": [bool(exact_ok)],
+        "idempotent_ok": [bool(idempotent_ok)],
+    })
+
+
 def _curated_ts_events_batch(batch: pa.Table, window: int) -> pa.Table:
     """Spread-ts variant of :func:`_curated_events_batch` for the
     time-scoped-reader gate: window w inserts doc_id%3==w at
@@ -5590,6 +5692,7 @@ def build_queries():
         "multimodal_audio_features": q_multimodal_audio_features,
         "ann_ivf_incremental": q_ann_ivf_incremental,
         "docs_bm25_persisted": q_docs_bm25_persisted,
+        "cdc_curated_ann": q_cdc_curated_ann,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -6936,6 +7039,11 @@ def build_oracle_sql():
             SELECT vec_id AS query_id, CAST({ANN_K} AS BIGINT) AS n_results,
                    TRUE AS exact_ok
             FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+        """,
+        "cdc_curated_ann": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+                   TRUE AS exact_ok, TRUE AS idempotent_ok
+            FROM documents
         """,
         "events_distinct_users_hll": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,

@@ -53,11 +53,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def build_ivf_index(ds, index_dir: str, *, num_cells: int = 16,
                     sample_size: int = 2000, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    total_rows: int | None = None) -> dict:
+                    total_rows: int | None = None,
+                    tag: str | None = None) -> dict:
     """Build (or rebuild) the persisted IVF index from an embedding
     Dataset. Overwrites ``index_dir``; the manifest lands last, so a
     crash mid-build leaves a directory readers refuse (no manifest)
-    and a re-run starts clean. Returns the manifest dict."""
+    and a re-run starts clean. Returns the manifest dict.
+
+    ``tag`` names the ingest this build came from (e.g. a curation
+    window); it is recorded in the manifest so tagged appends can be
+    replayed idempotently (see :func:`append_ivf_index`)."""
     import ray
 
     from kafka_connect_mongo_ray.functions.similarity import (
@@ -95,6 +100,8 @@ def build_ivf_index(ds, index_dir: str, *, num_cells: int = 16,
     manifest = {"num_cells": int(num_cells), "dim": int(centroids.shape[1]),
                 "rows": int(rows), "id_col": id_col, "vec_col": vec_col,
                 "seed": int(seed), "format": 1}
+    if tag is not None:
+        manifest["tags"] = [tag]
     tmp = os.path.join(index_dir, _MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -103,7 +110,8 @@ def build_ivf_index(ds, index_dir: str, *, num_cells: int = 16,
 
 
 def append_ivf_index(ds, index_dir: str, *, vec_col: str | None = None,
-                     total_rows: int | None = None) -> dict:
+                     total_rows: int | None = None,
+                     tag: str | None = None) -> dict:
     """Incrementally ADD vectors to a committed IVF index without a
     rebuild — the streaming-ingest complement of :func:`build_ivf_index`
     (same contract as the persisted dedup index's window appends).
@@ -121,7 +129,12 @@ def append_ivf_index(ds, index_dir: str, *, vec_col: str | None = None,
     Centroid drift is the documented trade-off: heavy appends that
     shift the distribution should trigger a periodic rebuild (the
     compaction analog); recall on appended data follows the original
-    centroids' coverage."""
+    centroids' coverage.
+
+    ``tag`` makes the append IDEMPOTENT per source: a tag already in
+    the manifest's committed ``tags`` list returns without writing
+    (streaming-curation recovery can replay a window's append safely);
+    an untagged append always writes a new generation."""
     import ray
 
     from kafka_connect_mongo_ray.functions.similarity import IvfAssigner
@@ -133,6 +146,8 @@ def append_ivf_index(ds, index_dir: str, *, vec_col: str | None = None,
             f"build before appending")
     with open(mpath) as f:
         manifest = json.load(f)
+    if tag is not None and tag in manifest.get("tags", []):
+        return manifest  # this source already committed — idempotent
     centroids = np.load(os.path.join(index_dir, _CENTROIDS))
     cref = ray.put(centroids)
     vec_col = vec_col or manifest["vec_col"]
@@ -154,6 +169,8 @@ def append_ivf_index(ds, index_dir: str, *, vec_col: str | None = None,
     n_new = total_rows if total_rows is not None else ds.count()
     manifest["rows"] = int(manifest["rows"]) + int(n_new)
     manifest["generations"] = gen
+    if tag is not None:
+        manifest["tags"] = manifest.get("tags", []) + [tag]
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)

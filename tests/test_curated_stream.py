@@ -331,3 +331,56 @@ def test_minhash_curation_recovery_reappends_bands(dirs):
     s3 = curate_version(cfg, 2, index_dir=idx, curated_dir=cur,
                         index_buckets=4, screen="minhash")
     assert s3["admitted"] == 0
+
+
+def test_ann_mode_builds_appends_and_recovers(dirs, tmp_path):
+    """ann_dir mode: window 1 BUILDS the IVF index, window 2 APPENDS a
+    tagged generation; a crash that loses the whole index after the
+    markers is rebuilt from the _vecs sidecars by replaying the
+    curations; a replay over an intact index is a manifest no-op."""
+    import json
+    import os
+    import shutil
+
+    cfg, idx, cur = dirs
+    ann = str(tmp_path / "ann")
+    w1 = [(0, "i", "1", "alpha"), (0, "i", "2", "beta")]
+    w2 = [(1, "i", "3", "gamma")]
+    run_curated_stream([_factory(w1), _factory(w2)], cfg, index_dir=idx,
+                       curated_dir=cur, index_buckets=4, ann_dir=ann,
+                       ann_cells=2)
+    man = json.load(open(os.path.join(ann, "manifest.json")))
+    assert man["rows"] == 3 and man["generations"] == 1
+    assert man["tags"] == ["window=1", "window=2"]
+    # the _vecs sidecar sits under each window, invisible to readers
+    assert os.path.isdir(os.path.join(cur, "window=1", "_vecs"))
+
+    # replay both windows (recovery path): manifest must not change
+    for v in (1, 2):
+        curate_version(cfg, v, index_dir=idx, curated_dir=cur,
+                       index_buckets=4, ann_dir=ann, ann_cells=2)
+    assert json.load(open(os.path.join(ann, "manifest.json"))) == man
+
+    # total-loss crash of the index: replaying the curations rebuilds
+    # it from the sidecars (build on first replayed window, append on
+    # the second)
+    shutil.rmtree(ann)
+    for v in (1, 2):
+        curate_version(cfg, v, index_dir=idx, curated_dir=cur,
+                       index_buckets=4, ann_dir=ann, ann_cells=2)
+    man2 = json.load(open(os.path.join(ann, "manifest.json")))
+    assert man2["rows"] == 3 and man2["tags"] == ["window=1", "window=2"]
+
+    # the rebuilt index answers: nprobe=cells self-query returns each
+    # doc as its own best hit (stub embeddings are text-deterministic)
+    from kafka_connect_mongo_ray.functions.text import hash_embedding_batch
+    from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
+    from kafka_connect_mongo_ray.utils import embedding_matrix
+
+    vt = hash_embedding_batch(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha", "beta", "gamma"], pa.string())}))
+    q = embedding_matrix(vt["embedding"])
+    out = ivf_index_topk(ann, q, np.array([1, 2, 3]), k=1, nprobe=2)
+    assert dict(zip(out["query_id"], out["neighbor_id"])) == {1: 1, 2: 2,
+                                                              3: 3}
