@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
            "dense_rank", "group_percent_rank", "rank_with_ties",
@@ -85,6 +86,45 @@ def lag_delta(ds, *, key: str, order_cols: list[str], ts_col: str,
         delta[first] = 0  # LAG of the first row per key is NULL
         return t.append_column(out_col,
                                pa.array(delta, pa.int64(), mask=first))
+
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def fill_forward(ds, *, key: str, order_cols: list[str], val_col: str,
+                 out_col: str = "filled",
+                 num_partitions: int | None = None):
+    """Per-``key`` last-observation-carried-forward imputation of a
+    null-bearing float column ordered by ``order_cols`` —
+    ``last_value(val IGNORE NULLS) OVER (PARTITION BY key ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``. Rows before a key's first observation
+    stay null. The filled value is a SELECTION of raw float64 (no
+    arithmetic), so the SQL mirror is bit-exact.
+
+    In-group kernel is loop-free: one ``np.maximum.accumulate`` over
+    valid-row indices carries each row's latest observation pointer,
+    and the segment-start arithmetic cuts carries at key boundaries —
+    the same one-exchange shape as the rest of the window family."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        k = np.asarray(t[key])
+        col = t[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        vals = np.asarray(col, dtype=np.float64)
+        n = len(k)
+        _, seg_start, _ = _segments(k)
+        src = np.where(valid, np.arange(n, dtype=np.int64),
+                       np.int64(-1))
+        carried = np.maximum.accumulate(src)
+        # a carry from BEFORE this key's segment is not an observation
+        has = carried >= seg_start
+        out = np.where(has, vals[np.maximum(carried, 0)], 0.0)
+        return t.append_column(out_col,
+                               pa.array(out, pa.float64(), mask=~has))
 
     return _key_bucketed(ds, key, num_partitions).map_groups(
         per_bucket, batch_format="pyarrow")

@@ -1734,6 +1734,32 @@ def q_events_lag_delta(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "delta_us"])
 
 
+def q_events_fill_forward(sf_dir: str):
+    """Per-user LOCF gap imputation (functions/ranking.py::
+    fill_forward): the purchase-only value series (null elsewhere)
+    carried forward per user in (ts, event_id) order — last_value
+    IGNORE NULLS. The filled value is a selection of raw float64, so
+    the mirror is bit-exact; rows before a user's first purchase stay
+    null."""
+    from kafka_connect_mongo_ray.functions.ranking import fill_forward
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t["event_type"], pa.scalar("purchase")),
+                       t["value"], pa.scalar(None, pa.float64()))
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "v": v})
+
+    out = fill_forward(ds.map_batches(prep, batch_format="pyarrow"),
+                       key="user_id", order_cols=["ts_us", "event_id"],
+                       val_col="v", out_col="filled",
+                       num_partitions=_gate_buckets())
+    return out.select_columns(["event_id", "user_id", "filled"])
+
+
 def q_events_running_sum(sf_dir: str):
     """Per-user running sum (functions/ranking.py::running_sum) over
     integer cents — SUM OVER (PARTITION BY user ORDER BY ts) with an
@@ -5693,6 +5719,7 @@ def build_queries():
         "ann_ivf_incremental": q_ann_ivf_incremental,
         "docs_bm25_persisted": q_docs_bm25_persisted,
         "cdc_curated_ann": q_cdc_curated_ann,
+        "events_fill_forward": q_events_fill_forward,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -7044,6 +7071,15 @@ def build_oracle_sql():
             SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
                    TRUE AS exact_ok, TRUE AS idempotent_ok
             FROM documents
+        """,
+        "events_fill_forward": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS filled
+            FROM events
         """,
         "events_distinct_users_hll": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,

@@ -280,3 +280,28 @@ def test_throttle_null_keys_share_one_partition():
     # SQL LAG PARTITION BY k groups NULLs together: the second null-key
     # row (10us later) is suppressed exactly like the int-key pair
     assert sorted(out.i) == [0, 2]
+
+
+def test_fill_forward_resets_at_key_boundaries(ray_session):
+    """LOCF edge cases: leading nulls stay null, carries never cross
+    key boundaries, an all-null key stays all-null, and the filled
+    value is the raw float64 observation (selection, no arithmetic)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import fill_forward
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 1, 2, 1, 2], pa.int64()),
+        "v": pa.array([None, 1.5, None, 2.5, None, None, 7.25, None],
+                      pa.float64()),
+    })
+    out = (fill_forward(rd.from_arrow(t), key="k", order_cols=["o"],
+                        val_col="v", num_partitions=2)
+           .to_pandas().sort_values(["k", "o"]))
+    got = [None if np.isnan(x) else x for x in out["filled"]]
+    # k=1: null, 1.5, 1.5, 2.5; k=2 (all null — no carry from k=1):
+    # null, null; k=3: 7.25, 7.25
+    assert got == [None, 1.5, 1.5, 2.5, None, None, 7.25, 7.25]
