@@ -544,9 +544,17 @@ def ann_cmd(args) -> int:
             print(json.dumps({"appended": args.index, **manifest},
                              sort_keys=True))
             return 0
+        if args.compact:
+            from kafka_connect_mongo_ray.state.ann_index import (
+                compact_ivf_index,
+            )
+
+            out = compact_ivf_index(args.index)
+            print(json.dumps({"index": args.index, **out}, sort_keys=True))
+            return 0
         if not args.query_ids:
-            print(json.dumps({"error": "pass --build, --append or "
-                                       "--query-ids"}))
+            print(json.dumps({"error": "pass --build, --append, --compact "
+                                       "or --query-ids"}))
             return 2
         from kafka_connect_mongo_ray.state.ann_index import ivf_index_topk
 
@@ -652,6 +660,9 @@ def main(argv=None) -> int:
     an.add_argument("--append", action="store_true",
                     help="incrementally add the embeddings to a committed "
                          "index (new generation; frozen centroids)")
+    an.add_argument("--compact", action="store_true",
+                    help="fold committed append generations into one "
+                         "base cell set (answers unchanged)")
     an.add_argument("--cells", type=int, default=16)
     an.add_argument("--seed", type=int, default=42)
     an.add_argument("--id-col", default="vec_id", dest="id_col")

@@ -40,7 +40,8 @@ import pyarrow as pa
 
 from kafka_connect_mongo_ray.utils import embedding_matrix, limit_worker_threads
 
-__all__ = ["build_ivf_index", "append_ivf_index", "ivf_index_topk"]
+__all__ = ["build_ivf_index", "append_ivf_index", "compact_ivf_index",
+           "ivf_index_topk"]
 
 _MANIFEST = "manifest.json"
 _CENTROIDS = "centroids.npy"
@@ -179,10 +180,68 @@ def append_ivf_index(ds, index_dir: str, *, vec_col: str | None = None,
 
 
 def _cell_roots(index_dir: str, manifest: dict) -> list[str]:
-    """Base build dir + every COMMITTED append generation."""
-    return [os.path.join(index_dir, "cells")] + [
+    """Base build dir + every COMMITTED append generation. The base
+    name is manifest-recorded so compaction can swap it atomically."""
+    return [os.path.join(index_dir, manifest.get("base", "cells"))] + [
         os.path.join(index_dir, f"cells_g{g}")
         for g in range(1, int(manifest.get("generations", 0)) + 1)]
+
+
+def compact_ivf_index(index_dir: str) -> dict:
+    """Fold every committed append generation back into ONE base cell
+    set — the index's compaction analog (read amplification grows with
+    generations: a probed cell opens one directory per generation).
+    Cell assignment is untouched (centroids unchanged — compaction
+    merges files, a REBUILD re-fits), so the merged index answers
+    queries identically.
+
+    Commit contract: the merged cells land in a fresh versioned base
+    directory (``cells_v{N}``); the manifest update — base pointer,
+    ``generations`` reset — is the single atomic commit point, and
+    old directories are removed afterwards best-effort (a crash
+    leaves unreferenced leftovers readers never open and the next
+    compaction clears). No-op when there are no generations."""
+    import ray.data as rd
+
+    mpath = os.path.join(index_dir, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no committed IVF index at {index_dir} (manifest missing)")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if int(manifest.get("generations", 0)) == 0:
+        return {**manifest, "compacted": False}
+
+    old_roots = _cell_roots(index_dir, manifest)
+    files = [os.path.join(d, f)
+             for root in old_roots if os.path.isdir(root)
+             for c in sorted(os.listdir(root))
+             if os.path.isdir(d := os.path.join(root, c))
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    base_version = int(manifest.get("base_version", 1)) + 1
+    new_base = os.path.join(index_dir, f"cells_v{base_version}")
+    shutil.rmtree(new_base, ignore_errors=True)  # crashed prior attempt
+
+    # `cell` is stored inside the files (hive drops the partition col);
+    # re-derive the partition column from it. Explicit columns= keeps
+    # Ray's hive path inference from surfacing `ivf_cell=` as a
+    # redundant STRING column (the repo's standing read_parquet rule).
+    (rd.read_parquet(files, columns=[manifest["id_col"],
+                                     manifest["vec_col"], "cell"])
+     .map_batches(lambda t: t.append_column("ivf_cell", t["cell"]),
+                  batch_format="pyarrow")
+     .write_parquet(new_base, partition_cols=["ivf_cell"]))
+
+    manifest["base"] = f"cells_v{base_version}"
+    manifest["base_version"] = base_version
+    manifest["generations"] = 0
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)  # the commit point
+    for root in old_roots:
+        shutil.rmtree(root, ignore_errors=True)
+    return {**manifest, "compacted": True}
 
 
 class _CellScorer:

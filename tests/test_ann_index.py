@@ -204,3 +204,43 @@ def test_uncommitted_generation_invisible_and_overwritten(ray_session,
     assert not os.path.exists(os.path.join(crash, "junk.parquet"))
     out2 = ivf_index_topk(d, q, ids, k=5, nprobe=4)
     assert (out2.groupby("query_id").size() == 5).all()
+
+
+def test_compact_folds_generations_and_answers_identically(ray_session,
+                                                           tmp_path):
+    import json
+    import os
+
+    from kafka_connect_mongo_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+    )
+
+    d = str(tmp_path / "ivfk")
+    evens, odds = _halves()
+    build_ivf_index(evens, d, num_cells=4, seed=42)
+    append_ivf_index(odds, d)
+    q, ids = _queries(3)
+    before = ivf_index_topk(d, q, ids, k=10, nprobe=4)
+
+    out = compact_ivf_index(d)
+    assert out["compacted"] and out["generations"] == 0
+    assert out["base"] == "cells_v2" and out["rows"] == 500
+    assert not os.path.exists(os.path.join(d, "cells"))
+    assert not os.path.exists(os.path.join(d, "cells_g1"))
+    after = ivf_index_topk(d, q, ids, k=10, nprobe=4)
+    pd.testing.assert_frame_equal(before.reset_index(drop=True),
+                                  after.reset_index(drop=True))
+
+    # idempotent: nothing to fold on a compacted index
+    out2 = compact_ivf_index(d)
+    assert out2["compacted"] is False
+    # a crashed prior attempt's leftover target dir is cleared
+    os.makedirs(os.path.join(d, "cells_v3", "ivf_cell=0"), exist_ok=True)
+    append_ivf_index(odds, d)  # make a generation so compact runs
+    out3 = compact_ivf_index(d)
+    assert out3["compacted"] and out3["base"] == "cells_v3"
+    assert json.load(open(os.path.join(d, "manifest.json")))[
+        "rows"] == 750
