@@ -1403,6 +1403,42 @@ def q_join_lineitem_part_supplier(sf_dir: str):
                 Sum("revenue_x10k", alias_name="revenue_x10k"))
 
 
+def q_events_asof_tolerance(sf_dir: str):
+    """Tolerance-bounded as-of join (stages/join.py::asof_join
+    tolerance=): each click attaches the same user's most recent view
+    ONLY when it happened within the last hour — a stale nearest match
+    is dropped (null). Oracle: plain ASOF join with the out-of-bound
+    match CASE'd to NULL, which is equivalent (any older candidate is
+    farther still)."""
+    from kafka_connect_mongo_ray.stages.join import asof_join
+
+    def shape(etype, id_out):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table({
+                "user_id": t["user_id"],
+                "tsu": pc.cast(t["ts"], pa.int64()),
+                id_out: t["event_id"],
+            })
+
+        return fn
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                              "event_type"]).map_batches(
+        shape("click", "event_id"), batch_format="pyarrow")
+    views = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                             "event_type"]).map_batches(
+        shape("view", "view_event_id"), batch_format="pyarrow")
+    out = asof_join(clicks, views, by=["user_id"], on="tsu",
+                    num_buckets=16, tolerance=ASOF_TOLERANCE_US)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("view_event_id"), "view_event_id",
+            pc.cast(t["view_event_id"], pa.float64())),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_asof_join(sf_dir: str):
     """As-of join (time-series lookup Ray Data lacks natively): each
     'click' event attaches the same user's most recent 'view' event at
@@ -1438,6 +1474,7 @@ def q_events_asof_join(sf_dir: str):
     )
 
 
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 h
 QUALITY_MIN_TOKENS = 40
 QUALITY_MIN_CHARS = 100
 HOP_US = 3_600_000_000  # hop 1 h, window size 2 h (2 hops per window)
@@ -5720,6 +5757,7 @@ def build_queries():
         "docs_bm25_persisted": q_docs_bm25_persisted,
         "cdc_curated_ann": q_cdc_curated_ann,
         "events_fill_forward": q_events_fill_forward,
+        "events_asof_tolerance": q_events_asof_tolerance,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -6959,6 +6997,19 @@ def build_oracle_sql():
                            FROM events WHERE event_type = 'view')
             SELECT c.user_id, c.tsu, c.event_id,
                    CAST(v.view_event_id AS DOUBLE) AS view_event_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.tsu >= v.tsu
+        """,
+        "events_asof_tolerance": f"""
+            WITH clicks AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+                            FROM events WHERE event_type = 'click'),
+                 views AS (SELECT user_id, epoch_us(ts) AS tsu,
+                                  event_id AS view_event_id
+                           FROM events WHERE event_type = 'view')
+            SELECT c.user_id, c.tsu, c.event_id,
+                   CAST(CASE WHEN v.tsu >= c.tsu - {ASOF_TOLERANCE_US}
+                             THEN v.view_event_id END AS DOUBLE)
+                       AS view_event_id
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.tsu >= v.tsu
         """,

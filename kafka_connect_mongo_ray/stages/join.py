@@ -69,7 +69,8 @@ def native_join(left_ds, right_ds, *, on: list[str], num_buckets: int = 32,
 
 
 def asof_join(left_ds, right_ds, *, by: list[str], on: str,
-              num_buckets: int = 32, direction: str = "backward"):
+              num_buckets: int = 32, direction: str = "backward",
+              tolerance: int | None = None):
     """As-of join — the time-series lookup Ray Data lacks natively: for
     every left row, attach the right row with the greatest ``on`` value
     ≤ the left's (``direction='backward'``; ``'forward'`` = smallest ≥)
@@ -82,7 +83,13 @@ def asof_join(left_ds, right_ds, *, by: list[str], on: str,
     match. Partitioning assumption: all rows of a ``by`` key land in
     one group — guaranteed by the bucket hash. Column sets must be
     disjoint apart from ``by``/``on``; the right's ``on`` column is not
-    emitted (standard merge_asof contract)."""
+    emitted (standard merge_asof contract).
+
+    ``tolerance`` bounds the match distance on ``on`` (same integer
+    unit): a nearest match farther than the bound is dropped — the
+    left row keeps null right columns. SQL mirror: a plain ASOF join
+    with the out-of-bound match CASE'd to NULL (equivalent — if the
+    nearest is out of bound, every other candidate is too)."""
     left_cols = list(left_ds.schema().names)
     right_schema = right_ds.schema()
     right_cols = list(right_schema.names)
@@ -135,7 +142,8 @@ def asof_join(left_ds, right_ds, *, by: list[str], on: str,
             for c in r_payload:
                 t = t.append_column(c, pa.nulls(t.num_rows, all_types[c]))
             return t.select(out_cols)
-        out = pd.merge_asof(l, r, on=on, by=by, direction=direction)
+        out = pd.merge_asof(l, r, on=on, by=by, direction=direction,
+                            tolerance=tolerance)
         t = pa.Table.from_pandas(out[out_cols], preserve_index=False)
         return _restore_types(t, out_schema)
 

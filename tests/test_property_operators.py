@@ -195,3 +195,47 @@ def test_asof_join_matches_pandas_reference(direction, left_rows, right_rows):
     assert [str(got[c].dtype) for c in key] == ["int64"] * 3
     assert str(got["rv"].dtype) == ("float64" if want["rv"].isna().any()
                                     else "int64")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+             min_size=1, max_size=60),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+             min_size=1, max_size=60),
+    st.integers(0, 200),
+)
+def test_asof_join_tolerance_matches_pandas_reference(left_rows, right_rows,
+                                                      tol):
+    """tolerance= drops nearest matches farther than the bound exactly
+    like pandas merge_asof's tolerance."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.stages.join import asof_join
+
+    left_rows = list({(k, t): None for k, t in left_rows})
+    right_rows = list({(k, t): None for k, t in right_rows})
+    left = pa.table({
+        "k": pa.array([r[0] for r in left_rows], pa.int64()),
+        "t": pa.array([r[1] for r in left_rows], pa.int64()),
+        "lv": pa.array(range(len(left_rows)), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([r[0] for r in right_rows], pa.int64()),
+        "t": pa.array([r[1] for r in right_rows], pa.int64()),
+        "rv": pa.array(range(len(right_rows)), pa.int64()),
+    })
+    got = asof_join(rd.from_arrow(left).repartition(2),
+                    rd.from_arrow(right).repartition(2),
+                    by=["k"], on="t", num_buckets=4,
+                    tolerance=tol).to_pandas()
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("t", kind="mergesort"),
+        right.to_pandas().sort_values("t", kind="mergesort"),
+        on="t", by="k", tolerance=tol)
+    key = ["k", "t", "lv"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want[got.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
