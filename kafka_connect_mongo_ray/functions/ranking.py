@@ -130,6 +130,70 @@ def fill_forward(ds, *, key: str, order_cols: list[str], val_col: str,
         per_bucket, batch_format="pyarrow")
 
 
+def interpolate_linear(ds, *, key: str, order_col: str, ts_col: str,
+                       val_col: str, out_col: str = "interp",
+                       round_to: int = 9,
+                       num_partitions: int | None = None):
+    """Per-``key`` LINEAR interpolation of a null-bearing float column
+    between its neighboring observations on the ``ts_col`` axis — the
+    gap-filling complement of :func:`fill_forward`. Observed rows keep
+    their value; a gap row between observations (pv@pt, nv@nt) fills
+    as ``pv + (nv - pv) * ((t - pt) / (nt - pt))`` (that literal
+    float64 op order — mirror it verbatim in SQL and round both sides
+    to ``round_to``); rows outside the observed span, and degenerate
+    pt == nt gaps, stay null. Rows are ordered by (ts_col, order_col)
+    within the key.
+
+    Kernel is loop-free: the LOCF maximum.accumulate carries the
+    previous-observation pointer, its reverse carries the next, and
+    segment arithmetic cuts both at key boundaries."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending"), (ts_col, "ascending"),
+             (order_col, "ascending")])
+        k = np.asarray(t[key])
+        col = t[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        vals = np.asarray(col, dtype=np.float64)
+        ts = np.asarray(t[ts_col], dtype=np.int64)
+        n = len(k)
+        _, seg_start, seg_len = _segments(k)
+        idx = np.arange(n, dtype=np.int64)
+        prev = np.maximum.accumulate(np.where(valid, idx, np.int64(-1)))
+        has_prev = prev >= seg_start
+        # next observation: the SMALLEST valid index >= row — a
+        # minimum.accumulate over the reversed array (sentinel n)
+        nxt_rev = np.minimum.accumulate(
+            np.where(valid[::-1], idx[::-1], np.int64(n)))
+        nxt = nxt_rev[::-1]
+        # cut at the segment END: nxt must stay inside this key
+        seg_end = seg_start + seg_len - 1
+        has_next = nxt <= seg_end
+        p = np.maximum(prev, 0)
+        q = np.minimum(nxt, n - 1)  # sentinel n clamps; unused when masked
+        pt, nt = ts[p], ts[q]
+        fillable = (~valid) & has_prev & has_next & (nt > pt)
+        frac = np.zeros(n, dtype=np.float64)
+        np.divide((ts - pt).astype(np.float64),
+                  (nt - pt).astype(np.float64), out=frac, where=fillable)
+        interp = vals[p] + (vals[q] - vals[p]) * frac
+        # DuckDB ROUND is half-away-from-zero; np.round is half-even —
+        # pin Arrow's mode (the repo's standing float-mirror rule)
+        interp = np.asarray(pc.round(pa.array(interp, pa.float64()),
+                                     round_to,
+                                     round_mode="half_towards_infinity"))
+        out = np.where(valid, vals, interp)
+        keep = valid | fillable
+        return t.append_column(out_col,
+                               pa.array(out, pa.float64(), mask=~keep))
+
+    return _key_bucketed(ds, key, num_partitions).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
 def running_sum(ds, *, key: str, order_cols: list[str], val_col: str,
                 out_col: str = "running_sum",
                 num_partitions: int | None = None):

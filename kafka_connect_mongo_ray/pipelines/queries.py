@@ -1771,6 +1771,31 @@ def q_events_lag_delta(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "delta_us"])
 
 
+def q_events_interpolate(sf_dir: str):
+    """Per-user LINEAR gap interpolation (functions/ranking.py::
+    interpolate_linear): the purchase-only value series filled between
+    neighboring observations on the time axis — pv + (nv-pv)·frac with
+    the literal op order mirrored in SQL and half-away-from-zero
+    9-dp rounding on both sides; rows outside the observed span stay
+    null."""
+    from kafka_connect_mongo_ray.functions.ranking import interpolate_linear
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t["event_type"], pa.scalar("purchase")),
+                       t["value"], pa.scalar(None, pa.float64()))
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "tsu": pc.cast(t["ts"], pa.int64()), "v": v})
+
+    out = interpolate_linear(ds.map_batches(prep, batch_format="pyarrow"),
+                             key="user_id", order_col="event_id",
+                             ts_col="tsu", val_col="v", out_col="interp",
+                             num_partitions=_gate_buckets())
+    return out.select_columns(["event_id", "user_id", "interp"])
+
+
 def q_events_fill_forward(sf_dir: str):
     """Per-user LOCF gap imputation (functions/ranking.py::
     fill_forward): the purchase-only value series (null elsewhere)
@@ -5758,6 +5783,7 @@ def build_queries():
         "cdc_curated_ann": q_cdc_curated_ann,
         "events_fill_forward": q_events_fill_forward,
         "events_asof_tolerance": q_events_asof_tolerance,
+        "events_interpolate": q_events_interpolate,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -7122,6 +7148,36 @@ def build_oracle_sql():
             SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
                    TRUE AS exact_ok, TRUE AS idempotent_ok
             FROM documents
+        """,
+        "events_interpolate": """
+            WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN value END AS v
+                       FROM events),
+            w AS (SELECT event_id, user_id, tsu, v,
+                    last_value(v IGNORE NULLS) OVER win_p AS pv,
+                    last_value(CASE WHEN v IS NOT NULL THEN tsu END
+                               IGNORE NULLS) OVER win_p AS pt,
+                    first_value(v IGNORE NULLS) OVER win_n AS nv,
+                    first_value(CASE WHEN v IS NOT NULL THEN tsu END
+                                IGNORE NULLS) OVER win_n AS nt
+                  FROM b
+                  WINDOW win_p AS (PARTITION BY user_id
+                                   ORDER BY tsu, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW),
+                         win_n AS (PARTITION BY user_id
+                                   ORDER BY tsu, event_id
+                                   ROWS BETWEEN CURRENT ROW
+                                            AND UNBOUNDED FOLLOWING))
+            SELECT event_id, user_id,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                        THEN ROUND(pv + (nv - pv)
+                                   * (CAST(tsu - pt AS DOUBLE)
+                                      / CAST(nt - pt AS DOUBLE)), 9)
+                   END AS interp
+            FROM w
         """,
         "events_fill_forward": """
             SELECT event_id, user_id,

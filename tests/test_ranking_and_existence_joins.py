@@ -305,3 +305,36 @@ def test_fill_forward_resets_at_key_boundaries(ray_session):
     # k=1: null, 1.5, 1.5, 2.5; k=2 (all null — no carry from k=1):
     # null, null; k=3: 7.25, 7.25
     assert got == [None, 1.5, 1.5, 2.5, None, None, 7.25, 7.25]
+
+
+def test_interpolate_linear_edges_and_values(ray_session):
+    """Interpolation edge cases: exact midpoint/quarter fractions,
+    leading/trailing nulls stay null, no carry across keys, duplicate-
+    ts degenerate gaps stay null, observed rows keep raw values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import interpolate_linear
+
+    t = pa.table({
+        "k": pa.array([1] * 5 + [2] * 3 + [3] * 3, pa.int64()),
+        "o": pa.array(list(range(5)) + list(range(3)) + list(range(3)),
+                      pa.int64()),
+        # k=1: obs 10@ts0, gap@ts25, gap@ts75, obs 30@ts100, trailing
+        # gap; k=2: leading gap, obs 5@ts10, trailing gap; k=3:
+        # duplicate-ts degenerate gap between two obs at the same ts
+        "ts": pa.array([0, 25, 75, 100, 150, 0, 10, 20, 50, 50, 50],
+                       pa.int64()),
+        "v": pa.array([10.0, None, None, 30.0, None,
+                       None, 5.0, None,
+                       4.0, None, 8.0], pa.float64()),
+    })
+    out = (interpolate_linear(rd.from_arrow(t), key="k", order_col="o",
+                              ts_col="ts", val_col="v",
+                              num_partitions=2)
+           .to_pandas().sort_values(["k", "o"]))
+    got = [None if np.isnan(x) else x for x in out["interp"]]
+    assert got == [10.0, 15.0, 25.0, 30.0, None,
+                   None, 5.0, None,
+                   4.0, None, 8.0]
