@@ -198,10 +198,17 @@ def query(args) -> int:
         print(json.dumps({"query": args.name, "out_dir": args.out,
                           "files": n}, sort_keys=True))
     else:
+        if args.stats:
+            result = result.materialize()
         head = result.take(args.limit)
         print(json.dumps({"query": args.name, "rows_shown": len(head),
                           "sample": [{k: str(v) for k, v in r.items()}
                                      for r in head]}, sort_keys=True))
+    if args.stats:
+        # the measure-don't-guess surface: per-operator wall/CPU/rows
+        # for exactly the plan that ran (stderr keeps stdout one JSON
+        # line for scripts)
+        print(result.stats(), file=sys.stderr)
     if started:  # an embedding caller (tests) keeps its session
         ray.shutdown()
     return 0
@@ -606,6 +613,9 @@ def main(argv=None) -> int:
     q.add_argument("--sf", default="/root/testdata/sf0.001")
     q.add_argument("--out", default=None)
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--stats", action="store_true",
+                   help="also print the executed plan's per-operator "
+                        "wall/CPU stats (ds.stats()) to stderr")
     sub.add_parser("queries")
     iv = sub.add_parser("ivm")
     iv.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
