@@ -1283,6 +1283,55 @@ def q_multimodal_audio_features(sf_dir: str):
         concurrency=(1, 4))
 
 
+def q_supplier_customer_pagerank(sf_dir: str):
+    """Distributed PageRank (functions/graph.py::pagerank) over the
+    supplied-to graph: distinct (supplier, customer) pairs from
+    lineitem⋈orders, doubled to an undirected bipartite graph with
+    namespaced node ids (supplier → 2k, customer → 2k+1). Two
+    iterations, damping 0.85; the oracle unrolls both iterations in
+    SQL CTEs with the literal op order."""
+    from kafka_connect_mongo_ray.functions.graph import pagerank
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]
+               ).map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                            "s": pc.cast(t["l_suppkey"], pa.int64())}),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = hash_join(li, orders, on=["o_orderkey"], num_buckets=_gate_buckets())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"s": batch["s"],
+                      "c": pc.cast(batch["o_custkey"], pa.int64())}
+                     ).group_by(["s", "c"]).aggregate([([], "count_all")])
+        return g.select(["s", "c"])
+
+    # batch-local dedup, one pair-domain exchange to global-distinct;
+    # staged so the fact join + pair groupby don't chain lazily into
+    # pagerank's first-iteration join (the NEXT.md #2 rule — the
+    # staged set is the bounded distinct pair domain)
+    pairs = (j.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["s", "c"]).count()
+             .map_batches(lambda t: t.select(["s", "c"]),
+                          batch_format="pyarrow").materialize())
+
+    def doubled(t: pa.Table) -> pa.Table:
+        sn = pc.multiply(t["s"], pa.scalar(2, pa.int64()))
+        cn = pc.add(pc.multiply(t["c"], pa.scalar(2, pa.int64())),
+                    pa.scalar(1, pa.int64()))
+        return pa.table({
+            "src": pa.concat_arrays([sn.combine_chunks(),
+                                     cn.combine_chunks()]),
+            "dst": pa.concat_arrays([cn.combine_chunks(),
+                                     sn.combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(doubled, batch_format="pyarrow")
+    return pagerank(edges, iterations=2, damping=0.85,
+                    num_buckets=_gate_buckets())
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem: partial aggregate
     inside map_batches (combiner), tiny final groupby — the canonical
@@ -5784,6 +5833,7 @@ def build_queries():
         "events_fill_forward": q_events_fill_forward,
         "events_asof_tolerance": q_events_asof_tolerance,
         "events_interpolate": q_events_interpolate,
+        "supplier_customer_pagerank": q_supplier_customer_pagerank,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -7148,6 +7198,33 @@ def build_oracle_sql():
             SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
                    TRUE AS exact_ok, TRUE AS idempotent_ok
             FROM documents
+        """,
+        "supplier_customer_pagerank": """
+            WITH e0 AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+                        FROM lineitem
+                        JOIN orders ON o_orderkey = l_orderkey),
+            edges AS (SELECT s * 2 AS src, c * 2 + 1 AS dst FROM e0
+                      UNION ALL
+                      SELECT c * 2 + 1, s * 2 FROM e0),
+            nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+            outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+            r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r
+                   FROM outdeg),
+            r1 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r0.r / o.d) AS r
+                   FROM edges e
+                   JOIN r0 ON r0.node = e.src
+                   JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * SUM(r1.r / o.d) AS r
+                   FROM edges e
+                   JOIN r1 ON r1.node = e.src
+                   JOIN outdeg o ON o.src = e.src
+                   GROUP BY e.dst)
+            SELECT node, ROUND(r, 9) AS rank FROM r2
         """,
         "events_interpolate": """
             WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,

@@ -182,3 +182,37 @@ def test_melt_inverts_pivot():
             .rename(columns={"size": "n"}))
     key = lambda d: d.sort_values(["k", "c"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(long), key(want), check_dtype=False)
+
+
+def test_pagerank_matches_local_reference(ray_session):
+    """Fixed-iteration PageRank == the same recurrence computed locally
+    in numpy on a small undirected (doubled) graph; ranks sum to ~1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import pagerank
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+    got = (pagerank(rd.from_arrow(edges), iterations=3, damping=0.85,
+                    num_buckets=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    nodes = sorted(set(src))
+    n = len(nodes)
+    out = {u: sum(1 for s in src if s == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            incoming = [u for u, w in zip(src, dst) if w == v]
+            nxt[v] = 0.15 / n + 0.85 * sum(r[u] / out[u] for u in incoming)
+        r = nxt
+    want = np.round([r[v] for v in nodes], 9)
+    assert got["node"].tolist() == nodes
+    np.testing.assert_allclose(got["rank"].to_numpy(), want, atol=2e-9)
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
