@@ -1332,6 +1332,62 @@ def q_supplier_customer_pagerank(sf_dir: str):
                     num_buckets=_gate_buckets())
 
 
+def q_supplier_cosupply_triangles(sf_dir: str):
+    """Exact triangle count (functions/graph.py::triangle_count) of
+    the supplier CO-SUPPLY graph: suppliers are adjacent when they
+    supply the same order (per-order supplier sets are small, so the
+    pair expansion is bounded); wedges from one edges⋈edges join close
+    against a semi join. Oracle: the same two self-joins in SQL."""
+    from kafka_connect_mongo_ray.functions.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def os_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"o": batch["l_orderkey"],
+                      "s": pc.cast(batch["l_suppkey"], pa.int64())}
+                     ).group_by(["o", "s"]).aggregate([([], "count_all")])
+        return g.select(["o", "s"])
+
+    os_pairs = (li.map_batches(os_partial, batch_format="pyarrow")
+                .groupby(["o", "s"]).count()
+                .map_batches(lambda t: t.select(["o", "s"]),
+                             batch_format="pyarrow").materialize())
+
+    # pair expansion per BUCKET of orders, not per order (the §9
+    # per-distinct-key rule — one task per bucket, small per-order
+    # loops inside; per-order supplier sets are bounded by lineitems
+    # per order, so the expansion is linear-ish)
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by([("o", "ascending"),
+                                              ("s", "ascending")])
+        o = np.asarray(t["o"], dtype=np.int64)
+        s = np.asarray(t["s"], dtype=np.int64)
+        bounds = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        bounds = np.append(bounds, len(o))
+        srcs, dsts = [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = s[a:b]
+            if len(seg) > 1:
+                i, j = np.triu_indices(len(seg), k=1)
+                srcs.append(seg[i])
+                dsts.append(seg[j])
+        if not srcs:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(srcs), pa.int64()),
+                         "dst": pa.array(np.concatenate(dsts), pa.int64())})
+
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    edges = (key_bucketed(os_pairs, ["o"], _gate_buckets())
+             .map_groups(bucket_pairs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow").materialize())
+    n = triangle_count(edges, num_buckets=_gate_buckets())
+    return pd.DataFrame({"triangles": [int(n)]})
+
+
 def q_tpch_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem: partial aggregate
     inside map_batches (combiner), tiny final groupby — the canonical
@@ -5834,6 +5890,7 @@ def build_queries():
         "events_asof_tolerance": q_events_asof_tolerance,
         "events_interpolate": q_events_interpolate,
         "supplier_customer_pagerank": q_supplier_customer_pagerank,
+        "supplier_cosupply_triangles": q_supplier_cosupply_triangles,
         "tpch_custorder_distribution": q_tpch_custorder_distribution,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -7198,6 +7255,16 @@ def build_oracle_sql():
             SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
                    TRUE AS exact_ok, TRUE AS idempotent_ok
             FROM documents
+        """,
+        "supplier_cosupply_triangles": """
+            WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s)
+            SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
         "supplier_customer_pagerank": """
             WITH e0 AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c

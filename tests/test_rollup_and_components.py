@@ -216,3 +216,28 @@ def test_pagerank_matches_local_reference(ray_session):
     assert got["node"].tolist() == nodes
     np.testing.assert_allclose(got["rank"].to_numpy(), want, atol=2e-9)
     assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+def test_triangle_count_matches_local_reference(ray_session):
+    """Wedge-join triangle count == brute-force enumeration on a graph
+    with known triangles (two triangles sharing an edge + a pendant)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.graph import triangle_count
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (0, 3), (3, 4)]
+    edges = pa.table({"src": pa.array([a for a, b in und], pa.int64()),
+                      "dst": pa.array([b for a, b in und], pa.int64())})
+    es = set(und)
+    want = sum(1 for a, b, c in itertools.combinations(range(5), 3)
+               if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert want == 2
+    assert triangle_count(rd.from_arrow(edges), num_buckets=4) == want
+
+    # triangle-free graph (a path)
+    path = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                     "dst": pa.array([1, 2, 3], pa.int64())})
+    assert triangle_count(rd.from_arrow(path), num_buckets=4) == 0
