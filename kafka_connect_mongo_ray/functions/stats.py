@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 __all__ = ["corr_components", "frequent_items", "group_argmax",
            "linreg_components", "fixed_width_histogram",
            "group_count_distinct", "group_zscore_outliers",
-           "grouped_corr"]
+           "grouped_corr", "grouped_skew_kurt"]
 
 
 def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
@@ -526,3 +526,85 @@ def frequent_items(ds, col: str, *, min_frac: tuple[int, int],
               .groupby("value", **kwargs)
               .aggregate(Sum("cnt", alias_name="cnt")))
     return counts.filter(expr=f"cnt >= {threshold}")
+
+
+def grouped_skew_kurt(ds, *, group_col: str, int_col: str,
+                      scale: int = 1, round_to: int = 9):
+    """Per-group skewness and excess kurtosis from EXACT int64 moment
+    partials — :func:`grouped_corr`'s machinery extended to the third
+    and fourth powers: each batch reduces to ≤ groups-present rows of
+    (n, Σx, Σx², Σx³, Σx⁴) over ``round(col·scale)`` (float shadow
+    sums guard the wrap), ONE group-domain Sum exchange, then the
+    population closed forms per group::
+
+        m1 = Σx/n;  e2 = Σx²/n;  e3 = Σx³/n;  e4 = Σx⁴/n
+        m2 = e2 − m1·m1
+        m3 = e3 − (3·m1)·e2 + (2·(m1·m1))·m1
+        m4 = e4 − (4·m1)·e3 + (6·(m1·m1))·e2 − 3·((m1·m1)·(m1·m1))
+        skew = m3 / (sqrt(m2)·m2);  kurt = m4/(m2·m2) − 3
+
+    The float chain is longer than the repo's usual single-division
+    rule allows, so bit-parity relies on the OPERAND-ORDER discipline
+    (NEXT.md fifth-session rule): the oracle mirrors this exact
+    parenthesization — every multiply/divide/subtract happens in the
+    same order on the same exact integers, and ``sqrt(m2)·m2``
+    replaces ``pow(m2, 1.5)`` because sqrt is correctly rounded IEEE
+    in both engines while libm pow is not. Statistic magnitudes are
+    O(1–10), nine decades above the ULP at the 9-dp rounding grid.
+    Caller owns the int64 bound: ``max|x·scale|⁴ · rows`` must stay
+    inside int64 (qty ≤ 50 scale 1 holds to ~2^40 rows)."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(np.asarray(batch[int_col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        x2 = x * x
+        df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
+                           "n": 1, "s1": x, "s2": x2, "s3": x2 * x,
+                           "s4": x2 * x2})
+        fx = x.astype(np.float64)
+        shadow = pd.DataFrame({group_col: df[group_col],
+                               "f2": fx * fx, "f3": fx * fx * fx,
+                               "f4": (fx * fx) * (fx * fx)})
+        agg = df.groupby(group_col, sort=False, dropna=False).sum()
+        sagg = shadow.groupby(group_col, sort=False, dropna=False).sum()
+        for ic, fc in (("s2", "f2"), ("s3", "f3"), ("s4", "f4")):
+            _shadow_check(agg[ic], sagg[fc], f"grouped_skew_kurt {ic}")
+        agg = agg.reset_index()
+        return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
+                         **{c: pa.array(agg[c].to_numpy(), pa.int64())
+                            for c in ("n", "s1", "s2", "s3", "s4")}})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.float64)
+        s1 = np.asarray(batch["s1"], dtype=np.float64)
+        s2 = np.asarray(batch["s2"], dtype=np.float64)
+        s3 = np.asarray(batch["s3"], dtype=np.float64)
+        s4 = np.asarray(batch["s4"], dtype=np.float64)
+        m1 = s1 / n
+        e2 = s2 / n
+        e3 = s3 / n
+        e4 = s4 / n
+        m2 = e2 - m1 * m1
+        m3 = e3 - (3.0 * m1) * e2 + (2.0 * (m1 * m1)) * m1
+        m4 = (e4 - (4.0 * m1) * e3 + (6.0 * (m1 * m1)) * e2
+              - 3.0 * ((m1 * m1) * (m1 * m1)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = np.where(m2 > 0.0, m3 / (np.sqrt(m2) * m2), np.nan)
+            kurt = np.where(m2 > 0.0, m4 / (m2 * m2) - 3.0, np.nan)
+        return pa.table({
+            group_col: batch[group_col],
+            "n": batch["n"],
+            "skew": pc.round(pa.array(skew, pa.float64()), round_to,
+                             round_mode="half_towards_infinity"),
+            "kurt": pc.round(pa.array(kurt, pa.float64()), round_to,
+                             round_mode="half_towards_infinity"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "s1", "s2", "s3", "s4")])
+            .map_batches(finish, batch_format="pyarrow"))

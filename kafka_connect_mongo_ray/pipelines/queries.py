@@ -5870,6 +5870,194 @@ def q_docs_chunk_dedup(sf_dir: str):
                      num_buckets=_gate_buckets())
 
 
+def q_tpch_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue aggregate: total revenue the
+    1995 discounts in the 5–7% band on sub-24-quantity lines gave
+    away. Pure scan shape — per-batch predicate + two int64 partials
+    (count, Σcents·disc_cents), ONE scalar reduction, no exchange of
+    row data at any scale. The dollar figure is a single division of
+    the exact integer (the Q14/Q22 rule)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = np.rint(np.asarray(batch["l_discount"],
+                                  dtype=np.float64) * 100).astype(np.int64)
+        year = np.asarray(pc.year(batch["l_shipdate"]), dtype=np.int64)
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        keep = (year == 1995) & (disc >= 5) & (disc <= 7) & (qty < 24.0)
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        units = cents * disc[keep]
+        _f = cents.astype(np.float64) * disc[keep]
+        if abs(float(units.sum()) - float(_f.sum())) > 1e-6 * abs(float(_f.sum())) + 16:
+            raise OverflowError("forecast_revenue partial overflowed int64")
+        return pa.table({"n": pa.array([len(units)], pa.int64()),
+                         "units": pa.array([int(units.sum())], pa.int64())})
+
+    res = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("units", alias_name="units"))
+    n = int(res["n"] or 0)
+    units = int(res["units"] or 0)
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue_units": pa.array([units], pa.int64()),
+        "revenue": pa.array([round(units / 10000.0, 9)], pa.float64()),
+    })
+
+
+def q_tpch_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped group-min join-back KEEPING TIES: for every
+    part, the EUROPE-region supplier(s) offering it at the minimum
+    observed line price. Distinct from the Q15 argmax (one winner per
+    view) and Q17 (scalar filter): the correlated ``cost =
+    (SELECT MIN ...)`` equality must return ALL min-achieving rows.
+    Shape: the region's nationkeys resolve driver-side (nation-domain,
+    ≤25 rows at any SF), suppliers filter by broadcast set, ONE
+    fact-sized suppkey join, batch-local (part,supp) Min partials →
+    one pair-domain exchange (staged), a part-domain Min, and an
+    equality join-back; names re-attach on the dimension-sized
+    winners."""
+    from ray.data.aggregate import Min
+
+    from kafka_connect_mongo_ray.stages.join import hash_join
+
+    import pyarrow.parquet as pq
+
+    # nation/region are nation-domain tables (≤25/5 rows at ANY SF) —
+    # driver-side resolution is the documented broadcast-side pattern
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    euro_rk = set(
+        region.filter(pc.equal(region["r_name"], pa.scalar("EUROPE")))
+        ["r_regionkey"].to_pylist())
+    euro_nk = {int(nk) for nk, rk in zip(
+        nation["n_nationkey"].to_pylist(),
+        nation["n_regionkey"].to_pylist()) if rk in euro_rk}
+
+    rs = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
+                                            "s_name"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "l_suppkey": pc.cast(f["s_suppkey"], pa.int64()),
+            "s_name": f["s_name"]}))(
+            t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
+                              value_set=pa.array(sorted(euro_nk),
+                                                 pa.int64())))),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    joined = hash_join(li, rs.map_batches(
+        lambda t: t.select(["l_suppkey"]), batch_format="pyarrow"),
+        on=["l_suppkey"], num_buckets=_gate_buckets())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        g = pa.table({"p_partkey": batch["l_partkey"],
+                      "s_suppkey": batch["l_suppkey"],
+                      "cost_cents": pa.array(cents)}).group_by(
+            ["p_partkey", "s_suppkey"]).aggregate([("cost_cents", "min")])
+        return g.rename_columns(["p_partkey", "s_suppkey", "cost_cents"])
+
+    pairs = (joined.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["p_partkey", "s_suppkey"])
+             .aggregate(Min("cost_cents", alias_name="cost_cents"))
+             .map_batches(lambda t: t.set_column(
+                 t.schema.get_field_index("cost_cents"), "cost_cents",
+                 pc.cast(t["cost_cents"], pa.int64())),
+                 batch_format="pyarrow")).materialize()
+
+    best = pairs.groupby("p_partkey").aggregate(
+        Min("cost_cents", alias_name="min_cost")).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("min_cost"), "min_cost",
+            pc.cast(t["min_cost"], pa.int64())), batch_format="pyarrow")
+
+    winners = hash_join(pairs, best, on=["p_partkey"],
+                        num_buckets=_gate_buckets()).map_batches(
+        lambda t: t.filter(pc.equal(t["cost_cents"], t["min_cost"]))
+        .select(["p_partkey", "s_suppkey", "cost_cents"]),
+        batch_format="pyarrow").materialize()
+
+    names = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    withp = hash_join(winners, names, on=["p_partkey"],
+                      num_buckets=_gate_buckets()).materialize()
+    return hash_join(withp, rs.map_batches(
+        lambda t: pa.table({"s_suppkey": t["l_suppkey"],
+                            "s_name": t["s_name"]}),
+        batch_format="pyarrow"), on=["s_suppkey"],
+        num_buckets=_gate_buckets())
+
+
+def q_lineitem_skew_by_flag(sf_dir: str):
+    """Per-returnflag skewness + excess kurtosis of quantity
+    (functions/stats.py::grouped_skew_kurt): exact int64 moment
+    partials to the 4th power, one group-domain exchange, operand-
+    order-mirrored closed forms (sqrt(m2)·m2 instead of pow — sqrt is
+    correctly rounded IEEE in both engines, libm pow is not)."""
+    from kafka_connect_mongo_ray.functions.stats import grouped_skew_kurt
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_skew_kurt(li, group_col="l_returnflag",
+                             int_col="l_quantity", scale=1).map_batches(
+        lambda t: t.rename_columns(["l_returnflag", "n", "skew", "kurt"]),
+        batch_format="pyarrow")
+
+
+def q_orders_mom_growth(sf_dir: str):
+    """Month-over-month revenue growth: monthly order revenue (exact
+    cents) with LAG-based percent change — the period-over-period
+    reporting shape. Batch-local month partials → one month-domain
+    exchange (bounded by wall-clock months at any SF) → a single-task
+    ordered LAG pass; growth is one subtract (exact int), one multiply
+    and one division mirrored verbatim."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["o_totalprice"],
+                                   dtype=np.float64) * 100).astype(np.int64)
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+                        pa.scalar(100, pa.int64())),
+            pc.cast(pc.month(batch["o_orderdate"]), pa.int64()))
+        g = pa.table({"ym": ym, "revenue_cents": pa.array(cents)}
+                     ).group_by("ym").aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["ym", "revenue_cents"])
+
+    monthly = (orders.map_batches(partial, batch_format="pyarrow")
+               .groupby("ym").aggregate(Sum("revenue_cents",
+                                            alias_name="revenue_cents"))
+               .repartition(1))
+
+    def growth(t: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(t["ym"], dtype=np.int64),
+                           kind="stable")
+        ym = np.asarray(t["ym"], dtype=np.int64)[order]
+        rev = np.asarray(t["revenue_cents"], dtype=np.int64)[order]
+        g = np.full(len(ym), np.nan, np.float64)
+        if len(ym) > 1:
+            diff = (rev[1:] - rev[:-1]).astype(np.float64)
+            g[1:] = (100.0 * diff) / rev[:-1].astype(np.float64)
+        return pa.table({
+            "ym": pa.array(ym),
+            "revenue_cents": pa.array(rev),
+            "growth_pct": pc.round(pa.array(g, pa.float64()), 9,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    return monthly.map_batches(growth, batch_format="pyarrow",
+                               batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5881,6 +6069,10 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "tpch_forecast_revenue": q_tpch_forecast_revenue,
+        "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+        "lineitem_skew_by_flag": q_lineitem_skew_by_flag,
+        "orders_mom_growth": q_orders_mom_growth,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio_features": q_multimodal_audio_features,
         "ann_ivf_incremental": q_ann_ivf_incremental,
@@ -6061,6 +6253,95 @@ def build_oracle_sql():
         f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
         for p in _PII.values())
     return {
+        "tpch_forecast_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_units,
+                   ROUND(CAST(COALESCE(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                        AS DOUBLE) / 10000.0, 9) AS revenue
+            FROM lineitem
+            WHERE year(l_shipdate) = 1995
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_min_cost_supplier": """
+            WITH rs AS (
+                SELECT s_suppkey, s_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+            costs AS (
+                SELECT l_partkey AS p_partkey,
+                       l_suppkey AS s_suppkey,
+                       CAST(MIN(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cost_cents
+                FROM lineitem
+                JOIN rs ON l_suppkey = rs.s_suppkey
+                GROUP BY 1, 2),
+            best AS (
+                SELECT p_partkey, MIN(cost_cents) AS min_cost
+                FROM costs GROUP BY 1)
+            SELECT c.p_partkey, c.s_suppkey, c.cost_cents,
+                   p.p_name, r2.s_name
+            FROM costs c
+            JOIN best b ON c.p_partkey = b.p_partkey
+                       AND c.cost_cents = b.min_cost
+            JOIN part p ON p.p_partkey = c.p_partkey
+            JOIN rs r2 ON r2.s_suppkey = c.s_suppkey
+        """,
+        "lineitem_skew_by_flag": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM(q * q) AS BIGINT) AS s2,
+                       CAST(SUM((q * q) * q) AS BIGINT) AS s3,
+                       CAST(SUM((q * q) * (q * q)) AS BIGINT) AS s4
+                FROM (SELECT l_returnflag,
+                             CAST(round(l_quantity) AS BIGINT) AS q
+                      FROM lineitem)
+                GROUP BY 1),
+            f AS (
+                SELECT l_returnflag, n,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                       CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                       CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+                FROM m),
+            g AS (
+                SELECT l_returnflag, n,
+                       e2 - m1 * m1 AS m2,
+                       e3 - (3.0 * m1) * e2
+                          + (2.0 * (m1 * m1)) * m1 AS m3,
+                       e4 - (4.0 * m1) * e3
+                          + (6.0 * (m1 * m1)) * e2
+                          - 3.0 * ((m1 * m1) * (m1 * m1)) AS m4
+                FROM f)
+            SELECT l_returnflag, n,
+                   ROUND(m3 / (sqrt(m2) * m2), 9) AS skew,
+                   ROUND(m4 / (m2 * m2) - 3.0, 9) AS kurt
+            FROM g
+        """,
+        "orders_mom_growth": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                            AS BIGINT) AS ym,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1)
+            SELECT ym, revenue_cents,
+                   ROUND((100.0 * CAST(revenue_cents
+                                       - LAG(revenue_cents)
+                                         OVER (ORDER BY ym) AS DOUBLE))
+                         / CAST(LAG(revenue_cents) OVER (ORDER BY ym)
+                                AS DOUBLE), 9) AS growth_pct
+            FROM m
+        """,
         "tpch_custorder_distribution": """
             SELECT CAST(c_count AS BIGINT) AS c_count,
                    CAST(COUNT(*) AS BIGINT) AS custdist

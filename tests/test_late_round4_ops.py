@@ -637,3 +637,71 @@ def test_exact_quantiles_cont_ulp_regression_large_magnitude():
         f"CAST(round(x*100) AS BIGINT), {q}), 9) value_cont FROM t"
         for q in qs)).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# grouped skewness / kurtosis (exact moment partials)
+
+
+def test_grouped_skew_kurt_matches_sql_mirror():
+    rng = np.random.default_rng(43)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], n)
+    # skewed integers: squares of small uniforms
+    x = (rng.integers(1, 8, n) ** 2).astype(np.float64)
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "x": pa.array(x, pa.float64())})
+    from kafka_connect_mongo_ray.functions.stats import grouped_skew_kurt
+
+    got = (grouped_skew_kurt(_ds(t, 8), group_col="g", int_col="x")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH m AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+                          CAST(SUM(q) AS BIGINT) s1,
+                          CAST(SUM(q*q) AS BIGINT) s2,
+                          CAST(SUM((q*q)*q) AS BIGINT) s3,
+                          CAST(SUM((q*q)*(q*q)) AS BIGINT) s4
+                   FROM (SELECT g, CAST(ROUND(x) AS BIGINT) q FROM t)
+                   GROUP BY g),
+        f AS (SELECT g, n,
+                     CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) m1,
+                     CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) e2,
+                     CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) e3,
+                     CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) e4
+              FROM m),
+        gg AS (SELECT g, n,
+                      e2 - m1*m1 m2,
+                      e3 - (3.0*m1)*e2 + (2.0*(m1*m1))*m1 m3,
+                      e4 - (4.0*m1)*e3 + (6.0*(m1*m1))*e2
+                         - 3.0*((m1*m1)*(m1*m1)) m4
+               FROM f)
+        SELECT g, n, ROUND(m3/(SQRT(m2)*m2), 9) skew,
+               ROUND(m4/(m2*m2) - 3.0, 9) kurt
+        FROM gg ORDER BY g""").df()
+    # bit-exact mirror: values must agree EXACTLY after the 9-dp round
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["skew"].tolist() == want["skew"].tolist()
+    assert got["kurt"].tolist() == want["kurt"].tolist()
+    # sanity: squares of uniforms are right-skewed
+    assert (got["skew"] > 0).all()
+
+
+def test_grouped_skew_kurt_constant_group_is_nan():
+    t = pa.table({"g": pa.array(["a"] * 10, pa.string()),
+                  "x": pa.array([7.0] * 10, pa.float64())})
+    from kafka_connect_mongo_ray.functions.stats import grouped_skew_kurt
+
+    got = grouped_skew_kurt(_ds(t, 2), group_col="g",
+                            int_col="x").to_pandas()
+    assert np.isnan(got["skew"].iloc[0]) and np.isnan(got["kurt"].iloc[0])
+
+
+def test_grouped_skew_kurt_overflow_raises():
+    t = pa.table({"g": pa.array(["a"] * 4, pa.string()),
+                  "x": pa.array([3e6] * 4, pa.float64())})
+    from kafka_connect_mongo_ray.functions.stats import grouped_skew_kurt
+
+    with pytest.raises(Exception):  # OverflowError inside the task
+        grouped_skew_kurt(_ds(t, 1), group_col="g",
+                          int_col="x").to_pandas()
