@@ -179,6 +179,9 @@ def connected_components(edges_ds, *, src: str = "id_a", dst: str = "id_b",
         batch_format="pyarrow")
 
 
+_PR_BROADCAST_MAX_NODES = 200_000
+
+
 def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
              iterations: int = 2, damping: float = 0.85,
              num_buckets: int = 16, round_to: int = 9):
@@ -195,11 +198,23 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
     between engines by ~1 ULP, nine decades under the grid at any
     realistic N).
 
-    Distributed shape per iteration: ONE bucketed edges⋈state join
-    (fact-sized), batch-local per-dst partial sums, one dst-domain
-    exchange, then a node-domain join to re-attach outdeg — state is
-    node-domain and MATERIALIZED between rounds (the NEXT.md #2
-    multi-all-to-all staging rule). Driver state: two scalars."""
+    Two physical plans, picked by a node-count size guard (the repo's
+    ``_SUPP_BROADCAST_MAX_ROWS`` pattern, fallback pinned equal by
+    test):
+
+    - **broadcast state** (node domain ≤ ``_PR_BROADCAST_MAX_NODES``):
+      the (node, outdeg, rank) state lives in one object-store ref;
+      each iteration is ONE streaming pass over the materialized edges
+      (searchsorted rank lookup, batch-local per-dst partial sums) and
+      one node-domain exchange — no joins at all. Driver state is
+      node-domain-bounded by the guard, the same contract the repo's
+      other dimension-sized driver tables use.
+    - **join fallback** (bigger graphs): per iteration ONE bucketed
+      edges⋈state join (fact-sized), batch-local per-dst partials, one
+      dst-domain exchange, then a node-domain join to re-attach
+      outdeg — state is node-domain and MATERIALIZED between rounds
+      (the NEXT.md #2 multi-all-to-all staging rule). Driver state:
+      two scalars."""
     from ray.data.aggregate import Count, Sum
 
     from kafka_connect_mongo_ray.stages.join import hash_join
@@ -216,6 +231,11 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
     n = outdeg.count()
     base = (1.0 - damping) / n
     r0 = 1.0 / n
+
+    if n <= _PR_BROADCAST_MAX_NODES:
+        return _pagerank_broadcast(edges, outdeg, n=n, base=base, r0=r0,
+                                   iterations=iterations, damping=damping,
+                                   round_to=round_to)
 
     state = outdeg.map_batches(
         lambda t: t.append_column(
@@ -258,6 +278,65 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
         })
 
     return state.map_batches(emit, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges, outdeg, *, n: int, base: float, r0: float,
+                        iterations: int, damping: float, round_to: int):
+    """Small-node-domain PageRank plan: state broadcast via ``ray.put``
+    (read once per task, never re-shipped per batch), contributions
+    computed by a sorted-array ``searchsorted`` lookup inside one
+    streaming edge pass, ONE node-domain Sum exchange per iteration,
+    state folded driver-side (node-domain-bounded by the caller's size
+    guard). Emits the identical values as the join plan: the same
+    ``r/outdeg`` divisions feed the same batch-local + exchange Sum
+    kernels, and inner-join semantics are preserved (a node with no
+    in-edge drops out of state — impossible on undirected-doubled
+    input)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    od = outdeg.to_pandas()
+    nodes = od["src"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    deg = od["d"].to_numpy(dtype=np.int64)[order].astype(np.float64)
+    ranks = np.full(len(nodes), r0, np.float64)
+
+    for _ in range(iterations):
+        state_ref = ray.put((nodes, ranks / deg))
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            snodes, srd = ray.get(state_ref)
+            s = np.asarray(batch["src"], dtype=np.int64)
+            idx = np.searchsorted(snodes, s)
+            g = pa.table({"dst": batch["dst"],
+                          "c": pa.array(srd[idx], pa.float64())}
+                         ).group_by("dst").aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "c"])
+
+        sums = (edges.map_batches(contrib_partial, batch_format="pyarrow")
+                .groupby("dst").aggregate(Sum("c", alias_name="c"))
+                .to_pandas())
+        dst = sums["dst"].to_numpy(dtype=np.int64)
+        c = sums["c"].to_numpy(dtype=np.float64)
+        # inner-join semantics: state becomes the receiving nodes only
+        keep = np.searchsorted(nodes, dst)
+        in_state = (keep < len(nodes)) & (nodes[np.minimum(
+            keep, len(nodes) - 1)] == dst)
+        dst, c, keep = dst[in_state], c[in_state], keep[in_state]
+        order = np.argsort(dst, kind="stable")
+        nodes = dst[order]
+        deg = deg[keep[order]]
+        ranks = base + damping * c[order]
+
+    out = pa.table({
+        "node": pa.array(nodes),
+        "rank": pc.round(pa.array(ranks, pa.float64()), round_to,
+                         round_mode="half_towards_infinity"),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)
 
 
 def triangle_count(edges_ds, *, src: str = "src", dst: str = "dst",

@@ -218,6 +218,36 @@ def test_pagerank_matches_local_reference(ray_session):
     assert abs(got["rank"].sum() - 1.0) < 1e-6
 
 
+def test_pagerank_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """The size-guarded broadcast-state plan and the bucketed join plan
+    must produce identical ranks (same divisions, same exchange Sum
+    kernel, same 9-dp rounding grid) on a random undirected graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions import graph
+
+    rng = np.random.default_rng(7)
+    und = {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+           if a != b}
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+
+    broadcast = (graph.pagerank(rd.from_arrow(edges), iterations=2,
+                                num_buckets=4).to_pandas()
+                 .sort_values("node").reset_index(drop=True))
+    monkeypatch.setattr(graph, "_PR_BROADCAST_MAX_NODES", 0)
+    joined = (graph.pagerank(rd.from_arrow(edges), iterations=2,
+                             num_buckets=4).to_pandas()
+              .sort_values("node").reset_index(drop=True))
+    assert broadcast["node"].tolist() == joined["node"].tolist()
+    np.testing.assert_allclose(broadcast["rank"].to_numpy(),
+                               joined["rank"].to_numpy(), atol=2e-9)
+
+
 def test_triangle_count_matches_local_reference(ray_session):
     """Wedge-join triangle count == brute-force enumeration on a graph
     with known triangles (two triangles sharing an edge + a pendant)."""
