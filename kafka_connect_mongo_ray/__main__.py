@@ -285,6 +285,37 @@ def compact(args) -> int:
     return 0
 
 
+def delete_cmd(args) -> int:
+    """Predicate delete over the snapshot store
+    (state/snapshot.py::run_delete_where): retention (--ts-before) and
+    right-to-erasure (--repo), tombstone or purge mode, zone-map
+    pruned, COW carry-forward of untouched buckets."""
+    import ray
+    from ray.data import DataContext
+
+    from kafka_connect_mongo_ray.state.snapshot import run_delete_where
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        started = True
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        res = run_delete_where(args.snapshot, ts_before=args.ts_before,
+                               repo_equals=args.repo, mode=args.mode,
+                               delete_ts=args.delete_ts,
+                               rows_per_file=args.rows_per_file)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    finally:
+        if started:
+            ray.shutdown()
+    print(json.dumps(res, sort_keys=True))
+    return 0
+
+
 def get_cmd(args) -> int:
     """Point reads from the snapshot store: O(touched buckets), never
     a scan (pipelines/cdc.py::point_lookup). --key is repeatable as
@@ -625,6 +656,18 @@ def main(argv=None) -> int:
     cp.add_argument("--min-files", type=int, default=2, dest="min_files")
     cp.add_argument("--rows-per-file", type=int, default=None,
                     dest="rows_per_file")
+    dl = sub.add_parser("delete")
+    dl.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    dl.add_argument("--ts-before", type=int, default=None, dest="ts_before",
+                    help="delete rows whose stored version ts < cutoff")
+    dl.add_argument("--repo", default=None,
+                    help="delete rows of this repo (erasure by subject)")
+    dl.add_argument("--mode", choices=("tombstone", "purge"),
+                    default="tombstone")
+    dl.add_argument("--delete-ts", type=int, default=None, dest="delete_ts",
+                    help="tombstone version; default max token ts + 1")
+    dl.add_argument("--rows-per-file", type=int, default=None,
+                    dest="rows_per_file")
     gt = sub.add_parser("get")
     gt.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     gt.add_argument("--buckets", type=int, default=0,
@@ -712,6 +755,8 @@ def main(argv=None) -> int:
         return ivm(args)
     if args.cmd == "compact":
         return compact(args)
+    if args.cmd == "delete":
+        return delete_cmd(args)
     if args.cmd == "get":
         return get_cmd(args)
     if args.cmd == "scan":

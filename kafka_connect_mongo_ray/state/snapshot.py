@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -575,3 +576,173 @@ def run_rebucket(snapshot_dir: str, new_buckets: int, *,
                  metrics=metrics, full_rewrite=True)
     return {"version": v, "new_version": new_v,
             "rebucketed": len(res), "num_buckets": new_buckets}
+
+
+def run_delete_where(snapshot_dir: str, *, ts_before: int | None = None,
+                     repo_equals: str | None = None,
+                     mode: str = "tombstone",
+                     delete_ts: int | None = None,
+                     rows_per_file: int | None = None,
+                     nonce: str | None = None) -> dict:
+    """Predicate delete over the snapshot store — the retention /
+    right-to-erasure maintenance op (reference analog: none; MongoDB
+    users run TTL indexes or deleteMany server-side). Conditions are
+    ANDed; at least one is required:
+
+    - ``ts_before``: rows whose stored version ``ts`` is older than
+      the cutoff (retention).
+    - ``repo_equals``: rows of one repo (erasure by subject).
+
+    Two modes:
+
+    - ``tombstone`` (default): matched LIVE rows become tombstones —
+      ``content`` and every evolved payload column nulled, version
+      bumped to ``delete_ts`` (default: max resume-token ts + 1) so
+      any at-least-once redelivery of the erased images ranks BELOW
+      the tombstone and stays dead (the LWW contract); new events
+      with ``ts > delete_ts`` still resurrect the key, which is the
+      correct CDC semantics. Change feed and IVM see ordinary
+      deletions (retraction is null-driven).
+    - ``purge``: matched rows (live AND tombstone) are physically
+      removed — the lake op for expiring old tombstones; redelivery
+      suppression for purged rows is explicitly given up.
+
+    Execution shape: candidate buckets are chosen by the manifest's
+    zone maps (a part file whose ``ts`` range or key range cannot
+    match is skipped for free; a bucket none of whose files may match
+    is never read), one distributed task per candidate bucket rewrites
+    it through the staging/zone-map path (row order is untouched, so
+    output stays byte-stable), untouched buckets are COW
+    carry-forwards, and the commit is the same OCC manifest flip every
+    other maintenance op uses. Resume tokens carry verbatim — deleting
+    state does not rewind progress."""
+    import ray.data as rd
+
+    if ts_before is None and repo_equals is None:
+        raise ValueError("delete needs ts_before and/or repo_equals")
+    if mode not in ("tombstone", "purge"):
+        raise ValueError(f"unknown delete mode {mode!r}")
+    store = SnapshotStore(snapshot_dir, create=False)
+    v = store.current_version()
+    m = store.manifest(v)
+    if not m:
+        return {"version": v, "new_version": v, "rows_deleted": 0,
+                "buckets_rewritten": 0, "buckets_pruned": 0, "mode": mode}
+    tokens = store.tokens(v)
+    if delete_ts is None:
+        delete_ts = (max(t[0] for t in tokens.values()) + 1) if tokens else 0
+    stats_map = m.get("file_stats", {})
+
+    def file_may_match(rel: str) -> bool:
+        st = stats_map.get(rel)
+        if not st or not st.get("rows"):
+            return st is None or bool(st.get("rows"))
+        if ts_before is not None:
+            ts_range = st.get("ts")
+            if ts_range is not None and ts_range[0] >= ts_before:
+                return False
+        if repo_equals is not None:
+            fk, lk = st.get("first_key"), st.get("last_key")
+            if (fk is not None and lk is not None
+                    and not (fk[0] <= repo_equals <= lk[0])):
+                return False
+        return True
+
+    candidates, pruned = [], 0
+    for b, rels in m["buckets"].items():
+        rels = [rels] if isinstance(rels, str) else rels
+        if any(file_may_match(r) for r in rels):
+            candidates.append(int(b))
+        else:
+            pruned += 1
+    if not candidates:
+        return {"version": v, "new_version": v, "rows_deleted": 0,
+                "buckets_rewritten": 0, "buckets_pruned": pruned,
+                "mode": mode}
+
+    new_v = v + 1
+    store.clean_staging(new_v, nonce)
+    root = snapshot_dir
+    n_canon = len(SNAPSHOT_SCHEMA.names)
+
+    def delete_task(batch):
+        import pyarrow.compute as _pc
+
+        st = SnapshotStore(root, create=False)
+        out = {"bucket": [], "files": [], "deleted": [],
+               "state_rows": [], "live_rows": []}
+        for b in batch["bucket"].to_pylist():
+            t = st.read_bucket(v, int(b))
+            mask = pa.array(np.ones(t.num_rows, bool))
+            if ts_before is not None:
+                mask = _pc.and_(mask, _pc.less(
+                    t["ts"], pa.scalar(ts_before, pa.int64())))
+            if repo_equals is not None:
+                mask = _pc.and_(mask, _pc.equal(
+                    t["repo"], pa.scalar(repo_equals)))
+            if mode == "tombstone":
+                mask = _pc.and_(mask, _pc.is_valid(t["content"]))
+            hits = int(_pc.sum(_pc.cast(mask, pa.int64())).as_py() or 0)
+            if hits == 0:
+                continue  # zone-map false positive: carry forward
+            if mode == "purge":
+                t = t.filter(_pc.invert(mask))
+            else:
+                t = t.set_column(
+                    t.schema.get_field_index("content"), "content",
+                    _pc.if_else(mask, pa.scalar(None, pa.large_string()),
+                                t["content"]))
+                t = t.set_column(
+                    t.schema.get_field_index("ts"), "ts",
+                    _pc.if_else(mask, pa.scalar(delete_ts, pa.int64()),
+                                t["ts"]))
+                t = t.set_column(
+                    t.schema.get_field_index("inc"), "inc",
+                    _pc.if_else(mask, pa.scalar(0, pa.int32()), t["inc"]))
+                t = t.set_column(
+                    t.schema.get_field_index("op_rank"), "op_rank",
+                    _pc.if_else(mask, pa.scalar(2, pa.int8()),
+                                t["op_rank"]))
+                # erase evolved payload columns too — the payload is
+                # what the erasure contract is about
+                for name in t.schema.names[n_canon:]:
+                    i = t.schema.get_field_index(name)
+                    t = t.set_column(i, name, _pc.if_else(
+                        mask, pa.scalar(None, t.schema.field(i).type),
+                        t[name]))
+            rel = st.write_bucket_staging(new_v, int(b), t,
+                                          rows_per_file=rows_per_file,
+                                          nonce=nonce)
+            live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
+                               ).as_py() or 0)
+            out["bucket"].append(int(b))
+            out["files"].append(rel)
+            out["deleted"].append(hits)
+            out["state_rows"].append(t.num_rows)
+            out["live_rows"].append(live)
+        return pa.table({
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "files": pa.array(out["files"], pa.string()),
+            "deleted": pa.array(out["deleted"], pa.int64()),
+            "state_rows": pa.array(out["state_rows"], pa.int64()),
+            "live_rows": pa.array(out["live_rows"], pa.int64())})
+
+    res = (rd.from_items([{"bucket": b} for b in sorted(candidates)])
+           .map_batches(delete_task, batch_size=1,
+                        batch_format="pyarrow").take_all())
+    if not res:
+        store.clean_staging(new_v, nonce)
+        return {"version": v, "new_version": v, "rows_deleted": 0,
+                "buckets_rewritten": 0, "buckets_pruned": pruned,
+                "mode": mode}
+    expected = [p for r in res for p in r["files"].split(",")]
+    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
+                "state_rows": int(r["state_rows"]),
+                "live_rows": int(r["live_rows"])} for r in res]
+    store.commit(new_v, tokens=tokens, prev_version=v,
+                 union_schema=m.get("union_schema"), nonce=nonce,
+                 expected_files=expected, metrics=metrics)
+    return {"version": v, "new_version": new_v, "mode": mode,
+            "rows_deleted": int(sum(r["deleted"] for r in res)),
+            "buckets_rewritten": len(res), "buckets_pruned": pruned,
+            "delete_ts": delete_ts if mode == "tombstone" else None}
