@@ -316,6 +316,21 @@ def delete_cmd(args) -> int:
     return 0
 
 
+def branch_cmd(args) -> int:
+    """Zero-copy branch of the store's current version into an
+    independent root (state/snapshot.py::run_branch): hardlinked part
+    files, carried manifest, instantly divergeable."""
+    from kafka_connect_mongo_ray.state.snapshot import run_branch
+
+    try:
+        print(json.dumps(run_branch(args.snapshot, args.to),
+                         sort_keys=True))
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    return 0
+
+
 def get_cmd(args) -> int:
     """Point reads from the snapshot store: O(touched buckets), never
     a scan (pipelines/cdc.py::point_lookup). --key is repeatable as
@@ -668,6 +683,10 @@ def main(argv=None) -> int:
                     help="tombstone version; default max token ts + 1")
     dl.add_argument("--rows-per-file", type=int, default=None,
                     dest="rows_per_file")
+    br = sub.add_parser("branch")
+    br.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    br.add_argument("--to", required=True,
+                    help="empty directory for the new branch root")
     gt = sub.add_parser("get")
     gt.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     gt.add_argument("--buckets", type=int, default=0,
@@ -757,6 +776,8 @@ def main(argv=None) -> int:
         return compact(args)
     if args.cmd == "delete":
         return delete_cmd(args)
+    if args.cmd == "branch":
+        return branch_cmd(args)
     if args.cmd == "get":
         return get_cmd(args)
     if args.cmd == "scan":

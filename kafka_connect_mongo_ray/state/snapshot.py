@@ -746,3 +746,71 @@ def run_delete_where(snapshot_dir: str, *, ts_before: int | None = None,
             "rows_deleted": int(sum(r["deleted"] for r in res)),
             "buckets_rewritten": len(res), "buckets_pruned": pruned,
             "delete_ts": delete_ts if mode == "tombstone" else None}
+
+
+def run_branch(snapshot_dir: str, branch_dir: str) -> dict:
+    """Zero-copy BRANCH of the store's current version into an
+    independent root — the experiment/dev-table workflow (Iceberg/
+    Delta branch analog; the reference has none). Every part file of
+    the current manifest is HARDLINKED into the branch's v1 dir (same
+    bytes on disk once, instantly divergeable, and safe against the
+    source's gc: a hardlink keeps the inode alive even after the
+    source unlinks it), the manifest is rewritten with the branch's
+    own relative paths (zone maps re-keyed, union schema / bucket
+    contract / lineage metrics / resume tokens carried verbatim), and
+    the branch becomes a fully independent store: replays, deletes,
+    compactions and gc on either side never see the other. Falls back
+    to a real copy when the filesystem refuses links (cross-device).
+
+    Driver-side work is manifest-sized (one link syscall per part
+    file); no data moves through the object store."""
+    src = SnapshotStore(snapshot_dir, create=False)
+    v = src.current_version()
+    m = src.manifest(v)
+    if not m:
+        raise ValueError(f"{snapshot_dir} has no committed version")
+    if os.path.exists(branch_dir) and os.listdir(branch_dir):
+        raise ValueError(f"branch target {branch_dir} is not empty")
+    dst = SnapshotStore(branch_dir, create=True)
+    vdir = dst._vdir(1)
+    vname = os.path.basename(vdir)
+    os.makedirs(vdir, exist_ok=True)
+
+    new_buckets: dict[str, list] = {}
+    new_stats: dict[str, dict] = {}
+    linked = 0
+    stats_map = m.get("file_stats", {})
+    for b, rels in m["buckets"].items():
+        rels = [rels] if isinstance(rels, str) else rels
+        out = []
+        for rel in rels:
+            srcf = os.path.join(snapshot_dir, rel)
+            new_rel = os.path.join(vname, os.path.basename(rel))
+            dstf = os.path.join(branch_dir, new_rel)
+            try:
+                os.link(srcf, dstf)
+            except OSError:
+                shutil.copy2(srcf, dstf)
+            linked += 1
+            out.append(new_rel)
+            st = stats_map.get(rel)
+            if st is not None:
+                new_stats[new_rel] = st
+        new_buckets[b] = out
+
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "union_schema": m.get("union_schema"),
+        "buckets": new_buckets,
+        "tokens": m.get("tokens", {}),
+        "metrics": m.get("metrics", []),
+        "file_stats": new_stats,
+        "num_buckets": m.get("num_buckets"),
+        "branched_from": {"root": os.path.abspath(snapshot_dir),
+                          "version": v},
+    }
+    atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
+    atomic_write_json(os.path.join(branch_dir, "CURRENT"), {"version": 1})
+    return {"source_version": v, "branch": branch_dir,
+            "files_linked": linked, "buckets": len(new_buckets)}
