@@ -331,6 +331,33 @@ def branch_cmd(args) -> int:
     return 0
 
 
+def diff_cmd(args) -> int:
+    """Anti-entropy comparison of two stores' live states
+    (state/snapshot.py::run_store_diff): aligned-bucket fast path when
+    the bucket contracts match, one hash exchange otherwise."""
+    import ray
+    from ray.data import DataContext
+
+    from kafka_connect_mongo_ray.state.snapshot import run_store_diff
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        started = True
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        res = run_store_diff(args.snapshot, args.other, sample=args.sample)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    finally:
+        if started:
+            ray.shutdown()
+    print(json.dumps(res, sort_keys=True))
+    return 0 if res["identical"] else 2
+
+
 def get_cmd(args) -> int:
     """Point reads from the snapshot store: O(touched buckets), never
     a scan (pipelines/cdc.py::point_lookup). --key is repeatable as
@@ -687,6 +714,12 @@ def main(argv=None) -> int:
     br.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     br.add_argument("--to", required=True,
                     help="empty directory for the new branch root")
+    df = sub.add_parser("diff")
+    df.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    df.add_argument("--other", required=True,
+                    help="second store root to compare against")
+    df.add_argument("--sample", type=int, default=5,
+                    help="example keys reported per category")
     gt = sub.add_parser("get")
     gt.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     gt.add_argument("--buckets", type=int, default=0,
@@ -778,6 +811,8 @@ def main(argv=None) -> int:
         return delete_cmd(args)
     if args.cmd == "branch":
         return branch_cmd(args)
+    if args.cmd == "diff":
+        return diff_cmd(args)
     if args.cmd == "get":
         return get_cmd(args)
     if args.cmd == "scan":

@@ -814,3 +814,161 @@ def run_branch(snapshot_dir: str, branch_dir: str) -> dict:
     atomic_write_json(os.path.join(branch_dir, "CURRENT"), {"version": 1})
     return {"source_version": v, "branch": branch_dir,
             "files_linked": linked, "buckets": len(new_buckets)}
+
+
+def run_store_diff(snapshot_a: str, snapshot_b: str, *,
+                   sample: int = 5) -> dict:
+    """Anti-entropy comparison of two stores' LIVE states — the
+    validation pass after a branch diverges, a migration lands, or a
+    replica is rebuilt. Compares per logical key (repo, path): rows
+    present only in A, only in B, and keys live in both whose
+    ``content`` differs.
+
+    Execution shape: when the two stores share a bucket contract
+    (same ``num_buckets``), the key space is ALREADY co-partitioned —
+    one task per bucket id reads both sides' bucket and diffs locally,
+    NO shuffle at any scale (the aligned-bucket fast path). Mismatched
+    contracts fall back to one hash exchange of (key, content-hash)
+    rows from each side. Driver sees counts plus ≤ ``sample`` example
+    keys per category."""
+    import hashlib
+
+    import ray.data as rd
+
+    a = SnapshotStore(snapshot_a, create=False)
+    b = SnapshotStore(snapshot_b, create=False)
+    va, vb = a.current_version(), b.current_version()
+    ma, mb = a.manifest(va), b.manifest(vb)
+    if not ma or not mb:
+        raise ValueError("both stores need a committed version")
+    nba, nbb = ma.get("num_buckets"), mb.get("num_buckets")
+
+    def live_keyed(t: pa.Table | None) -> dict:
+        if t is None or t.num_rows == 0:
+            return {}
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.is_valid(t["content"]))
+        out = {}
+        for r, p, c in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                           t["content"].to_pylist()):
+            out[(r, p)] = hashlib.sha256(c.encode()).hexdigest()
+        return out
+
+    ra, rb = snapshot_a, snapshot_b
+
+    if nba is not None and nba == nbb:
+        ids = sorted({int(k) for k in ma["buckets"]}
+                     | {int(k) for k in mb["buckets"]})
+
+        def diff_task(batch):
+            sa = SnapshotStore(ra, create=False)
+            sb = SnapshotStore(rb, create=False)
+            only_a = only_b = differ = equal = 0
+            ex_a, ex_b, ex_d = [], [], []
+            for bid in batch["bucket"].to_pylist():
+                ka = live_keyed(sa.read_bucket(va, int(bid)))
+                kb = live_keyed(sb.read_bucket(vb, int(bid)))
+                for k in ka.keys() - kb.keys():
+                    only_a += 1
+                    if len(ex_a) < sample:
+                        ex_a.append("/".join(k))
+                for k in kb.keys() - ka.keys():
+                    only_b += 1
+                    if len(ex_b) < sample:
+                        ex_b.append("/".join(k))
+                for k in ka.keys() & kb.keys():
+                    if ka[k] != kb[k]:
+                        differ += 1
+                        if len(ex_d) < sample:
+                            ex_d.append("/".join(k))
+                    else:
+                        equal += 1
+            return pa.table({
+                "only_a": pa.array([only_a], pa.int64()),
+                "only_b": pa.array([only_b], pa.int64()),
+                "differ": pa.array([differ], pa.int64()),
+                "equal": pa.array([equal], pa.int64()),
+                "ex_a": pa.array([",".join(ex_a)], pa.string()),
+                "ex_b": pa.array([",".join(ex_b)], pa.string()),
+                "ex_d": pa.array([",".join(ex_d)], pa.string())})
+
+        rows = (rd.from_items([{"bucket": i} for i in ids])
+                .map_batches(diff_task, batch_size=1,
+                             batch_format="pyarrow").take_all())
+        mode = "aligned"
+    else:
+        # contract mismatch: ship (key, sha) rows through ONE hash
+        # exchange and diff per key group
+        from ray.data.aggregate import Max, Min
+        from kafka_connect_mongo_ray.sources.snapshot_source import (
+            SnapshotDatasource,
+        )
+
+        def keyed_ds(store, v, m, tag):
+            ds = rd.read_datasource(SnapshotDatasource(
+                store.bucket_files(v), m.get("union_schema"),
+                live_only=True))
+
+            def prep(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                key = _pc.binary_join_element_wise(t["repo"], t["path"],
+                                                   "/")
+                sha = pa.array([hashlib.sha256(c.encode()).hexdigest()
+                                for c in t["content"].to_pylist()],
+                               pa.string())
+                return pa.table({"key": key, f"sha_{tag}": sha})
+
+            return ds.map_batches(prep, batch_format="pyarrow")
+
+        from kafka_connect_mongo_ray.stages.join import hash_join
+
+        j = hash_join(keyed_ds(a, va, ma, "a"), keyed_ds(b, vb, mb, "b"),
+                      on=["key"], how="outer", num_buckets=16)
+
+        def agg(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            av, bv = _pc.is_valid(t["sha_a"]), _pc.is_valid(t["sha_b"])
+            both = _pc.and_(av, bv)
+            eq = _pc.and_(both, _pc.equal(t["sha_a"], t["sha_b"]))
+            df = _pc.and_(both, _pc.invert(_pc.equal(t["sha_a"],
+                                                     t["sha_b"])))
+            oa = _pc.and_(av, _pc.invert(bv))
+            ob = _pc.and_(bv, _pc.invert(av))
+
+            def cnt(m):
+                return int(_pc.sum(_pc.cast(m, pa.int64())).as_py() or 0)
+
+            def ex(m):
+                return ",".join(t.filter(m)["key"].to_pylist()[:sample])
+
+            return pa.table({
+                "only_a": pa.array([cnt(oa)], pa.int64()),
+                "only_b": pa.array([cnt(ob)], pa.int64()),
+                "differ": pa.array([cnt(df)], pa.int64()),
+                "equal": pa.array([cnt(eq)], pa.int64()),
+                "ex_a": pa.array([ex(oa)], pa.string()),
+                "ex_b": pa.array([ex(ob)], pa.string()),
+                "ex_d": pa.array([ex(df)], pa.string())})
+
+        rows = j.map_batches(agg, batch_format="pyarrow").take_all()
+        mode = "exchange"
+
+    out = {"mode": mode, "version_a": va, "version_b": vb,
+           "only_a": 0, "only_b": 0, "differ": 0, "equal": 0,
+           "examples": {"only_a": [], "only_b": [], "differ": []}}
+    for r in rows:
+        out["only_a"] += int(r["only_a"])
+        out["only_b"] += int(r["only_b"])
+        out["differ"] += int(r["differ"])
+        out["equal"] += int(r["equal"])
+        for field, key in (("ex_a", "only_a"), ("ex_b", "only_b"),
+                           ("ex_d", "differ")):
+            got = [x for x in r[field].split(",") if x]
+            room = sample - len(out["examples"][key])
+            out["examples"][key].extend(got[:room])
+    out["identical"] = (out["only_a"] == out["only_b"]
+                        == out["differ"] == 0)
+    return out

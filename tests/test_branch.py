@@ -111,3 +111,41 @@ def test_branch_refuses_nonempty_target(tmp_path, ray_session):
     os.makedirs(empty / "vx", exist_ok=True)
     with pytest.raises(Exception):
         run_branch(str(empty), str(tmp_path / "b2"))
+
+
+def test_store_diff_aligned_and_exchange(tmp_path, ray_session):
+    from kafka_connect_mongo_ray.state.snapshot import (
+        run_rebucket,
+        run_store_diff,
+    )
+
+    cfg = _store(tmp_path)
+    bdir = str(tmp_path / "b")
+    run_branch(cfg.snapshot_dir, bdir)
+
+    same = run_store_diff(cfg.snapshot_dir, bdir)
+    assert same["identical"] and same["mode"] == "aligned"
+    assert same["equal"] == 40
+
+    # diverge: delete r1 on the branch, add a row + update a row on
+    # the source
+    run_delete_where(bdir, repo_equals="r1")
+    cfg2 = _cfg_for(tmp_path, cfg.snapshot_dir, "cd")
+    run_replay(ds_from_table(make_events([
+        dict(ts=200, op="i", repo="zz", path="new", content="x", **BASE),
+        dict(ts=201, op="u", repo="r0", path="p000", content="changed",
+             **BASE)]), 1), cfg2)
+
+    d = run_store_diff(cfg.snapshot_dir, bdir)
+    assert d["mode"] == "aligned" and not d["identical"]
+    n_r1 = sum(1 for i in range(40) if i % 3 == 1)
+    assert d["only_a"] == n_r1 + 1  # deleted on branch + source-only new
+    assert d["only_b"] == 0
+    assert d["differ"] == 1 and d["examples"]["differ"] == ["r0/p000"]
+
+    # mismatched bucket contracts take the exchange path, same answer
+    run_rebucket(bdir, 5)
+    d2 = run_store_diff(cfg.snapshot_dir, bdir)
+    assert d2["mode"] == "exchange"
+    assert (d2["only_a"], d2["only_b"], d2["differ"]) == (
+        d["only_a"], d["only_b"], d["differ"])
