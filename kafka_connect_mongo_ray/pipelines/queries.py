@@ -5917,12 +5917,18 @@ def q_tpch_min_cost_supplier(sf_dir: str):
     view) and Q17 (scalar filter): the correlated ``cost =
     (SELECT MIN ...)`` equality must return ALL min-achieving rows.
     Shape: the region's nationkeys resolve driver-side (nation-domain,
-    ≤25 rows at any SF), suppliers filter by broadcast set, ONE
-    fact-sized suppkey join, batch-local (part,supp) Min partials →
-    one pair-domain exchange (staged), a part-domain Min, and an
-    equality join-back; names re-attach on the dimension-sized
-    winners."""
+    ≤25 rows at any SF); when the supplier table fits the
+    `_SUPP_BROADCAST_MAX_ROWS` guard the EUROPE suppliers broadcast as
+    a sorted key array + name list, so the plan is a FILTER on the
+    fact scan, batch-local (part,supp) Min partials, one pair-domain
+    exchange, one part-domain Min (broadcast back under the same
+    guard), and one dimension-sized names join — two exchanges and a
+    join in total. Above the guard every broadcast falls back to the
+    bucketed-join plan (pinned value-identical by
+    test_q2_join_fallback_matches_broadcast)."""
     from ray.data.aggregate import Min
+
+    import ray
 
     from kafka_connect_mongo_ray.stages.join import hash_join
 
@@ -5941,21 +5947,11 @@ def q_tpch_min_cost_supplier(sf_dir: str):
         nation["n_nationkey"].to_pylist(),
         nation["n_regionkey"].to_pylist()) if rk in euro_rk}
 
-    rs = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
-                                            "s_name"]).map_batches(
-        lambda t: (lambda f: pa.table({
-            "l_suppkey": pc.cast(f["s_suppkey"], pa.int64()),
-            "s_name": f["s_name"]}))(
-            t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
-                              value_set=pa.array(sorted(euro_nk),
-                                                 pa.int64())))),
-        batch_format="pyarrow")
+    small = (_table_rows(sf_dir, "supplier") <= _SUPP_BROADCAST_MAX_ROWS
+             and _table_rows(sf_dir, "part") <= _SUPP_BROADCAST_MAX_ROWS)
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_suppkey", "l_extendedprice"])
-    joined = hash_join(li, rs.map_batches(
-        lambda t: t.select(["l_suppkey"]), batch_format="pyarrow"),
-        on=["l_suppkey"], num_buckets=_gate_buckets())
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         cents = np.rint(np.asarray(batch["l_extendedprice"],
@@ -5966,19 +5962,89 @@ def q_tpch_min_cost_supplier(sf_dir: str):
             ["p_partkey", "s_suppkey"]).aggregate([("cost_cents", "min")])
         return g.rename_columns(["p_partkey", "s_suppkey", "cost_cents"])
 
+    def _pin(col):
+        return lambda t: t.set_column(
+            t.schema.get_field_index(col), col, pc.cast(t[col], pa.int64()))
+
+    if small:
+        st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey", "s_name"])
+        st = st.filter(pc.is_in(pc.cast(st["s_nationkey"], pa.int64()),
+                                value_set=pa.array(sorted(euro_nk),
+                                                   pa.int64())))
+        skeys = np.asarray(st["s_suppkey"], dtype=np.int64)
+        order = np.argsort(skeys, kind="stable")
+        skeys = skeys[order]
+        snames = np.asarray(st["s_name"].to_pylist(), dtype=object)[order]
+        skeys_ref = ray.put(skeys)
+
+        def euro_filter(batch: pa.Table) -> pa.Table:
+            keys = ray.get(skeys_ref)
+            sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            idx = np.searchsorted(keys, sk)
+            hit = (idx < len(keys)) & (keys[np.minimum(
+                idx, len(keys) - 1)] == sk)
+            return batch.filter(pa.array(hit))
+
+        pairs = (li.map_batches(euro_filter, batch_format="pyarrow")
+                 .map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby(["p_partkey", "s_suppkey"])
+                 .aggregate(Min("cost_cents", alias_name="cost_cents"))
+                 .map_batches(_pin("cost_cents"), batch_format="pyarrow")
+                 ).materialize()
+
+        # part-domain minima fit the same guard → broadcast join-back
+        best_df = (pairs.groupby("p_partkey")
+                   .aggregate(Min("cost_cents", alias_name="min_cost"))
+                   .to_pandas())
+        bkeys = best_df["p_partkey"].to_numpy(dtype=np.int64)
+        border = np.argsort(bkeys, kind="stable")
+        bkeys = bkeys[border]
+        bmin = best_df["min_cost"].to_numpy(dtype=np.int64)[border]
+        best_ref = ray.put((bkeys, bmin))
+        sname_ref = ray.put((skeys, snames))
+
+        def keep_min(batch: pa.Table) -> pa.Table:
+            kb, mb = ray.get(best_ref)
+            pk = np.asarray(batch["p_partkey"], dtype=np.int64)
+            cost = np.asarray(batch["cost_cents"], dtype=np.int64)
+            win = cost == mb[np.searchsorted(kb, pk)]
+            t = batch.filter(pa.array(win))
+            ks, ns = ray.get(sname_ref)
+            sk = np.asarray(t["s_suppkey"], dtype=np.int64)
+            return t.append_column(
+                "s_name", pa.array(ns[np.searchsorted(ks, sk)],
+                                   pa.string()))
+
+        winners = pairs.map_batches(keep_min, batch_format="pyarrow"
+                                    ).materialize()
+        names = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+        return hash_join(winners, names, on=["p_partkey"],
+                         num_buckets=_gate_buckets())
+
+    rs = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
+                                            "s_name"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "l_suppkey": pc.cast(f["s_suppkey"], pa.int64()),
+            "s_name": f["s_name"]}))(
+            t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
+                              value_set=pa.array(sorted(euro_nk),
+                                                 pa.int64())))),
+        batch_format="pyarrow")
+
+    joined = hash_join(li, rs.map_batches(
+        lambda t: t.select(["l_suppkey"]), batch_format="pyarrow"),
+        on=["l_suppkey"], num_buckets=_gate_buckets())
+
     pairs = (joined.map_batches(pair_partial, batch_format="pyarrow")
              .groupby(["p_partkey", "s_suppkey"])
              .aggregate(Min("cost_cents", alias_name="cost_cents"))
-             .map_batches(lambda t: t.set_column(
-                 t.schema.get_field_index("cost_cents"), "cost_cents",
-                 pc.cast(t["cost_cents"], pa.int64())),
-                 batch_format="pyarrow")).materialize()
+             .map_batches(_pin("cost_cents"), batch_format="pyarrow")
+             ).materialize()
 
     best = pairs.groupby("p_partkey").aggregate(
         Min("cost_cents", alias_name="min_cost")).map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("min_cost"), "min_cost",
-            pc.cast(t["min_cost"], pa.int64())), batch_format="pyarrow")
+        _pin("min_cost"), batch_format="pyarrow")
 
     winners = hash_join(pairs, best, on=["p_partkey"],
                         num_buckets=_gate_buckets()).map_batches(

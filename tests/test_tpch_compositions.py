@@ -47,3 +47,13 @@ def test_q8_q9_join_fallbacks_match_broadcast(ray_session, monkeypatch,
     joined = _canon(fn(SF).to_pandas())
     pd.testing.assert_frame_equal(broadcast, joined)
     assert len(joined) > 0
+
+
+def test_q2_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    from kafka_connect_mongo_ray.pipelines import queries as q
+
+    broadcast = _canon(q.q_tpch_min_cost_supplier(SF).to_pandas())
+    monkeypatch.setattr(q, "_SUPP_BROADCAST_MAX_ROWS", 0)
+    got = q.q_tpch_min_cost_supplier(SF)
+    joined = _canon(got.to_pandas() if hasattr(got, "to_pandas") else got)
+    pd.testing.assert_frame_equal(broadcast, joined)
