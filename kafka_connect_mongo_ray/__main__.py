@@ -358,6 +358,33 @@ def diff_cmd(args) -> int:
     return 0 if res["identical"] else 2
 
 
+def sync_cmd(args) -> int:
+    """One-way incremental replication
+    (state/snapshot.py::run_store_sync): ship only the buckets whose
+    part files differ from the source, hardlinked when possible."""
+    import ray
+    from ray.data import DataContext
+
+    from kafka_connect_mongo_ray.state.snapshot import run_store_sync
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        started = True
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        res = run_store_sync(args.snapshot, args.to)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    finally:
+        if started:
+            ray.shutdown()
+    print(json.dumps(res, sort_keys=True))
+    return 0
+
+
 def get_cmd(args) -> int:
     """Point reads from the snapshot store: O(touched buckets), never
     a scan (pipelines/cdc.py::point_lookup). --key is repeatable as
@@ -720,6 +747,10 @@ def main(argv=None) -> int:
                     help="second store root to compare against")
     df.add_argument("--sample", type=int, default=5,
                     help="example keys reported per category")
+    sy = sub.add_parser("sync")
+    sy.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot",
+                    help="source store")
+    sy.add_argument("--to", required=True, help="replica store root")
     gt = sub.add_parser("get")
     gt.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     gt.add_argument("--buckets", type=int, default=0,
@@ -813,6 +844,8 @@ def main(argv=None) -> int:
         return branch_cmd(args)
     if args.cmd == "diff":
         return diff_cmd(args)
+    if args.cmd == "sync":
+        return sync_cmd(args)
     if args.cmd == "get":
         return get_cmd(args)
     if args.cmd == "scan":

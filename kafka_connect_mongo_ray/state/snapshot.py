@@ -972,3 +972,123 @@ def run_store_diff(snapshot_a: str, snapshot_b: str, *,
     out["identical"] = (out["only_a"] == out["only_b"]
                         == out["differ"] == 0)
     return out
+
+
+def run_store_sync(src_dir: str, dst_dir: str) -> dict:
+    """One-way incremental replication: make the replica ``dst_dir``
+    byte-equal to the source's current version, shipping ONLY the
+    buckets whose part files differ — the restore/catch-up op behind
+    `diff` (a replica rebuilt from scratch would re-copy everything;
+    sync touches the changed slice). Both stores must share the bucket
+    contract (``num_buckets``) — rebucket first otherwise.
+
+    Change detection is at the FILE level — (basename, size) then a
+    sha256 of the bytes, hashed in distributed tasks — so detection
+    never parses a row; byte-different-but-logically-equal buckets
+    (e.g. different part-file splits after a local compaction) are
+    shipped anyway, which is harmless over-copy, never under-copy.
+    Differing buckets hardlink the source's part files into the
+    replica's next version (zero-copy on one filesystem, copy across
+    devices — the `run_branch` trick), zone maps re-keyed from the
+    source manifest; equal buckets are COW carry-forwards of the
+    REPLICA's own files. Resume tokens adopt the source's (a replica
+    mirrors progress); dst-local divergence in a differing bucket is
+    overwritten by design (one-way)."""
+    import hashlib
+
+    import ray.data as rd
+
+    src = SnapshotStore(src_dir, create=False)
+    dst = SnapshotStore(dst_dir, create=False)
+    vs, vd = src.current_version(), dst.current_version()
+    ms, md = src.manifest(vs), dst.manifest(vd)
+    if not ms or not md:
+        raise ValueError("both stores need a committed version "
+                         "(branch the source to create a replica)")
+    if ms.get("num_buckets") != md.get("num_buckets") or \
+            ms.get("num_buckets") is None:
+        raise ValueError("bucket contracts differ (or are unrecorded); "
+                         "rebucket the replica first")
+
+    def rels_of(m, b):
+        rels = m["buckets"].get(str(b), [])
+        return [rels] if isinstance(rels, str) else list(rels)
+
+    ids = sorted({int(k) for k in ms["buckets"]}
+                 | {int(k) for k in md["buckets"]})
+    sroot, droot = src_dir, dst_dir
+    srels = {b: rels_of(ms, b) for b in ids}
+    drels = {b: rels_of(md, b) for b in ids}
+    orphan = [b for b in ids if drels[b] and not srels[b]]
+    if orphan:
+        # a replica-only bucket cannot be removed by the COW
+        # carry-forward commit; under a shared contract it only occurs
+        # on unsupported divergence — fail loudly instead of silently
+        # keeping rows the source does not have
+        raise ValueError(f"replica holds buckets absent from the source "
+                         f"({orphan[:5]}...); rebuild it with `branch`")
+
+    def compare_task(batch):
+        out_b, out_eq = [], []
+        for b in batch["bucket"].to_pylist():
+            sa, da = srels[int(b)], drels[int(b)]
+            eq = len(sa) == len(da)
+            if eq:
+                for s_rel, d_rel in zip(sa, da):
+                    sp = os.path.join(sroot, s_rel)
+                    dp = os.path.join(droot, d_rel)
+                    if (os.path.basename(sp) != os.path.basename(dp)
+                            or os.path.getsize(sp) != os.path.getsize(dp)):
+                        eq = False
+                        break
+                    ha, hb = hashlib.sha256(), hashlib.sha256()
+                    with open(sp, "rb") as f:
+                        ha.update(f.read())
+                    with open(dp, "rb") as f:
+                        hb.update(f.read())
+                    if ha.digest() != hb.digest():
+                        eq = False
+                        break
+            out_b.append(int(b))
+            out_eq.append(eq)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "equal": pa.array(out_eq, pa.bool_())})
+
+    rows = (rd.from_items([{"bucket": b} for b in ids])
+            .map_batches(compare_task, batch_size=1,
+                         batch_format="pyarrow").take_all())
+    changed = sorted(int(r["bucket"]) for r in rows if not r["equal"])
+    if not changed:
+        return {"source_version": vs, "replica_version": vd,
+                "buckets_shipped": 0, "files_shipped": 0,
+                "identical": True}
+
+    new_v = vd + 1
+    dst.clean_staging(new_v)
+    staging = dst.staging_dir(new_v)
+    src_stats = ms.get("file_stats", {})
+    expected, shipped = [], 0
+    for b in changed:
+        for rel in srels[b]:
+            name = os.path.basename(rel)
+            target = os.path.join(staging, name)
+            try:
+                os.link(os.path.join(sroot, rel), target)
+            except OSError:
+                shutil.copy2(os.path.join(sroot, rel), target)
+            st = src_stats.get(rel)
+            if st is not None:
+                atomic_write_json(target + ".zmap.json", st)
+            expected.append(target)
+            shipped += 1
+
+    # lineage metrics for shipped buckets come from the source's rows
+    src_metrics = {str(m.get("bucket")): m for m in ms.get("metrics", [])}
+    metrics = [dict(src_metrics[str(b)]) for b in changed
+               if str(b) in src_metrics]
+    dst.commit(new_v, tokens=src.tokens(vs), prev_version=vd,
+               union_schema=ms.get("union_schema"),
+               expected_files=expected, metrics=metrics)
+    return {"source_version": vs, "replica_version": new_v,
+            "buckets_shipped": len(changed), "files_shipped": shipped,
+            "identical": False}

@@ -149,3 +149,70 @@ def test_store_diff_aligned_and_exchange(tmp_path, ray_session):
     assert d2["mode"] == "exchange"
     assert (d2["only_a"], d2["only_b"], d2["differ"]) == (
         d["only_a"], d["only_b"], d["differ"])
+
+
+def test_store_sync_ships_only_changed_buckets(tmp_path, ray_session):
+    from kafka_connect_mongo_ray.state.snapshot import (
+        run_store_diff,
+        run_store_sync,
+    )
+
+    cfg = _store(tmp_path)
+    bdir = str(tmp_path / "b")
+    run_branch(cfg.snapshot_dir, bdir)
+
+    # replica in sync already → no-op
+    res = run_store_sync(cfg.snapshot_dir, bdir)
+    assert res["identical"] and res["buckets_shipped"] == 0
+
+    # advance the source: one new key (touches one bucket)
+    cfg2 = _cfg_for(tmp_path, cfg.snapshot_dir, "cs")
+    run_replay(ds_from_table(make_events(
+        [dict(ts=300, op="i", repo="zz", path="sync-me",
+              content="fresh", **BASE)]), 1), cfg2)
+
+    res = run_store_sync(cfg.snapshot_dir, bdir)
+    assert not res["identical"]
+    assert res["buckets_shipped"] == 1  # only the touched bucket moved
+
+    d = run_store_diff(cfg.snapshot_dir, bdir)
+    assert d["identical"]
+    # replica adopted the source's progress
+    src = SnapshotStore(cfg.snapshot_dir, create=False)
+    br = SnapshotStore(bdir, create=False)
+    assert br.tokens(br.current_version()) == src.tokens(
+        src.current_version())
+
+    # a second sync is a no-op
+    res = run_store_sync(cfg.snapshot_dir, bdir)
+    assert res["identical"]
+
+
+def test_store_sync_overwrites_replica_divergence(tmp_path, ray_session):
+    from kafka_connect_mongo_ray.state.snapshot import (
+        run_store_diff,
+        run_store_sync,
+    )
+
+    cfg = _store(tmp_path)
+    bdir = str(tmp_path / "b")
+    run_branch(cfg.snapshot_dir, bdir)
+    # replica diverges locally; sync restores the source's state
+    run_delete_where(bdir, repo_equals="r1")
+    res = run_store_sync(cfg.snapshot_dir, bdir)
+    assert res["buckets_shipped"] >= 1
+    assert run_store_diff(cfg.snapshot_dir, bdir)["identical"]
+
+
+def test_store_sync_refuses_contract_mismatch(tmp_path, ray_session):
+    from kafka_connect_mongo_ray.state.snapshot import (
+        run_rebucket,
+        run_store_sync,
+    )
+
+    cfg = _store(tmp_path)
+    bdir = str(tmp_path / "b")
+    run_branch(cfg.snapshot_dir, bdir)
+    run_rebucket(bdir, 5)
+    with pytest.raises(ValueError):
+        run_store_sync(cfg.snapshot_dir, bdir)
