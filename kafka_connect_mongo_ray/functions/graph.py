@@ -18,7 +18,7 @@ the classic MapReduce connected-components loop (cf. Kiveris et al.,
   fixed point (label = min node id of the component). The sum is
   computed EXACTLY (Python-int precision) from four 16-bit limb
   partial sums, so the early exit cannot alias via int64 wrap even
-  past 2^31 nodes — each limb sum stays below 2^63 for up to 2^47
+  past 2^31 nodes — each limb sum stays below 2^63 for up to 2^55
   label rows.
 
 Execution shape (deliberate): every step is a SINGLE-shuffle plan — a
@@ -70,7 +70,7 @@ def _emit_jumped(g: pa.Table) -> pa.Table:
 def _exact_label_sum(labels) -> int:
     """Exact (arbitrary-precision) sum of the label column.
 
-    Four 16-bit limb partial sums — each below 2^63 for up to 2^47
+    Eight 8-bit limb partial sums — each below 2^63 for up to 2^55
     label rows — recombined with Python ints on the driver, so the
     convergence early-exit in :func:`connected_components` cannot
     alias through int64 wrap at any realistic node count. Assumes
@@ -80,13 +80,13 @@ def _exact_label_sum(labels) -> int:
     def limbs(batch: pa.Table) -> pa.Table:
         comp = pc.cast(batch[_COMP], pa.int64())
         return pa.table({
-            f"l{i}": pc.bit_wise_and(pc.shift_right(comp, 16 * i), 0xFFFF)
-            for i in range(4)
+            f"l{i}": pc.bit_wise_and(pc.shift_right(comp, 8 * i), 0xFF)
+            for i in range(8)
         })
 
     row = labels.map_batches(limbs, batch_format="pyarrow").aggregate(
-        *[Sum(f"l{i}", alias_name=f"l{i}") for i in range(4)])
-    return sum(int(row[f"l{i}"]) << (16 * i) for i in range(4))
+        *[Sum(f"l{i}", alias_name=f"l{i}") for i in range(8)])
+    return sum(int(row[f"l{i}"]) << (8 * i) for i in range(8))
 
 
 def connected_components(edges_ds, *, src: str = "id_a", dst: str = "id_b",
