@@ -6124,6 +6124,41 @@ def q_orders_mom_growth(sf_dir: str):
                                batch_size=None)
 
 
+def q_dq_audit(sf_dir: str):
+    """Declarative data-quality audit over lineitem + orders: one row
+    per expectation ``(check_name, n_checked, n_violations)``. The
+    five batch-local checks fuse into ONE streaming scan per table;
+    uniqueness is a keys-only exchange; referential integrity is the
+    tagged-union single-shuffle plan (see
+    ``functions/expectations.py``). Mixes clean checks (violations=0
+    on this corpus) with real policy violations (discount ≤ 5%,
+    priority domain subset) so nonzero counts are exercised."""
+    from kafka_connect_mongo_ray.functions import expectations as ex
+
+    datasets = {
+        "lineitem": _read(sf_dir, "lineitem",
+                          columns=["l_orderkey", "l_quantity",
+                                   "l_extendedprice", "l_discount",
+                                   "l_returnflag"]),
+        "orders": _read(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"]),
+    }
+    return ex.run_expectations(datasets, [
+        ex.not_null("li_quantity_not_null", "lineitem", "l_quantity"),
+        ex.in_range("li_price_nonnegative", "lineitem",
+                    "l_extendedprice", lo=0.0),
+        ex.in_range("li_discount_policy", "lineitem", "l_discount",
+                    lo=0.0, hi=0.05),
+        ex.in_set("li_returnflag_domain", "lineitem", "l_returnflag",
+                  ["A", "N", "R"]),
+        ex.in_set("ord_priority_strict", "orders", "o_orderpriority",
+                  ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        ex.unique("ord_orderkey_unique", "orders", "o_orderkey"),
+        ex.foreign_key("li_orderkey_fk", "lineitem", "l_orderkey",
+                       "orders", "o_orderkey"),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6135,6 +6170,7 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "dq_audit": q_dq_audit,
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
         "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
         "lineitem_skew_by_flag": q_lineitem_skew_by_flag,
@@ -6319,6 +6355,57 @@ def build_oracle_sql():
         f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
         for p in _PII.values())
     return {
+        "dq_audit": """
+            SELECT 'li_quantity_not_null' AS check_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_checked,
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT)
+                       AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'li_price_nonnegative',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(CASE WHEN l_extendedprice < 0.0
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'li_discount_policy',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(CASE WHEN l_discount < 0.0
+                                            OR l_discount > 0.05
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'li_returnflag_domain',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NOT NULL
+                                            AND l_returnflag
+                                                NOT IN ('A', 'N', 'R')
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'ord_priority_strict',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                                            AND o_orderpriority NOT IN
+                                        ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'ord_orderkey_unique',
+                   CAST(COUNT(o_orderkey) AS BIGINT),
+                   CAST(COUNT(o_orderkey)
+                        - COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'li_orderkey_fk',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(CASE WHEN o.k IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM (SELECT l_orderkey FROM lineitem
+                  WHERE l_orderkey IS NOT NULL) l
+            LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+              ON l.l_orderkey = o.k
+        """,
         "tpch_forecast_revenue": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
                    CAST(COALESCE(SUM(
