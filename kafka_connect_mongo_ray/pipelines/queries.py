@@ -6159,6 +6159,84 @@ def q_dq_audit(sf_dir: str):
     ])
 
 
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    """Fresh scratch dir for a source-format round trip — keyed by the
+    sf tag so concurrent gates at different scales don't collide."""
+    import os
+    import shutil
+
+    d = f"/tmp/kcmr_sources/{os.path.basename(sf_dir.rstrip('/'))}/{fmt}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def q_events_json_source(sf_dir: str):
+    """NDJSON source coverage: export a 3-column integer/string slice
+    of events to line-delimited JSON (one file per block — the
+    partitioned layout a log-shipping producer would hand us), read it
+    back with ``ray.data.read_json``, and aggregate per type. Integer
+    columns only cross the text format so the round trip is exact
+    (doubles through JSON would re-test float printing, not the
+    source). The reference's JSON ingest path is `JSONHandler` parse
+    (cited in ``pipelines/cdc.py``); this is the file-source analog."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    out = _roundtrip_dir(sf_dir, "events_json")
+    (_read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+     .write_json(out))
+
+    back = rd.read_json(out)
+    g = back.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("user_id", alias_name="sum_user_id"),
+        Max("event_id", alias_name="max_event_id"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_user_id": pc.cast(t["sum_user_id"], pa.int64()),
+            "max_event_id": pc.cast(t["max_event_id"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_lineitem_csv_source(sf_dir: str):
+    """CSV source coverage: export an integer/string slice of lineitem
+    to headered CSV part files, read them back with
+    ``ray.data.read_csv``, and aggregate per return flag. Quantity is
+    converted to an integer count BEFORE the text hop (it is a whole
+    number in the domain), keeping the round trip exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    out = _roundtrip_dir(sf_dir, "lineitem_csv")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "l_returnflag": t["l_returnflag"],
+        })
+
+    (_read(sf_dir, "lineitem",
+           columns=["l_orderkey", "l_quantity", "l_returnflag"])
+     .map_batches(prep, batch_format="pyarrow").write_csv(out))
+
+    back = rd.read_csv(out)
+    g = back.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"),
+        Sum("qty", alias_name="sum_qty"),
+        Max("l_orderkey", alias_name="max_orderkey"))
+    return g.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+            "max_orderkey": pc.cast(t["max_orderkey"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6171,6 +6249,8 @@ def build_queries():
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
         "dq_audit": q_dq_audit,
+        "events_json_source": q_events_json_source,
+        "lineitem_csv_source": q_lineitem_csv_source,
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
         "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
         "lineitem_skew_by_flag": q_lineitem_skew_by_flag,
@@ -6405,6 +6485,21 @@ def build_oracle_sql():
                   WHERE l_orderkey IS NOT NULL) l
             LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
               ON l.l_orderkey = o.k
+        """,
+        "events_json_source": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id
+            FROM events GROUP BY event_type
+        """,
+        "lineitem_csv_source": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+            FROM lineitem GROUP BY l_returnflag
         """,
         "tpch_forecast_revenue": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
