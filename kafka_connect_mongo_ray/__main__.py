@@ -316,6 +316,31 @@ def delete_cmd(args) -> int:
     return 0
 
 
+def rollback_cmd(args) -> int:
+    """Restore an earlier committed version as a new COW commit
+    (state/snapshot.py::run_rollback): manifest-sized, zero data
+    movement; the restored tokens make the next replay redeliver
+    everything after that point. With --checkpoints the token mirror
+    is refreshed too so both resume surfaces agree immediately."""
+    from kafka_connect_mongo_ray.state.checkpoint import mirror_checkpoints
+    from kafka_connect_mongo_ray.state.snapshot import (SnapshotStore,
+                                                        run_rollback)
+
+    try:
+        res = run_rollback(args.snapshot, args.to_version)
+        if res.get("rolled_back") and args.checkpoints:
+            store = SnapshotStore(args.snapshot, create=False)
+            mirror_checkpoints(args.checkpoints,
+                               store.tokens(res["new_version"]),
+                               version=res["new_version"])
+            res["checkpoints_mirrored"] = True
+        print(json.dumps(res, sort_keys=True))
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    return 0
+
+
 def branch_cmd(args) -> int:
     """Zero-copy branch of the store's current version into an
     independent root (state/snapshot.py::run_branch): hardlinked part
@@ -737,6 +762,13 @@ def main(argv=None) -> int:
                     help="tombstone version; default max token ts + 1")
     dl.add_argument("--rows-per-file", type=int, default=None,
                     dest="rows_per_file")
+    ro = sub.add_parser("rollback")
+    ro.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
+    ro.add_argument("--to-version", type=int, required=True,
+                    dest="to_version",
+                    help="committed version to restore as a new commit")
+    ro.add_argument("--checkpoints", default=None,
+                    help="also refresh this token-mirror directory")
     br = sub.add_parser("branch")
     br.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     br.add_argument("--to", required=True,
@@ -840,6 +872,8 @@ def main(argv=None) -> int:
         return compact(args)
     if args.cmd == "delete":
         return delete_cmd(args)
+    if args.cmd == "rollback":
+        return rollback_cmd(args)
     if args.cmd == "branch":
         return branch_cmd(args)
     if args.cmd == "diff":

@@ -816,6 +816,78 @@ def run_branch(snapshot_dir: str, branch_dir: str) -> dict:
             "files_linked": linked, "buckets": len(new_buckets)}
 
 
+def run_rollback(snapshot_dir: str, to_version: int) -> dict:
+    """Roll the store back to an earlier committed version as a NEW
+    COW commit (Iceberg/Delta `RESTORE` analog; the reference has
+    none). The new manifest re-publishes ``to_version``'s bucket
+    references, resume tokens, zone maps, lineage metrics, union
+    schema and bucket contract verbatim, with ``parent`` = the version
+    being undone — history is preserved (the bad commits stay
+    inspectable until gc) and the operation is itself undoable by a
+    second rollback. Because the manifest's tokens rewind with the
+    data, the next replay RE-CONSUMES everything after the restored
+    point (that is the point of a rollback: undo a bad ingest and
+    redeliver).
+
+    Zero data movement: no part file is read, written or linked — the
+    commit is manifest-sized, and gc's COW-aware reference scan keeps
+    every re-referenced old file alive. Refuses if the target manifest
+    is gone (gc'd) or any part file it references was physically
+    deleted. Rolling back to the current version is a no-op (no
+    commit)."""
+    store = SnapshotStore(snapshot_dir, create=False)
+    current = store.current_version()
+    if current == 0:
+        raise ValueError(f"{snapshot_dir} has no committed version")
+    target = store.manifest(to_version)
+    if target is None:
+        raise ValueError(
+            f"snapshot version v{to_version} has no manifest under "
+            f"{snapshot_dir} (never committed, or garbage-collected)")
+    if to_version == current:
+        return {"rolled_back": False, "new_version": current,
+                "restored_version": to_version,
+                "reason": "target is already CURRENT"}
+    rels = [r for rs in target["buckets"].values()
+            for r in ([rs] if isinstance(rs, str) else rs)]
+    missing = [r for r in rels
+               if not os.path.isfile(os.path.join(snapshot_dir, r))]
+    if missing:
+        raise ValueError(
+            f"cannot roll back to v{to_version}: {len(missing)} referenced "
+            f"part file(s) are gone (first: {missing[0]}); run gc with a "
+            "larger --keep-last next time")
+
+    new_version = current + 1
+    vdir = store._vdir(new_version)
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)  # debris of a crashed attempt
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {
+        "version": new_version,
+        "parent": current,
+        "union_schema": target.get("union_schema"),
+        "buckets": target["buckets"],
+        "tokens": target.get("tokens", {}),
+        "metrics": target.get("metrics", []),
+        "file_stats": target.get("file_stats", {}),
+        "num_buckets": target.get("num_buckets"),
+        "rollback_of": to_version,
+    }
+    atomic_write_json(os.path.join(vdir, "manifest.json"), manifest)
+    # OCC: refuse the flip if another committer won the race meanwhile
+    live = store.current_version()
+    if live != current:
+        shutil.rmtree(vdir)
+        raise ConcurrentCommitError(
+            f"planned rollback against v{current} but CURRENT is v{live}")
+    atomic_write_json(os.path.join(snapshot_dir, "CURRENT"),
+                      {"version": new_version})
+    return {"rolled_back": True, "new_version": new_version,
+            "restored_version": to_version, "buckets": len(target["buckets"]),
+            "files_referenced": len(rels)}
+
+
 def run_store_diff(snapshot_a: str, snapshot_b: str, *,
                    sample: int = 5) -> dict:
     """Anti-entropy comparison of two stores' LIVE states — the
