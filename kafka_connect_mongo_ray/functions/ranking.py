@@ -669,3 +669,54 @@ def throttle(ds, *, keys: list[str], order_cols: list[str], ts_col: str,
 
     return key_bucketed(ds, keys, num_partitions or 32).map_groups(
         per_bucket, batch_format="pyarrow")
+
+
+def longest_streak(ds, *, key: str, day_col: str,
+                   out_col: str = "streak_days",
+                   num_partitions: int | None = None):
+    """Longest run of CONSECUTIVE integer days per ``key`` — the
+    gaps-and-islands pattern (``day − ROW_NUMBER() OVER (PARTITION BY
+    key ORDER BY day)`` is constant within an island; the answer is
+    the longest island). Input rows are (key, day) with ``day_col``
+    integer (e.g. epoch days); duplicate (key, day) pairs are deduped
+    in-group, mirroring SQL's ``SELECT DISTINCT`` head.
+
+    One keys-only exchange (the window family's hash-bucketed
+    map_groups), loop-free in-group kernel: sort, pairwise dedup,
+    island id via position-within-key subtraction, run lengths from
+    boundary diffs, per-key max via ``np.maximum.reduceat``. Output is
+    one row per key — dimension-sized."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending"), (day_col, "ascending")])
+        k = np.asarray(t[key])
+        d = np.asarray(t[day_col], dtype=np.int64)
+        if len(k) == 0:
+            return pa.table({key: t[key],
+                             out_col: pa.array([], pa.int64())})
+        # dedup consecutive (key, day) duplicates
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        first, _, _ = _segments(k)
+        # position within key: 0,1,2,... per segment
+        pos = np.arange(len(k)) - np.repeat(np.flatnonzero(first),
+                                            np.diff(np.append(
+                                                np.flatnonzero(first),
+                                                len(k))))
+        island = d - pos
+        run_start = np.ones(len(k), dtype=bool)
+        run_start[1:] = first[1:] | (island[1:] != island[:-1])
+        starts = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(starts, len(k)))
+        run_key_first = first[starts]  # run starts a new key?
+        key_starts = np.flatnonzero(run_key_first)
+        best = np.maximum.reduceat(run_len, key_starts)
+        return pa.table({key: pa.array(k[starts][key_starts]),
+                         out_col: pa.array(best, pa.int64())})
+
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    return key_bucketed(ds, [key], num_partitions or 32).map_groups(
+        per_bucket, batch_format="pyarrow")

@@ -6237,6 +6237,28 @@ def q_lineitem_csv_source(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_events_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands window pattern (functions/ranking.py::
+    longest_streak). Day = epoch-µs integer-divided by 86,400,000,000
+    (both sides use integer division, so the day boundary is
+    bit-identical to the SQL mirror's ``epoch_us(ts) // 86400000000``)."""
+    from kafka_connect_mongo_ray.functions.ranking import longest_streak
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "d": pc.divide(us, pa.scalar(86_400_000_000,
+                                                      pa.int64()))})
+
+    return longest_streak(ds.map_batches(prep, batch_format="pyarrow"),
+                          key="user_id", day_col="d",
+                          out_col="streak_days",
+                          num_partitions=_gate_buckets())
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6249,6 +6271,7 @@ def build_queries():
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
         "dq_audit": q_dq_audit,
+        "events_user_streaks": q_events_user_streaks,
         "events_json_source": q_events_json_source,
         "lineitem_csv_source": q_lineitem_csv_source,
         "tpch_forecast_revenue": q_tpch_forecast_revenue,
@@ -6485,6 +6508,23 @@ def build_oracle_sql():
                   WHERE l_orderkey IS NOT NULL) l
             LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
               ON l.l_orderkey = o.k
+        """,
+        "events_user_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+            ), isl AS (
+                SELECT user_id, d,
+                       d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY d) AS island
+                FROM days
+            ), runs AS (
+                SELECT user_id, island, COUNT(*) AS cnt
+                FROM isl GROUP BY user_id, island
+            )
+            SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS streak_days
+            FROM runs GROUP BY user_id
         """,
         "events_json_source": """
             SELECT event_type,

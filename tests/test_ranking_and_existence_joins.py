@@ -338,3 +338,25 @@ def test_interpolate_linear_edges_and_values(ray_session):
     assert got == [10.0, 15.0, 25.0, 30.0, None,
                    None, 5.0, None,
                    4.0, None, 8.0]
+
+
+def test_longest_streak_gaps_and_islands():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.ranking import longest_streak
+
+    t = pa.table({
+        # k=1: days 1,2,3 then 7,8 (dup 2) → best 3; k=2: single day;
+        # k=3: all isolated days → best 1; k=4: one long run straddling
+        # a duplicate in the middle → 5
+        "k": pa.array([1, 1, 1, 1, 1, 1, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4],
+                      pa.int64()),
+        "d": pa.array([1, 2, 2, 3, 7, 8, 5, 1, 3, 9,
+                       10, 11, 12, 12, 13, 14], pa.int64()),
+    })
+    out = (longest_streak(rd.from_arrow(t), key="k", day_col="d",
+                          num_partitions=2)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["streak_days"].tolist() == [3, 1, 1, 5]
