@@ -316,6 +316,61 @@ def delete_cmd(args) -> int:
     return 0
 
 
+def dq_cmd(args) -> int:
+    """Config-driven data-quality audit
+    (functions/expectations.py::run_expectations): a JSON spec names
+    parquet tables and declarative checks; the report is one JSON line
+    with per-check violation counts. Exit 2 when any check is violated
+    (scripting contract, like `diff`)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.expectations import (
+        expectation_from_dict,
+        run_expectations,
+    )
+
+    try:
+        with open(args.spec) as f:
+            spec = json.load(f)
+        tables = dict(spec.get("tables", {}))
+        for t in args.table or []:
+            name, _, path = t.partition("=")
+            if not path:
+                raise ValueError(f"--table wants name=path, got {t!r}")
+            tables[name] = path
+        exps = [expectation_from_dict(d)
+                for d in spec.get("expectations", [])]
+        if not exps:
+            raise ValueError("spec has no expectations")
+        need = {e.table for e in exps} | {
+            e.ref_table for e in exps if e.ref_table}
+        missing = sorted(need - set(tables))
+        if missing:
+            raise ValueError(f"no path for table(s) {missing} "
+                             "(spec 'tables' or --table name=path)")
+        datasets = {n: rd.read_parquet(tables[n]) for n in need}
+        report = run_expectations(datasets, exps)
+    except (ValueError, OSError, json.JSONDecodeError) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    checks = [{"name": n, "n_checked": c, "n_violations": v}
+              for n, c, v in zip(report["check_name"].to_pylist(),
+                                 report["n_checked"].to_pylist(),
+                                 report["n_violations"].to_pylist())]
+    total = sum(c["n_violations"] for c in checks)
+    print(json.dumps({"checks": checks, "violations_total": total,
+                      "ok": total == 0}, sort_keys=True))
+    return 0 if total == 0 else 2
+
+
 def rollback_cmd(args) -> int:
     """Restore an earlier committed version as a new COW commit
     (state/snapshot.py::run_rollback): manifest-sized, zero data
@@ -762,6 +817,12 @@ def main(argv=None) -> int:
                     help="tombstone version; default max token ts + 1")
     dl.add_argument("--rows-per-file", type=int, default=None,
                     dest="rows_per_file")
+    dq = sub.add_parser("dq")
+    dq.add_argument("--spec", required=True,
+                    help="JSON file: {tables: {name: path}, "
+                         "expectations: [{name, kind, table, column, ...}]}")
+    dq.add_argument("--table", action="append", default=None,
+                    help="name=path override/addition (repeatable)")
     ro = sub.add_parser("rollback")
     ro.add_argument("--snapshot", default="/tmp/kcm_ray/snapshot")
     ro.add_argument("--to-version", type=int, required=True,
@@ -872,6 +933,8 @@ def main(argv=None) -> int:
         return compact(args)
     if args.cmd == "delete":
         return delete_cmd(args)
+    if args.cmd == "dq":
+        return dq_cmd(args)
     if args.cmd == "rollback":
         return rollback_cmd(args)
     if args.cmd == "branch":

@@ -84,6 +84,40 @@ def foreign_key(name: str, table: str, column: str,
                        ref_table=ref_table, ref_column=ref_column)
 
 
+_KIND_EXTRA_REQUIRED = {
+    "not_null": (),
+    "in_range": (),
+    "in_set": ("values",),
+    "unique": (),
+    "foreign_key": ("ref_table", "ref_column"),
+}
+
+
+def expectation_from_dict(d: dict) -> Expectation:
+    """Validate and build an :class:`Expectation` from one JSON spec
+    entry — the config-driven surface behind the ``dq`` CLI. Fails
+    fast on a typo'd kind or a missing field, the same posture the
+    reference takes for connector configs (cited in ``config.py``:
+    `MongoSourceConnector.kt:43-60`)."""
+    kind = d.get("kind")
+    if kind not in _KIND_EXTRA_REQUIRED:
+        raise ValueError(
+            f"unknown expectation kind {kind!r} (one of "
+            f"{sorted(_KIND_EXTRA_REQUIRED)})")
+    missing = [k for k in ("name", "table", "column")
+               + _KIND_EXTRA_REQUIRED[kind] if not d.get(k)]
+    if missing:
+        raise ValueError(f"expectation {d.get('name') or d!r}: "
+                         f"missing field(s) {missing}")
+    if kind == "in_range" and d.get("lo") is None and d.get("hi") is None:
+        raise ValueError(
+            f"expectation {d['name']}: in_range needs lo and/or hi")
+    return Expectation(
+        name=d["name"], table=d["table"], kind=kind, column=d["column"],
+        lo=d.get("lo"), hi=d.get("hi"), values=tuple(d.get("values", ())),
+        ref_table=d.get("ref_table"), ref_column=d.get("ref_column"))
+
+
 def _batch_local_partial(exps):
     """Compile one table's batch-local expectations into a single
     vectorized per-batch partial: one output row with a violation
