@@ -640,11 +640,32 @@ def curate(args) -> int:
             "text": pc.cast(b["content"], pa.string()),
         })
 
+    dq_exps = None
+    if args.dq_spec:
+        from kafka_connect_mongo_ray.functions.expectations import (
+            expectation_from_dict,
+        )
+
+        try:
+            with open(args.dq_spec) as f:
+                entries = json.load(f).get("expectations", [])
+            for d in entries:
+                d.setdefault("table", "admitted")
+                if d["table"] != "admitted":
+                    raise ValueError(
+                        f"curate dq expectations audit the 'admitted' "
+                        f"table only, got {d['table']!r}")
+            dq_exps = [expectation_from_dict(d) for d in entries]
+        except (ValueError, OSError, json.JSONDecodeError) as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
+
     summaries = run_curated_stream(
         [factory(w) for w in range(args.windows)], cfg,
         index_dir=args.index, curated_dir=args.curated,
         index_buckets=args.index_buckets, candidates_fn=candidates,
-        screen=args.screen, ann_dir=args.ann_dir)
+        screen=args.screen, ann_dir=args.ann_dir,
+        dq_expectations=dq_exps)
     print(json.dumps({"windows": summaries}, sort_keys=True, default=str))
     ray.shutdown()
     return 0
@@ -880,6 +901,10 @@ def main(argv=None) -> int:
     cu.add_argument("--ann", default=None, dest="ann_dir",
                     help="also ingest each window's admitted docs into a "
                          "persisted IVF index at this directory")
+    cu.add_argument("--dq-spec", default=None, dest="dq_spec",
+                    help="JSON expectations over the 'admitted' table; "
+                         "per-window counts ride in the summaries and "
+                         "the _CURATED markers")
     cu.add_argument("--seed", type=int, default=42)
     an = sub.add_parser("ann")
     an.add_argument("--embeddings", required=True,

@@ -117,6 +117,7 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
                    screen: str = "exact",
                    minhash_opts: dict | None = None,
                    ann_dir: str | None = None, ann_cells: int = 8,
+                   dq_expectations: list | None = None,
                    ) -> dict:
     """Curate ONE committed window: change feed (version-1 → version) →
     screen against the index → write ``curated_dir/window={version}/``
@@ -134,7 +135,17 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
     so the admitted docs' band rows persist under ``wdir/_bands/``
     BEFORE the marker and recovery re-appends from there (its presence
     also tells recovery which mode wrote the window).
-    ``minhash_opts`` forwards num_hashes/num_bands/seed."""
+    ``minhash_opts`` forwards num_hashes/num_bands/seed.
+
+    ``dq_expectations`` (a list of
+    ``functions/expectations.py::Expectation`` over the table name
+    ``"admitted"``) audits each window's ADMITTED docs — validation at
+    ingest. The per-check counts ride in the window summary AND in the
+    ``_CURATED`` marker, so the audit is replay-durable: a recovered
+    window reports the counts its original run measured without
+    re-scanning. The audit never blocks admission (curation is the
+    screen; dq is the report) — gate on the counts in the caller if a
+    violated window must stop the stream."""
     from kafka_connect_mongo_ray.state.dedup_index import (
         _bucket_of,
         append_band_rows,
@@ -183,8 +194,12 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
             # the replay a no-op when it already committed
             _ann_ingest(rd.read_parquet(vecs_dir), ann_dir, version,
                         ann_cells=ann_cells, admitted=admitted)
-        return {"version": version, "changes": None, "tombstones": None,
-                "admitted": admitted, "recovered": True}
+        out = {"version": version, "changes": None, "tombstones": None,
+               "admitted": admitted, "recovered": True}
+        prior = _window_stats(wdir) or {}
+        if "dq" in prior:
+            out["dq"] = prior["dq"]
+        return out
 
     # the diff feeds the tombstone count AND the candidate screen —
     # window-bounded, so staging it is the multi-consumer rule
@@ -233,6 +248,22 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
     # materialized), so a time-scoped reader can prune whole windows.
     # Legacy empty markers just mean "scan" (the snapshot-store rule).
     stats: dict = {"rows": admitted}
+    dq_report: list[dict] | None = None
+    if dq_expectations is not None:
+        from kafka_connect_mongo_ray.functions.expectations import (
+            run_expectations,
+        )
+
+        dq_report = []
+        if admitted:
+            rep = run_expectations({"admitted": survivors},
+                                   dq_expectations)
+            dq_report = [
+                {"name": n, "n_checked": c, "n_violations": v}
+                for n, c, v in zip(rep["check_name"].to_pylist(),
+                                   rep["n_checked"].to_pylist(),
+                                   rep["n_violations"].to_pylist())]
+        stats["dq"] = dq_report
     if admitted and "ts" in cols:
         from ray.data.aggregate import Max, Min
 
@@ -272,8 +303,11 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
 
         _ann_ingest(rd.read_parquet(vecs_dir), ann_dir, version,
                     ann_cells=ann_cells, admitted=admitted)
-    return {"version": version, "changes": n_changes,
-            "tombstones": tombstones, "admitted": admitted}
+    out = {"version": version, "changes": n_changes,
+           "tombstones": tombstones, "admitted": admitted}
+    if dq_report is not None:
+        out["dq"] = dq_report
+    return out
 
 
 def run_curated_stream(
@@ -288,6 +322,7 @@ def run_curated_stream(
     minhash_opts: dict | None = None,
     ann_dir: str | None = None,
     ann_cells: int = 8,
+    dq_expectations: list | None = None,
 ) -> list[dict]:
     """Run each bounded event Dataset as one committed replay AND curate
     its change feed against the persisted fingerprint index. Returns
@@ -304,7 +339,8 @@ def run_curated_stream(
                              index_buckets=index_buckets,
                              candidates_fn=candidates_fn,
                              screen=screen, minhash_opts=minhash_opts,
-                             ann_dir=ann_dir, ann_cells=ann_cells)
+                             ann_dir=ann_dir, ann_cells=ann_cells,
+                             dq_expectations=dq_expectations)
         summaries.append({**rep, "curation": cur})
     return summaries
 

@@ -384,3 +384,41 @@ def test_ann_mode_builds_appends_and_recovers(dirs, tmp_path):
     out = ivf_index_topk(ann, q, np.array([1, 2, 3]), k=1, nprobe=2)
     assert dict(zip(out["query_id"], out["neighbor_id"])) == {1: 1, 2: 2,
                                                               3: 3}
+
+
+def test_dq_expectations_ride_summary_and_marker(dirs):
+    import json
+    import os
+
+    from kafka_connect_mongo_ray.functions import expectations as ex
+
+    cfg, idx, cur = dirs
+    exps = [ex.not_null("text_not_null", "admitted", "text"),
+            ex.unique("doc_id_unique", "admitted", "doc_id"),
+            ex.in_range("ts_window", "admitted", "ts", lo=0, hi=5)]
+    # w1: all clean; w2: one null-content upsert (curated text is
+    # null) plus a ts beyond the in_range bound → real violations
+    summaries = run_curated_stream(
+        [_factory([(1, "i", "1", "aa"), (2, "i", "2", "bb")]),
+         _factory([(11, "i", "3", None), (12, "i", "4", "cc")])],
+        cfg, index_dir=idx, curated_dir=cur, index_buckets=4,
+        dq_expectations=exps)
+    dq1 = {c["name"]: c for c in summaries[0]["curation"]["dq"]}
+    assert dq1["text_not_null"]["n_violations"] == 0
+    assert dq1["doc_id_unique"] == {"name": "doc_id_unique",
+                                    "n_checked": 2, "n_violations": 0}
+    assert dq1["ts_window"]["n_violations"] == 0
+    dq2 = {c["name"]: c for c in summaries[1]["curation"]["dq"]}
+    assert dq2["text_not_null"]["n_violations"] == 1
+    assert dq2["ts_window"]["n_violations"] == 2  # ts 11 and 12 > 5
+
+    # the marker persists the audit, and recovery reports it without
+    # re-scanning
+    with open(os.path.join(cur, "window=2", "_CURATED")) as f:
+        assert {c["name"]: c["n_violations"] for c in json.load(f)["dq"]} \
+            == {"text_not_null": 1, "doc_id_unique": 0, "ts_window": 2}
+    rec = curate_version(cfg, 2, index_dir=idx, curated_dir=cur,
+                         index_buckets=4, dq_expectations=exps)
+    assert rec["recovered"] is True
+    assert {c["name"]: c["n_violations"] for c in rec["dq"]} == {
+        "text_not_null": 1, "doc_id_unique": 0, "ts_window": 2}
