@@ -152,8 +152,9 @@ def export(args) -> int:
     from kafka_connect_mongo_ray.pipelines.cdc import export_final_state
 
     cfg = EngineConfig(snapshot_dir=args.snapshot, checkpoint_dir=args.checkpoints)
-    rows = export_final_state(cfg, args.out, version=args.version or None)
-    print(json.dumps({"out_dir": args.out, "rows": rows,
+    rows = export_final_state(cfg, args.out, version=args.version or None,
+                              fmt=args.fmt)
+    print(json.dumps({"out_dir": args.out, "rows": rows, "format": args.fmt,
                       "version": args.version or "current"}, sort_keys=True))
     ray.shutdown()
     return 0
@@ -809,6 +810,9 @@ def main(argv=None) -> int:
     ex.add_argument("--checkpoints", default="/tmp/kcm_ray/checkpoints")
     ex.add_argument("--out", required=True)
     ex.add_argument("--version", type=int, default=0)
+    ex.add_argument("--format", choices=("parquet", "csv", "json"),
+                    default="parquet", dest="fmt",
+                    help="part-file format for the export directory")
     q = sub.add_parser("query")
     q.add_argument("--name", required=True)
     q.add_argument("--sf", default="/root/testdata/sf0.001")

@@ -950,22 +950,33 @@ def key_range_dataset(cfg: EngineConfig, lo_key: tuple[str, str],
 
 
 def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = None,
-                       min_rows_per_file: int | None = None) -> int:
-    """Materialize the live final state as a directory of Parquet part
-    files (streaming write — never one giant file). Atomic at the
-    directory level: parts stream into a temp sibling that is renamed
-    into place only after the write completes, so readers never see a
-    half-written export and a crashed export leaves the previous one
-    intact. Returns row count."""
+                       min_rows_per_file: int | None = None,
+                       fmt: str = "parquet") -> int:
+    """Materialize the live final state as a directory of part files
+    (streaming write — never one giant file). ``fmt`` selects parquet
+    (default), headered ``csv``, or line-delimited ``json`` — the sink
+    counterparts of the registry's file-source round trips. Atomic at
+    the directory level: parts stream into a temp sibling that is
+    renamed into place only after the write completes, so readers
+    never see a half-written export and a crashed export leaves the
+    previous one intact. Returns row count."""
     import os
     import shutil
     import uuid
 
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"unknown export format {fmt!r} "
+                         "(parquet, csv or json)")
     ds = final_state_dataset(cfg, version)
     kwargs = {"min_rows_per_file": min_rows_per_file} if min_rows_per_file else {}
     tmp = f"{out_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
     try:
-        ds.write_parquet(tmp, **kwargs)
+        if fmt == "csv":
+            ds.write_csv(tmp, **kwargs)
+        elif fmt == "json":
+            ds.write_json(tmp, **kwargs)
+        else:
+            ds.write_parquet(tmp, **kwargs)
         # Move any existing export aside (never rmtree-before-replace: a
         # crash in that window would destroy the previous export), swing
         # tmp into place, then drop the old one; restore it on failure.
@@ -988,7 +999,9 @@ def export_final_state(cfg: EngineConfig, out_dir: str, version: int | None = No
         shutil.rmtree(tmp, ignore_errors=True)
     import ray.data as rd
 
-    return rd.read_parquet(out_dir).count()
+    reader = {"parquet": rd.read_parquet, "csv": rd.read_csv,
+              "json": rd.read_json}[fmt]
+    return reader(out_dir).count()
 
 
 def final_state_table(cfg: EngineConfig, version: int | None = None,

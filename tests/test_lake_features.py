@@ -190,3 +190,33 @@ def test_export_atomic(tmp_engine_dirs, monkeypatch):
     assert export_final_state(cfg, out) == 1
     assert os.path.isdir(out)
     assert rd.read_parquet(out).count() == 1
+
+
+def test_export_csv_and_json_formats(tmp_engine_dirs):
+    """`export --format csv|json`: the sink counterparts of the
+    file-source round trips — same rows, readable back by the matching
+    Ray reader."""
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.pipelines.cdc import export_final_state
+
+    cfg = tmp_engine_dirs
+    ev = make_events(
+        [dict(ts=1, inc=0, op="i", repo="r", path=p, commit="", lang="",
+              content=f"c{p}", partition_id=0) for p in ("a", "b", "c")])
+    run_replay(ds_from_table(ev, 1), cfg)
+
+    out_c = f"{cfg.snapshot_dir}-csv"
+    assert export_final_state(cfg, out_c, fmt="csv") == 3
+    back = rd.read_csv(out_c).to_pandas().sort_values("path")
+    assert list(back["content"]) == ["ca", "cb", "cc"]
+
+    out_j = f"{cfg.snapshot_dir}-json"
+    assert export_final_state(cfg, out_j, fmt="json") == 3
+    back = rd.read_json(out_j).to_pandas().sort_values("path")
+    assert list(back["content"]) == ["ca", "cb", "cc"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown export format"):
+        export_final_state(cfg, f"{cfg.snapshot_dir}-x", fmt="orc")
