@@ -137,8 +137,8 @@ def gc(args) -> int:
 
 def export(args) -> int:
     """Materialize the live final state (tombstones dropped) as a
-    directory of Parquet part files — streaming write, never one giant
-    file."""
+    directory of part files (--format parquet|csv|json) — streaming
+    write, never one giant file."""
     import ray
 
     if not ray.is_initialized():
