@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 
 __all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
            "dense_rank", "group_percent_rank", "rank_with_ties",
-           "group_string_agg", "funnel_counts", "throttle"]
+           "group_string_agg", "funnel_counts", "throttle",
+           "validity_intervals", "time_weighted_avg"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:
@@ -717,6 +718,111 @@ def longest_streak(ds, *, key: str, day_col: str,
                          out_col: pa.array(best, pa.int64())})
 
     from kafka_connect_mongo_ray.utils import key_bucketed
+
+    return key_bucketed(ds, [key], num_partitions or 32).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def validity_intervals(ds, *, key_cols: list[str], order_cols: list[str],
+                       ts_col: str, op_col: str, delete_op: str = "d",
+                       from_col: str = "valid_from", to_col: str = "valid_to",
+                       current_col: str = "is_current",
+                       num_partitions: int | None = None):
+    """SCD Type-2 dimension history from a change stream: every upsert
+    opens a validity interval ``[ts, next_change_ts)`` for its key, the
+    key's next event (upsert OR tombstone) closes it, and the last
+    un-closed interval is the current row (``valid_to`` NULL) — the
+    lake-side history table a CDC consumer materializes instead of the
+    LWW head (``LEAD(ts) OVER (PARTITION BY key ORDER BY ...)`` with
+    tombstones consuming, not emitting, a row).
+
+    Same one-exchange shape as the rest of the window family: hash
+    bucket of ``key_cols``, per-bucket sort, loop-free boundary
+    arithmetic. Tombstone rows close the preceding interval and emit
+    nothing; a key whose only events are tombstones emits nothing.
+    ``ts_col`` must be integer (the change-log position); ``op_col``
+    is compared against ``delete_op`` as a string."""
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(c, "ascending") for c in key_cols]
+            + [(c, "ascending") for c in order_cols])
+        n = t.num_rows
+        if n == 0:
+            empty = t.append_column(from_col, pa.array([], pa.int64()))
+            empty = empty.append_column(to_col, pa.array([], pa.int64()))
+            return empty.append_column(current_col, pa.array([], pa.bool_()))
+        ks = [np.asarray(t[c]) for c in key_cols]
+        same_key = np.ones(n - 1, dtype=bool)
+        for k in ks:
+            same_key &= k[1:] == k[:-1]
+        ts = np.asarray(t[ts_col], dtype=np.int64)
+        lead = np.empty(n, dtype=np.int64)
+        lead[:-1] = ts[1:]
+        lead[-1] = 0
+        open_end = np.ones(n, dtype=bool)  # True ⇒ valid_to NULL
+        open_end[:-1] = ~same_key
+        out = t.append_column(from_col, pa.array(ts, pa.int64()))
+        out = out.append_column(
+            to_col, pa.array(np.where(open_end, 0, lead), pa.int64(),
+                             mask=open_end))
+        out = out.append_column(current_col,
+                                pa.array(open_end, pa.bool_()))
+        keep = np.asarray(t[op_col]).astype(object) != delete_op
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return key_bucketed(ds, key_cols, num_partitions or 32).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def time_weighted_avg(ds, *, key: str, order_cols: list[str], ts_col: str,
+                      val_col: str, out_col: str = "twa",
+                      num_partitions: int | None = None):
+    """Per-``key`` TIME-weighted mean of an integer-valued series: each
+    observation is held until the key's next observation, so the mean
+    weights each value by its holding duration — the standard metric
+    for irregularly-sampled gauges (price, queue depth, balance). The
+    last observation per key has no duration and contributes nothing;
+    keys with a single observation (or zero total duration) emit no
+    row, mirroring SQL's ``WHERE dur IS NOT NULL ... HAVING SUM(dur)
+    > 0``.
+
+    ``val_col`` and ``ts_col`` must be integer columns (e.g. cents and
+    epoch µs): numerator and denominator are EXACT int64 sums
+    (``Σ vᵢ·(tᵢ₊₁−tᵢ)`` via one ``np.add.reduceat`` over the
+    key-sorted products) and the single float op is the final
+    division, so the SQL mirror is bit-exact. Caller owns the int64
+    bound: ``max|v| · key_time_span`` per key must stay inside int64
+    (cents ≤ 10⁵ over a 30-year µs span holds with 3 decades of
+    headroom). One keys-only hash-bucket exchange, one row per key."""
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(key, "ascending")] + [(c, "ascending") for c in order_cols])
+        k = np.asarray(t[key])
+        n = len(k)
+        if n == 0:
+            return pa.table({key: t[key],
+                             out_col: pa.array([], pa.float64())})
+        ts = np.asarray(t[ts_col], dtype=np.int64)
+        v = np.asarray(t[val_col], dtype=np.int64)
+        first, _, _ = _segments(k)
+        dur = np.zeros(n, dtype=np.int64)
+        dur[:-1] = ts[1:] - ts[:-1]
+        # the last row of each key holds to "now" = excluded (dur 0)
+        last = np.empty(n, dtype=bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        dur[last] = 0
+        starts = np.flatnonzero(first)
+        num = np.add.reduceat(v * dur, starts)
+        den = np.add.reduceat(dur, starts)
+        keep = den > 0
+        twa = num[keep].astype(np.float64) / den[keep].astype(np.float64)
+        return pa.table({key: pa.array(k[starts][keep]),
+                         out_col: pa.array(twa, pa.float64())})
 
     return key_bucketed(ds, [key], num_partitions or 32).map_groups(
         per_bucket, batch_format="pyarrow")

@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 __all__ = ["corr_components", "frequent_items", "group_argmax",
            "linreg_components", "fixed_width_histogram",
            "group_count_distinct", "group_zscore_outliers",
-           "grouped_corr", "grouped_skew_kurt"]
+           "grouped_corr", "grouped_skew_kurt", "grouped_entropy",
+           "welch_t_components"]
 
 
 def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
@@ -608,3 +609,137 @@ def grouped_skew_kurt(ds, *, group_col: str, int_col: str,
             .aggregate(*[Sum(c, alias_name=c)
                          for c in ("n", "s1", "s2", "s3", "s4")])
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def grouped_entropy(ds, *, group_col: str, val_col: str,
+                    out_col: str = "ent", round_to: int = 6):
+    """Per-group Shannon entropy (base 2) of a categorical column's
+    instance distribution — DuckDB's ``entropy(val) GROUP BY group``
+    and the grouped sibling of ``text.py::char_entropy_batch`` (which
+    is batch-local per document; this one shuffles, so a group's
+    instances may span the whole corpus).
+
+    Two count-domain stages, no row-domain exchange: each batch
+    reduces to ≤ distinct-(group,val)-present rows of partial counts,
+    ONE hash-bucket exchange co-locates a group's partials, and the
+    in-bucket kernel re-reduces with ``np.unique`` + two ``reduceat``
+    sweeps (final counts per (group,val), then Σc·log₂c per group).
+    The float path mirrors the batch-local kernel exactly —
+    ``log2(n) − Σ c·log₂c / n`` at the same 6-dp grid — so the SQL
+    oracle transfers."""
+    from kafka_connect_mongo_ray.utils import key_bucketed
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
+                           val_col: np.asarray(batch[val_col]).astype(object)})
+        agg = (df.groupby([group_col, val_col], sort=False, dropna=False)
+               .size().reset_index(name="__c"))
+        return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
+                         val_col: pa.array(agg[val_col].to_numpy(object),
+                                           pa.string()),
+                         "__c": pa.array(agg["__c"].to_numpy(), pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__gb"]).sort_by(
+            [(group_col, "ascending"), (val_col, "ascending")])
+        k = np.asarray(t[group_col])
+        v = np.asarray(t[val_col]).astype(object)
+        c = np.asarray(t["__c"], dtype=np.int64)
+        n = len(k)
+        if n == 0:
+            return pa.table({group_col: t[group_col],
+                             out_col: pa.array([], pa.float64())})
+        # merge cross-batch partials of the same (group, val)
+        pair_first = np.ones(n, dtype=bool)
+        pair_first[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        pstart = np.flatnonzero(pair_first)
+        cnt = np.add.reduceat(c, pstart)
+        gk = k[pstart]
+        gfirst = np.ones(len(gk), dtype=bool)
+        gfirst[1:] = gk[1:] != gk[:-1]
+        gstart = np.flatnonzero(gfirst)
+        clogc = cnt * np.log2(cnt)
+        sums = np.add.reduceat(clogc, gstart)
+        tot = np.add.reduceat(cnt, gstart).astype(np.float64)
+        ent = np.round(np.log2(tot) - sums / tot, round_to)
+        return pa.table({group_col: pa.array(gk[gstart]),
+                         out_col: pa.array(ent, pa.float64())})
+
+    return key_bucketed(ds.map_batches(partial, batch_format="pyarrow"),
+                        [group_col], 32).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def welch_t_components(ds, *, label_col: str, int_col: str,
+                       label_a: str, label_b: str, scale: int = 1,
+                       round_to: int = 9):
+    """Welch's unequal-variance t statistic between two labelled
+    populations of an integer-valued metric — the A/B-test primitive.
+    Each batch reduces to ≤ 2 rows of exact int64 ``(n, Σx, Σx²)``
+    partials over ``round(col·scale)`` (float shadow sums guard the
+    wrap, same contract as :func:`grouped_skew_kurt`), one 2-row Sum
+    exchange, then the closed form on the driver-side 2-row table::
+
+        m  = s1/n                       (per side)
+        q  = s2/n − m·m                 (population variance)
+        v  = q · (n/(n−1))              (sample correction)
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))   (Welch–S.)
+
+    Bit-parity relies on the operand-order discipline: the SQL oracle
+    mirrors this exact parenthesization over the same exact integer
+    sums. Returns a ONE-ROW pandas DataFrame (n_a, n_b, mean_a,
+    mean_b, t_stat, df) — scalar output, so driver-side finishing is
+    metrics-bounded by design."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch[label_col]).astype(object)
+        keep = (lab == label_a) | (lab == label_b)
+        x = np.rint(np.asarray(batch[int_col], dtype=np.float64)[keep]
+                    * scale).astype(np.int64)
+        lab = lab[keep]
+        df = pd.DataFrame({label_col: lab, "n": 1, "s1": x, "s2": x * x})
+        fx = x.astype(np.float64)
+        shadow = pd.DataFrame({label_col: lab, "f2": fx * fx})
+        agg = df.groupby(label_col, sort=False).sum()
+        sagg = shadow.groupby(label_col, sort=False).sum()
+        _shadow_check(agg["s2"], sagg["f2"], "welch_t s2")
+        agg = agg.reset_index()
+        return pa.table({label_col: pa.array(agg[label_col].to_numpy(object),
+                                             pa.string()),
+                         **{c: pa.array(agg[c].to_numpy(), pa.int64())
+                            for c in ("n", "s1", "s2")}})
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(label_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s1", "s2")])
+            .to_pandas())  # exactly 2 rows
+    by = {r[label_col]: r for _, r in sums.iterrows()}
+    out: dict = {}
+    vn: dict = {}
+    for side, lab in (("a", label_a), ("b", label_b)):
+        r = by[lab]
+        n = float(r["n"])
+        m = float(r["s1"]) / n
+        q = float(r["s2"]) / n - m * m
+        out[f"n_{side}"] = int(r["n"])
+        out[f"mean_{side}"] = m
+        vn[side] = (q * (n / (n - 1.0))) / n  # v/n
+    se2 = vn["a"] + vn["b"]
+    t = (out["mean_a"] - out["mean_b"]) / np.sqrt(se2)
+    df_w = (se2 * se2) / ((vn["a"] * vn["a"]) / (out["n_a"] - 1.0)
+                          + (vn["b"] * vn["b"]) / (out["n_b"] - 1.0))
+
+    def _r(x: float) -> float:  # DuckDB ROUND = half away from zero
+        return pc.round(pa.scalar(float(x), pa.float64()), round_to,
+                        round_mode="half_towards_infinity").as_py()
+
+    out["mean_a"] = _r(out["mean_a"])
+    out["mean_b"] = _r(out["mean_b"])
+    return pd.DataFrame([{**out, "t_stat": _r(t), "df_w": _r(df_w)}])

@@ -6259,6 +6259,71 @@ def q_events_user_streaks(sf_dir: str):
                           num_partitions=_gate_buckets())
 
 
+def q_cdc_scd2_history(sf_dir: str):
+    """SCD Type-2 dimension history from the change stream
+    (functions/ranking.py::validity_intervals): every upsert opens a
+    validity interval, the key's next change (upsert or tombstone)
+    closes it, tombstones consume rows — the history table a CDC
+    consumer materializes instead of the LWW head. One hash-bucket
+    exchange; the oracle derives the same intervals analytically from
+    the deterministic stream."""
+    from kafka_connect_mongo_ray.functions.ranking import validity_intervals
+
+    out = validity_intervals(doc_change_events(sf_dir),
+                             key_cols=["path"], order_cols=["ts", "inc"],
+                             ts_col="ts", op_col="op",
+                             num_partitions=_gate_buckets())
+    return out.select_columns(["repo", "path", "lang", "content",
+                               "valid_from", "valid_to", "is_current"])
+
+
+def q_events_twa_value(sf_dir: str):
+    """Per-user TIME-weighted average of the value series
+    (functions/ranking.py::time_weighted_avg): each observation is
+    held until the user's next event, so the mean weights each value
+    by its holding duration. Numerator and denominator are exact int64
+    sums (cents × µs); the single float op is the final division, so
+    the mirror is bit-exact. Single-observation users emit no row."""
+    from kafka_connect_mongo_ray.functions.ranking import time_weighted_avg
+
+    out = time_weighted_avg(_events_ts_us(sf_dir, extra_cols=["value"],
+                                          cents=True),
+                            key="user_id", order_cols=["ts_us", "event_id"],
+                            ts_col="ts_us", val_col="cents",
+                            out_col="twa_cents",
+                            num_partitions=_gate_buckets())
+    return out.select_columns(["user_id", "twa_cents"])
+
+
+def q_events_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (functions/stats.py::grouped_entropy) — the behavioural-diversity
+    signal (0 ⇒ single-type users). Two count-domain stages: batch-
+    local (user, type) partial counts, one hash-bucket exchange,
+    reduceat merge + the entropy closed form at the shared 6-dp grid
+    (the same float path as docs_char_entropy, whose DuckDB
+    ``entropy()`` mirror is pinned by the gate)."""
+    from kafka_connect_mongo_ray.functions.stats import grouped_entropy
+
+    return grouped_entropy(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        group_col="user_id", val_col="event_type")
+
+
+def q_events_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t between purchase and click values
+    (functions/stats.py::welch_t_components) — the A/B-test primitive:
+    exact int64 (n, Σx, Σx²) partials per batch, one 2-row exchange,
+    operand-order-mirrored closed forms for t and the Welch–
+    Satterthwaite df. Scalar output (one row)."""
+    from kafka_connect_mongo_ray.functions.stats import welch_t_components
+
+    return welch_t_components(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        label_col="event_type", int_col="value",
+        label_a="purchase", label_b="click", scale=100)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6270,6 +6335,10 @@ def build_queries():
     # a prefix-budgeted gate would otherwise never reach them); the 50
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "events_twa_value": q_events_twa_value,
+        "events_user_entropy": q_events_user_entropy,
+        "events_welch_ttest": q_events_welch_ttest,
         "dq_audit": q_dq_audit,
         "events_user_streaks": q_events_user_streaks,
         "events_json_source": q_events_json_source,
@@ -6458,6 +6527,87 @@ def build_oracle_sql():
         f"len(regexp_extract_all(coalesce(text, ''), '{p}')) > 0"
         for p in _PII.values())
     return {
+        # analytic mirror of the deterministic change stream: version
+        # ver of doc d lives at ts=1000+ver, the next version (or the
+        # doc's tombstone at 1000+(doc_id%5)+1 when doc_id%7=0) closes
+        # it; the last un-closed version is current
+        "cdc_scd2_history": """
+            WITH v AS (
+                SELECT doc_id, source, lang, text,
+                       doc_id % 5 AS maxv,
+                       (doc_id % 7 = 0) AS deleted,
+                       unnest(generate_series(0, doc_id % 5)) AS ver
+                FROM documents)
+            SELECT source AS repo,
+                   CAST(doc_id AS VARCHAR) AS path,
+                   lang,
+                   text || ':v' || CAST(ver AS VARCHAR) AS content,
+                   CAST(1000 + ver AS BIGINT) AS valid_from,
+                   CAST(CASE WHEN ver < maxv OR deleted
+                             THEN 1001 + ver END AS BIGINT) AS valid_to,
+                   (ver = maxv AND NOT deleted) AS is_current
+            FROM v
+        """,
+        # exact int64 cents·µs sums; the ONLY float op is the final
+        # division of the two exact sums (int→double conversion is
+        # correctly rounded in both engines, so bit-exact above 2^53)
+        "events_twa_value": """
+            WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                              CAST(ROUND(value*100) AS BIGINT) AS c
+                       FROM events),
+            l AS (SELECT user_id, c,
+                         LEAD(tsu) OVER (PARTITION BY user_id
+                                         ORDER BY tsu, event_id) - tsu
+                         AS dur
+                  FROM x)
+            SELECT user_id,
+                   CAST(SUM(c*dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
+                   AS twa_cents
+            FROM l WHERE dur IS NOT NULL
+            GROUP BY user_id
+            HAVING SUM(dur) > 0
+        """,
+        # DuckDB entropy() is base-2 Shannon over value instances —
+        # same closed form as the engine's reduceat kernel at 6 dp
+        "events_user_entropy": """
+            SELECT user_id, ROUND(entropy(event_type), 6) AS ent
+            FROM events GROUP BY user_id
+        """,
+        # operand-order-mirrored Welch t: every multiply / divide /
+        # subtract happens in the same order on the same exact int64
+        # (n, Σx, Σx²) sums as functions/stats.py::welch_t_components
+        "events_welch_ttest": """
+            WITH x AS (SELECT event_type AS lab,
+                              CAST(ROUND(value*100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('purchase','click')),
+            p AS (SELECT lab, COUNT(*) AS n, SUM(c) AS s1,
+                         SUM(c*c) AS s2
+                  FROM x GROUP BY lab),
+            m AS (SELECT lab, n,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mm,
+                         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2
+                  FROM p),
+            v AS (SELECT lab, n, mm,
+                         ((e2 - mm*mm) *
+                          (CAST(n AS DOUBLE)/(CAST(n AS DOUBLE)-1)))
+                         / CAST(n AS DOUBLE) AS vn
+                  FROM m),
+            ab AS (SELECT
+                    (SELECT n  FROM v WHERE lab='purchase') AS n_a,
+                    (SELECT n  FROM v WHERE lab='click')    AS n_b,
+                    (SELECT mm FROM v WHERE lab='purchase') AS mean_a,
+                    (SELECT mm FROM v WHERE lab='click')    AS mean_b,
+                    (SELECT vn FROM v WHERE lab='purchase') AS vna,
+                    (SELECT vn FROM v WHERE lab='click')    AS vnb)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(mean_a, 9) AS mean_a, ROUND(mean_b, 9) AS mean_b,
+                   ROUND((mean_a - mean_b) / sqrt(vna + vnb), 9) AS t_stat,
+                   ROUND(((vna+vnb)*(vna+vnb)) /
+                         ((vna*vna)/(CAST(n_a AS DOUBLE)-1)
+                          + (vnb*vnb)/(CAST(n_b AS DOUBLE)-1)), 9) AS df_w
+            FROM ab
+        """,
         "dq_audit": """
             SELECT 'li_quantity_not_null' AS check_name,
                    CAST(COUNT(*) AS BIGINT) AS n_checked,
