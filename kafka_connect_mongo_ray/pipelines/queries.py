@@ -3935,6 +3935,42 @@ def q_cdc_incremental_view(sf_dir: str):
         metrics={"total_chars": METRIC_CHARS, "n_tokens": METRIC_TOKENS})
 
 
+def q_cdc_incremental_moments(sf_dir: str):
+    """Incrementally-maintained MEAN and VARIANCE (state/ivm.py::
+    MOMENT_METRICS + derive_moments): the per-repo (n, Σchars,
+    Σchars²) state is folded from change-feed deltas only — second
+    moments are SUM-decomposable, so retractions stay
+    subtraction-only — and the derived stats are computed at read
+    time from the exact int64 sums (single-division operand order,
+    mirrored by the oracle)."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.state.ivm import (
+        MOMENT_METRICS,
+        derive_moments,
+        maintain_group_aggregate,
+    )
+
+    root = f"/tmp/kcm_ivmm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs.map_batches(_backfill_events, batch_format="pyarrow"),
+               cfg)
+    docs2 = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
+    state = maintain_group_aggregate(
+        cfg.snapshot_dir, [0, 1, 2], num_partitions=_gate_buckets(8),
+        metrics=MOMENT_METRICS)
+    return state.map_batches(derive_moments, batch_format="pyarrow")
+
+
 def q_events_attribution(sf_dir: str):
     """Stream-stream windowed join (stages/join.py::window_join): every
     (purchase, click) pair of the same user with the click in the hour
@@ -6336,6 +6372,7 @@ def build_queries():
     # r03-verified queries follow, CDC flagship family first. Their
     # implementations are unchanged since the r03-green commit.
         "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_incremental_moments": q_cdc_incremental_moments,
         "events_twa_value": q_events_twa_value,
         "events_user_entropy": q_events_user_entropy,
         "events_welch_ttest": q_events_welch_ttest,
@@ -6547,6 +6584,27 @@ def build_oracle_sql():
                              THEN 1001 + ver END AS BIGINT) AS valid_to,
                    (ver = maxv AND NOT deleted) AS is_current
             FROM v
+        """,
+        # same live-set CTE as cdc_incremental_view; mean/variance
+        # derived from exact int64 (n, Σx, Σx²) with the engine's
+        # parenthesization (m = s1/n; var = s2/n − m·m) at 9 dp
+        "cdc_incremental_moments": """
+            WITH live AS (
+                SELECT source, CASE WHEN doc_id % 3 <> 0
+                                    THEN text || ':u' ELSE text END AS c
+                FROM documents WHERE doc_id % 7 <> 0),
+            p AS (SELECT source AS repo, COUNT(*) AS n,
+                         SUM(length(c)) AS s1,
+                         SUM(length(c)*length(c)) AS s2
+                  FROM live GROUP BY source)
+            SELECT repo, CAST(n AS BIGINT) AS n_live,
+                   ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS mean_chars,
+                   ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                   AS var_chars
+            FROM p
         """,
         # exact int64 cents·µs sums; the ONLY float op is the final
         # division of the two exact sums (int→double conversion is

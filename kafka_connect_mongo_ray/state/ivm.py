@@ -272,3 +272,47 @@ class IvmState:
                 shutil.rmtree(os.path.join(self.root, d),
                               ignore_errors=True)
         return drop
+
+
+def METRIC_CHARS_SQ(content: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Squared character count (NULL → 0) — the second-moment partial
+    that makes MEAN and VARIANCE incrementally maintainable: both are
+    derived at READ time from the SUM-decomposable (n, Σx, Σx²) state,
+    so retractions stay subtraction-only (unlike MIN/MAX, which are
+    documented out of scope). Caller owns the int64 bound:
+    ``max_chars² · group_rows`` must stay inside int64 (10⁴-char docs
+    hold to ~10¹⁰ rows per group)."""
+    c = pc.cast(pc.fill_null(pc.utf8_length(content), 0), pa.int64())
+    return pc.multiply(c, c)
+
+
+MOMENT_METRICS = {"sum_chars": METRIC_CHARS, "sumsq_chars": METRIC_CHARS_SQ}
+
+
+def derive_moments(state: pa.Table, *, n_col: str = "n_live",
+                   sum_col: str = "sum_chars",
+                   sumsq_col: str = "sumsq_chars",
+                   mean_col: str = "mean_chars",
+                   var_col: str = "var_chars",
+                   round_to: int = 9) -> pa.Table:
+    """Read-side view over a maintained (n, Σx, Σx²) state: population
+    mean and variance per group, computed as ``m = s1/n`` and
+    ``s2/n − m·m`` on exact int64 sums (the single-division /
+    operand-order discipline — the SQL mirror parenthesizes
+    identically). Batch-local and group-domain-sized; the maintained
+    sums are exact, so the derived stats match a full recompute
+    bit-for-bit."""
+    n = np.asarray(state[n_col], dtype=np.int64).astype(np.float64)
+    s1 = np.asarray(state[sum_col], dtype=np.int64).astype(np.float64)
+    s2 = np.asarray(state[sumsq_col], dtype=np.int64).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = s1 / n
+        v = s2 / n - m * m
+    return pa.table({
+        "repo": state["repo"],
+        n_col: state[n_col],
+        mean_col: pc.round(pa.array(m, pa.float64()), round_to,
+                           round_mode="half_towards_infinity"),
+        var_col: pc.round(pa.array(v, pa.float64()), round_to,
+                          round_mode="half_towards_infinity"),
+    })

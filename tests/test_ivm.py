@@ -300,3 +300,47 @@ def test_persisted_ivm_refuses_mismatched_metric_sets(tmp_path):
                              "n_tokens": METRIC_TOKENS})
     with _pytest.raises(ValueError, match="do not match configured"):
         wide.fold_window(cfg.snapshot_dir, 2, num_partitions=2)
+
+
+def test_ivm_moments_match_full_recompute_with_retractions(tmp_path):
+    """(n, Σx, Σx²)-maintained mean/variance equals a full recompute
+    over the live rows after updates, deletes, and a resurrection —
+    second moments stay exact under subtraction-only retraction."""
+    from kafka_connect_mongo_ray.state.ivm import (
+        MOMENT_METRICS,
+        derive_moments,
+    )
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", lang="py", partition_id=0, inc=0)
+    run_replay(_ds(make_events([
+        dict(ts=1, op="i", repo="r0", path="a", content="xxxx", **base),
+        dict(ts=1, op="i", repo="r0", path="b", content="yy", **base),
+        dict(ts=1, op="i", repo="r1", path="c", content="zzz", **base),
+    ])), cfg)
+    run_replay(_ds(make_events([
+        dict(ts=2, op="u", repo="r0", path="a", content="xxxxxxxx", **base),
+        dict(ts=2, op="d", repo="r0", path="b", content=None, **base),
+        dict(ts=3, op="i", repo="r0", path="b", content="back!", **base),
+        dict(ts=2, op="i", repo="r1", path="d", content="w", **base),
+    ])), cfg)
+    state = maintain_group_aggregate(
+        cfg.snapshot_dir, [0, 1, 2], num_partitions=2,
+        metrics=MOMENT_METRICS)
+    got = (state.map_batches(derive_moments, batch_format="pyarrow")
+           .to_pandas().sort_values("repo").reset_index(drop=True))
+    live = final_state_dataset(cfg, version=2).to_pandas()
+    live = live[live.content.notna()]
+    lens = live.content.str.len().astype(np.int64)
+    ref = (pd.DataFrame({"repo": live.repo, "s1": lens, "s2": lens * lens})
+           .groupby("repo").agg(n=("s1", "count"), s1=("s1", "sum"),
+                                s2=("s2", "sum")).reset_index())
+    for _, r in ref.iterrows():
+        row = got[got.repo == r.repo].iloc[0]
+        n = float(r.n)
+        m = float(r.s1) / n
+        assert row["n_live"] == r.n
+        assert abs(row["mean_chars"] - round(m, 9)) < 1e-12
+        assert abs(row["var_chars"]
+                   - round(float(r.s2) / n - m * m, 9)) < 1e-9
