@@ -785,6 +785,48 @@ def ann_cmd(args) -> int:
         ray.shutdown()
 
 
+def index_cmd(args) -> int:
+    """Secondary-index face (state/secondary_index.py): ``--apply``
+    folds every committed window's change feed into the persisted
+    attribute→key index (idempotent — deterministic per-window file
+    names), ``--value`` answers a single-bucket lookup, ``--counts``
+    reports per-value live-key counts, ``--compact`` folds history
+    into a new generation with an atomic manifest swap. One JSON
+    line."""
+    import ray
+
+    ray.init(address="local", include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    try:
+        from kafka_connect_mongo_ray.state.secondary_index import (
+            SecondaryIndex,
+        )
+
+        idx = SecondaryIndex(args.index, column=args.column,
+                             num_buckets=args.buckets)
+        out = {"index": args.index, "column": args.column}
+        if args.apply:
+            from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+            store = SnapshotStore(args.snapshot, create=False)
+            cur = store.current_version()
+            out["applied"] = [idx.apply_window(args.snapshot, v - 1, v)
+                              for v in range(1, cur + 1)]
+        if args.compact:
+            out["compact"] = idx.compact()
+        if args.value:
+            t = idx.lookup(args.value).to_pandas()
+            out["lookup"] = {"value": args.value, "rows": len(t),
+                             "keys": t.head(20).to_dict(orient="records")}
+        if args.counts:
+            out["counts"] = idx.counts().to_pandas().to_dict(
+                orient="records")
+        print(json.dumps(out, sort_keys=True, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kafka_connect_mongo_ray")
     sub = p.add_subparsers(dest="cmd")
@@ -940,6 +982,16 @@ def main(argv=None) -> int:
     bm.add_argument("--terms", default=None,
                     help="comma-separated query terms")
     bm.add_argument("--k", type=int, default=10)
+    ix = sub.add_parser("index")
+    ix.add_argument("--snapshot", default=None,
+                    help="snapshot store root (required with --apply)")
+    ix.add_argument("--index", required=True)
+    ix.add_argument("--column", default="lang")
+    ix.add_argument("--buckets", type=int, default=16)
+    ix.add_argument("--apply", action="store_true")
+    ix.add_argument("--compact", action="store_true")
+    ix.add_argument("--value", default=None)
+    ix.add_argument("--counts", action="store_true")
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
@@ -984,6 +1036,8 @@ def main(argv=None) -> int:
         return ann_cmd(args)
     if args.cmd == "bm25":
         return bm25_cmd(args)
+    if args.cmd == "index":
+        return index_cmd(args)
     p.print_help()
     return 0
 

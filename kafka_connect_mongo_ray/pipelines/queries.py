@@ -3971,6 +3971,39 @@ def q_cdc_incremental_moments(sf_dir: str):
     return state.map_batches(derive_moments, batch_format="pyarrow")
 
 
+def q_cdc_secondary_lookup(sf_dir: str):
+    """Persisted attribute→key secondary index (state/
+    secondary_index.py): built incrementally from the change feeds of
+    the backfill and tail windows (signed postings from pre/post
+    images — a lang change moves the key, a tombstone retracts it),
+    then one single-bucket lookup answers "every live 'fr' document"
+    without scanning the table. The oracle recomputes the same
+    membership analytically over the final live set."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.state.secondary_index import SecondaryIndex
+
+    root = f"/tmp/kcm_sidxq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs.map_batches(_backfill_events, batch_format="pyarrow"),
+               cfg)
+    docs2 = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
+    idx = SecondaryIndex(f"{root}/idx", column="lang",
+                         num_buckets=_gate_buckets(8))
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    return idx.lookup("fr")
+
+
 def q_events_attribution(sf_dir: str):
     """Stream-stream windowed join (stages/join.py::window_join): every
     (purchase, click) pair of the same user with the click in the hour
@@ -6373,6 +6406,7 @@ def build_queries():
     # implementations are unchanged since the r03-green commit.
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_incremental_moments": q_cdc_incremental_moments,
+        "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "events_twa_value": q_events_twa_value,
         "events_user_entropy": q_events_user_entropy,
         "events_welch_ttest": q_events_welch_ttest,
@@ -6584,6 +6618,12 @@ def build_oracle_sql():
                              THEN 1001 + ver END AS BIGINT) AS valid_to,
                    (ver = maxv AND NOT deleted) AS is_current
             FROM v
+        """,
+        # the index answers membership over the LIVE final set — keys
+        # tombstoned by the tail window (doc_id % 7 = 0) are retracted
+        "cdc_secondary_lookup": """
+            SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path
+            FROM documents WHERE doc_id % 7 <> 0 AND lang = 'fr'
         """,
         # same live-set CTE as cdc_incremental_view; mean/variance
         # derived from exact int64 (n, Σx, Σx²) with the engine's

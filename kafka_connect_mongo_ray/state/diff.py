@@ -41,9 +41,26 @@ def _bucket_rels(store: SnapshotStore, version: int) -> dict[str, list[str]]:
     return {b: ([r] if isinstance(r, str) else r) for b, r in m["buckets"].items()}
 
 
+def _diff_schema(include_old: bool,
+                 attr_cols: list[str] | None = None) -> pa.Schema:
+    schema = DIFF_SCHEMA_OLD if include_old else DIFF_SCHEMA
+    for a in attr_cols or []:
+        schema = schema.append(pa.field(a, pa.string()))
+        if include_old:
+            schema = schema.append(pa.field(f"{a}_old", pa.string()))
+    return schema
+
+
 def diff_bucket_tables(old: pa.Table | None, new: pa.Table | None,
-                       include_old: bool = False) -> pa.Table:
-    cols = ["repo", "path", "ts", "inc", "op_rank", "content"]
+                       include_old: bool = False,
+                       attr_cols: list[str] | None = None) -> pa.Table:
+    """``attr_cols`` carries extra stored attribute columns (cast to
+    string) through the diff — post-image always, pre-image as
+    ``<col>_old`` when ``include_old`` — so attribute-level consumers
+    (the secondary index) see what a changed key's value WAS without a
+    second bucket read. The default wire schema is unchanged."""
+    attr_cols = list(attr_cols or [])
+    cols = ["repo", "path", "ts", "inc", "op_rank", "content"] + attr_cols
 
     def frame(t):
         if t is None or t.num_rows == 0:
@@ -77,19 +94,25 @@ def diff_bucket_tables(old: pa.Table | None, new: pa.Table | None,
         # a key that appeared has no pre-image; a tombstoned key's
         # pre-image may itself be a tombstone (stays null)
         out["content_old"] = keep["content_old"]
-        return pa.Table.from_pandas(out,
-                                    preserve_index=False).cast(DIFF_SCHEMA_OLD)
-    return pa.Table.from_pandas(out, preserve_index=False).cast(DIFF_SCHEMA)
+    for a in attr_cols:
+        out[a] = keep[a].astype(object)
+        if include_old:
+            out[f"{a}_old"] = keep[f"{a}_old"].astype(object)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        _diff_schema(include_old, attr_cols))
 
 
 def changes_between(snapshot_dir: str, v_old: int, v_new: int,
-                    include_old: bool = False):
+                    include_old: bool = False,
+                    attr_cols: list[str] | None = None):
     """Dataset of per-key changes from v_old to v_new.
 
     ``include_old=True`` appends the pre-image ``content_old`` column
     (null for appeared keys) — the retraction side an incremental
     aggregate maintainer needs; the default keeps the wire schema the
-    downstream feed consumers already parse."""
+    downstream feed consumers already parse. ``attr_cols`` carries
+    extra stored attribute columns through (see
+    :func:`diff_bucket_tables`)."""
     import ray.data as rd
 
     store = SnapshotStore(snapshot_dir, create=False)
@@ -101,7 +124,7 @@ def changes_between(snapshot_dir: str, v_old: int, v_new: int,
         if o == n:
             continue  # COW: identical file list ⇒ bucket unchanged, skip
         work.append({"bucket": b, "old": ",".join(o or []), "new": ",".join(n or [])})
-    schema = DIFF_SCHEMA_OLD if include_old else DIFF_SCHEMA
+    schema = _diff_schema(include_old, attr_cols)
     if not work:
         return rd.from_arrow(schema.empty_table())
 
@@ -121,7 +144,8 @@ def changes_between(snapshot_dir: str, v_old: int, v_new: int,
                 return ts[0] if len(ts) == 1 else pa.concat_tables(ts)
 
             outs.append(diff_bucket_tables(read(row["old"]), read(row["new"]),
-                                           include_old=include_old))
+                                           include_old=include_old,
+                                           attr_cols=attr_cols))
         return pa.concat_tables(outs) if outs else schema.empty_table()
 
     return rd.from_items(work).map_batches(diff_task, batch_size=1, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""state/secondary_index.py — persisted attribute→key index invariants:
+signed-posting membership equals a live-set recompute after updates
+(attribute moves), deletes (retraction), window re-application
+(idempotence), and compaction (atomic generation swap + stale-window
+refusal)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray
+
+from kafka_connect_mongo_ray.config import EngineConfig
+from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+from kafka_connect_mongo_ray.state.secondary_index import SecondaryIndex
+from tests.test_oracle_and_gen import make_events
+
+
+def _replay(cfg, rows):
+    ds = ray.data.from_arrow(make_events(rows)).repartition(2)
+    run_replay(ds, cfg)
+
+
+def _store(tmp_path):
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", partition_id=0, inc=0)
+    _replay(cfg, [
+        dict(ts=1, op="i", repo="r0", path="a", lang="py", content="x", **base),
+        dict(ts=1, op="i", repo="r0", path="b", lang="go", content="y", **base),
+        dict(ts=1, op="i", repo="r1", path="c", lang="py", content="z", **base),
+    ])
+    _replay(cfg, [
+        # attribute change: the key must MOVE from py to rs
+        dict(ts=2, op="u", repo="r0", path="a", lang="rs", content="x2", **base),
+        # delete: the key must be retracted from go
+        dict(ts=2, op="d", repo="r0", path="b", lang="go", content=None, **base),
+        dict(ts=2, op="i", repo="r1", path="d", lang="go", content="w", **base),
+    ])
+    return cfg
+
+
+def _keys(t: pa.Table):
+    return list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+
+
+def test_lookup_tracks_updates_moves_and_deletes(tmp_path):
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    assert _keys(idx.lookup("py")) == [("r1", "c")]
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
+    assert _keys(idx.lookup("absent")) == []
+    c = idx.counts().to_pandas().set_index("val")["n_keys"].to_dict()
+    assert c == {"py": 1, "rs": 1, "go": 1}
+
+
+def test_window_reapply_is_idempotent(tmp_path):
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    # a crashed at-least-once driver re-applies the same window: the
+    # deterministic per-window file name overwrites, never doubles
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
+    assert _keys(idx.lookup("py")) == [("r1", "c")]
+
+
+def test_compaction_preserves_membership_and_refuses_stale_windows(tmp_path):
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    before = {v: _keys(idx.lookup(v)) for v in ("py", "rs", "go")}
+    st = idx.compact()
+    assert st["generation"] == 1 and st["applied_through"] == 2
+    after = {v: _keys(idx.lookup(v)) for v in ("py", "rs", "go")}
+    assert after == before
+    # folded postings are net +1 only — dead keys are physically gone
+    assert st["postings"] == 3
+    # re-applying an already-folded window must be a refused no-op
+    out = idx.apply_window(cfg.snapshot_dir, 1, 2)
+    assert out.get("skipped")
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
+    # old generation is removed; the manifest points at the new one
+    assert not os.path.isdir(os.path.join(str(tmp_path / "idx"), "gen000"))
+
+
+def test_conflicting_configuration_is_refused(tmp_path):
+    _ = _store(tmp_path)
+    SecondaryIndex(str(tmp_path / "idx"), column="lang", num_buckets=4)
+    with pytest.raises(ValueError, match="refusing"):
+        SecondaryIndex(str(tmp_path / "idx"), column="lang", num_buckets=8)
+    with pytest.raises(ValueError, match="refusing"):
+        SecondaryIndex(str(tmp_path / "idx"), column="repo", num_buckets=4)
