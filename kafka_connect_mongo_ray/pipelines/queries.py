@@ -3971,6 +3971,26 @@ def q_cdc_incremental_moments(sf_dir: str):
     return state.map_batches(derive_moments, batch_format="pyarrow")
 
 
+def q_cdc_state_as_of(sf_dir: str):
+    """Point-in-time state read BY TIMESTAMP (the log-position
+    complement of version-based cdc_time_travel): LWW replay of only
+    the change events at or before the cutoff position — "the table
+    as consumers saw it at ts=1002". The cutoff filter pushes into the
+    batch map (rows drop before the bucket shuffle), so the replay
+    cost is the PREFIX of the log, not the whole stream."""
+    from kafka_connect_mongo_ray.pipelines.cdc import replay_collect
+
+    cutoff = 1002
+
+    def upto(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["ts"],
+                                          pa.scalar(cutoff, pa.int64())))
+
+    ds = doc_change_events(sf_dir).map_batches(upto, batch_format="pyarrow")
+    out = replay_collect(ds, num_buckets=16)
+    return out.select_columns(["repo", "path", "lang", "content"])
+
+
 def q_cdc_secondary_lookup(sf_dir: str):
     """Persisted attribute→key secondary index (state/
     secondary_index.py): built incrementally from the change feeds of
@@ -6407,6 +6427,7 @@ def build_queries():
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_incremental_moments": q_cdc_incremental_moments,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
+        "cdc_state_as_of": q_cdc_state_as_of,
         "events_twa_value": q_events_twa_value,
         "events_user_entropy": q_events_user_entropy,
         "events_welch_ttest": q_events_welch_ttest,
@@ -6618,6 +6639,17 @@ def build_oracle_sql():
                              THEN 1001 + ver END AS BIGINT) AS valid_to,
                    (ver = maxv AND NOT deleted) AS is_current
             FROM v
+        """,
+        # state at cutoff ts=1002: version min(doc_id%5, 2) is the
+        # latest at or before the cutoff; the tombstone (at
+        # 1001+doc_id%5 for doc_id%7=0) has landed only for docs with
+        # doc_id%5 <= 1
+        "cdc_state_as_of": """
+            SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, lang,
+                   text || ':v' || CAST(LEAST(doc_id % 5, 2) AS VARCHAR)
+                   AS content
+            FROM documents
+            WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <= 1)
         """,
         # the index answers membership over the LIVE final set — keys
         # tombstoned by the tail window (doc_id % 7 = 0) are retracted
