@@ -4263,22 +4263,31 @@ def q_tpch_late_ship_priority(sf_dir: str):
 _SUPP_BROADCAST_MAX_ROWS = 2_000_000
 
 
-def q_tpch_regional_revenue(sf_dir: str):
+def q_tpch_regional_revenue(sf_dir: str, force_bucketed: bool = False):
     """TPC-H Q5-shaped 6-way star: revenue by (region, nation) where
     the supplying supplier and the ordering customer share a nation,
-    orders placed 1996–1997. Two bucketed fact joins (orders⋈customer
-    on custkey, lineitem⋈that on orderkey) with the first STAGED
-    between the all-to-alls (the NEXT.md #2 lazy-multi-shuffle
-    starvation rule; the staged intermediate is two int64 columns of
-    the date-windowed orders — narrow and object-store-spillable). The
-    supplier side is a size-guarded BROADCAST (suppkey→nationkey dict
-    via ray.put — TPC-H supplier is 1/1,500th of lineitem rows and two
-    ints wide; above `_SUPP_BROADCAST_MAX_ROWS` it falls back to a
-    third bucketed join). nation⋈region (fixed 25×5 rows) attaches to
-    the nationkey-sized FINAL aggregate driver-side. Revenue is int
-    cents × (100−disc) so the oracle match is exact. Measured at
-    sf0.1/32 CPUs: 20–26 s as three chained lazy joins → 6.4 s with
-    broadcast + staging."""
+    orders placed 1996–1997. Revenue is int cents × (100−disc) so the
+    oracle match is exact; nation⋈region (fixed 25×5 rows) attaches to
+    the nationkey-sized FINAL aggregate driver-side.
+
+    TWO size-guarded plans (the PageRank/Q2 broadcast-state rule, both
+    pinned equal by test):
+
+    - BROADCAST-STATE (customer, date-windowed orders, and supplier all
+      under `_SUPP_BROADCAST_MAX_ROWS`): the orderkey→customer-nation
+      and suppkey→supplier-nation maps ship once as sorted numpy array
+      pairs (``ray.put``), and ONE searchsorted pass over lineitem does
+      both hops, the nation-equality filter, and a 25-row batch-local
+      partial — the only exchange is the nationkey-domain groupby-sum.
+      Measured at sf0.1/32 CPUs: 20–26 s as three chained lazy joins →
+      6.4 s with one broadcast + staging → ~1.5 s with this plan.
+    - BUCKETED fallback (any side above the guard): two bucketed fact
+      joins (orders⋈customer on custkey, lineitem⋈that on orderkey)
+      with the first STAGED between the all-to-alls (the NEXT.md #2
+      lazy-multi-shuffle starvation rule; the staged intermediate is
+      two int64 columns of the date-windowed orders — narrow and
+      object-store-spillable), supplier side broadcast under its own
+      guard else a third bucketed join."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -4286,6 +4295,91 @@ def q_tpch_regional_revenue(sf_dir: str):
 
     LO = np.datetime64("1996-01-01").astype("datetime64[us]").item()
     HI = np.datetime64("1998-01-01").astype("datetime64[us]").item()
+
+    def attach_names(agg):
+        import pyarrow.parquet as pq
+
+        nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+        names = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+
+        def attach(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().merge(
+                names[["n_nationkey", "n_name", "r_name"]],
+                left_on="c_nationkey", right_on="n_nationkey")
+            out = df[["r_name", "n_name", "revenue_cents"]].copy()
+            out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return agg.map_batches(attach, batch_format="pyarrow")
+
+    small = (not force_bucketed
+             and _table_rows(sf_dir, "supplier") <= _SUPP_BROADCAST_MAX_ROWS
+             and _table_rows(sf_dir, "customer") <= _SUPP_BROADCAST_MAX_ROWS
+             and _table_rows(sf_dir, "orders") <= _SUPP_BROADCAST_MAX_ROWS)
+    if small:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        ot = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=["o_orderkey", "o_custkey"],
+            filter=(pads.field("o_orderdate") >= LO)
+            & (pads.field("o_orderdate") < HI))
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+        ck = np.asarray(ct["c_custkey"], dtype=np.int64)
+        cn = np.asarray(ct["c_nationkey"], dtype=np.int64)
+        o = np.argsort(ck)
+        ck, cn = ck[o], cn[o]
+        ok = np.asarray(ot["o_orderkey"], dtype=np.int64)
+        oc = np.asarray(ot["o_custkey"], dtype=np.int64)
+        p = np.minimum(np.searchsorted(ck, oc), len(ck) - 1)
+        hit = ck[p] == oc  # inner-join semantics: orphan orders drop
+        ok, onat = ok[hit], cn[p[hit]]
+        o = np.argsort(ok)
+        ok, onat = ok[o], onat[o]
+        st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+        sk = np.asarray(st["s_suppkey"], dtype=np.int64)
+        sn = np.asarray(st["s_nationkey"], dtype=np.int64)
+        o = np.argsort(sk)
+        sk, sn = sk[o], sn[o]
+        maps_ref = ray.put((ok, onat, sk, sn))
+
+        def li_pass(batch: pa.Table) -> pa.Table:
+            okeys, onats, skeys, snats = ray.get(maps_ref)
+            lok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+            p = np.minimum(np.searchsorted(okeys, lok), len(okeys) - 1)
+            in_window = okeys[p] == lok
+            lsk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            q = np.minimum(np.searchsorted(skeys, lsk), len(skeys) - 1)
+            has_supp = skeys[q] == lsk
+            keep = in_window & has_supp & (onats[p] == snats[q])
+            cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                       dtype=np.float64)[keep]
+                            * 100).astype(np.int64)
+            disc = np.rint(np.asarray(batch["l_discount"],
+                                      dtype=np.float64)[keep]
+                           * 100).astype(np.int64)
+            rev = cents * (100 - disc)
+            nat = onats[p][keep]
+            o = np.argsort(nat, kind="stable")
+            nat, rev = nat[o], rev[o]
+            starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]]) \
+                if len(nat) else np.array([], dtype=np.int64)
+            sums = (np.add.reduceat(rev, starts) if len(starts)
+                    else np.array([], dtype=np.int64))
+            return pa.table({
+                "c_nationkey": pa.array(nat[starts], pa.int64()),
+                "revenue_cents": pa.array(sums, pa.int64())})
+
+        li = _read(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                            "l_discount"])
+        agg = (li.map_batches(li_pass, batch_format="pyarrow")
+               .groupby("c_nationkey")
+               .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+        return attach_names(agg)
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
                  ).map_batches(
@@ -4365,23 +4459,7 @@ def q_tpch_regional_revenue(sf_dir: str):
     agg = li_orders.map_batches(rev_partial, batch_format="pyarrow").groupby(
         "c_nationkey").aggregate(Sum("revenue_cents",
                                      alias_name="revenue_cents"))
-    # nation⋈region is a FIXED 25×5-row dimension: attach names to the
-    # nationkey-sized aggregate driver-side
-    import pyarrow.parquet as pq
-
-    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
-    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    names = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
-
-    def attach(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().merge(
-            names[["n_nationkey", "n_name", "r_name"]],
-            left_on="c_nationkey", right_on="n_nationkey")
-        out = df[["r_name", "n_name", "revenue_cents"]].copy()
-        out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return agg.map_batches(attach, batch_format="pyarrow")
+    return attach_names(agg)
 
 
 def _broadcast_or_none(sf_dir: str, table: str, ref_builder):

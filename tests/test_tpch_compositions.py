@@ -23,6 +23,12 @@ def test_q5_supplier_join_fallback_matches_broadcast(ray_session,
     from kafka_connect_mongo_ray.pipelines import queries as q
 
     broadcast = _canon(q.q_tpch_regional_revenue(SF).to_pandas())
+    # the middle plan: bucketed fact joins with the supplier side
+    # still broadcast (force_bucketed skips only the broadcast-state
+    # fast path, the supplier guard stays satisfied)
+    mid = _canon(q.q_tpch_regional_revenue(
+        SF, force_bucketed=True).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, mid)
     # force the size guard over the edge: the supplier side must run
     # as the third bucketed join and produce the identical result
     monkeypatch.setattr(q, "_SUPP_BROADCAST_MAX_ROWS", 0)
