@@ -18,7 +18,7 @@ __all__ = ["corr_components", "frequent_items", "group_argmax",
            "linreg_components", "fixed_width_histogram",
            "group_count_distinct", "group_zscore_outliers",
            "grouped_corr", "grouped_skew_kurt", "grouped_entropy",
-           "welch_t_components"]
+           "welch_t_components", "grouped_linreg"]
 
 
 def corr_components(ds, x_col: str, y_col: str, *, x_scale: int = 1,
@@ -743,3 +743,82 @@ def welch_t_components(ds, *, label_col: str, int_col: str,
     out["mean_a"] = _r(out["mean_a"])
     out["mean_b"] = _r(out["mean_b"])
     return pd.DataFrame([{**out, "t_stat": _r(t), "df_w": _r(df_w)}])
+
+
+def grouped_linreg(ds, *, group_col: str, x_col: str, y_col: str,
+                   x_scale: int = 1, y_scale: int = 1, round_to: int = 9):
+    """Per-group OLS regression (slope, intercept, r²) —
+    :func:`linreg_components` generalized to ``GROUP BY group_col``:
+    the same exact int64 moment partials and shadow wrap guard as
+    :func:`grouped_corr`, one group-domain Sum exchange, then the
+    closed forms per group with the cross products ``n·Σxy − Σx·Σy``
+    computed in PYTHON ints (the group table is dimension-sized, so
+    the per-row exact arithmetic is free; the SQL mirror uses HUGEINT
+    for the same step). The intercept uses the ROUNDED slope,
+    mirroring the oracle's staged CTE. Groups with constant x emit
+    null stats."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(np.asarray(batch[x_col], dtype=np.float64)
+                    * x_scale).astype(np.int64)
+        y = np.rint(np.asarray(batch[y_col], dtype=np.float64)
+                    * y_scale).astype(np.int64)
+        df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                           "sx2": x * x, "sy2": y * y})
+        shadow = pd.DataFrame({group_col: df[group_col],
+                               "fxy": x.astype(np.float64) * y,
+                               "fx2": x.astype(np.float64) * x,
+                               "fy2": y.astype(np.float64) * y})
+        agg = df.groupby(group_col, sort=False, dropna=False).sum()
+        sagg = shadow.groupby(group_col, sort=False, dropna=False).sum()
+        for ic, fc in (("sxy", "fxy"), ("sx2", "fx2"), ("sy2", "fy2")):
+            _shadow_check(agg[ic], sagg[fc], f"grouped_linreg {ic}")
+        agg = agg.reset_index()
+        return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
+                         **{c: pa.array(agg[c].to_numpy(), pa.int64())
+                            for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        slopes, intercepts, r2s = [], [], []
+        for r in rows:
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            num = n * int(r["sxy"]) - sx * sy
+            denx = n * int(r["sx2"]) - sx * sx
+            deny = n * int(r["sy2"]) - sy * sy
+            if denx == 0 or deny == 0:
+                slopes.append(None)
+                intercepts.append(None)
+                r2s.append(None)
+                continue
+            slopes.append(float(num) / float(denx))
+            r2s.append(float(num) * float(num)
+                       / (float(denx) * float(deny)))
+        slope_r = pc.round(pa.array(slopes, pa.float64()), round_to,
+                           round_mode="half_towards_infinity")
+        for i, r in enumerate(rows):
+            if slopes[i] is None:
+                continue
+            s = slope_r[i].as_py()  # intercept uses the ROUNDED slope
+            intercepts.append((float(int(r["sy"])) - s * float(int(r["sx"])))
+                              / float(int(r["n"])))
+        return pa.table({
+            group_col: batch[group_col],
+            "n": batch["n"],
+            "slope": slope_r,
+            "intercept": pc.round(pa.array(intercepts, pa.float64()),
+                                  round_to,
+                                  round_mode="half_towards_infinity"),
+            "r2": pc.round(pa.array(r2s, pa.float64()), round_to,
+                           round_mode="half_towards_infinity"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
+            .map_batches(finish, batch_format="pyarrow"))

@@ -2552,6 +2552,30 @@ def q_lineitem_linreg(sf_dir: str):
     return linreg_components(ds, "x", "y", x_scale=1, y_scale=1)
 
 
+def q_lineitem_linreg_by_flag(sf_dir: str):
+    """Per-returnflag OLS regression (functions/stats.py::
+    grouped_linreg): the global lineitem_linreg generalized to GROUP
+    BY — exact int64 moment partials, one group-domain exchange,
+    HUGEINT-mirrored cross products, intercept from the ROUNDED
+    slope."""
+    import numpy as np
+
+    from kafka_connect_mongo_ray.functions.stats import grouped_linreg
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = np.floor(np.asarray(t["l_extendedprice"], dtype=np.float64))
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "x": t["l_quantity"],
+                         "y": pa.array(y, pa.float64())})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity",
+                        "l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    return grouped_linreg(ds, group_col="l_returnflag", x_col="x",
+                          y_col="y")
+
+
 def q_events_ntile(sf_dir: str):
     """NTILE(8) OVER (ORDER BY ts, event_id) riding the global
     ROW_NUMBER machinery (functions/ranking.py::global_row_number
@@ -6506,6 +6530,7 @@ def build_queries():
         "cdc_incremental_moments": q_cdc_incremental_moments,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
         "cdc_state_as_of": q_cdc_state_as_of,
+        "lineitem_linreg_by_flag": q_lineitem_linreg_by_flag,
         "events_twa_value": q_events_twa_value,
         "events_user_entropy": q_events_user_entropy,
         "events_welch_ttest": q_events_welch_ttest,
@@ -6717,6 +6742,44 @@ def build_oracle_sql():
                              THEN 1001 + ver END AS BIGINT) AS valid_to,
                    (ver = maxv AND NOT deleted) AS is_current
             FROM v
+        """,
+        # the global lineitem_linreg mirror with GROUP BY; HUGEINT
+        # keeps the cross products exact, intercept uses the ROUNDED
+        # slope (same staged CTE), half-away 9-dp grid on both sides
+        "lineitem_linreg_by_flag": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sx2,
+                     CAST(SUM(y * y) AS BIGINT) AS sy2
+              FROM (SELECT l_returnflag,
+                           CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                           CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+                    FROM lineitem)
+              GROUP BY l_returnflag),
+            h AS (
+              SELECT l_returnflag, n, sx, sy,
+                     CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS num,
+                     CAST(n AS HUGEINT) * sx2
+                       - CAST(sx AS HUGEINT) * sx AS denx,
+                     CAST(n AS HUGEINT) * sy2
+                       - CAST(sy AS HUGEINT) * sy AS deny
+              FROM m),
+            s AS (
+              SELECT *, ROUND(CAST(num AS DOUBLE)
+                              / CAST(denx AS DOUBLE), 9) AS slope
+              FROM h)
+            SELECT l_returnflag, n, slope,
+                   ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 9) AS intercept,
+                   ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                         / (CAST(denx AS DOUBLE)
+                            * CAST(deny AS DOUBLE)), 9) AS r2
+            FROM s
         """,
         # state at cutoff ts=1002: version min(doc_id%5, 2) is the
         # latest at or before the cutoff; the tombstone (at
