@@ -795,8 +795,11 @@ def index_cmd(args) -> int:
     line."""
     import ray
 
-    ray.init(address="local", include_dashboard=False,
-             logging_level="ERROR", log_to_driver=False)
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+        started = True
     try:
         from kafka_connect_mongo_ray.state.secondary_index import (
             SecondaryIndex,
@@ -818,13 +821,45 @@ def index_cmd(args) -> int:
             t = idx.lookup(args.value).to_pandas()
             out["lookup"] = {"value": args.value, "rows": len(t),
                              "keys": t.head(20).to_dict(orient="records")}
+            if args.fetch:
+                # index-accelerated row retrieval: the lookup's keys
+                # feed the store's bucket-pruned point reads — full
+                # rows without a scan, O(touched buckets)
+                from kafka_connect_mongo_ray.config import EngineConfig
+                from kafka_connect_mongo_ray.pipelines.cdc import (
+                    point_lookup,
+                )
+                from kafka_connect_mongo_ray.state.snapshot import (
+                    SnapshotStore,
+                )
+
+                store = SnapshotStore(args.snapshot, create=False)
+                m = store.manifest(store.current_version()) or {}
+                nb = m.get("num_buckets")
+                if not nb:
+                    print(json.dumps({"error": "--fetch needs a store "
+                                      "with the num_buckets contract"}))
+                    return 1
+                cfg = EngineConfig(
+                    snapshot_dir=args.snapshot,
+                    checkpoint_dir=args.snapshot + "/../checkpoints",
+                    num_buckets=int(nb))
+                keys = list(zip(t["repo"], t["path"]))
+                rows = point_lookup(cfg, keys)
+                out["fetch"] = {
+                    "rows": 0 if rows is None else rows.num_rows,
+                    "sample": [] if rows is None else [
+                        {k: (str(v) if v is not None else None)
+                         for k, v in r.items()}
+                        for r in rows.slice(0, 5).to_pylist()]}
         if args.counts:
             out["counts"] = idx.counts().to_pandas().to_dict(
                 orient="records")
         print(json.dumps(out, sort_keys=True, default=str))
         return 0
     finally:
-        ray.shutdown()
+        if started:
+            ray.shutdown()
 
 
 def main(argv=None) -> int:
@@ -991,6 +1026,9 @@ def main(argv=None) -> int:
     ix.add_argument("--apply", action="store_true")
     ix.add_argument("--compact", action="store_true")
     ix.add_argument("--value", default=None)
+    ix.add_argument("--fetch", action="store_true",
+                    help="with --value: point-read the full rows of the "
+                    "matched keys from --snapshot")
     ix.add_argument("--counts", action="store_true")
     sub.add_parser("help")
     args = p.parse_args(argv)

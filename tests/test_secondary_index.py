@@ -96,3 +96,33 @@ def test_conflicting_configuration_is_refused(tmp_path):
         SecondaryIndex(str(tmp_path / "idx"), column="lang", num_buckets=8)
     with pytest.raises(ValueError, match="refusing"):
         SecondaryIndex(str(tmp_path / "idx"), column="repo", num_buckets=4)
+
+
+def test_cli_apply_lookup_fetch_roundtrip(tmp_path, capsys):
+    """index --apply folds the store's windows; --value --fetch
+    composes the single-bucket lookup with the store's bucket-pruned
+    point reads — every fetched row must carry the looked-up value."""
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import index_cmd
+
+    cfg = _store(tmp_path)
+
+    class A:
+        snapshot = cfg.snapshot_dir
+        index = str(tmp_path / "idx")
+        column = "lang"
+        buckets = 4
+        apply = True
+        compact = False
+        value = "go"
+        fetch = True
+        counts = True
+
+    assert index_cmd(A) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["lookup"]["rows"] == 1
+    assert out["fetch"]["rows"] == 1
+    assert out["fetch"]["sample"][0]["lang"] == "go"
+    assert {c["val"]: c["n_keys"] for c in out["counts"]} == {
+        "py": 1, "rs": 1, "go": 1}
