@@ -785,6 +785,43 @@ def ann_cmd(args) -> int:
         ray.shutdown()
 
 
+def alter_cmd(args) -> int:
+    """Schema-migration face (state/snapshot.py::run_alter_add_column):
+    add a column to EVERY stored row — constant via --const, or a
+    built-in content derivation via --derive chars|tokens. Shuffle-free
+    per-bucket rewrite, full_rewrite commit, OCC. One JSON line."""
+    import ray
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+        started = True
+    try:
+        from kafka_connect_mongo_ray.state.snapshot import (
+            run_alter_add_column,
+        )
+
+        if (args.const is None) == (args.derive is None):
+            print(json.dumps({"error": "pass exactly one of --const "
+                              "or --derive"}))
+            return 1
+        const = args.const
+        if const is not None and args.const_type == "int":
+            const = int(const)
+        try:
+            out = run_alter_add_column(args.snapshot, args.column,
+                                       const=const, derive=args.derive)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
+        print(json.dumps(out, sort_keys=True))
+        return 0
+    finally:
+        if started:
+            ray.shutdown()
+
+
 def index_cmd(args) -> int:
     """Secondary-index face (state/secondary_index.py): ``--apply``
     folds every committed window's change feed into the persisted
@@ -1017,6 +1054,13 @@ def main(argv=None) -> int:
     bm.add_argument("--terms", default=None,
                     help="comma-separated query terms")
     bm.add_argument("--k", type=int, default=10)
+    al = sub.add_parser("alter")
+    al.add_argument("--snapshot", required=True)
+    al.add_argument("--column", required=True)
+    al.add_argument("--const", default=None)
+    al.add_argument("--const-type", default="str", dest="const_type",
+                    choices=["str", "int"])
+    al.add_argument("--derive", default=None, choices=["chars", "tokens"])
     ix = sub.add_parser("index")
     ix.add_argument("--snapshot", default=None,
                     help="snapshot store root (required with --apply)")
@@ -1076,6 +1120,8 @@ def main(argv=None) -> int:
         return bm25_cmd(args)
     if args.cmd == "index":
         return index_cmd(args)
+    if args.cmd == "alter":
+        return alter_cmd(args)
     p.print_help()
     return 0
 

@@ -578,6 +578,124 @@ def run_rebucket(snapshot_dir: str, new_buckets: int, *,
             "rebucketed": len(res), "num_buckets": new_buckets}
 
 
+ALTER_DERIVATIONS = ("chars", "tokens")
+
+
+def run_alter_add_column(snapshot_dir: str, column: str, *,
+                         const: str | int | None = None,
+                         derive: str | None = None,
+                         rows_per_file: int | None = None,
+                         nonce: str | None = None) -> dict:
+    """ALTER TABLE ADD COLUMN with distributed backfill — the schema
+    migration a lake table needs when a new attribute must exist on
+    EVERY historical row (not just rows the change stream touches from
+    now on; organic evolution via events already works —
+    ``stages/apply.py::unify_payload_schemas``).
+
+    Exactly one of ``const`` (a literal applied to every row) or
+    ``derive`` (a built-in derivation of the content column: "chars" =
+    UTF-8 length, "tokens" = whitespace token count; NULL content —
+    tombstones — derives NULL). SHUFFLE-FREE by design: rows never
+    leave their bucket, so one task per bucket reads its own part
+    files, appends the column, and rewrites through the staging /
+    zone-map path. Committed with ``full_rewrite=True`` (every bucket
+    rewritten — the rebucket footgun rule: a carried-forward old
+    bucket would resurrect the un-altered schema), the union schema
+    extended with the new field, tokens carried verbatim. Re-running
+    after a crash restarts cleanly (staging swept, OCC commit).
+
+    Refuses a column that already exists anywhere in the store's
+    schema — altering types or overwriting values is out of scope
+    (drop+re-add is the explicit path)."""
+    import ray.data as rd
+
+    if (const is None) == (derive is None):
+        raise ValueError("pass exactly one of const= or derive=")
+    if derive is not None and derive not in ALTER_DERIVATIONS:
+        raise ValueError(f"unknown derivation {derive!r}; "
+                         f"one of {ALTER_DERIVATIONS}")
+    store = SnapshotStore(snapshot_dir, create=False)
+    v = store.current_version()
+    m = store.manifest(v)
+    if not m:
+        raise ValueError(f"no committed version at {snapshot_dir}")
+    import base64
+
+    union_b64 = m.get("union_schema")
+    if union_b64:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(union_b64)))
+    else:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(store.bucket_files(v)[0])
+    if column in schema.names:
+        raise ValueError(f"column {column!r} already exists; altering "
+                         "existing columns is refused by design")
+    if const is not None:
+        new_field = pa.field(
+            column, pa.int64() if isinstance(const, int) else pa.string())
+    else:
+        new_field = pa.field(column, pa.int64())
+    new_schema = schema.append(new_field)
+    new_union_b64 = base64.b64encode(
+        new_schema.serialize().to_pybytes()).decode()
+
+    new_v = v + 1
+    store.clean_staging(new_v, nonce)
+    work = [{"bucket": b, "files": ",".join([r] if isinstance(r, str)
+                                            else r)}
+            for b, r in m["buckets"].items()]
+    root = snapshot_dir
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+
+        out = []
+        for row in batch.to_pylist():
+            b = int(row["bucket"])
+            parts = [pq.read_table(os.path.join(root, r))
+                     for r in row["files"].split(",")]
+            t = parts[0] if len(parts) == 1 else pa.concat_tables(
+                parts, promote_options="permissive")
+            t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
+            if const is not None:
+                col = pa.array([const] * t.num_rows, new_field.type)
+            elif derive == "chars":
+                col = _pc.cast(_pc.utf8_length(t["content"]), pa.int64())
+            else:  # tokens
+                col = _pc.cast(
+                    _pc.count_substring_regex(t["content"], r"\S+"),
+                    pa.int64())
+            t = t.append_column(column, col)
+            st = SnapshotStore(root, create=False)
+            rel = st.write_bucket_staging(new_v, b, t,
+                                          rows_per_file=rows_per_file,
+                                          nonce=nonce)
+            live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
+                               ).as_py() or 0)
+            out.append({"bucket": b, "files": rel,
+                        "state_rows": t.num_rows, "live_rows": live})
+        return pa.Table.from_pylist(out)
+
+    res = (rd.from_items(work)
+           .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+           .take_all())
+    expected = [p for r in res for p in r["files"].split(",")]
+    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
+                "state_rows": int(r["state_rows"]),
+                "live_rows": int(r["live_rows"])} for r in res]
+    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
+                 union_schema=new_union_b64, nonce=nonce,
+                 expected_files=expected,
+                 num_buckets=m.get("num_buckets"),
+                 metrics=metrics, full_rewrite=True)
+    return {"version": v, "new_version": new_v, "column": column,
+            "buckets_rewritten": len(res),
+            "rows": int(sum(r["state_rows"] for r in res))}
+
+
 def run_delete_where(snapshot_dir: str, *, ts_before: int | None = None,
                      repo_equals: str | None = None,
                      mode: str = "tombstone",

@@ -1,0 +1,113 @@
+"""state/snapshot.py::run_alter_add_column — ALTER TABLE ADD COLUMN
+with distributed backfill: every historical row gains the column
+(tombstones derive NULL), state is otherwise byte-identical, the union
+schema advances, refusals are loud, and the store keeps working
+afterwards (healthcheck, point reads, further replays)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+import ray
+
+from kafka_connect_mongo_ray.config import EngineConfig
+from kafka_connect_mongo_ray.pipelines.cdc import (
+    final_state_dataset,
+    point_lookup,
+    run_replay,
+)
+from kafka_connect_mongo_ray.state.snapshot import (
+    SnapshotStore,
+    run_alter_add_column,
+)
+from tests.test_oracle_and_gen import make_events
+
+
+def _store(tmp_path):
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", partition_id=0, inc=0, lang="py")
+    run_replay(ray.data.from_arrow(make_events([
+        dict(ts=1, op="i", repo="r0", path="a",
+             content="hello world", **base),
+        dict(ts=1, op="i", repo="r0", path="b", content="one", **base),
+        dict(ts=1, op="i", repo="r1", path="c",
+             content="a b c d", **base),
+        dict(ts=2, op="d", repo="r0", path="b", content=None, **base),
+    ])).repartition(2), cfg)
+    return cfg
+
+
+def test_alter_backfills_every_row_and_preserves_state(tmp_path):
+    cfg = _store(tmp_path)
+    before = (final_state_dataset(cfg).to_pandas()
+              .sort_values("path").reset_index(drop=True))
+    out = run_alter_add_column(cfg.snapshot_dir, "n_tokens",
+                               derive="tokens")
+    assert out["new_version"] == 2 and out["buckets_rewritten"] >= 1
+    out2 = run_alter_add_column(cfg.snapshot_dir, "tier", const="bronze")
+    assert out2["new_version"] == 3
+    after = (final_state_dataset(cfg).to_pandas()
+             .sort_values("path").reset_index(drop=True))
+    # pre-existing columns byte-identical, new columns correct
+    for c in before.columns:
+        assert after[c].tolist() == before[c].tolist()
+    assert after.set_index("path")["n_tokens"].to_dict() == {
+        "a": 2, "c": 4}
+    assert set(after["tier"]) == {"bronze"}
+    # tombstone rows (state, not live) derive NULL for content metrics
+    store = SnapshotStore(cfg.snapshot_dir, create=False)
+    import pyarrow.parquet as pq
+
+    st = pa.concat_tables(
+        [pq.read_table(f) for f in store.bucket_files(3)],
+        promote_options="permissive").to_pandas()
+    dead = st[st.content.isna()]
+    assert len(dead) == 1 and dead["n_tokens"].isna().all()
+    assert dead["tier"].tolist() == ["bronze"]
+    # point reads keep working against the altered store (GET answers
+    # with the stable core schema by design — evolved columns are the
+    # scan/export surface)
+    t = point_lookup(cfg, [("r0", "a")])
+    assert t.num_rows == 1 and t["content"][0].as_py() == "hello world"
+
+
+def test_alter_refusals_and_cli(tmp_path, capsys):
+    cfg = _store(tmp_path)
+    with pytest.raises(ValueError, match="exactly one"):
+        run_alter_add_column(cfg.snapshot_dir, "x",
+                             const="a", derive="chars")
+    with pytest.raises(ValueError, match="already exists"):
+        run_alter_add_column(cfg.snapshot_dir, "content", const="x")
+    with pytest.raises(ValueError, match="unknown derivation"):
+        run_alter_add_column(cfg.snapshot_dir, "x", derive="md5")
+
+    from kafka_connect_mongo_ray.__main__ import main
+
+    rc = main(["alter", "--snapshot", cfg.snapshot_dir,
+               "--column", "n_chars", "--derive", "chars"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["column"] == "n_chars"
+    rc = main(["alter", "--snapshot", cfg.snapshot_dir,
+               "--column", "n_chars", "--derive", "chars"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "already exists" in out["error"]
+
+
+def test_alter_then_replay_keeps_schema_and_resumes(tmp_path):
+    """The altered union schema must survive the NEXT organic commit:
+    a later replay's rows (which lack the new column) conform to the
+    union with nulls, and resume tokens carried through the alter mean
+    no event replays."""
+    cfg = _store(tmp_path)
+    run_alter_add_column(cfg.snapshot_dir, "tier", const="gold")
+    base = dict(commit="", partition_id=0, inc=1, lang="py")
+    run_replay(ray.data.from_arrow(make_events([
+        dict(ts=5, op="i", repo="r1", path="z", content="new row", **base),
+    ])).repartition(1), cfg)
+    df = (final_state_dataset(cfg).to_pandas()
+          .sort_values("path").reset_index(drop=True))
+    by = df.set_index("path")["tier"].to_dict()
+    assert by["a"] == "gold" and by["c"] == "gold"
+    assert by["z"] is None  # organic rows predate no backfill
+    assert len(df) == 3  # a, c, z live; b stays tombstoned
