@@ -202,7 +202,13 @@ class SecondaryIndex:
 
     def counts(self) -> pa.Table:
         """Per-value live-key counts over the whole index — a full
-        (bucket-parallel) fold, group-domain-sized output."""
+        (bucket-parallel) fold, group-domain-sized output. The fold
+        groups by a hash of the FULL (val, repo, path) triple, not the
+        value: net-sign is a per-triple property, so the triple split
+        is always correct and a hot value (half the corpus sharing one
+        ``lang``) never becomes one unbounded task group — each bucket
+        emits per-value PARTIAL counts and a value-domain Sum
+        finishes."""
         import ray.data as rd
         from ray.data.aggregate import Sum
 
@@ -216,8 +222,6 @@ class SecondaryIndex:
         ds = rd.read_parquet(files)
 
         def fold(g: pa.Table) -> pa.Table:
-            import pandas as pd
-
             df = g.to_pandas()
             net = df.groupby(["val", "repo", "path"])["sign"].sum()
             alive = net[net > 0].reset_index()
@@ -229,7 +233,8 @@ class SecondaryIndex:
 
         from kafka_connect_mongo_ray.utils import key_bucketed
 
-        folded = key_bucketed(ds, ["val"], self.num_buckets).map_groups(
+        folded = key_bucketed(ds, ["val", "repo", "path"],
+                              self.num_buckets).map_groups(
             fold, batch_format="pyarrow")
         d = (folded.groupby("val")
              .aggregate(Sum("n_keys", alias_name="n_keys")).to_pandas())
@@ -245,7 +250,7 @@ class SecondaryIndex:
         best-effort-remove the old generation. ``applied_through``
         advances to the highest window folded, so a crashed driver
         re-applying an old window is refused as a no-op."""
-        import pyarrow.parquet as pq
+        import ray.data as rd
 
         old_gen = self._gen_dir()
         new_g = int(self.manifest["generation"]) + 1
@@ -254,9 +259,7 @@ class SecondaryIndex:
         shutil.rmtree(tmp_gen, ignore_errors=True)
         os.makedirs(tmp_gen, exist_ok=True)
         max_w = int(self.manifest.get("applied_through", 0))
-        rows = 0
-        import pandas as pd
-
+        work = []
         for d in sorted(os.listdir(old_gen)):
             bdir = os.path.join(old_gen, d)
             files = [f for f in sorted(os.listdir(bdir))
@@ -264,24 +267,47 @@ class SecondaryIndex:
             for f in files:
                 if f.startswith("w"):
                     max_w = max(max_w, int(f[1:].split(".")[0]))
-            t = pa.concat_tables(
-                [pq.read_table(os.path.join(bdir, f)) for f in files])
-            df = t.to_pandas()
-            net = df.groupby(["val", "repo", "path"])["sign"].sum()
-            alive = net[net > 0].reset_index()
-            if not len(alive):
-                continue
-            out = pa.table({
-                "val": pa.array(alive["val"].to_numpy(object), pa.string()),
-                "repo": pa.array(alive["repo"].to_numpy(object), pa.string()),
-                "path": pa.array(alive["path"].to_numpy(object), pa.string()),
-                "sign": pa.array(np.ones(len(alive), dtype=np.int8),
-                                 pa.int8()),
-            })
-            obdir = os.path.join(tmp_gen, d)
-            os.makedirs(obdir, exist_ok=True)
-            pq.write_table(out, os.path.join(obdir, "base.parquet"))
-            rows += out.num_rows
+            if files:
+                work.append({"dir": d, "files": ",".join(
+                    os.path.join(bdir, f) for f in files)})
+        rows = 0
+        if work:
+            # one task per bucket — the fold never runs driver-side,
+            # so per-task memory is one bucket's postings (num_buckets
+            # is the knob), same contract as apply_window
+            def fold_bucket(batch: pa.Table) -> pa.Table:
+                import pyarrow.parquet as pq
+
+                outs = []
+                for row in batch.to_pylist():
+                    t = pa.concat_tables([pq.read_table(f) for f in
+                                          row["files"].split(",")])
+                    df = t.to_pandas()
+                    net = df.groupby(["val", "repo", "path"])["sign"].sum()
+                    alive = net[net > 0].reset_index()
+                    if not len(alive):
+                        outs.append({"dir": row["dir"], "rows": 0})
+                        continue
+                    out = pa.table({
+                        "val": pa.array(alive["val"].to_numpy(object),
+                                        pa.string()),
+                        "repo": pa.array(alive["repo"].to_numpy(object),
+                                         pa.string()),
+                        "path": pa.array(alive["path"].to_numpy(object),
+                                         pa.string()),
+                        "sign": pa.array(np.ones(len(alive),
+                                                 dtype=np.int8), pa.int8()),
+                    })
+                    obdir = os.path.join(tmp_gen, row["dir"])
+                    os.makedirs(obdir, exist_ok=True)
+                    pq.write_table(out, os.path.join(obdir, "base.parquet"))
+                    outs.append({"dir": row["dir"], "rows": out.num_rows})
+                return pa.Table.from_pylist(outs)
+
+            res = (rd.from_items(work)
+                   .map_batches(fold_bucket, batch_size=1,
+                                batch_format="pyarrow").take_all())
+            rows = int(sum(r["rows"] for r in res))
         os.replace(tmp_gen, new_gen)
         self.manifest["generation"] = new_g
         self.manifest["applied_through"] = max_w
