@@ -111,3 +111,32 @@ def test_alter_then_replay_keeps_schema_and_resumes(tmp_path):
     assert by["a"] == "gold" and by["c"] == "gold"
     assert by["z"] is None  # organic rows predate no backfill
     assert len(df) == 3  # a, c, z live; b stays tombstoned
+
+
+def test_altered_column_is_secondary_indexable(tmp_path):
+    """Cross-feature composition: an alter-backfilled column feeds the
+    secondary index by BOOTSTRAPPING from the full state (window
+    0→current diffs everything in). A targeted lookup on the derived
+    value returns exactly the matching live keys. Note: a plain
+    post-alter window diff sees NO changes (the alter preserves every
+    (ts, inc, op_rank)), so the bootstrap window is the correct way to
+    index a backfilled column."""
+    from kafka_connect_mongo_ray.state.secondary_index import SecondaryIndex
+
+    cfg = _store(tmp_path)
+    run_alter_add_column(cfg.snapshot_dir, "n_tokens", derive="tokens")
+    store = SnapshotStore(cfg.snapshot_dir, create=False)
+    cur = store.current_version()
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="n_tokens",
+                         num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, cur)
+    # live rows: a="hello world" (2 tokens), c="a b c d" (4 tokens)
+    two = idx.lookup("2")
+    four = idx.lookup("4")
+    assert list(zip(two["repo"].to_pylist(),
+                    two["path"].to_pylist())) == [("r0", "a")]
+    assert list(zip(four["repo"].to_pylist(),
+                    four["path"].to_pylist())) == [("r1", "c")]
+    # the tombstone (null content -> null n_tokens) must NOT index
+    c = idx.counts().to_pandas()
+    assert int(c["n_keys"].sum()) == 2
