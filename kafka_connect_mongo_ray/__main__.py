@@ -802,6 +802,22 @@ def alter_cmd(args) -> int:
             run_alter_add_column,
         )
 
+        if args.drop:
+            if args.const is not None or args.derive is not None:
+                print(json.dumps({"error": "--drop takes no --const/"
+                                  "--derive"}))
+                return 1
+            from kafka_connect_mongo_ray.state.snapshot import (
+                run_alter_drop_column,
+            )
+
+            try:
+                out = run_alter_drop_column(args.snapshot, args.column)
+            except ValueError as e:
+                print(json.dumps({"error": str(e)}))
+                return 1
+            print(json.dumps(out, sort_keys=True))
+            return 0
         if (args.const is None) == (args.derive is None):
             print(json.dumps({"error": "pass exactly one of --const "
                               "or --derive"}))
@@ -1061,6 +1077,8 @@ def main(argv=None) -> int:
     al.add_argument("--const-type", default="str", dest="const_type",
                     choices=["str", "int"])
     al.add_argument("--derive", default=None, choices=["chars", "tokens"])
+    al.add_argument("--drop", action="store_true",
+                    help="drop --column instead of adding one")
     ix = sub.add_parser("index")
     ix.add_argument("--snapshot", default=None,
                     help="snapshot store root (required with --apply)")

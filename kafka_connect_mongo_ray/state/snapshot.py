@@ -696,6 +696,93 @@ def run_alter_add_column(snapshot_dir: str, column: str, *,
             "rows": int(sum(r["state_rows"] for r in res))}
 
 
+def run_alter_drop_column(snapshot_dir: str, column: str, *,
+                          rows_per_file: int | None = None,
+                          nonce: str | None = None) -> dict:
+    """ALTER TABLE DROP COLUMN — the add-column inverse, same
+    shuffle-free per-bucket rewrite / full_rewrite commit / union
+    schema contraction. Core-schema columns (the engine's own row
+    contract) are refused; so is a column absent from the union
+    schema. A bucket whose files predate the column simply rewrites
+    unchanged (the drop is a no-op select). Drop+re-add is the
+    sanctioned path for changing a backfilled column's values."""
+    import base64
+
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
+
+    if column in SNAPSHOT_SCHEMA.names:
+        raise ValueError(f"column {column!r} is part of the engine's "
+                         "core row contract; refusing to drop it")
+    store = SnapshotStore(snapshot_dir, create=False)
+    v = store.current_version()
+    m = store.manifest(v)
+    if not m:
+        raise ValueError(f"no committed version at {snapshot_dir}")
+    union_b64 = m.get("union_schema")
+    if union_b64:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(union_b64)))
+    else:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(store.bucket_files(v)[0])
+    if column not in schema.names:
+        raise ValueError(f"column {column!r} does not exist")
+    keep = [n for n in schema.names if n != column]
+    new_schema = pa.schema([schema.field(n) for n in keep])
+    new_union_b64 = base64.b64encode(
+        new_schema.serialize().to_pybytes()).decode()
+
+    new_v = v + 1
+    store.clean_staging(new_v, nonce)
+    work = [{"bucket": b, "files": ",".join([r] if isinstance(r, str)
+                                            else r)}
+            for b, r in m["buckets"].items()]
+    root = snapshot_dir
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+
+        out = []
+        for row in batch.to_pylist():
+            b = int(row["bucket"])
+            parts = [pq.read_table(os.path.join(root, r))
+                     for r in row["files"].split(",")]
+            t = parts[0] if len(parts) == 1 else pa.concat_tables(
+                parts, promote_options="permissive")
+            if column in t.column_names:
+                t = t.drop_columns([column])
+            t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
+            st = SnapshotStore(root, create=False)
+            rel = st.write_bucket_staging(new_v, b, t,
+                                          rows_per_file=rows_per_file,
+                                          nonce=nonce)
+            live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
+                               ).as_py() or 0)
+            out.append({"bucket": b, "files": rel,
+                        "state_rows": t.num_rows, "live_rows": live})
+        return pa.Table.from_pylist(out)
+
+    res = (rd.from_items(work)
+           .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+           .take_all())
+    expected = [p for r in res for p in r["files"].split(",")]
+    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
+                "state_rows": int(r["state_rows"]),
+                "live_rows": int(r["live_rows"])} for r in res]
+    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
+                 union_schema=new_union_b64, nonce=nonce,
+                 expected_files=expected,
+                 num_buckets=m.get("num_buckets"),
+                 metrics=metrics, full_rewrite=True)
+    return {"version": v, "new_version": new_v, "column": column,
+            "buckets_rewritten": len(res),
+            "rows": int(sum(r["state_rows"] for r in res))}
+
+
 def run_delete_where(snapshot_dir: str, *, ts_before: int | None = None,
                      repo_equals: str | None = None,
                      mode: str = "tombstone",

@@ -140,3 +140,44 @@ def test_altered_column_is_secondary_indexable(tmp_path):
     # the tombstone (null content -> null n_tokens) must NOT index
     c = idx.counts().to_pandas()
     assert int(c["n_keys"].sum()) == 2
+
+
+def test_alter_drop_column_and_drop_readd(tmp_path, capsys):
+    """DROP COLUMN is the add inverse: the column leaves every row and
+    the union schema; core columns and absent columns are refused; and
+    the sanctioned drop+re-add path changes a backfilled value."""
+    import numpy as np
+
+    from kafka_connect_mongo_ray.state.snapshot import (
+        run_alter_drop_column,
+    )
+
+    cfg = _store(tmp_path)
+    run_alter_add_column(cfg.snapshot_dir, "tier", const="bronze")
+    with pytest.raises(ValueError, match="core row contract"):
+        run_alter_drop_column(cfg.snapshot_dir, "content")
+    with pytest.raises(ValueError, match="does not exist"):
+        run_alter_drop_column(cfg.snapshot_dir, "ghost")
+    out = run_alter_drop_column(cfg.snapshot_dir, "tier")
+    assert out["buckets_rewritten"] >= 1
+    df = final_state_dataset(cfg).to_pandas()
+    assert "tier" not in df.columns
+    # drop + re-add with a NEW value — the sanctioned change path
+    run_alter_add_column(cfg.snapshot_dir, "tier", const="gold")
+    df = final_state_dataset(cfg).to_pandas()
+    assert set(df["tier"]) == {"gold"}
+    # state otherwise intact through three full rewrites
+    assert sorted(df["path"]) == ["a", "c"]
+    assert df.set_index("path")["content"].to_dict() == {
+        "a": "hello world", "c": "a b c d"}
+
+    from kafka_connect_mongo_ray.__main__ import main
+
+    rc = main(["alter", "--snapshot", cfg.snapshot_dir,
+               "--column", "tier", "--drop"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["column"] == "tier"
+    rc = main(["alter", "--snapshot", cfg.snapshot_dir,
+               "--column", "tier", "--drop", "--const", "x"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
