@@ -27,11 +27,12 @@ def _ds(table: pa.Table, blocks: int = 4):
 def _scd2(t: pa.Table, **kw):
     from kafka_connect_mongo_ray.functions.ranking import validity_intervals
 
-    return (validity_intervals(_ds(t, 6), key_cols=["k"],
-                               order_cols=["ts", "inc"], ts_col="ts",
-                               op_col="op", num_partitions=4, **kw)
-            .to_pandas().sort_values(["k", "valid_from"])
-            .reset_index(drop=True))
+    df = validity_intervals(_ds(t, 6), key_cols=["k"],
+                            order_cols=["ts", "inc"], ts_col="ts",
+                            op_col="op", num_partitions=4, **kw).to_pandas()
+    if len(df) == 0:
+        return df  # schema-less empty (all rows filtered)
+    return df.sort_values(["k", "valid_from"]).reset_index(drop=True)
 
 
 def test_scd2_intervals_match_sql_lead():
@@ -195,3 +196,76 @@ def test_welch_t_matches_direct_closed_form():
     assert row["n_a"] == 900 and row["n_b"] == 1100
     assert abs(row["t_stat"] - t_ref) < 1e-6
     assert abs(row["df_w"] - df_ref) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary inputs vs pandas references
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 5),            # key
+              st.integers(-1000, 1000),     # ts
+              st.sampled_from(["i", "u", "d"]),
+              st.integers(-50, 50)),        # value
+    min_size=1, max_size=40)
+
+
+def _table(rows):
+    k, ts, op, v = zip(*rows)
+    return pa.table({"k": pa.array(k, pa.int64()),
+                     "ts": pa.array(ts, pa.int64()),
+                     "inc": pa.array(range(len(rows)), pa.int64()),
+                     "op": pa.array(op, pa.string()),
+                     "v": pa.array(v, pa.int64())})
+
+
+@settings(max_examples=20, deadline=None)
+@given(_rows)
+def test_scd2_property_matches_pandas_lead(rows):
+    t = _table(rows)
+    got = _scd2(t)
+    df = t.to_pandas().sort_values(["k", "ts", "inc"])
+    if len(got) == 0:
+        # an all-filtered result loses its schema through to_pandas —
+        # assert the reference is empty too and stop
+        assert (df.op != "d").sum() == 0
+        return
+    got = got.sort_values(["k", "valid_from", "valid_to"],
+                          na_position="last")
+    df["nxt"] = df.groupby("k")["ts"].shift(-1)
+    want = df[df.op != "d"].rename(columns={"ts": "valid_from",
+                                            "nxt": "valid_to"})
+    want["is_current"] = want["valid_to"].isna()
+    want = want.sort_values(["k", "valid_from", "valid_to"],
+                            na_position="last")
+    assert got["k"].tolist() == want["k"].tolist()
+    assert (got["valid_to"].astype("float64").fillna(-1).tolist()
+            == want["valid_to"].astype("float64").fillna(-1).tolist())
+    assert got["is_current"].tolist() == want["is_current"].tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(_rows)
+def test_twa_property_matches_pandas_weighted_mean(rows):
+    from kafka_connect_mongo_ray.functions.ranking import time_weighted_avg
+
+    t = _table(rows)
+    out = time_weighted_avg(_ds(t, 6), key="k",
+                            order_cols=["ts", "inc"], ts_col="ts",
+                            val_col="v", out_col="twa",
+                            num_partitions=4).to_pandas()
+    got = (out.set_index("k")["twa"].to_dict() if len(out) else {})
+    df = t.to_pandas().sort_values(["k", "ts", "inc"])
+    df["dur"] = df.groupby("k")["ts"].shift(-1) - df["ts"]
+    d = df[df["dur"].notna()]
+    want = {}
+    for k, g in d.groupby("k"):
+        den = int(g["dur"].sum())
+        if den > 0:
+            want[k] = float(int((g["v"] * g["dur"].astype(np.int64))
+                                .sum())) / float(den)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]  # bit-exact: one division of exact ints
