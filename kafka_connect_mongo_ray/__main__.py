@@ -66,6 +66,17 @@ def replay(args) -> int:
     cfg = EngineConfig(snapshot_dir=args.snapshot, checkpoint_dir=args.checkpoints,
                        num_buckets=args.buckets)
     summary = run_replay(change_event_dataset(spec, base), cfg)
+    if args.index:
+        # keep the attribute→key secondary index fresh in the same
+        # driver pass (idempotent per-window fold; see `index` cmd)
+        from kafka_connect_mongo_ray.state.secondary_index import (
+            SecondaryIndex,
+        )
+
+        idx = SecondaryIndex(args.index, column=args.index_column,
+                             num_buckets=args.buckets)
+        v = int(summary["version"])
+        summary["index"] = idx.apply_window(args.snapshot, v - 1, v)
     print(json.dumps(summary, sort_keys=True))
     ray.shutdown()
     return 0
@@ -928,6 +939,10 @@ def main(argv=None) -> int:
     rp.add_argument("--partitions", type=int, default=8)
     rp.add_argument("--buckets", type=int, default=32)
     rp.add_argument("--seed", type=int, default=42)
+    rp.add_argument("--index", default=None,
+                    help="also fold this window into the secondary "
+                    "index at DIR (idempotent)")
+    rp.add_argument("--index-column", default="lang", dest="index_column")
     va = sub.add_parser("validate")
     va.add_argument("--events", type=int, default=20_000)
     va.add_argument("--partitions", type=int, default=4)

@@ -22,13 +22,25 @@ from kafka_connect_mongo_ray.pipelines.cdc import run_replay
 def run_micro_batches(
     batch_factories: Iterable[Callable[[], "ray.data.Dataset"]],
     cfg: EngineConfig,
+    index=None,
 ) -> list[dict]:
     """Run each bounded event Dataset as one committed replay. A factory
     per micro-batch (datasets are single-use). Returns the per-job
-    summaries; ``summary['tokens']`` advances monotonically."""
+    summaries; ``summary['tokens']`` advances monotonically.
+
+    ``index`` (a ``state.secondary_index.SecondaryIndex``) makes the
+    driver keep the attribute→key index fresh: each committed window's
+    change feed folds in right after the commit. Index application is
+    idempotent (deterministic per-window file names), so a crash
+    between commit and fold is healed by the next run re-applying the
+    same window."""
     summaries = []
     for factory in batch_factories:
-        summaries.append(run_replay(factory(), cfg))
+        s = run_replay(factory(), cfg)
+        if index is not None:
+            v = int(s["version"])
+            s["index"] = index.apply_window(cfg.snapshot_dir, v - 1, v)
+        summaries.append(s)
     return summaries
 
 

@@ -126,3 +126,34 @@ def test_cli_apply_lookup_fetch_roundtrip(tmp_path, capsys):
     assert out["fetch"]["sample"][0]["lang"] == "go"
     assert {c["val"]: c["n_keys"] for c in out["counts"]} == {
         "py": 1, "rs": 1, "go": 1}
+
+
+def test_micro_batch_loop_keeps_index_fresh(tmp_path):
+    """run_micro_batches(index=...) folds each committed window into
+    the secondary index right after its commit — the streaming driver
+    owns the maintenance, and the index tracks attribute moves and
+    deletes across windows without a separate pass."""
+    from kafka_connect_mongo_ray.pipelines.stream import run_micro_batches
+
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    base = dict(commit="", partition_id=0, inc=0)
+    w1 = [dict(ts=1, op="i", repo="r0", path="a", lang="py",
+               content="x", **base),
+          dict(ts=1, op="i", repo="r0", path="b", lang="go",
+               content="y", **base)]
+    w2 = [dict(ts=2, op="u", repo="r0", path="a", lang="rs",
+               content="x2", **base),
+          dict(ts=2, op="d", repo="r0", path="b", lang="go",
+               content=None, **base)]
+    summaries = run_micro_batches(
+        [lambda: ray.data.from_arrow(make_events(w1)).repartition(2),
+         lambda: ray.data.from_arrow(make_events(w2)).repartition(2)],
+        cfg, index=idx)
+    assert [s["version"] for s in summaries] == [1, 2]
+    assert all("index" in s for s in summaries)
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+    assert _keys(idx.lookup("py")) == []
+    assert _keys(idx.lookup("go")) == []
