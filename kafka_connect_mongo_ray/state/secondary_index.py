@@ -69,7 +69,9 @@ class SecondaryIndex:
     attribute columns (e.g. ``lang``); values index as strings."""
 
     def __init__(self, index_dir: str, *, column: str = "lang",
-                 num_buckets: int = 16, create: bool = True):
+                 num_buckets: int = 16, create: bool = True,
+                 auto_compact_after: int | None = None):
+        self.auto_compact_after = auto_compact_after
         self.root = index_dir
         self.manifest_path = os.path.join(index_dir, "manifest.json")
         if os.path.exists(self.manifest_path):
@@ -165,9 +167,23 @@ class SecondaryIndex:
                  .groupby("bucket").map_groups(write_bucket,
                                                batch_format="pyarrow")
                  .to_pandas())  # bucket-domain-sized
-        return {"window": [v_old, v_new],
-                "buckets_touched": int(len(stats)),
-                "postings": int(stats["postings"].sum()) if len(stats) else 0}
+        out = {"window": [v_old, v_new],
+               "buckets_touched": int(len(stats)),
+               "postings": int(stats["postings"].sum()) if len(stats) else 0}
+        if self.auto_compact_after:
+            # fold once the read amplification budget is spent: any
+            # bucket holding more than N window files triggers a
+            # compaction (lookup cost is files-per-bucket × filter)
+            most = 0
+            for d in os.listdir(gen):
+                bdir = os.path.join(gen, d)
+                if os.path.isdir(bdir):
+                    most = max(most, sum(
+                        1 for f in os.listdir(bdir)
+                        if f.endswith(".parquet")))
+            if most > self.auto_compact_after:
+                out["compacted"] = self.compact()
+        return out
 
     # -- reads ---------------------------------------------------------------
 

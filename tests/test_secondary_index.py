@@ -157,3 +157,20 @@ def test_micro_batch_loop_keeps_index_fresh(tmp_path):
     assert _keys(idx.lookup("rs")) == [("r0", "a")]
     assert _keys(idx.lookup("py")) == []
     assert _keys(idx.lookup("go")) == []
+
+
+def test_auto_compaction_triggers_on_file_budget(tmp_path):
+    """auto_compact_after=N folds the index once any bucket exceeds N
+    window files — lookup read amplification stays bounded without a
+    separate maintenance pass, and membership is unchanged."""
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4, auto_compact_after=1)
+    s1 = idx.apply_window(cfg.snapshot_dir, 0, 1)
+    assert "compacted" not in s1  # one file per touched bucket so far
+    s2 = idx.apply_window(cfg.snapshot_dir, 1, 2)
+    assert s2["compacted"]["generation"] == 1
+    assert s2["compacted"]["applied_through"] == 2
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
+    assert _keys(idx.lookup("py")) == [("r1", "c")]
