@@ -95,11 +95,79 @@ def run_py_modules(tmp: str) -> int:
     return 0 if ok else 1
 
 
+def run_two_node(tmp: str) -> int:
+    """Genuine multi-node scheduling: a SECOND ray node joins the head
+    (own raylet + object store, same box), the engine package ships
+    through GCS to it, and the replay driver task is PINNED to the
+    non-head node via a custom resource — so the import, the pipeline
+    driver, and its Ray Data tasks all run off-head and every block
+    crosses a raylet boundary. Asserts 2 alive nodes and that the task
+    really ran on the joined node."""
+    # join via the ADDRESS THE HEAD ADVERTISES: joining through a
+    # different interface (127.0.0.1 vs the node IP) makes the second
+    # `ray start` silently boot its own GCS instead of joining
+    from ray._private.services import get_node_ip_address
+
+    head_addr = f"{get_node_ip_address()}:6379"
+    second = subprocess.run(
+        ["ray", "start", f"--address={head_addr}", "--num-cpus=4",
+         '--resources={"nodeB": 4}', "--disable-usage-stats"],
+        capture_output=True, text=True)
+    if second.returncode != 0:
+        print(second.stderr[-1000:])
+        return 2
+    import ray
+
+    # EXPLICIT head address: address="auto" with RAY_ADDRESS=local in
+    # the environment silently boots a separate one-node instance and
+    # the nodeB-pinned task pends forever on the wrong cluster
+    ray.init(
+        address=head_addr,
+        runtime_env={"py_modules": [os.path.join(REPO,
+                                                 "kafka_connect_mongo_ray")]},
+        logging_level="ERROR",
+    )
+    alive = [n for n in ray.nodes() if n["Alive"]]
+    head_node = ray.get_runtime_context().get_node_id()
+
+    @ray.remote(resources={"nodeB": 1})
+    def replay_on_b(snapshot: str, checkpoints: str):
+        from kafka_connect_mongo_ray.config import EngineConfig
+        from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+        from kafka_connect_mongo_ray.sources.gen import (
+            GenSpec,
+            change_event_dataset,
+            synth_repo_files,
+        )
+
+        spec = GenSpec(num_partitions=4, events_per_partition=5000, seed=3)
+        base = synth_repo_files(20, 50, seed=3)
+        cfg = EngineConfig(snapshot_dir=snapshot,
+                           checkpoint_dir=checkpoints, num_buckets=8)
+        s = run_replay(change_event_dataset(spec, base), cfg)
+        import ray as _ray
+
+        return s, _ray.get_runtime_context().get_node_id()
+
+    summary, ran_on = ray.get(replay_on_b.remote(f"{tmp}/s", f"{tmp}/c"))
+    ray.shutdown()
+    print(json.dumps({"nodes_alive": len(alive),
+                      "ran_off_head": ran_on != head_node,
+                      **{k: summary[k] for k in ("version", "live_rows",
+                                                 "events_in")}}))
+    ok = (len(alive) == 2 and ran_on != head_node
+          and summary["version"] == 1 and summary["live_rows"] > 0)
+    print("TWO-NODE SMOKE:", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--use-jobs-api", action="store_true",
                     help="drive the real `ray job submit` (needs "
                          "dashboard deps)")
+    ap.add_argument("--two-node", action="store_true",
+                    help="join a second node and pin the replay to it")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="kcm_jobsmoke_")
@@ -113,6 +181,8 @@ def main() -> int:
     try:
         if args.use_jobs_api:
             return run_jobs_api(tmp)
+        if args.two_node:
+            return run_two_node(tmp)
         return run_py_modules(tmp)
     finally:
         subprocess.run(["ray", "stop", "--force"], capture_output=True)
