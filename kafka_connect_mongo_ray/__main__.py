@@ -870,7 +870,8 @@ def index_cmd(args) -> int:
         )
 
         idx = SecondaryIndex(args.index, column=args.column,
-                             num_buckets=args.buckets)
+                             num_buckets=args.buckets,
+                             auto_compact_after=args.auto_compact)
         out = {"index": args.index, "column": args.column}
         if args.apply:
             from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
@@ -1107,6 +1108,10 @@ def main(argv=None) -> int:
                     help="with --value: point-read the full rows of the "
                     "matched keys from --snapshot")
     ix.add_argument("--counts", action="store_true")
+    ix.add_argument("--auto-compact", type=int, default=None,
+                    dest="auto_compact", metavar="N",
+                    help="fold the index when any bucket exceeds N "
+                    "window files")
     sub.add_parser("help")
     args = p.parse_args(argv)
     if args.cmd == "healthcheck":
