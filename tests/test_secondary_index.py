@@ -118,6 +118,7 @@ def test_cli_apply_lookup_fetch_roundtrip(tmp_path, capsys):
         value = "go"
         fetch = True
         counts = True
+        auto_compact = None
 
     assert index_cmd(A) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
