@@ -4048,6 +4048,39 @@ def q_cdc_secondary_lookup(sf_dir: str):
     return idx.lookup("fr")
 
 
+def q_cdc_incremental_distinct(sf_dir: str):
+    """Incrementally-maintained per-value DISTINCT-KEY counts — the
+    retraction-safe distinct that HLL cannot give (deletions break
+    sketches): the secondary index's signed postings ARE the
+    per-(value, key) state, so ``counts()`` folds net>0 membership per
+    value in a triple-bucketed pass. Maintained across the backfill
+    and tail windows like cdc_secondary_lookup; the oracle recomputes
+    COUNT(DISTINCT key) per value over the final live set."""
+    import hashlib
+    import shutil
+
+    from kafka_connect_mongo_ray.config import EngineConfig
+    from kafka_connect_mongo_ray.pipelines.cdc import run_replay
+    from kafka_connect_mongo_ray.state.secondary_index import SecondaryIndex
+
+    root = f"/tmp/kcm_sidxd_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(snapshot_dir=f"{root}/s", checkpoint_dir=f"{root}/c",
+                       num_buckets=16)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs.map_batches(_backfill_events, batch_format="pyarrow"),
+               cfg)
+    docs2 = _read(sf_dir, "documents",
+                  columns=["doc_id", "text", "lang", "source"])
+    run_replay(docs2.map_batches(_tail_events, batch_format="pyarrow"), cfg)
+    idx = SecondaryIndex(f"{root}/idx", column="lang",
+                         num_buckets=_gate_buckets(8))
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    return idx.counts()
+
+
 def q_events_attribution(sf_dir: str):
     """Stream-stream windowed join (stages/join.py::window_join): every
     (purchase, click) pair of the same user with the click in the hour
@@ -6529,6 +6562,7 @@ def build_queries():
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_incremental_moments": q_cdc_incremental_moments,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
+        "cdc_incremental_distinct": q_cdc_incremental_distinct,
         "cdc_state_as_of": q_cdc_state_as_of,
         "lineitem_linreg_by_flag": q_lineitem_linreg_by_flag,
         "events_twa_value": q_events_twa_value,
@@ -6791,6 +6825,13 @@ def build_oracle_sql():
                    AS content
             FROM documents
             WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <= 1)
+        """,
+        # retraction-safe incremental distinct: live keys per value
+        # over the final set (tail tombstones retracted)
+        "cdc_incremental_distinct": """
+            SELECT lang AS val, CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM documents WHERE doc_id % 7 <> 0
+            GROUP BY lang
         """,
         # the index answers membership over the LIVE final set — keys
         # tombstoned by the tail window (doc_id % 7 = 0) are retracted
