@@ -873,6 +873,10 @@ def index_cmd(args) -> int:
                              num_buckets=args.buckets,
                              auto_compact_after=args.auto_compact)
         out = {"index": args.index, "column": args.column}
+        if (args.apply or (args.value and args.fetch)) and not args.snapshot:
+            print(json.dumps({"error": "--snapshot is required with "
+                              "--apply and with --value --fetch"}))
+            return 1
         if args.apply:
             from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
 
