@@ -66,20 +66,33 @@ def replay(args) -> int:
     cfg = EngineConfig(snapshot_dir=args.snapshot, checkpoint_dir=args.checkpoints,
                        num_buckets=args.buckets)
     summary = run_replay(change_event_dataset(spec, base), cfg)
+    rc = 0
     if args.index:
         # keep the attribute→key secondary index fresh in the same
-        # driver pass (idempotent per-window fold; see `index` cmd)
-        from kafka_connect_mongo_ray.state.secondary_index import (
-            SecondaryIndex,
-        )
+        # driver pass. Fold EVERY committed window up to the new
+        # version, not just the newest: a fresh index against a
+        # pre-existing snapshot (or one that missed a run) would
+        # otherwise silently lack every earlier window's postings.
+        # Idempotent per-window file names make the catch-up safe.
+        # The replay's summary prints regardless — an index failure
+        # must not hide the committed version.
+        try:
+            from kafka_connect_mongo_ray.state.secondary_index import (
+                SecondaryIndex,
+            )
 
-        idx = SecondaryIndex(args.index, column=args.index_column,
-                             num_buckets=args.buckets)
-        v = int(summary["version"])
-        summary["index"] = idx.apply_window(args.snapshot, v - 1, v)
+            idx = SecondaryIndex(args.index, column=args.index_column,
+                                 num_buckets=args.index_buckets)
+            v = int(summary["version"])
+            summary["index"] = [
+                idx.apply_window(args.snapshot, w - 1, w)
+                for w in range(1, v + 1)]
+        except ValueError as e:
+            summary["index_error"] = str(e)
+            rc = 1
     print(json.dumps(summary, sort_keys=True))
     ray.shutdown()
-    return 0
+    return rc
 
 
 def validate(args) -> int:
@@ -835,7 +848,12 @@ def alter_cmd(args) -> int:
             return 1
         const = args.const
         if const is not None and args.const_type == "int":
-            const = int(const)
+            try:
+                const = int(const)
+            except ValueError:
+                print(json.dumps({"error": f"--const {const!r} is not "
+                                  "an integer (--const-type int)"}))
+                return 1
         try:
             out = run_alter_add_column(args.snapshot, args.column,
                                        const=const, derive=args.derive)
@@ -945,9 +963,13 @@ def main(argv=None) -> int:
     rp.add_argument("--buckets", type=int, default=32)
     rp.add_argument("--seed", type=int, default=42)
     rp.add_argument("--index", default=None,
-                    help="also fold this window into the secondary "
-                    "index at DIR (idempotent)")
+                    help="also catch the secondary index at DIR up to "
+                    "this commit (idempotent per-window folds)")
     rp.add_argument("--index-column", default="lang", dest="index_column")
+    rp.add_argument("--index-buckets", type=int, default=16,
+                    dest="index_buckets",
+                    help="index bucket count (the `index` command's "
+                    "default; independent of the store's --buckets)")
     va = sub.add_parser("validate")
     va.add_argument("--events", type=int, default=20_000)
     va.add_argument("--partitions", type=int, default=4)

@@ -632,8 +632,15 @@ def grouped_entropy(ds, *, group_col: str, val_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = pd.DataFrame({group_col: np.asarray(batch[group_col]),
-                           val_col: np.asarray(batch[val_col]).astype(object)})
+        # DuckDB entropy() IGNORES null values — drop them before the
+        # count (a NaN group key would also break the string cast)
+        col = batch[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        df = pd.DataFrame({
+            group_col: np.asarray(batch[group_col])[valid],
+            val_col: np.asarray(col).astype(object)[valid]})
         agg = (df.groupby([group_col, val_col], sort=False, dropna=False)
                .size().reset_index(name="__c"))
         return pa.table({group_col: pa.array(agg[group_col].to_numpy()),
@@ -701,8 +708,10 @@ def welch_t_components(ds, *, label_col: str, int_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         lab = np.asarray(batch[label_col]).astype(object)
         keep = (lab == label_a) | (lab == label_b)
-        x = np.rint(np.asarray(batch[int_col], dtype=np.float64)[keep]
-                    * scale).astype(np.int64)
+        v = np.asarray(batch[int_col], dtype=np.float64)[keep] * scale
+        # DuckDB ROUND is half-away-from-zero; np.rint is half-even —
+        # pin the oracle's mode (the _events_ts_us cents rule)
+        x = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
         lab = lab[keep]
         df = pd.DataFrame({label_col: lab, "n": 1, "s1": x, "s2": x * x})
         fx = x.astype(np.float64)
@@ -721,6 +730,14 @@ def welch_t_components(ds, *, label_col: str, int_col: str,
             .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s1", "s2")])
             .to_pandas())  # exactly 2 rows
     by = {r[label_col]: r for _, r in sums.iterrows()}
+    for lab in (label_a, label_b):
+        if lab not in by:
+            raise ValueError(f"welch_t_components: no rows labelled "
+                             f"{lab!r}")
+        if int(by[lab]["n"]) < 2:
+            raise ValueError(f"welch_t_components: label {lab!r} has "
+                             f"n={int(by[lab]['n'])} < 2 — the sample "
+                             "variance is undefined")
     out: dict = {}
     vn: dict = {}
     for side, lab in (("a", label_a), ("b", label_b)):
@@ -784,7 +801,7 @@ def grouped_linreg(ds, *, group_col: str, x_col: str, y_col: str,
 
     def finish(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
-        slopes, intercepts, r2s = [], [], []
+        slopes, r2s = [], []
         for r in rows:
             n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
             num = n * int(r["sxy"]) - sx * sy
@@ -792,7 +809,6 @@ def grouped_linreg(ds, *, group_col: str, x_col: str, y_col: str,
             deny = n * int(r["sy2"]) - sy * sy
             if denx == 0 or deny == 0:
                 slopes.append(None)
-                intercepts.append(None)
                 r2s.append(None)
                 continue
             slopes.append(float(num) / float(denx))
@@ -800,12 +816,13 @@ def grouped_linreg(ds, *, group_col: str, x_col: str, y_col: str,
                        / (float(denx) * float(deny)))
         slope_r = pc.round(pa.array(slopes, pa.float64()), round_to,
                            round_mode="half_towards_infinity")
-        for i, r in enumerate(rows):
-            if slopes[i] is None:
-                continue
-            s = slope_r[i].as_py()  # intercept uses the ROUNDED slope
-            intercepts.append((float(int(r["sy"])) - s * float(int(r["sx"])))
-                              / float(int(r["n"])))
+        # one aligned pass: row i's intercept comes from row i's
+        # ROUNDED slope (a degenerate row stays None at position i)
+        intercepts = [
+            None if slopes[i] is None else
+            (float(int(r["sy"])) - slope_r[i].as_py() * float(int(r["sx"])))
+            / float(int(r["n"]))
+            for i, r in enumerate(rows)]
         return pa.table({
             group_col: batch[group_col],
             "n": batch["n"],

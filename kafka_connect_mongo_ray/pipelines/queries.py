@@ -4401,6 +4401,16 @@ def q_tpch_regional_revenue(sf_dir: str, force_bucketed: bool = False):
         sn = np.asarray(st["s_nationkey"], dtype=np.int64)
         o = np.argsort(sk)
         sk, sn = sk[o], sn[o]
+        if len(ok) == 0 or len(sk) == 0:
+            # an empty broadcast map makes the clipped searchsorted
+            # index with -1 on an empty array — and the join result is
+            # definitionally empty anyway
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "r_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64())}))
         maps_ref = ray.put((ok, onat, sk, sn))
 
         def li_pass(batch: pa.Table) -> pa.Table:

@@ -33,7 +33,10 @@ def run_micro_batches(
     change feed folds in right after the commit. Index application is
     idempotent (deterministic per-window file names), so a crash
     between commit and fold is healed by the next run re-applying the
-    same window."""
+    same window. The loop folds only the windows IT commits — pointing
+    a fresh index at a PRE-EXISTING store requires catching up first
+    (``index --apply`` / ``replay --index`` fold every committed
+    window, idempotently)."""
     summaries = []
     for factory in batch_factories:
         s = run_replay(factory(), cfg)

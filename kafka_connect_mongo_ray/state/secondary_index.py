@@ -273,6 +273,12 @@ class SecondaryIndex:
         new_gen = os.path.join(self.root, f"gen{new_g:03d}")
         tmp_gen = new_gen + ".inprogress"
         shutil.rmtree(tmp_gen, ignore_errors=True)
+        # a prior compaction that crashed AFTER its os.replace but
+        # BEFORE the manifest commit leaves a complete-but-unpublished
+        # new_gen; the manifest still points at old_gen (authoritative),
+        # so clear the orphan or the replace below raises ENOTEMPTY
+        # forever
+        shutil.rmtree(new_gen, ignore_errors=True)
         os.makedirs(tmp_gen, exist_ok=True)
         max_w = int(self.manifest.get("applied_through", 0))
         work = []

@@ -581,6 +581,86 @@ def run_rebucket(snapshot_dir: str, new_buckets: int, *,
 ALTER_DERIVATIONS = ("chars", "tokens")
 
 
+def _load_union_schema(store: "SnapshotStore", m: dict, v: int):
+    """The manifest-recorded union schema, or the first bucket file's
+    schema on pre-contract stores; plus its base64 form helper."""
+    import base64
+
+    union_b64 = m.get("union_schema")
+    if union_b64:
+        return pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(union_b64)))
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(store.bucket_files(v)[0])
+
+
+def _rewrite_all_buckets(snapshot_dir: str, column: str, *,
+                         transform, new_schema: pa.Schema,
+                         rows_per_file: int | None, nonce: str | None,
+                         store: "SnapshotStore", m: dict, v: int) -> dict:
+    """The shared trunk of the ALTER family: one task per bucket reads
+    its own part files, applies ``transform(table) -> table``, and
+    rewrites through the staging / zone-map path — SHUFFLE-FREE (rows
+    never leave their bucket). Committed with ``full_rewrite=True``
+    (every bucket rewritten — the rebucket footgun rule: a
+    carried-forward old bucket would resurrect the un-altered schema),
+    the given union schema recorded, tokens carried verbatim.
+    Re-running after a crash restarts cleanly (staging swept, OCC
+    commit)."""
+    import base64
+
+    import ray.data as rd
+
+    new_union_b64 = base64.b64encode(
+        new_schema.serialize().to_pybytes()).decode()
+    new_v = v + 1
+    store.clean_staging(new_v, nonce)
+    work = [{"bucket": b, "files": ",".join([r] if isinstance(r, str)
+                                            else r)}
+            for b, r in m["buckets"].items()]
+    root = snapshot_dir
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+
+        out = []
+        for row in batch.to_pylist():
+            b = int(row["bucket"])
+            parts = [pq.read_table(os.path.join(root, r))
+                     for r in row["files"].split(",")]
+            t = parts[0] if len(parts) == 1 else pa.concat_tables(
+                parts, promote_options="permissive")
+            t = transform(t)
+            t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
+            st = SnapshotStore(root, create=False)
+            rel = st.write_bucket_staging(new_v, b, t,
+                                          rows_per_file=rows_per_file,
+                                          nonce=nonce)
+            live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
+                               ).as_py() or 0)
+            out.append({"bucket": b, "files": rel,
+                        "state_rows": t.num_rows, "live_rows": live})
+        return pa.Table.from_pylist(out)
+
+    res = (rd.from_items(work)
+           .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
+           .take_all())
+    expected = [p for r in res for p in r["files"].split(",")]
+    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
+                "state_rows": int(r["state_rows"]),
+                "live_rows": int(r["live_rows"])} for r in res]
+    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
+                 union_schema=new_union_b64, nonce=nonce,
+                 expected_files=expected,
+                 num_buckets=m.get("num_buckets"),
+                 metrics=metrics, full_rewrite=True)
+    return {"version": v, "new_version": new_v, "column": column,
+            "buckets_rewritten": len(res),
+            "rows": int(sum(r["state_rows"] for r in res))}
+
+
 def run_alter_add_column(snapshot_dir: str, column: str, *,
                          const: str | int | None = None,
                          derive: str | None = None,
@@ -595,20 +675,10 @@ def run_alter_add_column(snapshot_dir: str, column: str, *,
     Exactly one of ``const`` (a literal applied to every row) or
     ``derive`` (a built-in derivation of the content column: "chars" =
     UTF-8 length, "tokens" = whitespace token count; NULL content —
-    tombstones — derives NULL). SHUFFLE-FREE by design: rows never
-    leave their bucket, so one task per bucket reads its own part
-    files, appends the column, and rewrites through the staging /
-    zone-map path. Committed with ``full_rewrite=True`` (every bucket
-    rewritten — the rebucket footgun rule: a carried-forward old
-    bucket would resurrect the un-altered schema), the union schema
-    extended with the new field, tokens carried verbatim. Re-running
-    after a crash restarts cleanly (staging swept, OCC commit).
-
-    Refuses a column that already exists anywhere in the store's
-    schema — altering types or overwriting values is out of scope
-    (drop+re-add is the explicit path)."""
-    import ray.data as rd
-
+    tombstones — derives NULL). Execution and commit semantics:
+    :func:`_rewrite_all_buckets`. Refuses a column that already exists
+    anywhere in the store's schema — altering types or overwriting
+    values is out of scope (drop+re-add is the explicit path)."""
     if (const is None) == (derive is None):
         raise ValueError("pass exactly one of const= or derive=")
     if derive is not None and derive not in ALTER_DERIVATIONS:
@@ -619,16 +689,7 @@ def run_alter_add_column(snapshot_dir: str, column: str, *,
     m = store.manifest(v)
     if not m:
         raise ValueError(f"no committed version at {snapshot_dir}")
-    import base64
-
-    union_b64 = m.get("union_schema")
-    if union_b64:
-        schema = pa.ipc.read_schema(
-            pa.BufferReader(base64.b64decode(union_b64)))
-    else:
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(store.bucket_files(v)[0])
+    schema = _load_union_schema(store, m, v)
     if column in schema.names:
         raise ValueError(f"column {column!r} already exists; altering "
                          "existing columns is refused by design")
@@ -637,79 +698,36 @@ def run_alter_add_column(snapshot_dir: str, column: str, *,
             column, pa.int64() if isinstance(const, int) else pa.string())
     else:
         new_field = pa.field(column, pa.int64())
-    new_schema = schema.append(new_field)
-    new_union_b64 = base64.b64encode(
-        new_schema.serialize().to_pybytes()).decode()
 
-    new_v = v + 1
-    store.clean_staging(new_v, nonce)
-    work = [{"bucket": b, "files": ",".join([r] if isinstance(r, str)
-                                            else r)}
-            for b, r in m["buckets"].items()]
-    root = snapshot_dir
-
-    def rewrite(batch: pa.Table) -> pa.Table:
+    def add_col(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
-        import pyarrow.parquet as pq
 
-        out = []
-        for row in batch.to_pylist():
-            b = int(row["bucket"])
-            parts = [pq.read_table(os.path.join(root, r))
-                     for r in row["files"].split(",")]
-            t = parts[0] if len(parts) == 1 else pa.concat_tables(
-                parts, promote_options="permissive")
-            t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
-            if const is not None:
-                col = pa.array([const] * t.num_rows, new_field.type)
-            elif derive == "chars":
-                col = _pc.cast(_pc.utf8_length(t["content"]), pa.int64())
-            else:  # tokens
-                col = _pc.cast(
-                    _pc.count_substring_regex(t["content"], r"\S+"),
-                    pa.int64())
-            t = t.append_column(column, col)
-            st = SnapshotStore(root, create=False)
-            rel = st.write_bucket_staging(new_v, b, t,
-                                          rows_per_file=rows_per_file,
-                                          nonce=nonce)
-            live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
-                               ).as_py() or 0)
-            out.append({"bucket": b, "files": rel,
-                        "state_rows": t.num_rows, "live_rows": live})
-        return pa.Table.from_pylist(out)
+        if const is not None:
+            col = pa.array([const] * t.num_rows, new_field.type)
+        elif derive == "chars":
+            col = _pc.cast(_pc.utf8_length(t["content"]), pa.int64())
+        else:  # tokens
+            col = _pc.cast(
+                _pc.count_substring_regex(t["content"], r"\S+"),
+                pa.int64())
+        return t.append_column(column, col)
 
-    res = (rd.from_items(work)
-           .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
-           .take_all())
-    expected = [p for r in res for p in r["files"].split(",")]
-    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
-                "state_rows": int(r["state_rows"]),
-                "live_rows": int(r["live_rows"])} for r in res]
-    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
-                 union_schema=new_union_b64, nonce=nonce,
-                 expected_files=expected,
-                 num_buckets=m.get("num_buckets"),
-                 metrics=metrics, full_rewrite=True)
-    return {"version": v, "new_version": new_v, "column": column,
-            "buckets_rewritten": len(res),
-            "rows": int(sum(r["state_rows"] for r in res))}
+    return _rewrite_all_buckets(snapshot_dir, column, transform=add_col,
+                                new_schema=schema.append(new_field),
+                                rows_per_file=rows_per_file, nonce=nonce,
+                                store=store, m=m, v=v)
 
 
 def run_alter_drop_column(snapshot_dir: str, column: str, *,
                           rows_per_file: int | None = None,
                           nonce: str | None = None) -> dict:
     """ALTER TABLE DROP COLUMN — the add-column inverse, same
-    shuffle-free per-bucket rewrite / full_rewrite commit / union
-    schema contraction. Core-schema columns (the engine's own row
+    :func:`_rewrite_all_buckets` execution / commit semantics with the
+    union schema contracted. Core-schema columns (the engine's own row
     contract) are refused; so is a column absent from the union
     schema. A bucket whose files predate the column simply rewrites
     unchanged (the drop is a no-op select). Drop+re-add is the
     sanctioned path for changing a backfilled column's values."""
-    import base64
-
-    import ray.data as rd
-
     from kafka_connect_mongo_ray.schema import SNAPSHOT_SCHEMA
 
     if column in SNAPSHOT_SCHEMA.names:
@@ -720,67 +738,19 @@ def run_alter_drop_column(snapshot_dir: str, column: str, *,
     m = store.manifest(v)
     if not m:
         raise ValueError(f"no committed version at {snapshot_dir}")
-    union_b64 = m.get("union_schema")
-    if union_b64:
-        schema = pa.ipc.read_schema(
-            pa.BufferReader(base64.b64decode(union_b64)))
-    else:
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(store.bucket_files(v)[0])
+    schema = _load_union_schema(store, m, v)
     if column not in schema.names:
         raise ValueError(f"column {column!r} does not exist")
     keep = [n for n in schema.names if n != column]
-    new_schema = pa.schema([schema.field(n) for n in keep])
-    new_union_b64 = base64.b64encode(
-        new_schema.serialize().to_pybytes()).decode()
 
-    new_v = v + 1
-    store.clean_staging(new_v, nonce)
-    work = [{"bucket": b, "files": ",".join([r] if isinstance(r, str)
-                                            else r)}
-            for b, r in m["buckets"].items()]
-    root = snapshot_dir
+    def drop_col(t: pa.Table) -> pa.Table:
+        return (t.drop_columns([column]) if column in t.column_names
+                else t)
 
-    def rewrite(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-        import pyarrow.parquet as pq
-
-        out = []
-        for row in batch.to_pylist():
-            b = int(row["bucket"])
-            parts = [pq.read_table(os.path.join(root, r))
-                     for r in row["files"].split(",")]
-            t = parts[0] if len(parts) == 1 else pa.concat_tables(
-                parts, promote_options="permissive")
-            if column in t.column_names:
-                t = t.drop_columns([column])
-            t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
-            st = SnapshotStore(root, create=False)
-            rel = st.write_bucket_staging(new_v, b, t,
-                                          rows_per_file=rows_per_file,
-                                          nonce=nonce)
-            live = int(_pc.sum(_pc.is_valid(t["content"]).cast(pa.int64())
-                               ).as_py() or 0)
-            out.append({"bucket": b, "files": rel,
-                        "state_rows": t.num_rows, "live_rows": live})
-        return pa.Table.from_pylist(out)
-
-    res = (rd.from_items(work)
-           .map_batches(rewrite, batch_size=1, batch_format="pyarrow")
-           .take_all())
-    expected = [p for r in res for p in r["files"].split(",")]
-    metrics = [{"bucket": int(r["bucket"]), "events_in": 0,
-                "state_rows": int(r["state_rows"]),
-                "live_rows": int(r["live_rows"])} for r in res]
-    store.commit(new_v, tokens=store.tokens(v), prev_version=v,
-                 union_schema=new_union_b64, nonce=nonce,
-                 expected_files=expected,
-                 num_buckets=m.get("num_buckets"),
-                 metrics=metrics, full_rewrite=True)
-    return {"version": v, "new_version": new_v, "column": column,
-            "buckets_rewritten": len(res),
-            "rows": int(sum(r["state_rows"] for r in res))}
+    return _rewrite_all_buckets(
+        snapshot_dir, column, transform=drop_col,
+        new_schema=pa.schema([schema.field(n) for n in keep]),
+        rows_per_file=rows_per_file, nonce=nonce, store=store, m=m, v=v)
 
 
 def run_delete_where(snapshot_dir: str, *, ts_before: int | None = None,

@@ -269,3 +269,58 @@ def test_twa_property_matches_pandas_weighted_mean(rows):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k]  # bit-exact: one division of exact ints
+
+
+# ---------------------------------------------------------------------------
+# review-hardening regressions
+
+
+def test_grouped_linreg_intercepts_stay_aligned_past_degenerate_groups():
+    """A constant-x group sorting BEFORE a varying group must not shift
+    the later groups' intercepts (the two-pass append bug): row i's
+    intercept comes from row i's slope."""
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 4, pa.string()),
+        # group a: constant x (degenerate); b and c: clean lines
+        "x": pa.array([5, 5, 5, 5, 1, 2, 3, 1, 2, 3, 4], pa.float64()),
+        "y": pa.array([1, 2, 3, 4, 10, 20, 30, 5, 4, 3, 2], pa.float64()),
+    })
+
+    from kafka_connect_mongo_ray.functions.stats import grouped_linreg
+
+    got = (grouped_linreg(_ds(t, 3), group_col="g", x_col="x", y_col="y")
+           .to_pandas().set_index("g"))
+    assert pd.isna(got.loc["a", "slope"]) and pd.isna(got.loc["a",
+                                                              "intercept"])
+    assert got.loc["b", "slope"] == 10.0 and got.loc["b", "intercept"] == 0.0
+    assert got.loc["c", "slope"] == -1.0 and got.loc["c", "intercept"] == 6.0
+
+
+def test_grouped_entropy_ignores_null_values_like_duckdb():
+    t = pa.table({"g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array(["x", "y", None, None, None, "z"],
+                                pa.string())})
+
+    from kafka_connect_mongo_ray.functions.stats import grouped_entropy
+
+    got = (grouped_entropy(_ds(t, 2), group_col="g", val_col="v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT g, ROUND(entropy(v), 6) AS ent FROM t GROUP BY g ORDER BY g"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_welch_t_refuses_missing_label_and_tiny_sides():
+    import pytest
+
+    from kafka_connect_mongo_ray.functions.stats import welch_t_components
+
+    t = pa.table({"lab": pa.array(["A", "A", "B"], pa.string()),
+                  "x": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    with pytest.raises(ValueError, match="no rows labelled"):
+        welch_t_components(_ds(t, 1), label_col="lab", int_col="x",
+                           label_a="A", label_b="absent")
+    with pytest.raises(ValueError, match="n=1 < 2"):
+        welch_t_components(_ds(t, 1), label_col="lab", int_col="x",
+                           label_a="A", label_b="B")

@@ -175,3 +175,26 @@ def test_auto_compaction_triggers_on_file_budget(tmp_path):
     assert _keys(idx.lookup("rs")) == [("r0", "a")]
     assert _keys(idx.lookup("go")) == [("r1", "d")]
     assert _keys(idx.lookup("py")) == [("r1", "c")]
+
+
+def test_compaction_recovers_from_crash_between_replace_and_manifest(
+        tmp_path):
+    """A compaction that crashed AFTER its generation rename but BEFORE
+    the manifest commit leaves an orphan genNNN dir the manifest never
+    references; the NEXT compaction must clear it and succeed instead
+    of raising ENOTEMPTY forever."""
+    import os
+    import shutil
+
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    # simulate the crash window: a complete-but-unpublished gen001
+    orphan = os.path.join(str(tmp_path / "idx"), "gen001")
+    shutil.copytree(os.path.join(str(tmp_path / "idx"), "gen000"), orphan)
+    st = idx.compact()
+    assert st["generation"] == 1
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
