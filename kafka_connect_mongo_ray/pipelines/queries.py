@@ -6564,11 +6564,99 @@ def q_events_welch_ttest(sf_dir: str):
 
 def build_queries():
     return {
-    # Ordering contract: queries WITHOUT a CORRECTNESS_r03 row come
-    # FIRST (r03 recorded exactly the registry's first 50 entries, so
-    # a prefix-budgeted gate would otherwise never reach them); the 50
-    # r03-verified queries follow, CDC flagship family first. Their
-    # implementations are unchanged since the r03-green commit.
+    # Ordering contract (round 5): the driver snapshots the FIRST
+    # min(50, N) entries each round, so the 82 queries without any
+    # CORRECTNESS_r01..r04 row come first -- the 50 highest-value
+    # (compositions, persisted-index, dedup, text/embedding
+    # families) in slots 0-49, the remaining 32 no-row variants
+    # next, then the 100 driver-green queries (r01-r04 union),
+    # whose implementations are unchanged since their green commit.
+    # Registry FROZEN at 182 until the backlog is driver-green.
+        # -- slots 0-49: driver-unverified, highest value --
+        "cdc_curated_stream": q_cdc_curated_stream,
+        "cdc_incremental_view": q_cdc_incremental_view,
+        "cdc_time_travel": q_cdc_time_travel,
+        "dedup_incremental": q_dedup_incremental,
+        "docs_bm25": q_docs_bm25,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
+        "embedding_pca": q_embedding_pca,
+        "training_set_prep": q_training_set_prep,
+        "dedup_components": q_dedup_components,
+        "events_rollup": q_events_rollup,
+        "cdc_curated_time_scoped": q_cdc_curated_time_scoped,
+        "cdc_curated_minhash": q_cdc_curated_minhash,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "corpus_decontam_prep": q_corpus_decontam_prep,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_normalized": q_dedup_normalized,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "docs_tfidf_top": q_docs_tfidf_top,
+        "docs_bm25_multi": q_docs_bm25_multi,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "docs_bigram_top": q_docs_bigram_top,
+        "docs_contamination": q_docs_contamination,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_group_centroids": q_embedding_group_centroids,
+        "join_parts_bloom_semi": q_join_parts_bloom_semi,
+        "join_full_outer": q_join_full_outer,
+        "docs_pii_scan": q_docs_pii_scan,
+        "docs_source_policy": q_docs_source_policy,
+        "docs_balanced_sample": q_docs_balanced_sample,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_length_trim": q_docs_length_trim,
+        "docs_char_entropy": q_docs_char_entropy,
+        "docs_repetition_stats": q_docs_repetition_stats,
+        "orders_revenue_gini": q_orders_revenue_gini,
+        "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
+        "lineitem_quantiles_by_flag": q_lineitem_quantiles_by_flag,
+        "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
+        "lineitem_mad": q_lineitem_mad,
+        "lineitem_mad_refine": q_lineitem_mad_refine,
+        "lineitem_profile": q_lineitem_profile,
+        "events_cube": q_events_cube,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_pivot_types": q_events_pivot_types,
+        "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
+        "events_asof_forward": q_events_asof_forward,
+        "events_cohort_retention": q_events_cohort_retention,
+        "events_funnel": q_events_funnel,
+        "events_attribution": q_events_attribution,
+        "events_transitions": q_events_transitions,
+        # -- slots 50-81: driver-unverified variants --
+        "part_skyline": q_part_skyline,
+        "orders_weighted_sample": q_orders_weighted_sample,
+        "events_type_cooccurrence": q_events_type_cooccurrence,
+        "events_ohlc": q_events_ohlc,
+        "events_rolling_wau": q_events_rolling_wau,
+        "events_chi2": q_events_chi2,
+        "events_except_all_views": q_events_except_all_views,
+        "events_throttle": q_events_throttle,
+        "orders_revenue_top": q_orders_revenue_top,
+        "events_winsorized": q_events_winsorized,
+        "orders_pareto": q_orders_pareto,
+        "events_anomaly_mad": q_events_anomaly_mad,
+        "orders_rfm": q_orders_rfm,
+        "events_moving_avg": q_events_moving_avg,
+        "lineitem_corr": q_lineitem_corr,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "events_user_dense_rank": q_events_user_dense_rank,
+        "events_intersect_users": q_events_intersect_users,
+        "events_except_users": q_events_except_users,
+        "orders_argmax_order": q_orders_argmax_order,
+        "lineitem_linreg": q_lineitem_linreg,
+        "events_ntile": q_events_ntile,
+        "events_percent_rank": q_events_percent_rank,
+        "lineitem_histogram": q_lineitem_histogram,
+        "events_mode_per_type": q_events_mode_per_type,
+        "events_quantiles_approx": q_events_quantiles_approx,
+        "events_rank_ties": q_events_rank_ties,
+        "orders_monthly_revenue": q_orders_monthly_revenue,
+        "events_distinct_users_exact": q_events_distinct_users_exact,
+        "events_user_paths": q_events_user_paths,
+        "lineitem_zscore": q_lineitem_zscore,
+        "lineitem_corr_by_flag": q_lineitem_corr_by_flag,
+        # -- slots 82+: driver-green r01-r04 --
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_incremental_moments": q_cdc_incremental_moments,
         "cdc_secondary_lookup": q_cdc_secondary_lookup,
@@ -6619,87 +6707,6 @@ def build_queries():
         "tpch_promo_share": q_tpch_promo_share,
         "tpch_supplier_variety": q_tpch_supplier_variety,
         "tpch_disjunctive_revenue": q_tpch_disjunctive_revenue,
-        "embedding_pca": q_embedding_pca,
-        "docs_source_policy": q_docs_source_policy,
-        "cdc_curated_stream": q_cdc_curated_stream,
-        "cdc_curated_time_scoped": q_cdc_curated_time_scoped,
-        "cdc_curated_minhash": q_cdc_curated_minhash,
-        "lineitem_quantiles_refine": q_lineitem_quantiles_refine,
-        "lineitem_mad_refine": q_lineitem_mad_refine,
-        "docs_pii_scan": q_docs_pii_scan,
-        "dedup_normalized": q_dedup_normalized,
-        "events_cohort_retention": q_events_cohort_retention,
-        "part_skyline": q_part_skyline,
-        "orders_weighted_sample": q_orders_weighted_sample,
-        "events_type_cooccurrence": q_events_type_cooccurrence,
-        "events_ohlc": q_events_ohlc,
-        "events_rolling_wau": q_events_rolling_wau,
-        "orders_revenue_gini": q_orders_revenue_gini,
-        "events_transitions": q_events_transitions,
-        "events_chi2": q_events_chi2,
-        "cdc_incremental_view": q_cdc_incremental_view,
-        "events_attribution": q_events_attribution,
-        "events_except_all_views": q_events_except_all_views,
-        "docs_balanced_sample": q_docs_balanced_sample,
-        "events_throttle": q_events_throttle,
-        "lineitem_profile": q_lineitem_profile,
-        "cdc_time_travel": q_cdc_time_travel,
-        "orders_revenue_top": q_orders_revenue_top,
-        "docs_bigram_top": q_docs_bigram_top,
-        "docs_contamination": q_docs_contamination,
-        "docs_length_trim": q_docs_length_trim,
-        "lineitem_mad": q_lineitem_mad,
-        "docs_char_entropy": q_docs_char_entropy,
-        "dedup_keep_best": q_dedup_keep_best,
-        "events_winsorized": q_events_winsorized,
-        "orders_pareto": q_orders_pareto,
-        "corpus_decontam_prep": q_corpus_decontam_prep,
-        "dedup_incremental": q_dedup_incremental,
-        "events_anomaly_mad": q_events_anomaly_mad,
-        "orders_rfm": q_orders_rfm,
-        "dedup_incremental_minhash": q_dedup_incremental_minhash,
-        "events_rollup": q_events_rollup,
-        "dedup_components": q_dedup_components,
-        "docs_bm25": q_docs_bm25,
-        "events_moving_avg": q_events_moving_avg,
-        "join_full_outer": q_join_full_outer,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "lineitem_quantiles_by_flag": q_lineitem_quantiles_by_flag,
-        "embedding_group_centroids": q_embedding_group_centroids,
-        "docs_bm25_multi": q_docs_bm25_multi,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "events_pivot_types": q_events_pivot_types,
-        "embedding_kmeans": q_embedding_kmeans,
-        "events_cube": q_events_cube,
-        "events_asof_forward": q_events_asof_forward,
-        "training_set_prep": q_training_set_prep,
-        "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
-        "lineitem_corr": q_lineitem_corr,
-        "events_heavy_hitters": q_events_heavy_hitters,
-        "events_user_dense_rank": q_events_user_dense_rank,
-        "events_intersect_users": q_events_intersect_users,
-        "events_except_users": q_events_except_users,
-        "orders_argmax_order": q_orders_argmax_order,
-        "lineitem_linreg": q_lineitem_linreg,
-        "events_ntile": q_events_ntile,
-        "events_percent_rank": q_events_percent_rank,
-        "lineitem_histogram": q_lineitem_histogram,
-        "events_mode_per_type": q_events_mode_per_type,
-        "docs_repetition_stats": q_docs_repetition_stats,
-        "events_quantiles_approx": q_events_quantiles_approx,
-        "events_rank_ties": q_events_rank_ties,
-        "orders_monthly_revenue": q_orders_monthly_revenue,
-        "events_distinct_users_exact": q_events_distinct_users_exact,
-        "events_user_paths": q_events_user_paths,
-        "lineitem_zscore": q_lineitem_zscore,
-        "events_funnel": q_events_funnel,
-        "docs_tfidf_top": q_docs_tfidf_top,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "lineitem_corr_by_flag": q_lineitem_corr_by_flag,
-        "join_parts_bloom_semi": q_join_parts_bloom_semi,
-        "events_grouping_sets": q_events_grouping_sets,
-        "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
         "cdc_final_state": q_cdc_final_state,
         "cdc_event_counts": q_cdc_event_counts,
         "cdc_tombstone_keys": q_cdc_tombstone_keys,
@@ -6731,7 +6738,6 @@ def build_queries():
         "corpus_prep": q_corpus_prep,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_persisted": q_ann_ivf_persisted,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "docs_langid": q_docs_langid,
