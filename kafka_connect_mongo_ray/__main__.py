@@ -69,13 +69,12 @@ def replay(args) -> int:
     rc = 0
     if args.index:
         # keep the attribute→key secondary index fresh in the same
-        # driver pass. Fold EVERY committed window up to the new
-        # version, not just the newest: a fresh index against a
-        # pre-existing snapshot (or one that missed a run) would
-        # otherwise silently lack every earlier window's postings.
-        # Idempotent per-window file names make the catch-up safe.
-        # The replay's summary prints regardless — an index failure
-        # must not hide the committed version.
+        # driver pass. catch_up folds every committed window the index
+        # has not absorbed (applied_through-tracked, so reruns cost
+        # O(new windows)); a fresh index against a gc'd store
+        # bootstraps from the oldest kept version. The replay's summary
+        # prints regardless — an index failure must not hide the
+        # committed version.
         try:
             from kafka_connect_mongo_ray.state.secondary_index import (
                 SecondaryIndex,
@@ -83,10 +82,8 @@ def replay(args) -> int:
 
             idx = SecondaryIndex(args.index, column=args.index_column,
                                  num_buckets=args.index_buckets)
-            v = int(summary["version"])
-            summary["index"] = [
-                idx.apply_window(args.snapshot, w - 1, w)
-                for w in range(1, v + 1)]
+            summary["index"] = idx.catch_up(
+                args.snapshot, int(summary["version"]))
         except ValueError as e:
             summary["index_error"] = str(e)
             rc = 1
@@ -896,12 +893,11 @@ def index_cmd(args) -> int:
                               "--apply and with --value --fetch"}))
             return 1
         if args.apply:
-            from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
-
-            store = SnapshotStore(args.snapshot, create=False)
-            cur = store.current_version()
-            out["applied"] = [idx.apply_window(args.snapshot, v - 1, v)
-                              for v in range(1, cur + 1)]
+            try:
+                out["applied"] = idx.catch_up(args.snapshot)
+            except ValueError as e:
+                print(json.dumps({"error": str(e)}))
+                return 1
         if args.compact:
             out["compact"] = idx.compact()
         if args.value:

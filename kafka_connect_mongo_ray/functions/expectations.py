@@ -178,20 +178,35 @@ def _unique_counts(ds, column: str):
 
 def _foreign_key_counts(ds, column, ref_ds, ref_column):
     """(n_checked, n_violations) for a referential expectation — a
-    tagged keys-only union into ONE groupby (no join operator)."""
+    tagged keys-only union into ONE groupby (no join operator).
+    Comparison happens in the CHILD column's native type (string FK
+    columns are legal for this declarative API); the referenced side
+    is cast to it when the two differ — an impossible cast (e.g.
+    non-numeric strings → int) raises a clear config error."""
     from ray.data.aggregate import Sum
+
+    child_schema = ds.schema(fetch_if_missing=True)
+    ktype = dict(zip(child_schema.names, child_schema.types))[column]
 
     def child(batch: pa.Table) -> pa.Table:
         keys = batch[column].filter(pc.is_valid(batch[column]))
         g = pa.table({"__k": keys}).group_by("__k").aggregate([([], "count_all")])
-        return pa.table({"__k": pc.cast(g["__k"], pa.int64()),
+        return pa.table({"__k": g["__k"],
                          "__l": pc.cast(g["count_all"], pa.int64()),
                          "__r": pa.array([0] * g.num_rows, pa.int64())})
 
     def ref(batch: pa.Table) -> pa.Table:
         keys = pc.unique(batch[ref_column].filter(
             pc.is_valid(batch[ref_column])))
-        return pa.table({"__k": pc.cast(keys, pa.int64()),
+        if keys.type != ktype:
+            try:
+                keys = pc.cast(keys, ktype)
+            except pa.ArrowInvalid as e:
+                raise ValueError(
+                    f"foreign_key: referenced column {ref_column!r} "
+                    f"({keys.type}) is not castable to the child "
+                    f"column {column!r}'s type ({ktype})") from e
+        return pa.table({"__k": keys,
                          "__l": pa.array([0] * len(keys), pa.int64()),
                          "__r": pa.array([1] * len(keys), pa.int64())})
 

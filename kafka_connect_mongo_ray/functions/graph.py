@@ -309,8 +309,16 @@ def _pagerank_broadcast(edges, outdeg, *, n: int, base: float, r0: float,
             snodes, srd = ray.get(state_ref)
             s = np.asarray(batch["src"], dtype=np.int64)
             idx = np.searchsorted(snodes, s)
-            g = pa.table({"dst": batch["dst"],
-                          "c": pa.array(srd[idx], pa.float64())}
+            # inner-join semantics, mirroring the join plan: after the
+            # first iteration state holds RECEIVING nodes only, so on a
+            # directed graph an edge whose src has no in-edges is not in
+            # snodes — drop it (unguarded srd[idx] would IndexError past
+            # the end or silently read a neighbor's rank)
+            hit = (idx < len(snodes)) & (
+                snodes[np.minimum(idx, len(snodes) - 1)] == s)
+            dst = np.asarray(batch["dst"], dtype=np.int64)[hit]
+            g = pa.table({"dst": pa.array(dst),
+                          "c": pa.array(srd[idx[hit]], pa.float64())}
                          ).group_by("dst").aggregate([("c", "sum")])
             return g.rename_columns(["dst", "c"])
 

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 __all__ = ["lag_delta", "running_sum", "rolling_mean", "global_row_number",
            "dense_rank", "group_percent_rank", "rank_with_ties",
            "group_string_agg", "funnel_counts", "throttle",
-           "validity_intervals", "time_weighted_avg"]
+           "validity_intervals", "time_weighted_avg", "longest_streak"]
 
 
 def _sort_key_arrays(t: pa.Table, order_cols: list[str]) -> pa.Table:

@@ -115,7 +115,23 @@ class SecondaryIndex:
 
         if v_new <= int(self.manifest.get("applied_through", 0)):
             return {"window": [v_old, v_new], "postings": 0,
-                    "skipped": "already folded by compaction"}
+                    "skipped": "already folded"}
+        if v_old > 0:
+            from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+            if SnapshotStore(snapshot_dir, create=False).manifest(v_old) \
+                    is None:
+                # gc expired v_old's manifest: the diff would see the
+                # FULL state of the first kept version as 'appeared'
+                # and overwrite this window's previously-correct
+                # incremental postings (deterministic file names) with
+                # full-state +1s — keys deleted later would net > 0 and
+                # resurface as live. Refuse loudly instead.
+                raise ValueError(
+                    f"cannot fold window ({v_old}, {v_new}): version "
+                    f"{v_old}'s manifest was garbage-collected; rebuild "
+                    f"the index (fresh catch_up bootstraps from the "
+                    f"oldest kept version) or raise gc keep_last")
         col = self.column
         feed = changes_between(snapshot_dir, v_old, v_new,
                                include_old=True, attr_cols=[col])
@@ -134,15 +150,24 @@ class SecondaryIndex:
             add = new_live & churn
             drop = old_live & churn
             vals = np.concatenate([v_post[add], v_pre[drop]])
+            repos = np.concatenate([repo[add], repo[drop]])
+            paths = np.concatenate([path[add], path[drop]])
+            signs = np.concatenate(
+                [np.ones(int(add.sum()), dtype=np.int8),
+                 -np.ones(int(drop.sum()), dtype=np.int8)])
+            # NULL attributes are UNINDEXED (lookup takes a string; a
+            # NULL posting could never be queried) — and emitting them
+            # would diverge across compaction, whose pandas groupby
+            # drops NaN groups by default. Filter at the source.
+            keep = np.array([v is not None for v in vals], dtype=bool)
+            if not keep.all():
+                vals, repos, paths, signs = (
+                    vals[keep], repos[keep], paths[keep], signs[keep])
             t = pa.table({
                 "val": pa.array(vals, pa.string()),
-                "repo": pa.array(np.concatenate([repo[add], repo[drop]]),
-                                 pa.string()),
-                "path": pa.array(np.concatenate([path[add], path[drop]]),
-                                 pa.string()),
-                "sign": pa.array(np.concatenate(
-                    [np.ones(int(add.sum()), dtype=np.int8),
-                     -np.ones(int(drop.sum()), dtype=np.int8)]), pa.int8()),
+                "repo": pa.array(repos, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "sign": pa.array(signs, pa.int8()),
             })
             return t.append_column("bucket", pa.array(
                 _bucket_of_vals(t["val"], self.num_buckets)))
@@ -170,6 +195,16 @@ class SecondaryIndex:
         out = {"window": [v_old, v_new],
                "buckets_touched": int(len(stats)),
                "postings": int(stats["postings"].sum()) if len(stats) else 0}
+        # applied_through advances on APPLY (not only on compaction)
+        # whenever this window extends the contiguous folded prefix —
+        # so catch_up is O(new windows) instead of re-folding 1..v, and
+        # an already-folded window can never be clobbered by a later
+        # full-state diff. A crash before this commit just re-applies
+        # the window (deterministic file names overwrite).
+        ap = int(self.manifest.get("applied_through", 0))
+        if v_old <= ap:
+            self.manifest["applied_through"] = max(ap, int(v_new))
+            self._commit_manifest()
         if self.auto_compact_after:
             # fold once the read amplification budget is spent: any
             # bucket holding more than N window files triggers a
@@ -184,6 +219,38 @@ class SecondaryIndex:
             if most > self.auto_compact_after:
                 out["compacted"] = self.compact()
         return out
+
+    def catch_up(self, snapshot_dir: str,
+                 v_current: int | None = None) -> list[dict]:
+        """Fold every committed window the index has not absorbed yet.
+        Starts from ``applied_through`` (tracked on every apply), so a
+        repeated catch-up costs O(new windows), not O(v²). A FRESH
+        index against a store whose early manifests were gc'd
+        bootstraps from the oldest KEPT version — a (0, oldest) window
+        diff is exactly the live set at that version, the correct
+        initial postings. A non-fresh index whose next base manifest
+        was gc'd raises (see :meth:`apply_window`)."""
+        from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+        store = SnapshotStore(snapshot_dir, create=False)
+        cur = store.current_version() if v_current is None \
+            else int(v_current)
+        ap = int(self.manifest.get("applied_through", 0))
+        if cur <= ap:
+            return []
+        outs: list[dict] = []
+        start = ap + 1
+        if ap == 0:
+            oldest = next((v for v in range(1, cur + 1)
+                           if store.manifest(v) is not None), None)
+            if oldest is None:
+                return []
+            if oldest > 1:
+                outs.append(self.apply_window(snapshot_dir, 0, oldest))
+                start = oldest + 1
+        outs.extend(self.apply_window(snapshot_dir, w - 1, w)
+                    for w in range(start, cur + 1))
+        return outs
 
     # -- reads ---------------------------------------------------------------
 

@@ -89,3 +89,27 @@ def test_single_scan_fusion_and_name_collision(dirty):
         ex.foreign_key("c_fk", "child", "k", "ref", "rk"),
     ])
     assert out["check_name"].to_pylist() == ["a_null", "b_unique", "c_fk"]
+
+
+def test_foreign_key_on_string_columns(ray_session):
+    """A string-typed FK column is legal for the declarative API; the
+    check runs in the child column's NATIVE type (no int64 coercion).
+    A mixed pair (int ref, string child) casts the ref side to the
+    child's type."""
+    from kafka_connect_mongo_ray.functions import expectations as ex
+
+    child = pa.table({"k": pa.array(["a", "a", "b", None, "z"])})
+    ref = pa.table({"rk": pa.array(["a", "b", "c"])})
+    out = ex.run_expectations(
+        {"child": _ds(child), "ref": _ds(ref)},
+        [ex.foreign_key("s_fk", "child", "k", "ref", "rk")])
+    assert _counts(out) == {"s_fk": (4, 1)}  # NULL skipped, 'z' dangles
+
+    # int ref → string child: ref casts to the child's type; the
+    # canonical int→string image makes matching exact
+    child2 = pa.table({"k": pa.array(["1", "2", "7"])})
+    ref2 = pa.table({"rk": pa.array([1, 2, 3], pa.int64())})
+    out2 = ex.run_expectations(
+        {"child": _ds(child2), "ref": _ds(ref2)},
+        [ex.foreign_key("m_fk", "child", "k", "ref", "rk")])
+    assert _counts(out2) == {"m_fk": (3, 1)}

@@ -271,3 +271,34 @@ def test_triangle_count_matches_local_reference(ray_session):
     path = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
                      "dst": pa.array([1, 2, 3], pa.int64())})
     assert triangle_count(rd.from_arrow(path), num_buckets=4) == 0
+
+
+def test_pagerank_directed_source_only_nodes(ray_session, monkeypatch):
+    """On a DIRECTED graph, nodes with out-edges but no in-edges drop
+    out of the broadcast plan's state after iteration 1; their edges
+    must be dropped from later contribution passes (inner-join
+    semantics), not read out of bounds.  Node 9 > max(state) makes the
+    unguarded searchsorted an IndexError pre-fix; node 0 < max(state)
+    is the silent-wrong-rank case.  Both plans must agree."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions import graph
+
+    directed = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1), (9, 1), (9, 3)]
+    edges = pa.table({
+        "src": pa.array([a for a, b in directed], pa.int64()),
+        "dst": pa.array([b for a, b in directed], pa.int64()),
+    })
+
+    broadcast = (graph.pagerank(rd.from_arrow(edges), iterations=3,
+                                num_buckets=4).to_pandas()
+                 .sort_values("node").reset_index(drop=True))
+    monkeypatch.setattr(graph, "_PR_BROADCAST_MAX_NODES", 0)
+    joined = (graph.pagerank(rd.from_arrow(edges), iterations=3,
+                             num_buckets=4).to_pandas()
+              .sort_values("node").reset_index(drop=True))
+    assert broadcast["node"].tolist() == joined["node"].tolist()
+    np.testing.assert_allclose(broadcast["rank"].to_numpy(),
+                               joined["rank"].to_numpy(), atol=2e-9)

@@ -198,3 +198,90 @@ def test_compaction_recovers_from_crash_between_replace_and_manifest(
     assert st["generation"] == 1
     assert _keys(idx.lookup("rs")) == [("r0", "a")]
     assert _keys(idx.lookup("go")) == [("r1", "d")]
+
+
+def test_gc_expired_base_manifest_is_refused(tmp_path):
+    """After gc expires a window's base manifest, re-folding that
+    window would see the first kept version's FULL state as 'appeared'
+    and overwrite the window's previously-correct incremental postings
+    (keys deleted later net > 0 and resurface). apply_window must
+    refuse loudly instead of corrupting silently."""
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    cfg = _store(tmp_path)  # versions 1 and 2
+    base = dict(commit="", partition_id=0, inc=0)
+    _replay(cfg, [dict(ts=3, op="i", repo="r2", path="e", lang="py",
+                       content="v", **base)])  # version 3
+    SnapshotStore(cfg.snapshot_dir, create=False).gc(keep_last=1)
+
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    with pytest.raises(ValueError, match="garbage-collected"):
+        idx.apply_window(cfg.snapshot_dir, 1, 2)
+
+
+def test_fresh_index_catch_up_bootstraps_from_oldest_kept(tmp_path):
+    """catch_up on a FRESH index against a gc'd store folds a
+    (0, oldest-kept) bootstrap window — exactly the live set at that
+    version — then continues incrementally; membership equals the
+    store's live state."""
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    cfg = _store(tmp_path)  # versions 1 and 2
+    base = dict(commit="", partition_id=0, inc=0)
+    _replay(cfg, [dict(ts=3, op="i", repo="r2", path="e", lang="py",
+                       content="v", **base)])  # version 3
+    SnapshotStore(cfg.snapshot_dir, create=False).gc(keep_last=2)
+
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    outs = idx.catch_up(cfg.snapshot_dir)
+    # bootstrap (0, 2) + incremental (2, 3)
+    assert [o["window"] for o in outs] == [[0, 2], [2, 3]]
+    assert _keys(idx.lookup("py")) == [("r1", "c"), ("r2", "e")]
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
+    assert int(idx.manifest["applied_through"]) == 3
+    # a second catch-up is a no-op — applied_through advanced on APPLY
+    assert idx.catch_up(cfg.snapshot_dir) == []
+
+
+def test_applied_through_advances_on_apply(tmp_path):
+    """applied_through tracks every contiguous apply (not only
+    compaction), so catch_up re-runs cost O(new windows) and an
+    already-folded window is skipped, never re-folded."""
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    assert int(idx.manifest["applied_through"]) == 1
+    idx.apply_window(cfg.snapshot_dir, 1, 2)
+    assert int(idx.manifest["applied_through"]) == 2
+    out = idx.apply_window(cfg.snapshot_dir, 1, 2)
+    assert out.get("skipped")
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+
+
+def test_null_attribute_values_are_unindexed(tmp_path):
+    """Rows whose indexed attribute is NULL produce no postings (a
+    string lookup could never match them), so generation contents are
+    identical before and after compaction — the pandas dropna fold can
+    no longer silently diverge from the signed history."""
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    base = dict(commit="", partition_id=0, inc=0)
+    _replay(cfg, [
+        dict(ts=1, op="i", repo="r0", path="a", lang="py", content="x",
+             **base),
+        dict(ts=1, op="i", repo="r0", path="n", lang=None, content="y",
+             **base),
+    ])
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)
+    before = idx.counts().to_pandas().set_index("val")["n_keys"].to_dict()
+    assert before == {"py": 1}
+    st = idx.compact()
+    after = idx.counts().to_pandas().set_index("val")["n_keys"].to_dict()
+    assert after == before
+    assert st["postings"] == 1
