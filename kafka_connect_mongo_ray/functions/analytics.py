@@ -438,6 +438,35 @@ def rolling_active_users(ds, *, user_col: str, ts_col: str,
     return counts.map_batches(fmt, batch_format="pyarrow")
 
 
+def _exact_rank_weighted_sums(x: np.ndarray) -> tuple[int, int]:
+    """Exact ``(Σx, Σ i·x)`` over an int64 array with 1-based ranks —
+    chunked vectorized int64 partials accumulated in Python ints
+    (arbitrary precision), so the result is exact at ANY domain size
+    without a per-element interpreter loop.
+
+    Overflow proof: with ``C = floor(sqrt(2^62 / max|x|))`` every
+    in-chunk partial is bounded — ``Σ|chunk| ≤ C·max|x| ≤ 2^62`` and
+    ``Σ local_rank·|chunk| ≤ C²·max|x| ≤ 2^62`` — both below the int64
+    limit; the global-rank offset contribution ``start·Σchunk`` and
+    the running totals multiply/add exact Python ints."""
+    n = len(x)
+    if n == 0:
+        return 0, 0
+    max_abs = int(np.abs(x).max())
+    if max_abs == 0:
+        return 0, 0
+    chunk = max(1, int((2**62 // max_abs) ** 0.5))
+    s0 = 0
+    s1 = 0
+    for start in range(0, n, chunk):
+        c = x[start:start + chunk]
+        sc = int(c.sum())
+        lw = np.arange(1, len(c) + 1, dtype=np.int64)
+        s1 += start * sc + int(np.dot(lw, c))
+        s0 += sc
+    return s0, s1
+
+
 def gini_concentration(ds, *, key_col: str, cents_col: str,
                        num_partitions: int | None = None):
     """Gini coefficient of the per-key distribution of an exact-cents
@@ -447,12 +476,16 @@ def gini_concentration(ds, *, key_col: str, cents_col: str,
     (equal x within a tie block contribute the same Σ i·x for any
     permutation), so the statistic is deterministic.
 
-    Exactness: the sorted scan accumulates in PYTHON ints (arbitrary
-    precision — Σ i·x overflows int64 at ~10^9 keys), mirrored by
-    HUGEINT sums in SQL; both sides round to float64 once, in the same
-    two casts and one division. Scale shape: one groupby-sum collapses
-    facts to the key domain; the cumulative scan is a single task over
-    that dimension-sized table."""
+    Exactness: the sorted scan accumulates CHUNKED int64 numpy partials
+    in PYTHON ints (arbitrary precision — a single int64 Σ i·x would
+    overflow at ~10^9 keys, while a per-element Python loop is a
+    multi-minute single-task straggler at a 10^8-key domain); the
+    chunk size is derived from max|x| so every vectorized partial is
+    provably below 2^62 (see ``_exact_rank_weighted_sums``). Mirrored
+    by HUGEINT sums in SQL; both sides round to float64 once, in the
+    same two casts and one division. Scale shape: one groupby-sum
+    collapses facts to the key domain; the cumulative scan is a single
+    task over that dimension-sized table."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -474,8 +507,7 @@ def gini_concentration(ds, *, key_col: str, cents_col: str,
                                               ("k", "ascending")])
         x = np.asarray(t.take(order)["x"], dtype=np.int64)
         n = len(x)
-        s0 = int(np.sum(x, dtype=object)) if n else 0
-        s1 = sum(int(v) * (i + 1) for i, v in enumerate(x))
+        s0, s1 = _exact_rank_weighted_sums(x)
         gini = (float(2 * s1 - (n + 1) * s0) / float(n * s0)
                 if n and s0 else float("nan"))
         return pa.table({"n": pa.array([n], pa.int64()),

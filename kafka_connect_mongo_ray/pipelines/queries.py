@@ -3373,23 +3373,43 @@ def q_dedup_incremental_minhash(sf_dir: str):
     admitted = incremental_minhash_dedup(w2, idx,
                                          num_buckets=_gate_buckets())
 
-    # gate-scale validators (driver-side over the small fixture — the
-    # operator above is the distributed artifact being checked)
-    import hashlib as _hl
+    # checked-boolean invariants, computed DISTRIBUTEDLY (bucketed
+    # semi/anti joins; only 0/1 violation counts reach the driver):
+    # exact cross-window dups must all drop (identical text ⇒ identical
+    # signature ⇒ every band collides — pinned exactly in
+    # test_vocab_and_robust_stats.py::test_incremental_minhash_dedup_windows),
+    # and admitted ⊆ window 2.
+    from kafka_connect_mongo_ray.functions.text import md5_fingerprint_batch
+    from kafka_connect_mongo_ray.stages.join import hash_join
 
-    adm = set(admitted.select_columns(["doc_id"]).to_pandas().doc_id)
-    w2_pdf = w2.select_columns(["doc_id", "text"]).to_pandas()
-    w1_md5 = {_hl.md5((t or "").encode()).hexdigest()
-              for t in w1.select_columns(["text"]).to_pandas().text}
-    exact_dropped = all(
-        r.doc_id not in adm
-        for r in w2_pdf.itertuples()
-        if _hl.md5((r.text or "").encode()).hexdigest() in w1_md5)
-    partition_ok = adm <= set(w2_pdf.doc_id)
+    def _md5_fp(batch: pa.Table) -> pa.Table:
+        return md5_fingerprint_batch(batch, out_col="fp").select(
+            ["doc_id", "fp"])
+
+    nb = _gate_buckets()
+    w1_fp = (w1.map_batches(_md5_fp, batch_format="pyarrow")
+             .map_batches(lambda t: t.select(["fp"]),
+                          batch_format="pyarrow"))
+    w2_fp = w2.map_batches(_md5_fp, batch_format="pyarrow").materialize()
+    adm_ids = admitted.map_batches(lambda t: t.select(["doc_id"]),
+                                   batch_format="pyarrow").materialize()
+    exact_dups_w2 = hash_join(w2_fp, w1_fp, on=["fp"], how="semi",
+                              num_buckets=nb).materialize()
+    # an empty join output carries no schema (NEXT.md: dataset-level
+    # column ops crash on it) — and zero dups means zero violations
+    admitted_dups = 0 if exact_dups_w2.count() == 0 else hash_join(
+        exact_dups_w2.map_batches(lambda t: t.select(["doc_id"]),
+                                  batch_format="pyarrow"),
+        adm_ids, on=["doc_id"], how="semi", num_buckets=nb).count()
+    stray_admits = 0 if adm_ids.count() == 0 else hash_join(
+        adm_ids,
+        w2_fp.map_batches(lambda t: t.select(["doc_id"]),
+                          batch_format="pyarrow"),
+        on=["doc_id"], how="anti", num_buckets=nb).count()
     return pa.table({
-        "n_w2": pa.array([len(w2_pdf)], pa.int64()),
-        "exact_dups_dropped": pa.array([bool(exact_dropped)], pa.bool_()),
-        "partition_ok": pa.array([bool(partition_ok)], pa.bool_()),
+        "n_w2": pa.array([w2_fp.count()], pa.int64()),
+        "exact_dups_dropped": pa.array([admitted_dups == 0], pa.bool_()),
+        "partition_ok": pa.array([stray_admits == 0], pa.bool_()),
     })
 
 

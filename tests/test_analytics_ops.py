@@ -342,3 +342,26 @@ def test_transitions_and_chi2_keep_null_categories_like_sql():
     # NULL is its own row category: 2x2 perfectly proportional table
     assert int(out.n.iloc[0]) == 4 and int(out.dof.iloc[0]) == 1
     assert out.chi2.iloc[0] == 0.0
+
+
+def test_exact_rank_weighted_sums_vectorized_matches_python_ints():
+    """The chunked int64 kernel equals the arbitrary-precision
+    per-element reference on a 10^6-element domain whose Σ i·x is far
+    beyond int64 (values up to 2^40 force small proof-bounded chunks),
+    including negatives and zeros."""
+    import numpy as np
+
+    from kafka_connect_mongo_ray.functions.analytics import (
+        _exact_rank_weighted_sums,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-(2**40), 2**40, size=1_000_000, dtype=np.int64)
+    x[::1000] = 0
+    x.sort()
+    s0, s1 = _exact_rank_weighted_sums(x)
+    assert s0 == sum(map(int, x))
+    assert s1 == sum(int(v) * (i + 1) for i, v in enumerate(x))
+    assert s1 > 2**63  # the naive int64 path would have overflowed
+    assert _exact_rank_weighted_sums(np.array([], np.int64)) == (0, 0)
+    assert _exact_rank_weighted_sums(np.zeros(5, np.int64)) == (0, 0)
