@@ -302,6 +302,55 @@ def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, t)
 
 
+class Encoder:
+    """Text-encoder STAGE for actor-pool ``map_batches``: pass the
+    CLASS (``map_batches(Encoder, concurrency=(1, N))``) so expensive
+    setup — model weights, tokenizer, device handles — happens ONCE per
+    actor in ``__init__`` (via :meth:`_load`), and ``__call__`` encodes
+    one Arrow batch. The contract every implementation keeps:
+    ``(id_col, embedding list<float32>)`` output with L2-normalized
+    rows, so downstream consumers (the persisted IVF index, cosine
+    near-dup sweeps) are implementation-agnostic.
+
+    The DEFAULT :meth:`encode` is the deterministic blake2b stub
+    (bit-identical to :func:`hash_embedding_batch` — this container
+    ships no model weights); a real encoder subclasses and overrides
+    ``_load`` + ``encode`` only."""
+
+    def __init__(self, *, dim: int = 32, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.dim = dim
+        self.text_col = text_col
+        self.id_col = id_col
+        self.model = self._load()
+
+    def _load(self):
+        """Load and return the model handle — once per actor."""
+        return None
+
+    def encode(self, texts: list) -> np.ndarray:
+        """``(n, dim)`` float32 with unit rows. Override for a real
+        model (batch inference against ``self.model``)."""
+        out = np.empty((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
+                "little")
+            v = np.random.default_rng(seed).standard_normal(self.dim)
+            out[i] = (v / max(float(np.linalg.norm(v)), 1e-12)
+                      ).astype(np.float32)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(self.encode(batch[self.text_col].to_pylist()),
+                          dtype=np.float32)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+
+
 def hash_embedding_batch(batch: pa.Table, *, dim: int = 32,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> pa.Table:

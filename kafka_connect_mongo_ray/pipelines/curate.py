@@ -117,6 +117,7 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
                    screen: str = "exact",
                    minhash_opts: dict | None = None,
                    ann_dir: str | None = None, ann_cells: int = 8,
+                   encoder: type | None = None, encoder_actors: int = 2,
                    dq_expectations: list | None = None,
                    ) -> dict:
     """Curate ONE committed window: change feed (version-1 → version) →
@@ -136,6 +137,12 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
     BEFORE the marker and recovery re-appends from there (its presence
     also tells recovery which mode wrote the window).
     ``minhash_opts`` forwards num_hashes/num_bands/seed.
+
+    ``encoder`` (with ``ann_dir``) injects the embedding stage: a
+    ``functions/text.py::Encoder`` subclass run as an ACTOR POOL of
+    ``encoder_actors`` (model loaded once per actor in ``__init__``,
+    batches encoded in ``__call__``). Default: the deterministic
+    blake2b stub.
 
     ``dq_expectations`` (a list of
     ``functions/expectations.py::Expectation`` over the table name
@@ -282,11 +289,14 @@ def curate_version(cfg: EngineConfig, version: int, *, index_dir: str,
     # marker so recovery can replay the index ingest
     vecs_dir = os.path.join(wdir, "_vecs")
     if ann_dir is not None and admitted:
-        from kafka_connect_mongo_ray.functions.text import (
-            hash_embedding_batch,
-        )
+        from kafka_connect_mongo_ray.functions.text import Encoder
 
-        (survivors.map_batches(hash_embedding_batch,
+        # encoder is an ACTOR-POOL stage: model setup once per actor in
+        # __init__, batch encode in __call__ (the default Encoder is the
+        # deterministic blake2b stub — a real model is a subclass swap,
+        # same (doc_id, embedding) schema)
+        (survivors.map_batches(encoder or Encoder,
+                               concurrency=(1, encoder_actors),
                                batch_format="pyarrow")
          .write_parquet(vecs_dir))
     # marker BEFORE append: once it exists the directory is
@@ -322,6 +332,8 @@ def run_curated_stream(
     minhash_opts: dict | None = None,
     ann_dir: str | None = None,
     ann_cells: int = 8,
+    encoder: type | None = None,
+    encoder_actors: int = 2,
     dq_expectations: list | None = None,
 ) -> list[dict]:
     """Run each bounded event Dataset as one committed replay AND curate
@@ -340,6 +352,8 @@ def run_curated_stream(
                              candidates_fn=candidates_fn,
                              screen=screen, minhash_opts=minhash_opts,
                              ann_dir=ann_dir, ann_cells=ann_cells,
+                             encoder=encoder,
+                             encoder_actors=encoder_actors,
                              dq_expectations=dq_expectations)
         summaries.append({**rep, "curation": cur})
     return summaries

@@ -422,3 +422,68 @@ def test_dq_expectations_ride_summary_and_marker(dirs):
     assert rec["recovered"] is True
     assert {c["name"]: c["n_violations"] for c in rec["dq"]} == {
         "text_not_null": 1, "doc_id_unique": 0, "ts_window": 2}
+
+
+def test_encoder_stub_matches_hash_embedding_batch():
+    """The default Encoder stage is bit-identical to
+    hash_embedding_batch — the injectable seam changes plumbing, not
+    geometry."""
+    from kafka_connect_mongo_ray.functions.text import (
+        Encoder,
+        hash_embedding_batch,
+    )
+
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["alpha", None, "gamma"])})
+    assert Encoder()(batch).equals(hash_embedding_batch(batch))
+
+
+def test_custom_encoder_swap_drives_ann_ingest(dirs, tmp_path):
+    """A non-stub Encoder subclass (char-ngram hashing — setup in
+    _load, vectorized encode) drops into the ann_dir path: the window's
+    _vecs sidecar carries ITS vectors and the IVF manifest commits the
+    admissions, proving the actor-pool seam is real, not prose."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_connect_mongo_ray.functions.text import Encoder
+
+    class CharNgramEncoder(Encoder):
+        def _load(self):
+            # "model": a fixed random projection, built once per actor
+            return np.random.default_rng(0).standard_normal(
+                (256 * 256, self.dim)).astype(np.float32)
+
+        def encode(self, texts):
+            out = np.zeros((len(texts), self.dim), np.float32)
+            for i, t in enumerate(texts):
+                b = (t or "\x00").encode("utf-8", "replace")
+                grams = np.frombuffer(b, np.uint8)
+                idx = (grams[:-1].astype(np.int32) * 256
+                       + grams[1:]) if len(grams) > 1 else np.array(
+                           [int(grams[0])], np.int32)
+                v = self.model[idx].sum(axis=0)
+                out[i] = v / max(float(np.linalg.norm(v)), 1e-12)
+            return out
+
+    cfg, idx, cur = dirs
+    ann = str(tmp_path / "ivf")
+    run_curated_stream(
+        [_factory([(0, "i", "1", "aaa"), (0, "i", "2", "bbb")])],
+        cfg, index_dir=idx, curated_dir=cur, index_buckets=4,
+        ann_dir=ann, ann_cells=2, encoder=CharNgramEncoder,
+        encoder_actors=1)
+    vecs = pq.read_table(os.path.join(cur, "window=1", "_vecs"))
+    got = {d: np.asarray(v, np.float32)
+           for d, v in zip(vecs["doc_id"].to_pylist(),
+                           vecs["embedding"].to_pylist())}
+    ref = CharNgramEncoder()
+    want = ref.encode(["aaa", "bbb"])
+    np.testing.assert_allclose(got[1], want[0], atol=1e-6)
+    np.testing.assert_allclose(got[2], want[1], atol=1e-6)
+    import json
+
+    m = json.load(open(os.path.join(ann, "manifest.json")))
+    assert m["rows"] == 2 and m["tags"] == ["window=1"]
