@@ -80,6 +80,11 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--greens", action="store_true",
+                    help="restrict to the driver-green set (the union "
+                    "of CORRECTNESS_r*.json rows) — the mandatory fast "
+                    "regression sweep after any pipelines/ or "
+                    "functions/ change")
     args = ap.parse_args()
 
     import duckdb
@@ -101,6 +106,16 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     names = sorted(queries)
+    if args.greens:
+        import glob
+        import json as _json
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        green = set()
+        for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            green |= set(_json.load(open(f)))
+        names = [n for n in names if n in green]
+        print(f"greens: {len(names)} driver-green queries")
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
