@@ -37,6 +37,18 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROOT = "/tmp/kcm_bench"
+SCALING_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+
+
+def _reservation_ratio():
+    """GRAFT_RESERVATION selects the regime: the measured-best default
+    (0.3) or "off" (plain regime — reservation disabled; the honest
+    non-super-linear scaling comparison, BASELINE.md round-4 finding:
+    the 8-CPU leg idles under the executor's reservation, inflating
+    8→32 ratios past 1.0)."""
+    v = os.environ.get("GRAFT_RESERVATION", "0.3")
+    return v if v in ("off", "auto") else float(v)
 
 
 def _docs_rows(sf_dir: str) -> int:
@@ -89,7 +101,7 @@ def bench_cdc_replay(sf_dir: str, ncpu: int) -> dict:
         # binding; the corrected ABBA A/B has default winning at both
         # 2M and 50M events (BASELINE.md "Shuffle strategy, corrected")
         prereduce_coalesce=32,
-        op_reservation_ratio=0.3,
+        op_reservation_ratio=_reservation_ratio(),
     )
     events = change_event_dataset(spec, base, concurrency=min(ncpu, spec.num_partitions))
     total_events = spec.num_partitions * spec.events_per_partition
@@ -163,7 +175,8 @@ def bench_analyzed(sf_dir: str, ncpu: int, dirt_every: int = 0) -> dict:
     cfg = EngineConfig(snapshot_dir="/tmp/kcm_bench_an/s",
                        checkpoint_dir="/tmp/kcm_bench_an/c",
                        num_buckets=64, analyze_schema=True,
-                       prereduce_coalesce=32, op_reservation_ratio=0.3)
+                       prereduce_coalesce=32,
+                       op_reservation_ratio=_reservation_ratio())
     events = change_event_dataset(spec, base).map_batches(
         attach_json, batch_format="pyarrow")
     n = spec.num_partitions * spec.events_per_partition
@@ -314,13 +327,19 @@ def run_once() -> dict:
         an_eps = [p["analyzed"]["events_per_sec"] for p in passes]
         result["analyzed_events_per_sec"] = round(med(an_eps), 1)
         result["analyzed_events"] = passes[0]["analyzed"]["events"]
+    # attach the most recent --scaling measurement (written by
+    # run_scaling to SCALING.json) so the per-round bench artifact
+    # carries both regimes' efficiencies alongside the throughput
+    if not headline_only and os.path.exists(SCALING_ARTIFACT):
+        with open(SCALING_ARTIFACT) as f:
+            result["scaling"] = json.load(f)
     ray.shutdown()
     return result
 
 
-def run_scaling() -> dict:
-    """Sandbox substitute for the N vs 4N cluster-size criterion:
-    identical job in fresh processes at num_cpus=8 and 32.
+def _scaling_one_regime(reservation: str) -> dict:
+    """One regime's N vs 4N measurement: identical job in fresh
+    processes at num_cpus=8 and 32.
 
     ABBA ordering (8, 32, 32, 8) with per-level medians: the box's
     regime drifts run-over-run (measured 1.6× swings on the 32-CPU leg
@@ -336,7 +355,8 @@ def run_scaling() -> dict:
         # size the 32-CPU run finishes in ~3 s and fixed costs (commit,
         # driver coordination) dominate, understating scalability
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "5"))
+                   GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "5"),
+                   GRAFT_RESERVATION=reservation)
         proc = subprocess.run(
             [sys.executable, __file__, "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
@@ -347,16 +367,42 @@ def run_scaling() -> dict:
     tp32 = statistics.median(samples[32])
     eff = (tp32 / tp8) / 4.0
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "reservation": reservation,
         "events_per_sec_8": tp8,
         "events_per_sec_32": tp32,
         "speedup": round(tp32 / tp8, 3),
         "scaling_efficiency": round(eff, 3),
         "runs_8": samples[8],
         "runs_32": samples[32],
-        "order": "ABBA (8,32,32,8)",
-        "sf": SF_DIR,
     }
+
+
+def run_scaling() -> dict:
+    """Sandbox substitute for the N vs 4N cluster-size criterion, in
+    BOTH regimes: the engine default (reservation ratio 0.3) AND the
+    plain regime (reservation off). The default regime's 8-CPU leg
+    idles under the streaming executor's per-operator reservation
+    (BASELINE.md round-4 four-quadrant), which inflates the 8→32 ratio
+    past 1.0 — the plain regime is the honest non-super-linear number;
+    the artifact carries both. Persists to SCALING.json so the plain
+    ``bench.py`` run embeds the measurement in the per-round record."""
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "order": "ABBA (8,32,32,8) per regime",
+        "sf": SF_DIR,
+        "regimes": {
+            "default_reservation_0.3": _scaling_one_regime("0.3"),
+            "plain_reservation_off": _scaling_one_regime("off"),
+        },
+    }
+    # headline fields mirror the old single-regime shape (default regime)
+    d = out["regimes"]["default_reservation_0.3"]
+    out["events_per_sec_8"] = d["events_per_sec_8"]
+    out["events_per_sec_32"] = d["events_per_sec_32"]
+    out["scaling_efficiency"] = d["scaling_efficiency"]
+    with open(SCALING_ARTIFACT, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
 
 
 if __name__ == "__main__":

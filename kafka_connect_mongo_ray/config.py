@@ -89,7 +89,9 @@ class EngineConfig:
     # 3.8× at 50M events), so "auto" DISABLES reservation on small
     # sessions and applies 0.3 on large ones (where reservation
     # protects big runs: 32 CPUs / 50M events measured 519k on vs
-    # 391k off). None = leave the session default untouched.
+    # 391k off). "off" = disable reservation outright (the plain
+    # regime the scaling artifact reports alongside the default).
+    # None = leave the session default untouched.
     op_reservation_ratio: float | str | None = None
     # Max rows per written snapshot file (resumable, many-file layout).
     snapshot_rows_per_file: int = 1_000_000
@@ -131,12 +133,13 @@ class EngineConfig:
                               f"{_SHUFFLE_STRATEGIES}, got "
                               f"{self.shuffle_strategy!r}")
         if self.op_reservation_ratio is not None and (
-                self.op_reservation_ratio != "auto") and not (
+                self.op_reservation_ratio not in ("auto", "off")) and not (
                 isinstance(self.op_reservation_ratio, (int, float))
                 and not isinstance(self.op_reservation_ratio, bool)
                 and 0 < self.op_reservation_ratio <= 1):
-            raise ConfigError("op_reservation_ratio must be None, 'auto', or "
-                              f"in (0, 1], got {self.op_reservation_ratio!r}")
+            raise ConfigError("op_reservation_ratio must be None, 'auto', "
+                              "'off', or in (0, 1], got "
+                              f"{self.op_reservation_ratio!r}")
         if (not isinstance(self.snapshot_rows_per_file, int)
                 or self.snapshot_rows_per_file < 1):
             raise ConfigError("snapshot_rows_per_file must be a positive int, "

@@ -668,6 +668,8 @@ def _apply_execution_context(cfg: EngineConfig, ds) -> dict:
             else:
                 ctx.op_resource_reservation_enabled = True
                 ctx.op_resource_reservation_ratio = 0.3
+        elif ratio == "off":
+            ctx.op_resource_reservation_enabled = False
         else:
             ctx.op_resource_reservation_enabled = True
             ctx.op_resource_reservation_ratio = ratio
