@@ -265,6 +265,17 @@ def run_once() -> dict:
     )
 
     headline_only = "--headline-only" in sys.argv
+    analyzed_only = "--analyzed-only" in sys.argv
+    if analyzed_only:
+        # compute-bound scaling leg: ONLY the analyzed-mode replay
+        # (JSON parse + lattice coercion dominates — the pipeline whose
+        # single-node 8→32 scaling is not memory-bandwidth-confounded)
+        an = bench_analyzed(SF_DIR, NCPU)
+        ray.shutdown()
+        return {"metric": "analyzed_events_per_sec",
+                "value": round(an["events_per_sec"], 1),
+                "unit": "events/sec", "events": an["events"],
+                "sf": SF_DIR, "num_cpus": NCPU}
     repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
     if headline_only:
         repeats = 1  # scaling mode measures one identical job per process
@@ -337,7 +348,7 @@ def run_once() -> dict:
     return result
 
 
-def _scaling_one_regime(reservation: str) -> dict:
+def _scaling_one_regime(reservation: str, mode: str = "replay") -> dict:
     """One regime's N vs 4N measurement: identical job in fresh
     processes at num_cpus=8 and 32.
 
@@ -350,15 +361,17 @@ def _scaling_one_regime(reservation: str) -> dict:
     import statistics
 
     samples: dict[int, list[float]] = {8: [], 32: []}
+    flag = "--analyzed-only" if mode == "analyzed" else "--headline-only"
     for ncpu in (8, 32, 32, 8):
         # 5x the workload for the scaling measurement: at the plain bench
         # size the 32-CPU run finishes in ~3 s and fixed costs (commit,
         # driver coordination) dominate, understating scalability
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "5"),
+                   GRAFT_AN_MULT=os.environ.get("GRAFT_AN_MULT", "5"),
                    GRAFT_RESERVATION=reservation)
         proc = subprocess.run(
-            [sys.executable, __file__, "--headline-only"],
+            [sys.executable, __file__, flag],
             env=env, capture_output=True, text=True, check=True,
         )
         val = json.loads(proc.stdout.strip().splitlines()[-1])["value"]
@@ -368,6 +381,7 @@ def _scaling_one_regime(reservation: str) -> dict:
     eff = (tp32 / tp8) / 4.0
     return {
         "reservation": reservation,
+        "mode": mode,
         "events_per_sec_8": tp8,
         "events_per_sec_32": tp32,
         "speedup": round(tp32 / tp8, 3),
@@ -393,6 +407,14 @@ def run_scaling() -> dict:
         "regimes": {
             "default_reservation_0.3": _scaling_one_regime("0.3"),
             "plain_reservation_off": _scaling_one_regime("off"),
+            # the headline replay is MEMORY-BANDWIDTH-bound once
+            # reservation stops idling the 8-CPU leg (8 CPUs already
+            # run ~1.7M ev/s on this box), so its single-node 8→32
+            # ratio under-represents true multi-node scaling — the
+            # analyzed pipeline is CPU-bound (JSON parse + lattice)
+            # and gives the honest compute-scaling number
+            "analyzed_compute_bound_reservation_off":
+                _scaling_one_regime("off", mode="analyzed"),
         },
     }
     # headline fields mirror the old single-regime shape (default regime)
