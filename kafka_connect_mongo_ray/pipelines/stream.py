@@ -29,20 +29,21 @@ def run_micro_batches(
     summaries; ``summary['tokens']`` advances monotonically.
 
     ``index`` (a ``state.secondary_index.SecondaryIndex``) makes the
-    driver keep the attribute→key index fresh: each committed window's
-    change feed folds in right after the commit. Index application is
-    idempotent (deterministic per-window file names), so a crash
-    between commit and fold is healed by the next run re-applying the
-    same window. The loop folds only the windows IT commits — pointing
-    a fresh index at a PRE-EXISTING store requires catching up first
-    (``index --apply`` / ``replay --index`` fold every committed
-    window, idempotently)."""
+    driver keep the attribute→key index fresh: after each commit,
+    ``catch_up`` folds every window the index has not absorbed —
+    normally just the window this loop committed (``applied_through``
+    tracks every apply, so the incremental cost is one window), but a
+    FRESH index against a pre-existing store bootstraps its history in
+    the same call. Idempotent per window (deterministic file names), so
+    a crash between commit and fold heals on the next run."""
     summaries = []
     for factory in batch_factories:
         s = run_replay(factory(), cfg)
         if index is not None:
-            v = int(s["version"])
-            s["index"] = index.apply_window(cfg.snapshot_dir, v - 1, v)
+            folds = index.catch_up(cfg.snapshot_dir, int(s["version"]))
+            s["index"] = folds[-1] if folds else {"skipped": "up to date"}
+            if len(folds) > 1:
+                s["index_catch_up"] = folds[:-1]
         summaries.append(s)
     return summaries
 

@@ -285,3 +285,30 @@ def test_null_attribute_values_are_unindexed(tmp_path):
     after = idx.counts().to_pandas().set_index("val")["n_keys"].to_dict()
     assert after == before
     assert st["postings"] == 1
+
+
+def test_micro_batch_loop_bootstraps_fresh_index_over_prior_windows(
+        tmp_path):
+    """A FRESH index handed to run_micro_batches against a store that
+    already has committed history catches up on that history in the
+    same pass (catch_up), instead of silently folding only the new
+    window."""
+    from kafka_connect_mongo_ray.pipelines.stream import run_micro_batches
+
+    cfg = _store(tmp_path)  # versions 1 and 2 already committed
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    base = dict(commit="", partition_id=0, inc=0)
+    w3 = [dict(ts=3, op="i", repo="r2", path="e", lang="py",
+               content="v", **base)]
+    from tests.test_oracle_and_gen import make_events
+
+    s = run_micro_batches(
+        [lambda: ray.data.from_arrow(make_events(w3)).repartition(2)],
+        cfg, index=idx)[0]
+    assert s["index"]["window"] == [2, 3]
+    assert [f["window"] for f in s["index_catch_up"]] == [[0, 1], [1, 2]]
+    # full history present: membership equals the live set
+    assert _keys(idx.lookup("py")) == [("r1", "c"), ("r2", "e")]
+    assert _keys(idx.lookup("rs")) == [("r0", "a")]
+    assert _keys(idx.lookup("go")) == [("r1", "d")]
