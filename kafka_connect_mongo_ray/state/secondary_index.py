@@ -283,6 +283,54 @@ class SecondaryIndex:
                          "path": pa.array(live["path"].to_numpy(object),
                                           pa.string())})
 
+    def lookup_ds(self, value: str):
+        """Distributed :meth:`lookup`: the same one-bucket-directory
+        read expressed as a Dataset — ``read_parquet`` over the bucket's
+        files, a value filter, and a key-bucketed signed fold, with only
+        live keys leaving each task. For a HOT value whose postings
+        outgrow one driver heap (the documented ``lookup()`` bound),
+        this is the scale path: work distributes across the bucket's
+        window files and the result streams. Returns a Dataset of
+        ``(repo, path)``; per Ray's empty-block semantics an all-empty
+        result may carry NO schema — check emptiness before
+        dataset-level column ops (NEXT.md round-4 finding)."""
+        import ray.data as rd
+        from kafka_connect_mongo_ray.utils import key_bucketed
+
+        b = int(_bucket_of_vals(pa.array([value], pa.string()),
+                                self.num_buckets)[0])
+        bdir = os.path.join(self._gen_dir(), f"bucket={b}")
+        files = ([os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                  if f.endswith(".parquet")]
+                 if os.path.isdir(bdir) else [])
+        empty = POSTING_SCHEMA.empty_table().select(["repo", "path"])
+        if not files:
+            return rd.from_arrow(empty)
+
+        def keep_value(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["val"],
+                                     pa.scalar(value, pa.string())))
+
+        def fold(g: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = g.select(["repo", "path", "sign"]).to_pandas()
+            net = df.groupby(["repo", "path"], as_index=False)["sign"].sum()
+            live = net[net["sign"] > 0]
+            return pa.table({
+                "repo": pa.array(live["repo"].to_numpy(object),
+                                 pa.string()),
+                "path": pa.array(live["path"].to_numpy(object),
+                                 pa.string())})
+
+        ds = (rd.read_parquet(files)
+              .map_batches(keep_value, batch_format="pyarrow"))
+        # signed history of one (repo, path) must fold in one task —
+        # bucket by the key pair (the repo's window-family pattern)
+        return key_bucketed(ds, ["repo", "path"],
+                            self.num_buckets).map_groups(
+            fold, batch_format="pyarrow")
+
     def counts(self) -> pa.Table:
         """Per-value live-key counts over the whole index — a full
         (bucket-parallel) fold, group-domain-sized output. The fold

@@ -312,3 +312,25 @@ def test_micro_batch_loop_bootstraps_fresh_index_over_prior_windows(
     assert _keys(idx.lookup("py")) == [("r1", "c"), ("r2", "e")]
     assert _keys(idx.lookup("rs")) == [("r0", "a")]
     assert _keys(idx.lookup("go")) == [("r1", "d")]
+
+
+def test_lookup_ds_matches_driver_lookup(tmp_path):
+    """The distributed lookup (hot-value scale path) returns exactly
+    the driver-side lookup's live keys — across updates, moves,
+    deletes, and a compaction."""
+    cfg = _store(tmp_path)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    idx.catch_up(cfg.snapshot_dir)
+
+    def ds_keys(v):
+        t = idx.lookup_ds(v).to_pandas()
+        # an all-empty distributed result may carry no schema (Ray
+        # empty-block semantics, documented on lookup_ds)
+        return [] if t.empty else sorted(zip(t["repo"], t["path"]))
+
+    for v in ("py", "rs", "go", "absent"):
+        assert ds_keys(v) == sorted(_keys(idx.lookup(v)))
+    idx.compact()
+    for v in ("py", "rs", "go", "absent"):
+        assert ds_keys(v) == sorted(_keys(idx.lookup(v)))
