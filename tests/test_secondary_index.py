@@ -334,3 +334,90 @@ def test_lookup_ds_matches_driver_lookup(tmp_path):
     idx.compact()
     for v in ("py", "rs", "go", "absent"):
         assert ds_keys(v) == sorted(_keys(idx.lookup(v)))
+
+
+def test_randomized_window_gc_compact_interleavings(tmp_path):
+    """Randomized campaign over the index maintenance state machine:
+    a seeded stream of {replay, catch_up, compact, gc} operations, with
+    the index's membership checked against a pure-Python oracle (the
+    live value→key map replayed from the same event log) after every
+    catch-up. Pins the round-5 contracts under interleaving: catch_up
+    is incremental and idempotent, compaction preserves membership,
+    and gc can never corrupt — it either doesn't matter (windows
+    already absorbed) or the refusal fires."""
+    import numpy as np
+
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    rng = np.random.default_rng(17)
+    langs = ["py", "go", "rs", None]
+    cfg = EngineConfig(snapshot_dir=str(tmp_path / "s"),
+                       checkpoint_dir=str(tmp_path / "c"), num_buckets=4)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    base = dict(commit="", partition_id=0, inc=0)
+
+    oracle: dict[tuple[str, str], str | None] = {}  # key -> lang (live)
+    ts = 0
+
+    def check():
+        want: dict[str, set] = {}
+        for (r, p), lg in oracle.items():
+            if lg is not None:
+                want.setdefault(lg, set()).add((r, p))
+        for lg in ("py", "go", "rs"):
+            assert set(_keys(idx.lookup(lg))) == want.get(lg, set()), lg
+
+    for step in range(12):
+        op = rng.choice(["replay", "replay", "catch_up", "compact", "gc"])
+        if op == "replay":
+            ts += 1
+            # one event per key per window (LWW within a window would
+            # need the engine's tie-break mirrored in the oracle), and
+            # the oracle must track only KEPT rows — skip a key already
+            # used this window BEFORE consuming its oracle transition
+            seen: set = set()
+            rows = []
+            for _ in range(int(rng.integers(1, 6))):
+                r = f"r{int(rng.integers(0, 3))}"
+                p = chr(ord("a") + int(rng.integers(0, 6)))
+                drop_roll = rng.random()
+                lg_roll = int(rng.integers(0, len(langs)))
+                if (r, p) in seen:
+                    continue
+                seen.add((r, p))
+                if drop_roll < 0.25 and (r, p) in oracle \
+                        and oracle[(r, p)] is not None:
+                    rows.append(dict(ts=ts, op="d", repo=r, path=p,
+                                     lang=oracle[(r, p)], content=None,
+                                     **base))
+                    oracle[(r, p)] = None
+                else:
+                    lg = langs[lg_roll]
+                    rows.append(dict(ts=ts, op="i", repo=r, path=p,
+                                     lang=lg, content=f"c{ts}", **base))
+                    oracle[(r, p)] = lg
+            _replay(cfg, rows)
+        elif op == "catch_up":
+            try:
+                idx.catch_up(cfg.snapshot_dir)
+            except ValueError as e:
+                # gc outran the index: refusing loudly IS the contract
+                assert "garbage-collected" in str(e)
+            else:
+                check()
+        elif op == "compact":
+            idx.compact()
+        else:  # gc
+            store = SnapshotStore(cfg.snapshot_dir, create=False)
+            if store.current_version() >= 2:
+                store.gc(keep_last=2)
+    # final reconciliation: catch_up may hit the gc refusal when gc
+    # outran the index — that is the CONTRACT (refuse loudly, never
+    # corrupt); otherwise membership must equal the oracle
+    try:
+        idx.catch_up(cfg.snapshot_dir)
+    except ValueError as e:
+        assert "garbage-collected" in str(e)
+    else:
+        check()
