@@ -421,3 +421,42 @@ def test_randomized_window_gc_compact_interleavings(tmp_path):
         assert "garbage-collected" in str(e)
     else:
         check()
+
+
+def test_cli_apply_reports_gc_refusal_as_json_error(tmp_path, capsys):
+    """index --apply on a NON-fresh index whose next base manifest was
+    gc'd prints one JSON error line and exits 1 — never a traceback,
+    never corrupted postings."""
+    import json
+
+    from kafka_connect_mongo_ray.__main__ import index_cmd
+    from kafka_connect_mongo_ray.state.snapshot import SnapshotStore
+
+    cfg = _store(tmp_path)  # versions 1, 2
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang",
+                         num_buckets=4)
+    idx.apply_window(cfg.snapshot_dir, 0, 1)  # applied_through = 1
+    base = dict(commit="", partition_id=0, inc=0)
+    _replay(cfg, [dict(ts=3, op="i", repo="r2", path="e", lang="py",
+                       content="v", **base)])  # version 3
+    _replay(cfg, [dict(ts=4, op="i", repo="r2", path="f", lang="go",
+                       content="w", **base)])  # version 4
+    SnapshotStore(cfg.snapshot_dir, create=False).gc(keep_last=1)
+
+    class A:
+        snapshot = cfg.snapshot_dir
+        index = str(tmp_path / "idx")
+        column = "lang"
+        buckets = 4
+        apply = True
+        compact = False
+        value = None
+        fetch = False
+        counts = False
+        auto_compact = None
+
+    assert index_cmd(A) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "garbage-collected" in out["error"]
+    # the index's folded prefix is untouched
+    assert _keys(idx.lookup("py")) == [("r0", "a"), ("r1", "c")]
