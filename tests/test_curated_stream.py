@@ -487,3 +487,81 @@ def test_custom_encoder_swap_drives_ann_ingest(dirs, tmp_path):
 
     m = json.load(open(os.path.join(ann, "manifest.json")))
     assert m["rows"] == 2 and m["tags"] == ["window=1"]
+
+
+def test_randomized_curation_first_wins_oracle(dirs):
+    """Randomized multi-window campaign against a pure-Python
+    first-wins oracle: random inserts/updates/deletes over a small
+    key domain with a small CONTENT pool (forcing heavy cross-window
+    duplication), checked per window. Invariants: a content
+    fingerprint is admitted at most once across the whole stream
+    (first window to carry it wins, min doc_id within a window);
+    tombstones never curate; per-window admitted counts match."""
+    import hashlib
+
+    import numpy as np
+
+    cfg, idx, cur = dirs
+    rng = np.random.default_rng(41)
+    contents = [f"text{i}" for i in range(8)]  # small pool => many dups
+    live: dict[int, str] = {}
+    factories = []
+    window_events = []
+    for w in range(5):
+        rows = []
+        used = set()
+        for _ in range(int(rng.integers(2, 7))):
+            d = int(rng.integers(1, 10))
+            if d in used:
+                continue
+            used.add(d)
+            if rng.random() < 0.2 and d in live:
+                rows.append((w, "d", str(d), None))
+                live.pop(d)
+            else:
+                c = contents[int(rng.integers(0, len(contents)))]
+                rows.append((w, "u" if d in live else "i", str(d), c))
+                live[d] = c
+        window_events.append(rows)
+        factories.append(_factory(rows))
+
+    summaries = run_curated_stream(factories, cfg, index_dir=idx,
+                                   curated_dir=cur, index_buckets=4)
+
+    # oracle: replay the same windows; a window's candidates are its
+    # NET key changes (LWW within the window), deduped in-window by
+    # fingerprint (min doc_id wins), screened against all previously
+    # admitted fingerprints
+    admitted_fps: set = set()
+    state: dict[str, str] = {}
+    want_per_window = []
+    for rows in window_events:
+        net: dict[str, str | None] = {}
+        for _, op, path, content in rows:
+            net[path] = None if op == "d" else content
+        cands = {}
+        for path, content in net.items():
+            changed = (content is not None
+                       and state.get(path) != content)
+            if changed:
+                fp = hashlib.md5(content.encode()).hexdigest()
+                d = int(path)
+                if fp not in cands or d < cands[fp]:
+                    cands[fp] = d
+            if content is None:
+                state.pop(path, None)
+            else:
+                state[path] = content
+        adm = {(d, fp) for fp, d in cands.items()
+               if fp not in admitted_fps}
+        admitted_fps |= {fp for _, fp in adm}
+        want_per_window.append(adm)
+
+    got = _read_curated(cur)
+    for i, s in enumerate(summaries):
+        v = s["version"]
+        assert got.get(v, set()) == want_per_window[i], f"window {v}"
+        assert s["curation"]["admitted"] == len(want_per_window[i])
+    # global uniqueness: no fingerprint admitted twice
+    all_fps = [fp for ws in got.values() for _, fp in ws]
+    assert len(all_fps) == len(set(all_fps))
