@@ -244,3 +244,59 @@ def test_compact_folds_generations_and_answers_identically(ray_session,
     assert out3["compacted"] and out3["base"] == "cells_v3"
     assert json.load(open(os.path.join(d, "manifest.json")))[
         "rows"] == 750
+
+
+def test_randomized_append_compact_campaign(ray_session, tmp_path):
+    """Randomized generation campaign: a seeded sequence of APPEND
+    (disjoint vector slices) and COMPACT operations; after every op an
+    nprobe==cells query must equal the brute-force baseline over the
+    union ingested so far — generations and compaction are invisible
+    to exact-mode queries at any interleaving."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kafka_connect_mongo_ray.functions.similarity import brute_force_topk
+    from kafka_connect_mongo_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+    )
+
+    rng = np.random.default_rng(29)
+    dim, chunk = 16, 40
+    vecs = rng.standard_normal((240, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def tbl(lo, hi):
+        return pa.table({
+            "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs[lo:hi]],
+                                  pa.list_(pa.float32())),
+        })
+
+    d = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(tbl(0, chunk)), d, num_cells=4, seed=7)
+    ingested = chunk
+    qids = np.array([0, 5, 11], dtype=np.int64)
+    qmat = vecs[qids]
+
+    def check():
+        approx = ivf_index_topk(d, qmat, qids, k=5, nprobe=4)
+        exact = brute_force_topk(rd.from_arrow(tbl(0, ingested)),
+                                 qmat, qids, k=5)
+        pd.testing.assert_frame_equal(
+            approx.reset_index(drop=True),
+            exact[["query_id", "rank", "neighbor_id"]
+                  ].reset_index(drop=True))
+
+    check()
+    for step in range(6):
+        if rng.random() < 0.6 and ingested < len(vecs):
+            append_ivf_index(rd.from_arrow(tbl(ingested, ingested + chunk)),
+                             d, total_rows=chunk, tag=f"step={step}")
+            ingested += chunk
+        else:
+            compact_ivf_index(d)
+        check()
